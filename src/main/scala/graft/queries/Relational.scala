@@ -1,0 +1,446 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/**
+ * Generic relational operator corpus — one named query per operator class in
+ * SURVEY.md §2.6–2.8 (aggregations, windows, sorts/limits, set ops, joins,
+ * scalar surface). Each query is the Spark-first expression of a pattern from
+ * the reference's documented query surface (`docs/CLICKHOUSE.md` in
+ * gnosischain/era-parser), run over the driver's TPC-H-ish test tables so the
+ * DuckDB oracle can hash-check it.
+ *
+ * Scale notes (100 TB design intent):
+ *  - dimension joins (`nation`, `region`, `customer` at small SF) are
+ *    explicitly `broadcast()` so the big fact side never shuffles;
+ *  - aggregations are plain `groupBy` — Catalyst plans partial (map-side)
+ *    aggregation automatically, so the shuffle carries only group keys;
+ *  - windows that need a global ordering (gap analysis W1) are partitioned
+ *    by a bucketing key wherever the semantics allow (here: `user_id`),
+ *    never `Window.orderBy` with no partition unless the reference query is
+ *    inherently global (W2) — those are flagged.
+ */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects natively; the
+    // session reads it as Long (spark.sql.legacy.parquet.nanosAsLong) and we
+    // convert here. `div` (integer division) — ns-since-2024 overflows the
+    // 53-bit double mantissa, so `/` would corrupt the low microseconds.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** All aggregate outputs are rounded/cast identically in the oracle SQL so
+    * double accumulation-order differences cannot flip the value hash. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── A: aggregations (SURVEY §2.6) ─────────────────────────────────────
+    // A-core: count/sum/avg/min/max over a filtered fact table (CLICKHOUSE.md:384-399 shape).
+    "agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    // A: count(DISTINCT x) (CLICKHOUSE.md:389,456).
+    "agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // A: countIf → conditional aggregation (CLICKHOUSE.md:907).
+    "agg_countif" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          count(lit(1)).as("n_total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // A: stddevPop (CLICKHOUSE.md:644).
+    "agg_stddev" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(stddev_pop(col("o_totalprice")), 2).as("sd_price"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // A: groupArray → collect_list; rendered as a sorted joined string so the
+    // hash is order-independent (CLICKHOUSE.md:737).
+    "agg_grouparray" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy(col("n_regionkey"))
+    }),
+    // A: HAVING (CLICKHOUSE.md:469,743).
+    "agg_having" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total_spent"))
+        .filter(col("n_orders") >= 5)
+        .orderBy(col("o_custkey"))
+    }),
+    // A: time-bucketed GROUP BY — toStartOfDay (CLICKHOUSE.md:386,411).
+    "agg_timebucket_day" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("day"))
+    }),
+    // A: toHour extraction (CLICKHOUSE.md:424,460).
+    "agg_hour" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("hr"))
+    }),
+    // A1/S3-shape: record counts by type + min/max key (era_reader.py:135-155).
+    "agg_stats_by_type" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ── W: windows (SURVEY §2.7) ──────────────────────────────────────────
+    // W1: lag() gap analysis (CLICKHOUSE.md:500-508). Partitioned by user so
+    // the sort is distributed; (ts, event_id) is a unique deterministic order.
+    "win_lag_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_event_id", lag(col("event_id"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("prev_event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // W2: global analytic avg(x) OVER () (CLICKHOUSE.md:529,755). Inherently a
+    // single-partition window at any scale — the reference query is global;
+    // computed via a scalar cross-join-free windowed aggregate on a tiny
+    // grouped input rather than windowing the raw fact table.
+    "win_global_avg" -> ((s, dir) => {
+      val byPrio = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(avg(col("o_totalprice")).as("prio_avg"))
+      byPrio
+        .withColumn("global_avg", avg(col("prio_avg")).over(Window.partitionBy()))
+        .select(
+          col("o_orderpriority"),
+          round(col("prio_avg"), 2).as("prio_avg"),
+          round(col("global_avg"), 2).as("global_avg"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // W3: latest-state dedup — ReplacingMergeTree/era_status argmax semantics
+    // (002_performance_optimizations_up.sql:20-38) as row_number()=1.
+    "win_latest_state" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ── O: sorts / top-k (SURVEY §2.7) ────────────────────────────────────
+    // O3: ORDER BY … DESC LIMIT k → TakeOrderedAndProject, no global sort
+    // materialization (CLICKHOUSE.md:400-413). Unique tiebreak for determinism.
+    "topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+    // O1/S2: filter + project + sort (era_reader.py:129-133 shape).
+    "sort_filter_project" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ── U: set ops (SURVEY §2.7) ──────────────────────────────────────────
+    // U1: UNION ALL across homogeneous tables (CLICKHOUSE.md:432-466).
+    "union_all_counts" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("id"), lit("customer").as("kind"))
+      val p = t(s, dir, "supplier").select(col("s_suppkey").as("id"), lit("supplier").as("kind"))
+      c.unionByName(p)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))
+        .orderBy(col("kind"))
+    }),
+
+    // ── J: joins (SURVEY §2.5) ────────────────────────────────────────────
+    // J1: inner equi-join fact ⋈ dim (CLICKHOUSE.md:544,790). Dim side
+    // broadcast — at 100 TB the orders fact never shuffles for this join.
+    "join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // J2: LEFT JOIN preserving unmatched parents (CLICKHOUSE.md:545,791).
+    "join_left" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    // J3: FULL OUTER JOIN of sibling aggregates (CLICKHOUSE.md:804-815 — the
+    // deposit/withdrawal/consolidation request reconciliation shape).
+    "join_full_outer" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_clicks"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_buys"))
+      clicks.join(buys, Seq("user_id"), "full_outer")
+        .select(
+          col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_buys"), lit(0L)).as("n_buys"))
+        .orderBy(col("user_id"))
+    }),
+    // J4: anti-join — the completed-era resume filter
+    // (era_state_manager.py:459-473) as left_anti.
+    "join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+    // J5: semi-join (EXISTS) — fixture-pairing check shape (test_validation.py:88-101).
+    "join_semi" -> ((s, dir) => {
+      val s_ = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 49).select(col("l_suppkey"))
+      s_.join(li, s_("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // Multi-way star join: fact ⋈ 4 broadcast dims, the flagship shape.
+    "join_star_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ── scalar surface (SURVEY §2.8) ──────────────────────────────────────
+    // CASE WHEN bucketing (CLICKHOUSE.md:677-682).
+    "scalar_case_when" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .withColumn("bucket",
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 200000, "medium")
+            .otherwise("large"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+    // round() + arithmetic ratio (CLICKHOUSE.md:540,744).
+    "scalar_ratio" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) / sum(col("l_extendedprice")),
+          6).as("disc_ratio"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // JSONExtract (CLICKHOUSE.md:705-706) → get_json_object / from_json.
+    "scalar_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+    // now() - INTERVAL / date-range predicate (CLICKHOUSE.md:386 shape, fixed
+    // anchor so the oracle is deterministic).
+    "scalar_date_range" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= expr("timestamp'1998-01-01 00:00:00' - interval 90 days") &&
+                col("o_orderdate") < expr("timestamp'1998-01-01 00:00:00'"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    // toUInt64(string) cast ladder (CLICKHOUSE.md:795-798).
+    "scalar_cast" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k_str", get_json_object(col("props"), "$.k"))
+        .withColumn("k_num", col("k_str").cast("long"))
+        .groupBy((col("k_num") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k_mod"))
+    })
+  )
+
+  /** DuckDB-runnable ANSI oracle for every query above. Aggregate column
+    * names, rounding, and casts match the Spark side exactly (the driver
+    * sorts columns by name and hashes values). DuckDB SUM(BIGINT) widens to
+    * HUGEINT, hence the explicit CAST(... AS BIGINT). */
+  val oracleSql: Map[String, String] = Map(
+    "agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         ROUND(AVG(l_quantity), 4) AS avg_qty,
+         CAST(COUNT(*) AS BIGINT) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_countif" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_stddev" ->
+      """SELECT o_orderpriority,
+         ROUND(STDDEV_POP(o_totalprice), 2) AS sd_price,
+         ROUND(AVG(o_totalprice), 2) AS avg_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_grouparray" ->
+      """SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "agg_having" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total_spent
+         FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5 ORDER BY o_custkey""",
+    "agg_timebucket_day" ->
+      """SELECT DATE_TRUNC('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY day""",
+    "agg_hour" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr, CAST(COUNT(*) AS BIGINT) AS n_events
+         FROM events GROUP BY 1 ORDER BY hr""",
+    "agg_stats_by_type" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MIN(event_id) AS BIGINT) AS min_id, CAST(MAX(event_id) AS BIGINT) AS max_id
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "win_lag_gap" ->
+      """SELECT user_id, event_id,
+         LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
+         FROM events ORDER BY user_id, event_id""",
+    "win_global_avg" ->
+      """WITH byprio AS (
+           SELECT o_orderpriority, AVG(o_totalprice) AS prio_avg_raw
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, ROUND(prio_avg_raw, 2) AS prio_avg,
+         ROUND(AVG(prio_avg_raw) OVER (), 2) AS global_avg
+         FROM byprio ORDER BY o_orderpriority""",
+    "win_latest_state" ->
+      """SELECT user_id, event_id, event_type FROM (
+           SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) t WHERE rn = 1 ORDER BY user_id""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    "sort_filter_project" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' ORDER BY event_id""",
+    "union_all_counts" ->
+      """SELECT kind, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS sum_id FROM (
+           SELECT c_custkey AS id, 'customer' AS kind FROM customer
+           UNION ALL
+           SELECT s_suppkey AS id, 'supplier' AS kind FROM supplier) u
+         GROUP BY kind ORDER BY kind""",
+    "join_inner" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_left" ->
+      """SELECT c_mktsegment, CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+         CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_full_outer" ->
+      """SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+         CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+         CAST(COALESCE(n_buys, 0) AS BIGINT) AS n_buys
+         FROM (SELECT user_id, COUNT(*) AS n_clicks FROM events WHERE event_type = 'click' GROUP BY user_id) c
+         FULL OUTER JOIN (SELECT user_id, COUNT(*) AS n_buys FROM events WHERE event_type = 'purchase' GROUP BY user_id) b
+         ON c.user_id = b.user_id ORDER BY user_id""",
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+         ORDER BY c_custkey""",
+    "join_semi" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+         ORDER BY s_suppkey""",
+    "join_star_revenue" ->
+      """SELECT r_name,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "scalar_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                     WHEN o_totalprice < 200000 THEN 'medium'
+                     ELSE 'large' END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY 1 ORDER BY bucket""",
+    "scalar_ratio" ->
+      """SELECT l_returnflag,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)) / SUM(l_extendedprice), 6) AS disc_ratio
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "scalar_json_extract" ->
+      """SELECT event_type,
+         CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "scalar_date_range" ->
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' - INTERVAL 90 DAY
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "scalar_cast" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM events GROUP BY 1 ORDER BY k_mod"""
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every declared query has an oracle or is explicitly rows-only") {
+    // every oracle key must have a query; queries without oracle are allowed
+    // (non-SQL-expressible) but must still run.
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle keys without query impl: ${os.diff(qs)}")
+  }
+
+  test("all queries execute and return a schema at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.schema.nonEmpty, s"$name produced empty schema")
+      df.count() // forces full execution
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("agg_pricing groups are exhaustive over flag/status pairs") {
+    val df = SparkEntry.queries("agg_pricing")(spark, sf).collect()
+    assert(df.length >= 4)
+    assert(df.map(_.getLong(df.head.fieldIndex("count_order"))).sum > 0)
+  }
+
+  test("win_latest_state returns exactly one row per user") {
+    val df = SparkEntry.queries("win_latest_state")(spark, sf)
+    val users = df.select("user_id").collect().map(_.getLong(0))
+    assert(users.distinct.length == users.length)
+  }
+
+  test("topk_orders is sorted desc and bounded") {
+    val rows = SparkEntry.queries("topk_orders")(spark, sf).collect()
+    assert(rows.length <= 20)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.sameElements(prices.sortBy(-_.doubleValue)))
+  }
+
+  test("join_full_outer covers users present on either side") {
+    val df = SparkEntry.queries("join_full_outer")(spark, sf).collect()
+    assert(df.forall(r => r.getLong(1) + r.getLong(2) > 0))
+  }
+}
