@@ -16,10 +16,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++ graft.queries.EraQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for the era_* pipeline queries (they
+    * read era files, not the TPC-H tables) → driver rows-only check; their
+    * value-level correctness is pinned by the RPC-fixture differential
+    * specs. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql
 }

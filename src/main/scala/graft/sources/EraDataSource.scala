@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * DataSource V2 for era archive files: `spark.read.format("era").load(glob)`.
+ *
+ * Produces the raw-record relation of SURVEY.md §1.1:
+ * `slot LONG, record_type STRING, data BINARY, network STRING,
+ *  era_number LONG, source_file STRING` — one [[InputPartition]] per era
+ * file, so a directory of N eras scans with N-way parallelism (the
+ * reference's serial per-era loop becomes cluster partition parallelism,
+ * SURVEY.md §3.2).
+ *
+ * Scale design:
+ *  - file-level pruning: predicates on `era_number` / `slot` / `network`
+ *    prune whole files before any byte is read (the reference applies its
+ *    era-range filter at discovery time — remote_downloader.py:117-121; here
+ *    the same pruning falls out of Catalyst filter pushdown);
+ *  - the reader streams records (no whole-era materialization);
+ *  - filters are also left in the residual so Spark re-applies them row-wise
+ *    (pruning is conservative).
+ */
+class EraDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "era"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EraDataSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new EraTable(EraDataSource.resolvePaths(opts))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object EraDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("slot", LongType, nullable = false),
+    StructField("record_type", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = false),
+    StructField("network", StringType, nullable = false),
+    StructField("era_number", LongType, nullable = false),
+    StructField("source_file", StringType, nullable = false)))
+
+  /** Expand path/paths options through the Hadoop FS glob API
+    * (output_manager.py:44-66 batch glob source). */
+  def resolvePaths(options: CaseInsensitiveStringMap): Seq[String] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val raw: Seq[String] =
+      Option(options.get("paths")).map(parseJsonStringArray).getOrElse(Nil) ++
+        Option(options.get("path")).toSeq
+    val expanded = raw.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      matches.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".era"))
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }
+    // sort by era number (output_manager.py:57-66)
+    expanded.distinct.sortBy(p => EraFileInfo.fromPath(p).eraNumber)
+  }
+
+  private def parseJsonStringArray(json: String): Seq[String] = {
+    // paths option is a JSON array of strings; minimal parse without deps
+    val trimmed = json.trim.stripPrefix("[").stripSuffix("]")
+    if (trimmed.isEmpty) Nil
+    else trimmed.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+}
+
+class EraTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"era(${paths.take(3).mkString(",")}${if (paths.length > 3) ",…" else ""})"
+  override def schema(): StructType = EraDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EraScanBuilder(paths)
+}
+
+class EraScanBuilder(paths: Seq[String]) extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(EraFilePruning.isPrunable)
+    filters // all filters stay residual; pruning is a conservative speedup
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new EraScan(paths, pushed)
+}
+
+/** File-level pruning on filename-derived metadata. */
+object EraFilePruning {
+  def isPrunable(f: Filter): Boolean = f.references.forall(
+    Set("era_number", "slot", "network", "record_type"))
+
+  /** Conservative: keep the file unless a prunable filter proves no row in
+    * this file can match. */
+  def keepFile(info: EraFileInfo, filters: Array[Filter]): Boolean =
+    filters.forall(f => mayMatch(info, f))
+
+  private def mayMatch(info: EraFileInfo, f: Filter): Boolean = f match {
+    case sources.EqualTo("era_number", v: Long) => info.eraNumber == v
+    case sources.EqualTo("era_number", v: Int) => info.eraNumber == v.toLong
+    case sources.GreaterThan("era_number", v: Long) => info.eraNumber > v
+    case sources.GreaterThanOrEqual("era_number", v: Long) => info.eraNumber >= v
+    case sources.LessThan("era_number", v: Long) => info.eraNumber < v
+    case sources.LessThanOrEqual("era_number", v: Long) => info.eraNumber <= v
+    case sources.In("era_number", vs) => vs.exists {
+      case v: Long => info.eraNumber == v
+      case v: Int => info.eraNumber == v.toLong
+      case _ => true
+    }
+    case sources.EqualTo("network", v: String) => info.network == v
+    // slot ranges: a block-slot filter can only prune a file if the whole
+    // era range fails it (state/index records carry slot 0 — only prune on
+    // slot when 0 also fails, i.e. never for files whose range excludes 0;
+    // conservative: only prune when filter excludes [0] ∪ [start,end])
+    case sources.EqualTo("slot", v: Long) =>
+      v == 0L || (v >= info.startSlot && v <= info.endSlot)
+    case sources.GreaterThan("slot", v: Long) => info.endSlot > v || 0L > v
+    case sources.GreaterThanOrEqual("slot", v: Long) => info.endSlot >= v || 0L >= v
+    case sources.LessThan("slot", v: Long) => info.startSlot < v || 0L < v
+    case sources.LessThanOrEqual("slot", v: Long) => info.startSlot <= v || 0L <= v
+    case sources.And(l, r) => mayMatch(info, l) && mayMatch(info, r)
+    case sources.Or(l, r) => mayMatch(info, l) || mayMatch(info, r)
+    case _ => true
+  }
+}
+
+class EraScan(paths: Seq[String], filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = EraDataSource.schema
+  override def description(): String = s"EraScan(${paths.length} files)"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val kept = paths.filter(p => EraFilePruning.keepFile(EraFileInfo.fromPath(p), filters))
+    kept.map(p => EraInputPartition(p): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the hadoop conf entries needed to reopen the FS on executors
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val confMap = conf.asScala.map(e => (e.getKey, e.getValue)).toMap
+      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
+    new EraPartitionReaderFactory(confMap)
+  }
+}
+
+case class EraInputPartition(path: String) extends InputPartition
+
+class EraPartitionReaderFactory(confMap: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EraInputPartition]
+    new EraPartitionReader(p.path, confMap)
+  }
+}
+
+class EraPartitionReader(pathStr: String, confMap: Map[String, String])
+    extends PartitionReader[InternalRow] {
+
+  private val info = EraFileInfo.fromPath(pathStr)
+  private val stream = {
+    val conf = new Configuration()
+    confMap.foreach { case (k, v) => conf.set(k, v) }
+    val path = new Path(pathStr)
+    path.getFileSystem(conf).open(path)
+  }
+  private val records = EraFileReader.readRecords(stream, info)
+  private var current: graft.model.EraRecord = _
+
+  override def next(): Boolean = {
+    if (records.hasNext) { current = records.next(); true }
+    else false
+  }
+
+  override def get(): InternalRow =
+    InternalRow(
+      current.slot,
+      UTF8String.fromString(current.record_type),
+      current.data,
+      UTF8String.fromString(current.network),
+      current.era_number,
+      UTF8String.fromString(current.source_file))
+
+  override def close(): Unit = stream.close()
+}

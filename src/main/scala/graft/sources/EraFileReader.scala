@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.io.{DataInputStream, EOFException, InputStream}
+
+import graft.config.Networks
+import graft.model.EraRecord
+import graft.ssz.{SnappyFramed, Ssz}
+
+/** Filename-derived era metadata (era_reader.py:32-84; naming convention
+  * docs/ERA_FILE_FORMAT.md:95-121: `<network>-<era>-<hash>.era`). */
+final case class EraFileInfo(
+    eraNumber: Long, startSlot: Long, endSlot: Long,
+    network: String, hash: String, filename: String)
+
+object EraFileInfo {
+  def fromPath(path: String): EraFileInfo = {
+    val filename = path.split('/').last
+    val network = Networks.detectFromFilename(filename)
+    val cfg = Networks(network)
+    val parts = filename.stripSuffix(".era").split('-')
+    val eraNumber =
+      if (parts.length >= 2) scala.util.Try(parts(1).toLong).getOrElse(0L) else 0L
+    val hash = if (parts.length > 2) parts(2) else "unknown"
+    EraFileInfo(
+      eraNumber = eraNumber,
+      startSlot = eraNumber * cfg.slotsPerHistoricalRoot,
+      endSlot = eraNumber * cfg.slotsPerHistoricalRoot + cfg.slotsPerHistoricalRoot - 1,
+      network = network, hash = hash, filename = filename)
+  }
+}
+
+/**
+ * Sequential e2store record scan — the S1 operator (era_reader.py:86-127).
+ *
+ * Stream shape: 8-byte version header, then records
+ * `[type(2)][length LE(4)][pad(2)][payload]`. Types (era_reader.py:112-125):
+ * `0x01 0x00` CompressedSignedBeaconBlock (snappy-framed SSZ; slot peeked),
+ * `0x02 0x00` CompressedBeaconState (tagged, not decoded),
+ * `0x69 0x32` SlotIndex (tagged).
+ *
+ * Exposed as an Iterator so the DataSource partition reader streams records
+ * without materializing the era (the reference materializes whole eras —
+ * SURVEY.md §4 pipelining note).
+ */
+object EraFileReader {
+
+  val TypeBlock: Int = 0x0001  // bytes 0x01 0x00 LE
+  val TypeState: Int = 0x0002
+  val TypeIndex: Int = 0x3269  // bytes 0x69 0x32 LE
+
+  def readRecords(in: InputStream, info: EraFileInfo): Iterator[EraRecord] = {
+    val din = new DataInputStream(in)
+    // skip 8-byte version header (era_reader.py:92)
+    din.skipNBytes(8)
+    new Iterator[EraRecord] {
+      private var nextRecord: EraRecord = _
+      private var done = false
+
+      private def advance(): Unit = {
+        nextRecord = null
+        while (nextRecord == null && !done) {
+          val header = new Array[Byte](8)
+          val n = readFully(din, header)
+          if (n < 8) { done = true; return }
+          val recordType = (header(0) & 0xff) | ((header(1) & 0xff) << 8)
+          val dataLength = Ssz.readUint32(header, 2).toInt
+          if (dataLength > 0) {
+            val payload = new Array[Byte](dataLength)
+            if (readFully(din, payload) < dataLength) { done = true; return }
+            recordType match {
+              case TypeBlock =>
+                // decompress-peek the slot (era_reader.py:112-121)
+                try {
+                  val decompressed = SnappyFramed.decompress(payload)
+                  val messageOffset = Ssz.readUint32(decompressed, 0).toInt
+                  val slot = Ssz.readUint64(decompressed, messageOffset)
+                  nextRecord = EraRecord(slot, "block", payload,
+                    info.network, info.eraNumber, info.filename)
+                } catch { case _: Exception => () } // skip undecodable block
+              case TypeState =>
+                nextRecord = EraRecord(0L, "state", payload,
+                  info.network, info.eraNumber, info.filename)
+              case TypeIndex =>
+                nextRecord = EraRecord(0L, "index", payload,
+                  info.network, info.eraNumber, info.filename)
+              case _ => () // unknown record types skipped
+            }
+          }
+        }
+      }
+
+      private def readFully(s: DataInputStream, buf: Array[Byte]): Int = {
+        var off = 0
+        try {
+          while (off < buf.length) {
+            val r = s.read(buf, off, buf.length - off)
+            if (r < 0) return off
+            off += r
+          }
+        } catch { case _: EOFException => () }
+        off
+      }
+
+      advance()
+      override def hasNext: Boolean = nextRecord != null
+      override def next(): EraRecord = {
+        val r = nextRecord
+        advance()
+        r
+      }
+    }
+  }
+}
+
+/** e2store era-file writer — used by fixture generation and synthetic-era
+  * benchmarks (format per docs/ERA_FILE_FORMAT.md:36-40). */
+object EraFileWriter {
+  def write(out: java.io.OutputStream, records: Iterator[(Int, Array[Byte])]): Unit = {
+    // 8-byte version header: e2store magic "e2" + version + padding
+    out.write(Array[Byte]('e', '2', 's', 't', 0, 0, 0, 0))
+    records.foreach { case (recordType, payload) =>
+      out.write(recordType & 0xff)
+      out.write((recordType >> 8) & 0xff)
+      val len = payload.length
+      out.write(len & 0xff); out.write((len >> 8) & 0xff)
+      out.write((len >> 16) & 0xff); out.write((len >> 24) & 0xff)
+      out.write(0); out.write(0) // 2-byte pad
+      out.write(payload)
+    }
+  }
+
+  /** Compress + write a block record payload. */
+  def blockRecord(sszBlock: Array[Byte]): (Int, Array[Byte]) =
+    (EraFileReader.TypeBlock, SnappyFramed.compress(sszBlock))
+}

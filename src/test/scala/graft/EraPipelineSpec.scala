@@ -1,0 +1,135 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Normalizer
+import graft.testkit.EraFixtures
+
+/**
+ * End-to-end era pipeline: e2store files on disk → format("era") scan →
+ * decode → the 15 normalized tables. Golden row counts come from the RPC
+ * fixtures' child-array sizes (FIXTURES.md §2).
+ */
+class EraPipelineSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val eraDir = EraFixtures.ensureGenerated()
+  private lazy val records = spark.read.format("era").load(eraDir)
+  private lazy val blocks = Normalizer.decodeBlocks(records).cache()
+  private val mapper = new ObjectMapper()
+
+  test("era scan reads all records with type dispatch (S1)") {
+    val byType = records.groupBy("record_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("block") == 5)
+    assert(byType("state") == 5)
+    assert(byType("index") == 5)
+  }
+
+  test("era scan derives filename metadata (S5)") {
+    val eras = records.select("era_number", "network").distinct().collect()
+    assert(eras.forall(_.getString(1) == "gnosis"))
+    assert(eras.map(_.getLong(0)).sorted.toSeq ==
+      EraFixtures.fixtures.map(_._2 / 8192).distinct.sorted)
+  }
+
+  test("file-level pruning on era_number skips files (P3)") {
+    val deneb = 16383000L / 8192 // era 1999
+    val onlyOne = spark.read.format("era").load(eraDir)
+      .filter(col("era_number") === deneb)
+    assert(onlyOne.select("slot").filter(col("record_type") === "block")
+      .collect().map(_.getLong(0)).toSeq == Seq(16383000L))
+  }
+
+  test("decode produces one block per fixture with correct forks") {
+    val got = blocks.select("slot", "version").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == EraFixtures.fixtures.map(f => f._2 -> f._3).toMap)
+  }
+
+  test("the 15 normalized tables have fixture-derived row counts") {
+    val expected = EraFixtures.fixtures.map { case (name, slot, _) =>
+      val body = mapper.readTree(new java.io.File(s"${EraFixtures.fixtureDir}/${name}_rpc.json"))
+        .get("data").get("message").get("body")
+      def n(f: String) = Option(body.get(f)).map(_.size()).getOrElse(0)
+      slot -> Map(
+        "attestations" -> n("attestations"),
+        "deposits" -> n("deposits"),
+        "voluntary_exits" -> n("voluntary_exits"),
+        "proposer_slashings" -> n("proposer_slashings"),
+        "attester_slashings" -> n("attester_slashings"),
+        "bls_changes" -> n("bls_to_execution_changes"),
+        "blob_commitments" -> n("blob_kzg_commitments"),
+        "transactions" -> Option(body.get("execution_payload"))
+          .map(p => Option(p.get("transactions")).map(_.size()).getOrElse(0)).getOrElse(0),
+        "withdrawals" -> Option(body.get("execution_payload"))
+          .flatMap(p => Option(p.get("withdrawals")).map(_.size())).getOrElse(0),
+        "sync_aggregates" -> Option(body.get("sync_aggregate")).map(_ => 1).getOrElse(0),
+        "execution_payloads" -> Option(body.get("execution_payload")).map(_ => 1).getOrElse(0))
+    }.toMap
+
+    assert(Normalizer.blocksTable(blocks).count() == 5)
+    expected.foreach { case (slot, tables) =>
+      tables.foreach { case (tableName, n) =>
+        val got = Normalizer.dataset(blocks, tableName)
+          .filter(col("slot") === slot).count()
+        assert(got == n, s"$tableName@$slot: got $got, fixture has $n")
+      }
+    }
+    // electra-only tables are empty for these fixtures
+    Seq("deposit_requests", "withdrawal_requests", "consolidation_requests").foreach { t =>
+      assert(Normalizer.dataset(blocks, t).count() == 0, s"$t should be empty")
+    }
+  }
+
+  test("attestations table values match the fixture (spot check)") {
+    val rpc = mapper.readTree(new java.io.File(s"${EraFixtures.fixtureDir}/gnosis_98300_rpc.json"))
+    val att0 = rpc.get("data").get("message").get("body").get("attestations").get(0)
+    val row = Normalizer.attestations(blocks)
+      .filter(col("slot") === 98300L && col("attestation_index") === 0)
+      .collect().head
+    assert(row.getAs[Long]("attestation_slot") == att0.get("data").get("slot").asText().toLong)
+    assert(row.getAs[String]("beacon_block_root") == att0.get("data").get("beacon_block_root").asText())
+    assert(row.getAs[String]("aggregation_bits") == att0.get("aggregation_bits").asText())
+    assert(row.getAs[Long]("source_epoch") == att0.get("data").get("source").get("epoch").asText().toLong)
+  }
+
+  test("sync_aggregates computes the popcount the reference never did") {
+    val rpc = mapper.readTree(new java.io.File(s"${EraFixtures.fixtureDir}/gnosis_98300_rpc.json"))
+    val bits = rpc.get("data").get("message").get("body").get("sync_aggregate")
+      .get("sync_committee_bits").asText()
+    val expected = graft.functions.HexPopcount.count(bits)
+    val row = Normalizer.syncAggregates(blocks)
+      .filter(col("slot") === 98300L).collect().head
+    assert(row.getAs[Long]("participating_validators") == expected)
+    assert(expected > 0)
+  }
+
+  test("execution_payloads keeps base_fee_per_gas as exact decimal string") {
+    val rpc = mapper.readTree(new java.io.File(s"${EraFixtures.fixtureDir}/gnosis_16383000_rpc.json"))
+    val exp = rpc.get("data").get("message").get("body").get("execution_payload")
+      .get("base_fee_per_gas").asText()
+    val row = Normalizer.executionPayloads(blocks)
+      .filter(col("slot") === 16383000L).collect().head
+    assert(row.getAs[String]("base_fee_per_gas") == exp)
+    assert(row.getAs[Long]("blob_gas_used") >= 0) // deneb fields present
+  }
+
+  test("wide-blocks flatten has the reference's 49-column shape") {
+    // export/base.py:84-150 emits exactly 49 keys
+    val wide = Normalizer.wideBlocks(blocks)
+    assert(wide.columns.length == 49, s"got ${wide.columns.length}: ${wide.columns.mkString(",")}")
+    val row = wide.filter(col("slot") === 16383000L).collect().head
+    assert(row.getAs[Long]("attestation_count") > 0)
+    assert(row.getAs[Long]("transaction_count") ==
+      Normalizer.transactions(blocks).filter(col("slot") === 16383000L).count())
+  }
+
+  test("single-block point lookup via slot filter (P1)") {
+    val one = Normalizer.blocksTable(blocks).filter(col("slot") === 300L).collect()
+    assert(one.length == 1)
+    assert(one.head.getAs[String]("version") == "phase0")
+  }
+}
