@@ -14,9 +14,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("join_star_revenue")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data pipeline operators (dedup / similarity / text analysis /
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries ++ graft.queries.EraQueries.queries
+    graft.queries.Relational.queries ++
+      graft.queries.EraQueries.queries ++
+      graft.queries.TrainingData.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the era_* pipeline queries (they
@@ -24,5 +28,5 @@ object SparkEntry {
     * value-level correctness is pinned by the RPC-fixture differential
     * specs. */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql
+    graft.queries.Relational.oracleSql ++ graft.queries.TrainingData.oracleSql
 }

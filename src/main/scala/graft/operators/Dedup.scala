@@ -1,0 +1,234 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/**
+ * Deduplication suite for a large-scale training-data pipeline — the five
+ * standard techniques, each expressed Spark-first over the `documents` /
+ * `embeddings` tables:
+ *
+ *  - exact:          md5 hash-groupBy (map-side partial agg; one shuffle of
+ *                    (digest) keys only)
+ *  - n-gram Jaccard: blocked pairwise Jaccard over word-trigram shingles
+ *  - MinHash + LSH:  shingle → k minhashes → banded bucket-join → verify
+ *  - SimHash:        48-bit weighted bit-vote signature → chunk-blocked
+ *                    Hamming join
+ *  - embedding cosine: near-dup by cosine over `Array[Float]` embeddings
+ *
+ * The driver test tables contain no real duplicates, so [[augmentedDocs]] /
+ * [[augmentedEmbeddings]] deterministically inject exact copies and
+ * near-duplicates (truncated texts, perturbed vectors) — the same injection
+ * is reproduced in the DuckDB oracle SQL, so every operator is verified
+ * value-for-value.
+ *
+ * Scale design (100 TB): nothing here ever materializes the O(n²) pair
+ * space. Every pairwise step is preceded by a blocking key (lang+first
+ * token, LSH band, SimHash chunk, cluster label), so the self-join shuffles
+ * on the block key and only same-block pairs are generated. All signature
+ * computation is narrow, codegen'd column work (no UDFs).
+ */
+object Dedup {
+
+  // ── corpus augmentation (deterministic, oracle-reproducible) ───────────
+
+  /** documents ∪ exact copies (doc_id%13==0 → +200000) ∪ near-dup truncated
+    * texts (doc_id%7==0 → +100000, first ceil(0.8·n) tokens). */
+  def augmentedDocs(docs: DataFrame): DataFrame = {
+    val base = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), col("text"), col("lang"), col("toks"))
+    val exact = base
+      .filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000)
+    val near = base
+      .filter(col("doc_id") % 7 === 0)
+      .withColumn("toks",
+        expr("slice(toks, 1, greatest(cast(ceil(size(toks) * 0.8) as int), 1))"))
+      .withColumn("text", array_join(col("toks"), " "))
+      .withColumn("doc_id", col("doc_id") + 100000)
+    base.unionByName(exact).unionByName(near)
+  }
+
+  /** embeddings ∪ near-identical vectors (vec_id%11==0 → +100000, first
+    * component shifted by +0.05 — cosine ≈ 0.999). */
+  def augmentedEmbeddings(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("vec"))
+    val near = base
+      .filter(col("vec_id") % 11 === 0)
+      .withColumn("vec",
+        expr("transform(vec, (x, i) -> case when i = 0 then x + cast(0.05 as double) else x end)"))
+      .withColumn("vec_id", col("vec_id") + 100000)
+    base.unionByName(near)
+  }
+
+  // ── 1. exact dedup ─────────────────────────────────────────────────────
+
+  /** Exact dedup: group by content digest, keep the lowest doc_id. */
+  def exact(docs: DataFrame): DataFrame =
+    augmentedDocs(docs)
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("digest"))
+
+  // ── 2. n-gram Jaccard ──────────────────────────────────────────────────
+
+  /** Word-trigram shingle set as a column (distinct, order-free). */
+  private def shingles(toksCol: String): Column =
+    expr(
+      s"""array_distinct(transform(sequence(0, size($toksCol) - 3),
+         |  i -> concat_ws(' ', $toksCol[i], $toksCol[i+1], $toksCol[i+2])))""".stripMargin)
+
+  /** Blocked pairwise n-gram Jaccard: candidate pairs share a blocking key
+    * (lang, first token) — the standard cheap blocker that keeps the join
+    * linear-ish; the full O(n²) pair space is never formed. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val sh = augmentedDocs(docs)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        element_at(col("toks"), 1).as("tok0"), shingles("toks").as("sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b,
+        col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ── 3. MinHash + LSH ───────────────────────────────────────────────────
+
+  val MinhashK = 12
+  val MinhashBands = 3 // 3 bands × 4 rows
+
+  /** Per-doc MinHash signature: k portable hash functions, each the min over
+    * the shingle set of hash64(shingle || '#' || i). */
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    augmentedDocs(docs)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingles("toks"))
+      .select(
+        col("doc_id"),
+        expr(
+          s"""transform(sequence(0, ${MinhashK - 1}),
+             |  i -> array_min(transform(sh,
+             |    s -> ${Hashing.hash64Sql("concat(s, '#', cast(i as string))")})))"""
+            .stripMargin).as("sig"))
+
+  /** MinHash signatures rendered flat for oracle comparison. */
+  def minhashSignaturesFlat(docs: DataFrame): DataFrame =
+    minhashSignatures(docs)
+      .select(col("doc_id"),
+        expr("array_join(transform(sig, x -> cast(x as string)), ',')").as("sig"))
+      .orderBy(col("doc_id"))
+
+  /** LSH candidate pairs: band the signature (4 rows/band), bucket-join on
+    * (band index, band hash), then verify with the signature-agreement
+    * estimate of Jaccard. The join shuffles on the band key only. */
+  def minhashLshPairs(docs: DataFrame, estThreshold: Double = 0.5): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val rows = MinhashK / MinhashBands
+    val banded = sig.select(
+        col("doc_id"), col("sig"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${MinhashBands - 1}),
+             |  b -> array_join(transform(slice(sig, b * $rows + 1, $rows),
+             |                            x -> cast(x as string)), ','))""".stripMargin))
+          .as(Seq("band", "band_key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct() // a pair can collide in >1 band
+      .withColumn("est_jaccard",
+        expr(s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))
+                 | / cast($MinhashK as double)""".stripMargin))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ── 4. SimHash ─────────────────────────────────────────────────────────
+
+  val SimhashBits = 48 // fits signed 64-bit in every engine
+
+  /** 48-bit SimHash: per bit, the sign of the token-multiset vote
+    * (+1 if the token hash has the bit set, −1 otherwise). */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    augmentedDocs(docs)
+      .withColumn("hs", expr(s"transform(toks, t -> ${Hashing.hash64Sql("t")})"))
+      .select(
+        col("doc_id"),
+        expr(
+          s"""aggregate(
+             |  transform(sequence(0, ${SimhashBits - 1}),
+             |    b -> case when aggregate(hs, 0,
+             |        (acc, h) -> acc + case when shiftright(h, b) % 2 = 1 then 1 else -1 end) > 0
+             |      then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end),
+             |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  val SimhashChunks = 4 // 4 × 12-bit chunks for Hamming blocking
+
+  /** SimHash near-dup pairs: block on any equal 12-bit chunk (a pair within
+    * Hamming distance 3 of a 48-bit hash must agree on ≥1 of 4 chunks —
+    * pigeonhole), verify bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val chunkBits = SimhashBits / SimhashChunks
+    val chunked = sig.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${SimhashChunks - 1}),
+           |  c -> shiftright(simhash, c * $chunkBits) % ${1 << chunkBits})""".stripMargin))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ── 5. embedding cosine near-dup ───────────────────────────────────────
+
+  /** Embedding near-dup: pairs within the same cluster label (the blocking
+    * key; at scale this is an LSH/IVF bucket — see
+    * [[graft.operators.Similarity]]) with cosine ≥ threshold. Squared norms
+    * are computed once per vector, before the pair join fans out. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.995): DataFrame = {
+    import graft.functions.VectorMath
+    val v = augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b,
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        VectorMath.dot("a.vec", "b.vec") / sqrt(col("a.sq") * col("b.sq")))
+      .filter(col("cos") >= threshold)
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

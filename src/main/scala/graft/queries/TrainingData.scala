@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/**
+ * Training-data pipeline query corpus: text analysis, dedup (exact /
+ * n-gram-Jaccard / MinHash-LSH / SimHash / embedding-cosine), similarity
+ * search (brute-force + LSH ANN), and multimodal-column plumbing — over the
+ * driver's `documents` / `embeddings` tables.
+ *
+ * Every query has a DuckDB oracle that reproduces the computation exactly
+ * (portable md5-based hashing, ordered double folds, identical blocking
+ * keys — see [[graft.functions.Hashing]] / [[graft.functions.VectorMath]]),
+ * so the driver hash-verifies values, not just row counts.
+ */
+object TrainingData {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── text analysis ─────────────────────────────────────────────────────
+    "text_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir)).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScores(docs(s, dir)).orderBy(col("doc_id"))),
+    "text_langid" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(docs(s, dir))),
+    "text_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Dedup.augmentedDocs(docs(s, dir))).orderBy(col("doc_id"))),
+
+    // ── dedup ─────────────────────────────────────────────────────────────
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
+    "dedup_minhash_sig" -> ((s, dir) => Dedup.minhashSignaturesFlat(docs(s, dir))),
+    "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashSignatures(docs(s, dir))),
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir))),
+
+    // ── similarity search ─────────────────────────────────────────────────
+    "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
+
+    // ── multimodal ────────────────────────────────────────────────────────
+    "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
+    "mm_features" -> ((s, dir) => Multimodal.featuresFlat(docs(s, dir))),
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSamples(docs(s, dir)))
+  )
+
+  // ────────────────────────────────────────────────────────────────────────
+  // DuckDB oracle SQL. Shared CTE fragments keep the mirrors readable; the
+  // computations replicate the Spark expressions value-for-value.
+  // ────────────────────────────────────────────────────────────────────────
+
+  /** hash64: first 15 hex chars of md5 → BIGINT (mirrors Hashing.hash64). */
+  private def h64(inner: String): String =
+    s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
+
+  /** Ordered left fold with explicit typed init (mirrors Spark aggregate). */
+  private def fold(listExpr: String, init: String, lambda: String): String =
+    s"list_reduce(list_prepend($init, $listExpr), $lambda)"
+
+  /** documents → trimmed text + whitespace tokens. */
+  private val baseCte =
+    """base AS (
+      |  SELECT doc_id, trim(text) AS text, lang,
+      |         regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents)""".stripMargin
+
+  /** The deterministic dup-injected corpus (mirrors Dedup.augmentedDocs). */
+  private val augCte =
+    """aug AS (
+      |  SELECT doc_id, text, lang, toks FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text, lang, toks FROM base WHERE doc_id % 13 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         array_to_string(toks[1:greatest(CAST(ceil(len(toks) * 0.8) AS INT), 1)], ' '),
+      |         lang,
+      |         toks[1:greatest(CAST(ceil(len(toks) * 0.8) AS INT), 1)]
+      |  FROM base WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Word-trigram shingle sets over aug (mirrors Dedup.shingles). */
+  private val shCte =
+    """sh AS (
+      |  SELECT doc_id, lang, toks[1] AS tok0,
+      |         list_distinct(list_transform(range(1, len(toks) - 1),
+      |           i -> toks[i::INT] || ' ' || toks[(i+1)::INT] || ' ' || toks[(i+2)::INT])) AS sh
+      |  FROM aug WHERE len(toks) >= 3)""".stripMargin
+
+  /** MinHash signatures over sh (mirrors Dedup.minhashSignatures, k=12). */
+  private val sigCte =
+    s"""sig AS (
+       |  SELECT doc_id, list_transform(range(0, 12),
+       |    i -> list_min(list_transform(sh, s -> ${h64("s || '#' || i")}))) AS sig
+       |  FROM sh)""".stripMargin
+
+  /** Ordered double dot product of two DOUBLE[] exprs, init 0.0 (mirrors
+    * VectorMath.dotSql). */
+  private def dotD(a: String, b: String, dims: Int = 64): String =
+    fold(s"list_transform(range(1, ${dims + 1}), i -> $a[i::INT] * $b[i::INT])",
+      "0.0::DOUBLE", "(x, y) -> x + y")
+
+  /** embeddings → DOUBLE[] vectors + squared norms (mirrors
+    * Similarity.prepared). */
+  private val vecCte =
+    s"""v AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+       |vn AS (
+       |  SELECT vec_id, label, vec, ${dotD("vec", "vec")} AS sq FROM v)""".stripMargin
+
+  /** media table derived from documents (mirrors Multimodal.mediaTable;
+    * payload stays textual — the corpus is ASCII so bytes == codepoints). */
+  private val mediaCte =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |         ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+      |         trim(text) AS payload,
+      |         (32 + n_chars % 97)::INT AS width,
+      |         (32 + n_chars % 53)::INT AS height,
+      |         (n_chars * 40)::BIGINT AS duration_ms
+      |  FROM documents)""".stripMargin
+
+  private val langScoreCols: String = TextAnalysis.LangMarkers.map { case (code, ms) =>
+    val arr = s"[${ms.map(m => s"'$m'").mkString(",")}]"
+    s"len(list_filter(toks, t -> list_contains($arr, t))) AS s_$code"
+  }.mkString(",\n         ")
+
+  private val langLadder: String = {
+    val codes = TextAnalysis.LangMarkers.map(_._1)
+    val g = s"greatest(${codes.map(c => s"s_$c").mkString(", ")})"
+    codes.map(c => s"WHEN s_$c = $g THEN '$c'").mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  private val stopArr =
+    s"[${TextAnalysis.Stopwords.map(s => s"'$s'").mkString(",")}]"
+
+  /** f0..f7 checksum features (mirrors Multimodal.decodeAndFeaturize). */
+  private val featureCols: String = (0 until Multimodal.FeatureDims).map { j =>
+    val sum = fold(
+      s"list_transform(range($j * cl + 1, least($j * cl + cl, n) + 1), i -> unicode(substr(payload, i::INT, 1))::BIGINT)",
+      "0::BIGINT", "(x, y) -> x + y")
+    s"ROUND(CASE WHEN $j * cl >= n THEN 0.0::DOUBLE ELSE ($sum % 1000)::DOUBLE / 999.0 END, 6) AS f$j"
+  }.mkString(",\n       ")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_token_count" ->
+      s"""WITH $baseCte
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |       CAST(strlen(text) AS BIGINT) AS n_bytes
+         |FROM base ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH $baseCte,
+         |q AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_filter(toks, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop,
+         |         CAST(len(regexp_extract_all(text, '[a-z]')) AS BIGINT) AS n_alpha,
+         |         ${fold("list_transform(toks, t -> len(t))", "0", "(x, y) -> x + y")} AS tok_chars,
+         |         len(text) AS n_chars
+         |  FROM base)
+         |SELECT doc_id, n_tokens,
+         |       ROUND(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio,
+         |       ROUND(tok_chars::DOUBLE / n_tokens, 4) AS avg_token_len,
+         |       ROUND(n_alpha::DOUBLE / n_chars, 4) AS alpha_ratio,
+         |       ROUND(least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.5
+         |             + (n_stop::DOUBLE / n_tokens) * 0.5, 4) AS quality_score
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH $baseCte,
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |         $langScoreCols
+         |  FROM base)
+         |SELECT lang, $langLadder AS pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH $baseCte, $augCte
+         |SELECT doc_id,
+         |  ${fold(s"list_transform(toks, t -> ${h64("t")} % 1000000007)",
+             "0::BIGINT", "(acc, h) -> (acc * 1000003 + h) % 1000000007")} AS fingerprint
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""WITH $baseCte, $augCte
+         |SELECT md5(text) AS digest, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_copies
+         |FROM aug GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $baseCte, $augCte, $shCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+         |             / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+         |      / len(list_distinct(a.sh || b.sh)) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte
+         |SELECT doc_id, array_to_string(sig, ',') AS sig
+         |FROM sig ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte,
+         |banded AS (
+         |  SELECT doc_id, sig, b.band AS band,
+         |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |         a.sig AS sig_a, b2.sig AS sig_b
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id)
+         |SELECT doc_a, doc_b,
+         |       ROUND(len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE, 4) AS est_jaccard
+         |FROM pairs
+         |WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $baseCte, $augCte,
+         |hs AS (SELECT doc_id, list_transform(toks, t -> ${h64("t")}) AS hs FROM aug)
+         |SELECT doc_id,
+         |  ${fold(
+             s"""list_transform(range(0, 48), b ->
+                |    CASE WHEN ${fold(
+                       "list_transform(hs, h -> CASE WHEN (h >> b::INT) % 2 = 1 THEN 1 ELSE -1 END)",
+                       "0", "(x, y) -> x + y")} > 0
+                |      THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END)""".stripMargin,
+             "0::BIGINT", "(x, y) -> x + y")} AS simhash
+         |FROM hs ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH $baseCte, $augCte,
+         |hs AS (SELECT doc_id, list_transform(toks, t -> ${h64("t")}) AS hs FROM aug),
+         |sim AS (
+         |  SELECT doc_id,
+         |    ${fold(
+             s"""list_transform(range(0, 48), b ->
+                |      CASE WHEN ${fold(
+                       "list_transform(hs, h -> CASE WHEN (h >> b::INT) % 2 = 1 THEN 1 ELSE -1 END)",
+                       "0", "(x, y) -> x + y")} > 0
+                |        THEN (1::BIGINT << b::INT) ELSE 0::BIGINT END)""".stripMargin,
+             "0::BIGINT", "(x, y) -> x + y")} AS simhash
+         |  FROM hs),
+         |chunked AS (
+         |  SELECT doc_id, simhash, c.chunk AS chunk,
+         |         (simhash >> (c.chunk * 12)::INT) % 4096 AS chunk_val
+         |  FROM sim, (SELECT unnest(range(0, 4)) AS chunk) c),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM chunked a JOIN chunked b
+         |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH ve AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+         |vaug AS (
+         |  SELECT vec_id, label, vec FROM ve
+         |  UNION ALL
+         |  SELECT vec_id + 100000, label,
+         |         list_concat([vec[1] + 0.05::DOUBLE], vec[2:len(vec)])
+         |  FROM ve WHERE vec_id % 11 = 0),
+         |vs AS (SELECT vec_id, label, vec, ${dotD("vec", "vec")} AS sq FROM vaug)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ROUND(${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq), 6) AS cos
+         |FROM vs a JOIN vs b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) >= 0.995
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "sim_topk_brute" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT vec_id AS query_id, vec AS qvec, sq AS qsq FROM vn WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, vn.vec_id,
+         |         ${dotD("vn.vec", "q.qvec")} / sqrt(vn.sq * q.qsq) AS cos
+         |  FROM vn, q WHERE vn.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH $vecCte,
+         |planes AS (
+         |  SELECT p.p AS p, list_transform(range(0, 64),
+         |    d -> ((${h64("'hp' || p.p || '_' || d")} % 2001) - 1000)::DOUBLE / 1000.0::DOUBLE) AS w
+         |  FROM (SELECT unnest(range(0, 6)) AS p) p),
+         |vb AS (
+         |  SELECT vn.vec_id, vn.vec, vn.sq,
+         |         SUM(CASE WHEN ${dotD("vn.vec", "planes.w")} > 0.0::DOUBLE
+         |               THEN (1 << planes.p::INT) ELSE 0 END) AS bucket
+         |  FROM vn, planes GROUP BY vn.vec_id, vn.vec, vn.sq),
+         |q AS (SELECT vec_id AS query_id, vec AS qvec, sq AS qsq, bucket AS qbucket
+         |      FROM vb WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, vb.vec_id,
+         |         ${dotD("vb.vec", "q.qvec")} / sqrt(vb.sq * q.qsq) AS cos
+         |  FROM vb, q WHERE vb.bucket = q.qbucket AND vb.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "mm_decode_meta" ->
+      s"""WITH $mediaCte
+         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(SUM(strlen(payload)) AS BIGINT) AS total_bytes,
+         |       ROUND(AVG(width), 4) AS avg_width,
+         |       ROUND(AVG(height), 4) AS avg_height,
+         |       ROUND(AVG(duration_ms), 4) AS avg_duration_ms
+         |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "mm_features" ->
+      s"""WITH $mediaCte,
+         |m2 AS (SELECT media_id, kind, payload, strlen(payload) AS n,
+         |              greatest((strlen(payload) + 7) // 8, 1) AS cl
+         |       FROM m)
+         |SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+         |       $featureCols
+         |FROM m2 ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH $mediaCte,
+         |m2 AS (SELECT media_id, payload, strlen(payload) AS n FROM m WHERE kind = 'video')
+         |SELECT media_id, CAST(f.i AS BIGINT) AS frame_idx,
+         |       md5(substr(payload, (f.i * (n // 8) + 1)::INT, 16)) AS frame_md5
+         |FROM m2, (SELECT unnest(range(0, 8)) AS i) f
+         |ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

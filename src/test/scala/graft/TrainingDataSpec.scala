@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Structural invariants for the training-data pipeline operators. Exact
+  * value-parity with DuckDB is enforced by the driver's oracle gate (and
+  * locally by scripts/check_oracle.py); these tests pin the semantics the
+  * oracle can't see — that injected duplicates are actually FOUND, that ANN
+  * results are ranked, that the stub decode is byte-deterministic. */
+class TrainingDataSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("training-data-spec")
+    .getOrCreate()
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("dedup_exact finds every injected exact copy and nothing else") {
+    val nInjected = docs.filter(col("doc_id") % 13 === 0).count()
+    val groups = Dedup.exact(docs)
+    assert(groups.filter(col("n_copies") === 2).count() === nInjected)
+    assert(groups.filter(col("n_copies") > 2).count() === 0)
+    // keeper is always the original id, not the +200000 copy
+    assert(groups.filter(col("keep_id") >= 200000).count() === 0)
+  }
+
+  test("ngram jaccard flags the injected truncated near-dups") {
+    val pairs = Dedup.ngramJaccard(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every injected truncated copy must be paired with its source
+    // (the corpus also contains organic generator-planted near-dups —
+    // e.g. a doc plus trailing "dup" marker tokens — which also surface;
+    // that is the operator working, so only subset is asserted)
+    val nearIds = docs.filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    nearIds.foreach { id =>
+      val j = pairs.get((id, id + 100000))
+      assert(j.isDefined, s"truncated near-dup of $id not found")
+      assert(j.get >= 0.6 && j.get <= 1.0)
+    }
+    pairs.values.foreach(j => assert(j >= 0.6 && j <= 1.0))
+  }
+
+  test("minhash LSH candidates include all exact copies at est_jaccard 1.0") {
+    val pairs = Dedup.minhashLshPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exactIds = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + 200000 && p._3 == 1.0),
+        s"exact copy of $id not found by LSH")
+    }
+  }
+
+  test("simhash of an exact copy is identical (hamming 0)") {
+    val sig = Dedup.simhashSignatures(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sig.keys.filter(_ >= 200000).foreach { copyId =>
+      assert(sig(copyId) === sig(copyId - 200000))
+    }
+  }
+
+  test("embedding near-dups are exactly the injected perturbed vectors") {
+    val pairs = Dedup.embeddingNearDups(emb).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 100000)
+      assert(r.getDouble(2) >= 0.995 && r.getDouble(2) <= 1.0)
+    }
+    val nInjected = emb.filter(col("vec_id") % 11 === 0).count()
+    assert(pairs.length === nInjected)
+  }
+
+  test("brute-force top-k is ranked and self-free") {
+    val rows = Similarity.bruteForceTopK(emb, k = 10, nQueries = 3).collect()
+    assert(rows.length === 30)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to 10L))
+      val cosines = byRank.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(_.getLong(2) == q))
+    }
+  }
+
+  test("LSH top-k results are a subset of brute-force candidate space with same scoring") {
+    val brute = Similarity.bruteForceTopK(emb, k = 500, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Similarity.lshTopK(emb, k = 10, nQueries = 3).collect()
+    assert(lsh.nonEmpty) // buckets of ~500/64 vectors still give neighbors
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("langid confusion matrix covers every document exactly once") {
+    val conf = TextAnalysis.langIdConfusion(docs)
+    assert(conf.agg(sum("n")).collect()(0).getLong(0) === docs.count())
+  }
+
+  test("quality scores are bounded and token counts consistent") {
+    val q = TextAnalysis.qualityScores(docs).collect()
+    q.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // quality_score
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0) // stop_ratio
+    }
+    val tc = TextAnalysis.tokenCounts(docs).collect()
+    tc.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= r.getLong(1))
+    }
+  }
+
+  test("fingerprint: exact copies share fingerprints; distinct texts differ") {
+    val fps = TextAnalysis.fingerprints(Dedup.augmentedDocs(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fps.keys.filter(_ >= 200000).foreach { id =>
+      assert(fps(id) === fps(id - 200000))
+    }
+  }
+
+  test("multimodal stub decode is deterministic and batch-shaped") {
+    val f1 = Multimodal.featuresFlat(docs).collect()
+    val f2 = Multimodal.featuresFlat(docs.repartition(7)).collect()
+    assert(f1.map(_.toSeq).toSet === f2.map(_.toSeq).toSet) // partitioning-invariant
+    f1.foreach { r =>
+      (3 until 11).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0)
+      }
+    }
+  }
+
+  test("frame sampling emits FramesPerVideo frames per video row") {
+    val media = Multimodal.mediaTable(docs)
+    val nVideos = media.filter(col("kind") === "video").count()
+    val frames = Multimodal.frameSamples(docs)
+    assert(frames.count() === nVideos * Multimodal.FramesPerVideo)
+    assert(frames.groupBy("media_id").count()
+      .filter(col("count") =!= Multimodal.FramesPerVideo).count() === 0)
+  }
+}
