@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.export.{BeaconJson, EraStateManager, Sinks}
+import graft.operators.Normalizer
+import graft.sources.RemoteDiscovery
+
+/**
+ * CLI mirroring the reference's verb surface (era_parser/cli.py:8-54):
+ *
+ * {{{
+ * graft <era_file_or_glob> block <slot>             # single-block beacon JSON
+ * graft <era_file_or_glob> stats                    # record statistics
+ * graft <era_file_or_glob> all-blocks <out> [--separate]
+ * graft <era_file_or_glob> <dataset> <out>          # one of the 15 datasets
+ * graft --remote <base_url> <network> <range> <cmd> <out>
+ *       [--separate] [--force] [--download-only]
+ *       [--state-dir D] [--cache-dir D]             # incremental remote ETL
+ * graft --era-status <network> [--state-dir D]
+ * graft --clean-failed-eras <network> [--state-dir D] [--data-root D]
+ * }}}
+ *
+ * Differences from the reference, by design: the era-file argument is any
+ * Spark path/glob (batch mode is just a glob — no separate `--batch` verb
+ * needed), and processing parallelizes across era files instead of looping.
+ */
+object Cli {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft")
+      .getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (flags, pos) = args.partition(_.startsWith("--"))
+    val opts = parseFlags(args)
+    // only stop a session this invocation created — never one an embedding
+    // host (tests, a notebook) already owns
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+    try {
+      if (flags.contains("--era-status")) eraStatus(opts, pos)
+      else if (flags.contains("--clean-failed-eras")) cleanFailed(opts, pos)
+      else if (flags.contains("--remote")) remote(opts, pos, flags)
+      else if (pos.length >= 2) local(opts, pos, flags)
+      else printHelp()
+    } finally if (preexisting.isEmpty) SparkSession.getActiveSession.foreach(_.stop())
+  }
+
+  private def parseFlags(args: Array[String]): Map[String, String] =
+    args.zipWithIndex.collect {
+      case (f, i) if f.startsWith("--") && i + 1 < args.length && !args(i + 1).startsWith("--") =>
+        f -> args(i + 1)
+      case (f, _) if f.startsWith("--") => f -> ""
+    }.toMap
+
+  // ── local verbs ─────────────────────────────────────────────────────────
+
+  private def local(opts: Map[String, String], pos: Array[String], flags: Array[String]): Unit = {
+    val path = pos(0)
+    val verb = pos(1)
+    val spark = session()
+    val records = spark.read.format("era").load(path)
+    verb match {
+      case "stats" =>
+        records.groupBy(col("record_type"))
+          .agg(count(lit(1)).as("n"),
+            min(when(col("record_type") === "block", col("slot"))).as("min_slot"),
+            max(when(col("record_type") === "block", col("slot"))).as("max_slot"))
+          .orderBy(col("record_type"))
+          .show(false)
+      case "block" =>
+        val slot = pos(2).toLong
+        val blocks = Normalizer.decodeBlocks(records.filter(col("slot") === slot))
+        blocks.collect().headOption match {
+          case Some(b) => println(BeaconJson.toJsonString(b))
+          case None => System.err.println(s"no block at slot $slot"); sys.exit(1)
+        }
+      case "all-blocks" =>
+        val out = pos(2)
+        val blocks = Normalizer.decodeBlocks(records).cache()
+        try {
+          if (flags.contains("--separate"))
+            Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks), out)
+              .foreach { case (n, c) => println(s"$n: $c records") }
+          else println(s"all-blocks: ${Sinks.write(Normalizer.wideBlocks(blocks), out)} records")
+        } finally blocks.unpersist()
+      case ds if Normalizer.datasetNames.contains(ds) =>
+        val out = pos(2)
+        val blocks = Normalizer.decodeBlocks(records)
+        println(s"$ds: ${Sinks.write(Normalizer.dataset(blocks, ds), out)} records")
+      case other =>
+        System.err.println(s"unknown command: $other"); printHelp(); sys.exit(2)
+    }
+  }
+
+  // ── remote incremental ETL (§3.2 shape) ─────────────────────────────────
+
+  private def remote(opts: Map[String, String], pos: Array[String], flags: Array[String]): Unit = {
+    val Array(baseUrl, network, range) = pos.take(3)
+    val cacheDir = opts.getOrElse("--cache-dir", "era_cache")
+    val stateDir = opts.getOrElse("--state-dir", "era_state")
+    val discovered = RemoteDiscovery.discover(baseUrl, network, range)
+    println(s"discovered ${discovered.size} era files")
+    if (flags.contains("--download-only")) {
+      discovered.foreach { case (_, url) => RemoteDiscovery.download(url, cacheDir) }
+      return
+    }
+    val verb = pos.lift(3).getOrElse("all-blocks")
+    val out = pos.lift(4).getOrElse("output/remote.parquet")
+    val spark = session()
+    val state = new EraStateManager(spark, stateDir)
+    val eras = discovered.map(_._1.toLong)
+    val todo =
+      if (flags.contains("--force")) { eras } // force-clean + reprocess all
+      else state.determineErasToProcess(eras, network)
+    println(s"processing ${todo.size} of ${eras.size} eras (rest completed)")
+    val byEra = discovered.toMap
+    todo.foreach { era =>
+      val url = byEra(era.toInt)
+      if (flags.contains("--force"))
+        state.cleanEraCompletely(opts.getOrElse("--data-root", "output"), network, era)
+      state.recordEraStart(era, network)
+      try {
+        val local = RemoteDiscovery.download(url, cacheDir)
+        val records = spark.read.format("era").load(local.toString)
+        val blocks = Normalizer.decodeBlocks(records).cache()
+        val counts =
+          if (verb == "all-blocks")
+            Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks),
+              Sinks.eraOutputFilename(out, era.toInt))
+          else Map(verb -> Sinks.write(Normalizer.dataset(blocks, verb),
+            Sinks.eraOutputFilename(out, era.toInt)))
+        blocks.unpersist()
+        state.recordEraCompletion(era, network, counts.keys.toSeq.sorted, counts.values.sum)
+        println(s"era $era completed: ${counts.values.sum} records")
+      } catch {
+        case e: Exception =>
+          state.recordEraFailure(era, network, String.valueOf(e.getMessage))
+          System.err.println(s"era $era failed: ${e.getMessage}")
+      }
+    }
+  }
+
+  // ── state verbs ─────────────────────────────────────────────────────────
+
+  private def eraStatus(opts: Map[String, String], pos: Array[String]): Unit = {
+    val network = pos(0)
+    val state = new EraStateManager(session(), opts.getOrElse("--state-dir", "era_state"))
+    state.summary(network).show(false)
+    state.eraStatus.filter(col("network") === network)
+      .select("era_number", "status", "total_records", "retry_count")
+      .orderBy("era_number").show(1000, truncate = false)
+  }
+
+  private def cleanFailed(opts: Map[String, String], pos: Array[String]): Unit = {
+    val network = pos(0)
+    val state = new EraStateManager(session(), opts.getOrElse("--state-dir", "era_state"))
+    val failed = state.failedEras(network)
+    failed.foreach(era =>
+      state.cleanEraCompletely(opts.getOrElse("--data-root", "output"), network, era))
+    println(s"cleaned ${failed.size} failed eras: ${failed.mkString(", ")}")
+  }
+
+  private def printHelp(): Unit = println(
+    """graft — Spark-native era analytics engine
+      |
+      |  graft <era_path_or_glob> stats
+      |  graft <era_path_or_glob> block <slot>
+      |  graft <era_path_or_glob> all-blocks <out> [--separate]
+      |  graft <era_path_or_glob> <dataset> <out>
+      |  graft --remote <base_url> <network> <era_range> [cmd] [out]
+      |        [--separate] [--force] [--download-only] [--state-dir D] [--cache-dir D]
+      |  graft --era-status <network> [--state-dir D]
+      |  graft --clean-failed-eras <network> [--state-dir D] [--data-root D]
+      |
+      |era ranges: 1082 | 1082-1100 | 1082+""".stripMargin)
+}

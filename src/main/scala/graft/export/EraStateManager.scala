@@ -1,0 +1,155 @@
+package graft.export
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.config.Networks
+
+/**
+ * Incremental-processing state layer (SURVEY.md §2 P6/J4/W3/A5/A6, §7 step
+ * 7), re-expressing the reference's ClickHouse `era_completion` +
+ * `era_status` machinery (`era_parser/export/era_state_manager.py`,
+ * `migrations/sql/002_performance_optimizations_up.sql:2-38`) over an
+ * append-only Parquet log:
+ *
+ *  - every state transition is an appended row carrying a monotonically
+ *    increasing `insert_version` (the ReplacingMergeTree insert-version
+ *    idiom);
+ *  - the current state is the latest-version row per (network, era_number)
+ *    — the `era_status` argmax view — computed with a window
+ *    `row_number() = 1`, never an in-place update;
+ *  - resume = anti-join of available eras against completed ones
+ *    (determine_eras_to_process, era_state_manager.py:430-473);
+ *  - force-clean = partition delete of the era's data + filtered rewrite
+ *    of the (small) state log (clean_era_completely,
+ *    era_state_manager.py:190-235).
+ *
+ * At scale the log stays tiny (rows ∝ eras processed), so every read is a
+ * broadcast-size scan; the anti-join broadcasts the completed set against
+ * the available list.
+ */
+class EraStateManager(spark: SparkSession, stateDir: String) {
+
+  private val logPath = s"$stateDir/era_completion"
+  private val versionCounter = new AtomicLong(System.currentTimeMillis())
+
+  /** Dataset names — mirrors era_state_manager.py:30-36. */
+  val allDatasets: Seq[String] = graft.operators.Normalizer.datasetNames
+
+  private def nextVersion(): Long = versionCounter.incrementAndGet()
+
+  private def eraSlotRange(eraNumber: Long, network: String): (Long, Long) = {
+    val spe = Networks(network).slotsPerHistoricalRoot
+    (eraNumber * spe, eraNumber * spe + spe - 1)
+  }
+
+  private def appendRow(network: String, era: Long, status: String,
+      totalRecords: Long, datasets: Seq[String], errorMessage: String,
+      retryCount: Long): Unit = {
+    import spark.implicits._
+    val (s0, s1) = eraSlotRange(era, network)
+    val df = Seq((network, era, status, s0, s1, totalRecords, datasets,
+        errorMessage.take(500), retryCount, nextVersion()))
+      .toDF("network", "era_number", "status", "slot_start", "slot_end",
+        "total_records", "datasets_processed", "error_message", "retry_count",
+        "insert_version")
+      .withColumn("recorded_at", current_timestamp())
+    df.coalesce(1).write.mode("append").parquet(logPath)
+  }
+
+  /** era_state_manager.py:102-122 */
+  def recordEraStart(era: Long, network: String): Unit =
+    appendRow(network, era, "processing", 0, Nil, "Processing...", 0)
+
+  /** era_state_manager.py:124-145 */
+  def recordEraCompletion(era: Long, network: String,
+      datasets: Seq[String], totalRecords: Long): Unit =
+    appendRow(network, era, "completed", totalRecords, datasets, "", 0)
+
+  /** era_state_manager.py:147-168 — retry_count = previous max + 1. */
+  def recordEraFailure(era: Long, network: String, error: String): Unit =
+    appendRow(network, era, "failed", 0, Nil, error, retryCount(era, network) + 1)
+
+  /** Raw append-only log (empty DataFrame with full schema if none yet). */
+  def log: DataFrame =
+    if (Files.exists(Paths.get(logPath))) spark.read.parquet(logPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        """network STRING, era_number BIGINT, status STRING, slot_start BIGINT,
+          |slot_end BIGINT, total_records BIGINT, datasets_processed ARRAY<STRING>,
+          |error_message STRING, retry_count BIGINT, insert_version BIGINT,
+          |recorded_at TIMESTAMP""".stripMargin.replaceAll("\n", " ")))
+
+  /** The `era_status` latest-state view (W3): argmax over insert_version
+    * per (network, era_number) — 002_performance_optimizations_up.sql:20-38. */
+  def eraStatus: DataFrame = {
+    val w = Window.partitionBy(col("network"), col("era_number"))
+      .orderBy(col("insert_version").desc)
+    log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Completed era numbers for a network (era_state_manager.py:350-377). */
+  def completedEras(network: String): DataFrame =
+    eraStatus
+      .filter(col("network") === network && col("status") === "completed")
+      .select(col("era_number"))
+
+  /** P6/J4: available ∖ completed via left_anti join
+    * (determine_eras_to_process, era_state_manager.py:430-473). */
+  def determineErasToProcess(available: Seq[Long], network: String): Seq[Long] = {
+    import spark.implicits._
+    available.toDF("era_number")
+      .join(completedEras(network), Seq("era_number"), "left_anti")
+      .orderBy(col("era_number"))
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** A6: COALESCE(MAX(retry_count), 0) (era_state_manager.py:170-186). */
+  def retryCount(era: Long, network: String): Long = {
+    val r = log.filter(col("network") === network && col("era_number") === era)
+      .agg(coalesce(max(col("retry_count")), lit(0L))).collect()
+    if (r.isEmpty) 0L else r(0).getLong(0)
+  }
+
+  /** A5: status summary — count + records by current status
+    * (era_state_manager.py:398-426). */
+  def summary(network: String): DataFrame =
+    eraStatus.filter(col("network") === network)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_eras"), sum(col("total_records")).as("total_records"))
+      .orderBy(col("status"))
+
+  /** Failed era numbers (latest state = failed). */
+  def failedEras(network: String): Seq[Long] =
+    eraStatus.filter(col("network") === network && col("status") === "failed")
+      .select("era_number").orderBy("era_number").collect().map(_.getLong(0)).toSeq
+
+  /** Force-clean (era_state_manager.py:190-235): drop the era's partition
+    * dirs from each dataset root (the Parquet-resident equivalent of the
+    * slot-range DELETE — data is era-partitioned, so clean = partition
+    * remove) and erase the era from the state log via filtered rewrite. */
+  def cleanEraCompletely(dataRoot: String, network: String, era: Long): Unit = {
+    allDatasets.foreach { ds =>
+      val p = Paths.get(s"$dataRoot/$ds/era_number=$era")
+      if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    }
+    if (Files.exists(Paths.get(logPath))) {
+      // the log is tiny (rows ∝ state transitions) — materialize on the
+      // driver, then overwrite; avoids writing over a lazily-read source
+      val schema = log.schema
+      val kept = log.filter(!(col("network") === network && col("era_number") === era))
+        .collect().toSeq
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(kept, 1), schema)
+        .write.mode("overwrite").parquet(logPath)
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.export
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Multi-format sink layer (SURVEY.md §2.1 S11–S16), mirroring the
+ * reference's export surface (the `era_parser/export` package,
+ * `core/output_manager.py:21-42`) with Spark-native writers:
+ *
+ *  - JSON/JSONL  → `df.write.json` (native JSONL; the reference's metadata
+ *    envelope becomes a `_era_metadata.json` sidecar so the write itself
+ *    stays distributed — a whole-array JSON file with an inline header
+ *    cannot be written in parallel)
+ *  - CSV         → `df.write.csv(header=true)` (the reference's `#` comment
+ *    preamble also moves to the sidecar: commented preambles break most
+ *    CSV readers anyway)
+ *  - Parquet     → `df.write.parquet` + sidecar for the reference's
+ *    pyarrow KV metadata (parquet_exporter.py:31-69)
+ *  - ClickHouse  → JDBC batch writer, batch 100k + retry ×3 w/ exponential
+ *    backoff (clickhouse_service.py:17,135-162)
+ *
+ * Each output `<name>.<ext>` is a directory of part files — the
+ * distributed-native shape. At 100 TB one file per sink is a non-goal;
+ * downstream consumers read the directory. `singleFile = true` coalesces
+ * to 1 partition for small-parity exports.
+ */
+object Sinks {
+
+  /** `<base>_era_<00000>.<ext>` (output_manager.py:21-42). */
+  def eraOutputFilename(baseOutput: String, eraNumber: Int): String = {
+    val (stem, ext) = splitExt(baseOutput)
+    f"${stem}_era_$eraNumber%05d$ext"
+  }
+
+  /** `<base>_<dataset>.<ext>` (parquet_exporter.py:71-103). */
+  def datasetFilename(baseOutput: String, dataset: String): String = {
+    val (stem, ext) = splitExt(baseOutput)
+    s"${stem}_$dataset$ext"
+  }
+
+  private def splitExt(path: String): (String, String) = {
+    val i = path.lastIndexOf('.')
+    val slash = path.lastIndexOf('/')
+    if (i > slash) (path.substring(0, i), path.substring(i)) else (path, ".parquet")
+  }
+
+  private def formatOf(path: String): String = splitExt(path)._2 match {
+    case ".json" | ".jsonl" => "json"
+    case ".csv" => "csv"
+    case _ => "parquet"
+  }
+
+  /** Write one DataFrame in the format implied by the extension. Returns
+    * the row count (also written to the sidecar). */
+  def write(df: DataFrame, path: String, singleFile: Boolean = false,
+      metadata: Map[String, String] = Map.empty): Long = {
+    val out = if (singleFile) df.coalesce(1) else df
+    val n = df.count()
+    formatOf(path) match {
+      case "json" => out.write.mode("overwrite").json(path)
+      case "csv" => out.write.mode("overwrite").option("header", "true").csv(path)
+      case _ => out.write.mode("overwrite").parquet(path)
+    }
+    if (metadata.nonEmpty) writeMetadataSidecar(path, metadata + ("rows" -> n.toString))
+    n
+  }
+
+  /** The reference's per-file KV metadata (era number, network, slot range
+    * — parquet_exporter.py:40-55) as a JSON sidecar inside the output dir. */
+  private def writeMetadataSidecar(path: String, meta: Map[String, String]): Unit = {
+    val json = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    Files.write(Paths.get(path, "_era_metadata.json"), json.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** S16: one output per dataset + SUMMARY.txt
+    * (parquet_exporter.py:71-103, csv_exporter.py:47-76). */
+  def exportSeparateFiles(
+      datasets: Map[String, DataFrame],
+      baseOutput: String,
+      metadata: Map[String, String] = Map.empty,
+      singleFile: Boolean = false): Map[String, Long] = {
+    val counts = datasets.toSeq.sortBy(_._1).map { case (name, df) =>
+      name -> write(df, datasetFilename(baseOutput, name), singleFile, metadata)
+    }
+    val (stem, _) = splitExt(baseOutput)
+    val summary = counts.map { case (n, c) => s"$n: $c records" }.mkString("", "\n", "\n")
+    val summaryPath = Paths.get(s"${stem}_SUMMARY.txt")
+    if (summaryPath.getParent != null) Files.createDirectories(summaryPath.getParent)
+    Files.write(summaryPath, summary.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    counts.toMap
+  }
+
+  /** S15: batched JDBC sink with the reference's retry discipline
+    * (100k batches, ×3 retries, exponential backoff + reconnect —
+    * clickhouse_service.py:115-342). Works against any JDBC URL; for
+    * ClickHouse use `jdbc:clickhouse://…` with the ClickHouse driver on
+    * the executor classpath. */
+  def jdbcSink(
+      df: DataFrame,
+      url: String,
+      table: String,
+      properties: Map[String, String] = Map.empty,
+      batchSize: Int = 100000,
+      maxRetries: Int = 3): Unit = {
+    val props = new java.util.Properties()
+    properties.foreach { case (k, v) => props.setProperty(k, v) }
+    props.setProperty("batchsize", batchSize.toString)
+    var attempt = 0
+    var done = false
+    var lastErr: Throwable = null
+    while (!done && attempt < maxRetries) {
+      try {
+        df.write.mode("append").jdbc(url, table, props)
+        done = true
+      } catch {
+        case e: Throwable =>
+          lastErr = e
+          attempt += 1
+          if (attempt < maxRetries) Thread.sleep(1000L << attempt) // 2s, 4s
+      }
+    }
+    if (!done) throw new RuntimeException(
+      s"JDBC sink to $table failed after $maxRetries attempts", lastErr)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.testkit.EraFixtures
+
+/** CLI verb surface (cli.py:8-54 shape). Each test drives Cli.main
+  * end-to-end; Cli owns (and stops) its SparkSession. */
+class CliSpec extends AnyFunSuite {
+
+  private lazy val eraDir = EraFixtures.ensureGenerated()
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new ByteArrayOutputStream()
+    Console.withOut(new PrintStream(bos)) {
+      val old = System.out
+      System.setOut(new PrintStream(bos))
+      try body finally System.setOut(old)
+    }
+    bos.toString("UTF-8")
+  }
+
+  test("block verb prints beacon-API JSON for the requested slot") {
+    val out = captureOut {
+      Cli.main(Array(eraDir, "block", "98300"))
+    }
+    assert(out.contains("\"slot\":\"98300\""))
+    assert(out.contains("\"sync_aggregate\"")) // altair body present
+  }
+
+  test("all-blocks --separate fans out the datasets with reference naming") {
+    val dir = Files.createTempDirectory("cli-out").toString
+    val out = captureOut {
+      Cli.main(Array(eraDir, "all-blocks", s"$dir/out.parquet", "--separate"))
+    }
+    assert(out.contains("blocks: 5 records")) // 5 fixture eras, 1 block each
+    assert(Files.exists(Paths.get(s"$dir/out_blocks.parquet")))
+    assert(Files.exists(Paths.get(s"$dir/out_attestations.parquet")))
+    assert(Files.exists(Paths.get(s"$dir/out_SUMMARY.txt")))
+  }
+
+  test("dataset verb writes a single dataset") {
+    val dir = Files.createTempDirectory("cli-out2").toString
+    val out = captureOut {
+      Cli.main(Array(eraDir, "attestations", s"$dir/att.csv"))
+    }
+    assert(out.contains("attestations:"))
+    assert(Files.exists(Paths.get(s"$dir/att.csv")))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.export.{EraStateManager, Sinks}
+
+/** Sink layer (S11–S16) + incremental state layer (P6/J4/W3/A5/A6). */
+class ExportStateSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("output naming mirrors the reference scheme") {
+    assert(Sinks.eraOutputFilename("out/blocks.parquet", 1082) === "out/blocks_era_01082.parquet")
+    assert(Sinks.eraOutputFilename("blocks", 7) === "blocks_era_00007.parquet")
+    assert(Sinks.datasetFilename("out/x.csv", "attestations") === "out/x_attestations.csv")
+    assert(Sinks.datasetFilename("out/x.json", "blocks") === "out/x_blocks.json")
+  }
+
+  test("separate-files fan-out writes every dataset + SUMMARY.txt, all formats readable") {
+    import spark.implicits._
+    val dir = tmpDir("sinks")
+    val ds1 = Seq((1L, "a"), (2L, "b")).toDF("slot", "v")
+    val ds2 = Seq((3L, 1.5)).toDF("slot", "x")
+    for (ext <- Seq("parquet", "csv", "json")) {
+      val base = s"$dir/$ext/out.$ext"
+      val counts = Sinks.exportSeparateFiles(Map("t1" -> ds1, "t2" -> ds2), base,
+        metadata = Map("era" -> "42", "network" -> "gnosis"))
+      assert(counts === Map("t1" -> 2L, "t2" -> 1L))
+      val summary = new String(Files.readAllBytes(Paths.get(s"$dir/$ext/out_SUMMARY.txt")), "UTF-8")
+      assert(summary.contains("t1: 2 records") && summary.contains("t2: 1 records"))
+      // round-trip
+      val back = ext match {
+        case "csv" => spark.read.option("header", "true").csv(s"$dir/$ext/out_t1.csv")
+        case "json" => spark.read.json(s"$dir/$ext/out_t1.json")
+        case _ => spark.read.parquet(s"$dir/$ext/out_t1.parquet")
+      }
+      assert(back.count() === 2)
+      // KV metadata sidecar (S14)
+      val meta = new String(
+        Files.readAllBytes(Paths.get(s"$dir/$ext/out_t1.$ext/_era_metadata.json")), "UTF-8")
+      assert(meta.contains("\"era\": \"42\"") && meta.contains("\"rows\": \"2\""))
+    }
+  }
+
+  test("jdbc sink writes batched rows readable back through jdbc (S15)") {
+    import spark.implicits._
+    val db = tmpDir("derby") + "/testdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val df = (1 to 250).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    Sinks.jdbcSink(df, url, "metrics", batchSize = 100)
+    val back = spark.read.jdbc(url, "metrics", new java.util.Properties())
+    assert(back.count() === 250)
+    assert(back.agg(sum("id")).collect()(0).getLong(0) === (1 to 250).map(_.toLong).sum)
+    // append semantics: a second sink call doubles the rows
+    Sinks.jdbcSink(df, url, "metrics", batchSize = 100)
+    assert(spark.read.jdbc(url, "metrics", new java.util.Properties()).count() === 500)
+  }
+
+  test("state machine: start → completed/failed, latest-state view, retry counts") {
+    val state = new EraStateManager(spark, tmpDir("state"))
+    state.recordEraStart(100, "gnosis")
+    state.recordEraCompletion(100, "gnosis", Seq("blocks", "attestations"), 555)
+    state.recordEraStart(101, "gnosis")
+    state.recordEraFailure(101, "gnosis", "boom")
+    state.recordEraFailure(101, "gnosis", "boom again")
+    state.recordEraStart(200, "mainnet")
+
+    val status = state.eraStatus.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(status(("gnosis", 100L)) === "completed")
+    assert(status(("gnosis", 101L)) === "failed")
+    assert(status(("mainnet", 200L)) === "processing")
+    assert(state.retryCount(101, "gnosis") === 2)
+    assert(state.failedEras("gnosis") === Seq(101L))
+
+    // slot range derives from network config (8192 slots/era)
+    val row = state.eraStatus
+      .filter(col("era_number") === 100).collect()(0)
+    assert(row.getAs[Long]("slot_start") === 100L * 8192)
+    assert(row.getAs[Long]("slot_end") === 101L * 8192 - 1)
+  }
+
+  test("resume anti-join skips completed eras only (P6/J4)") {
+    val state = new EraStateManager(spark, tmpDir("state2"))
+    state.recordEraCompletion(10, "gnosis", Seq("blocks"), 1)
+    state.recordEraCompletion(12, "gnosis", Seq("blocks"), 1)
+    state.recordEraFailure(13, "gnosis", "x") // failed → still to-process
+    assert(state.determineErasToProcess(Seq(10L, 11L, 12L, 13L, 14L), "gnosis")
+      === Seq(11L, 13L, 14L))
+    // another network's completions don't leak
+    assert(state.determineErasToProcess(Seq(10L), "mainnet") === Seq(10L))
+  }
+
+  test("summary aggregates by current status (A5)") {
+    val state = new EraStateManager(spark, tmpDir("state3"))
+    state.recordEraCompletion(1, "gnosis", Seq("blocks"), 100)
+    state.recordEraCompletion(2, "gnosis", Seq("blocks"), 200)
+    state.recordEraFailure(3, "gnosis", "x")
+    val sum_ = state.summary("gnosis").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sum_("completed") === ((2L, 300L)))
+    assert(sum_("failed") === ((1L, 0L)))
+  }
+
+  test("force-clean removes the era's partitions and state rows") {
+    import spark.implicits._
+    val stateDir = tmpDir("state4")
+    val dataRoot = tmpDir("data")
+    val state = new EraStateManager(spark, stateDir)
+    // era-partitioned dataset layout
+    Seq((1L, 5L)).toDF("slot", "era_number").write
+      .partitionBy("era_number").parquet(s"$dataRoot/blocks")
+    assert(Files.exists(Paths.get(s"$dataRoot/blocks/era_number=5")))
+    state.recordEraCompletion(5, "gnosis", Seq("blocks"), 1)
+    state.recordEraCompletion(6, "gnosis", Seq("blocks"), 1)
+
+    state.cleanEraCompletely(dataRoot, "gnosis", 5)
+    assert(!Files.exists(Paths.get(s"$dataRoot/blocks/era_number=5")))
+    assert(state.determineErasToProcess(Seq(5L, 6L), "gnosis") === Seq(5L))
+  }
+}

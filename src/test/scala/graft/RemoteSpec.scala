@@ -1,0 +1,149 @@
+package graft
+
+import java.io.File
+import java.net.InetSocketAddress
+import java.nio.file.{Files, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.RemoteDiscovery
+import graft.testkit.EraFixtures
+
+/** Remote connector (S6–S9) against a local HTTP server that emulates an
+  * S3-compatible era store: paginated list-type=2 XML, HTML directory
+  * index, HEAD probes, and streaming GET of real fixture era files. */
+class RemoteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var baseUrl: String = _
+  private var eraBytes: Map[String, Array[Byte]] = _
+  @volatile private var failNextDownloads = 0
+  @volatile private var s3Enabled = true
+  @volatile private var htmlEnabled = true
+
+  // three era files named in the reference convention, real fixture content
+  private val names = Seq(
+    "gnosis-00000-aabb0001.era", "gnosis-00012-aabb0002.era", "gnosis-01267-aabb0003.era")
+
+  override def beforeAll(): Unit = {
+    val dir = EraFixtures.ensureGenerated()
+    val files = new File(dir).listFiles().filter(_.getName.endsWith(".era")).sortBy(_.getName)
+    eraBytes = names.zip(files.take(3).map(f => Files.readAllBytes(f.toPath))).toMap
+
+    server = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val path = ex.getRequestURI.getPath
+        val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+        try {
+          if (query.contains("list-type=2")) {
+            if (!s3Enabled) { respond(ex, 403, "forbidden".getBytes) }
+            else {
+              // two pages with a continuation token
+              val page2 = query.contains("continuation-token=tok2")
+              val keys = if (!page2) names.take(2) else names.drop(2)
+              val token = if (!page2) "<NextContinuationToken>tok2</NextContinuationToken>" else ""
+              val xml =
+                s"""<?xml version="1.0"?><ListBucketResult>
+                   |${keys.map(k => s"<Key>$k</Key>").mkString}
+                   |$token</ListBucketResult>""".stripMargin
+              respond(ex, 200, xml.getBytes("UTF-8"))
+            }
+          } else if (path == "/" || path.isEmpty) {
+            if (!htmlEnabled) respond(ex, 500, "nope".getBytes)
+            else {
+              val html = names.map(n => s"""<a href="$n">$n</a>""").mkString("<html>", "\n", "</html>")
+              respond(ex, 200, html.getBytes("UTF-8"))
+            }
+          } else {
+            val name = path.stripPrefix("/")
+            eraBytes.get(name) match {
+              case Some(bytes) if ex.getRequestMethod == "HEAD" =>
+                ex.sendResponseHeaders(200, -1); ex.close()
+              case Some(bytes) =>
+                if (failNextDownloads > 0) { failNextDownloads -= 1; respond(ex, 503, "retry".getBytes) }
+                else respond(ex, 200, bytes)
+              case None =>
+                ex.sendResponseHeaders(404, -1); ex.close()
+            }
+          }
+        } catch { case e: Exception => respond(ex, 500, e.toString.getBytes) }
+      }
+    })
+    server.start()
+    baseUrl = s"http://localhost:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  private def respond(ex: HttpExchange, code: Int, body: Array[Byte]): Unit = {
+    ex.sendResponseHeaders(code, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  test("era range grammar: N, N-M, N+") {
+    assert(RemoteDiscovery.parseEraRange("1082") === ((1082, Some(1082))))
+    assert(RemoteDiscovery.parseEraRange("1082-1100") === ((1082, Some(1100))))
+    assert(RemoteDiscovery.parseEraRange("1082+") === ((1082, None)))
+  }
+
+  test("S3 bulk listing paginates with continuation tokens (S6)") {
+    val found = RemoteDiscovery.discoverS3Bulk(baseUrl, "gnosis", 0, None)
+    assert(found.map(_._1) === Seq(0, 12, 1267))
+    assert(found.forall { case (_, url) => url.startsWith(baseUrl) })
+    // range filter prunes before any download (P3)
+    assert(RemoteDiscovery.discoverS3Bulk(baseUrl, "gnosis", 1, Some(100)).map(_._1) === Seq(12))
+  }
+
+  test("HTML directory-index discovery (S7)") {
+    val found = RemoteDiscovery.discoverHtmlListing(baseUrl, "gnosis", 0, None)
+    assert(found.map(_._1) === Seq(0, 12, 1267))
+  }
+
+  test("parallel HEAD probing finds exactly the hosted eras (S8)") {
+    val urlFor = (e: Int) => {
+      val known = names.find(_.contains(f"gnosis-$e%05d")).getOrElse(f"gnosis-$e%05d-deadbeef.era")
+      s"$baseUrl/$known"
+    }
+    val found = RemoteDiscovery.discoverParallel(urlFor, 0, 20)
+    assert(found.map(_._1) === Seq(0, 12))
+  }
+
+  test("download streams to cache, retries transient failures, reuses cache (S9)") {
+    val dest = Files.createTempDirectory("era-dl").toString
+    failNextDownloads = 2 // two 503s, then success — inside retry budget
+    val p = RemoteDiscovery.download(s"$baseUrl/${names.head}", dest)
+    assert(Files.readAllBytes(p).sameElements(eraBytes(names.head)))
+    // cache hit: server failure now irrelevant
+    failNextDownloads = 99
+    val p2 = RemoteDiscovery.download(s"$baseUrl/${names.head}", dest)
+    assert(p2 === p)
+    failNextDownloads = 0
+  }
+
+  test("discovery ladder falls back S3 → HTML (discover_era_files shape)") {
+    s3Enabled = false
+    try {
+      val found = RemoteDiscovery.discover(baseUrl, "gnosis", "0+")
+      assert(found.map(_._1) === Seq(0, 12, 1267))
+    } finally s3Enabled = true
+  }
+
+  test("downloaded era files decode through the full pipeline") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val dest = Files.createTempDirectory("era-dl2").toString
+    val found = RemoteDiscovery.discoverS3Bulk(baseUrl, "gnosis", 0, None)
+    found.foreach { case (_, url) => RemoteDiscovery.download(url, dest) }
+    val records = spark.read.format("era").load(dest)
+    val blocks = graft.operators.Normalizer.decodeBlocks(records)
+    assert(blocks.count() === 3) // one block per fixture era file served
+  }
+}

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -12,21 +11,13 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   * locally by scripts/check_oracle.py); these tests pin the semantics the
   * oracle can't see — that injected duplicates are actually FOUND, that ANN
   * results are ranked, that the stub decode is byte-deterministic. */
-class TrainingDataSpec extends AnyFunSuite with BeforeAndAfterAll {
+class TrainingDataSpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
-  private lazy val spark = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .appName("training-data-spec")
-    .getOrCreate()
+  private lazy val spark = TestSpark.spark
 
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-
-  override def afterAll(): Unit = spark.stop()
 
   test("dedup_exact finds every injected exact copy and nothing else") {
     val nInjected = docs.filter(col("doc_id") % 13 === 0).count()
