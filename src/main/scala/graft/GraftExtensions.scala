@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.HexPopcount
+import graft.functions.{Hash64Expr, HexPopcount, MinHashSigExpr, Signatures, SimHash48Expr}
 
 /**
  * Session extensions registering graft's native Catalyst expressions, so
@@ -19,18 +19,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hex_popcount"),
       new ExpressionInfo(classOf[HexPopcount].getName, "hex_popcount"),
       (exprs: Seq[Expression]) => HexPopcount(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash48"),
+      new ExpressionInfo(classOf[SimHash48Expr].getName, "simhash48"),
+      (exprs: Seq[Expression]) => SimHash48Expr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSigExpr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("hash64"),
+      new ExpressionInfo(classOf[Hash64Expr].getName, "hash64"),
+      (exprs: Seq[Expression]) => Hash64Expr(exprs.head)))
   }
 }
 
 object GraftExtensions {
   /** Make graft functions callable on a session that was built without the
-    * extension (e.g. a driver-provided smoke session): falls back to a plain
-    * UDF with identical semantics (slower — no codegen — but correct). */
+    * extension (e.g. a driver-provided smoke session): falls back to plain
+    * UDFs with identical semantics (slower — no codegen — but correct). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registered =
-      try { spark.sql("SELECT hex_popcount('0x0f')").collect(); true }
+      try { spark.sql("SELECT hex_popcount('0x0f'), hash64('x')").collect(); true }
       catch { case _: Exception => false }
-    if (!registered)
+    if (!registered) {
       spark.udf.register("hex_popcount", (s: String) => HexPopcount.count(s))
+      spark.udf.register("hash64", (s: String) => Signatures.hash64String(s))
+      spark.udf.register("simhash48",
+        (ts: Seq[String]) => Signatures.simhash48Seq(ts))
+      spark.udf.register("minhash_sig",
+        (ts: Seq[String]) => Signatures.minhashSigSeq(ts))
+    }
   }
 }

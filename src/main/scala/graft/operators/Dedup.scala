@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.Hashing
-
 /**
  * Deduplication suite for a large-scale training-data pipeline — the five
  * standard techniques, each expressed Spark-first over the `documents` /
@@ -112,18 +110,19 @@ object Dedup {
   val MinhashBands = 3 // 3 bands × 4 rows
 
   /** Per-doc MinHash signature: k portable hash functions, each the min over
-    * the shingle set of hash64(shingle || '#' || i). */
-  def minhashSignatures(docs: DataFrame): DataFrame =
+    * the shingle set of hash64(shingle || '#' || i). Computed by the native
+    * codegen kernel [[graft.functions.Signatures.minhashSig]] — identical
+    * values to the SQL/oracle formulation, ~20× cheaper than the
+    * interpreted higher-order-function fold. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     augmentedDocs(docs)
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles("toks"))
       .select(
         col("doc_id"),
-        expr(
-          s"""transform(sequence(0, ${MinhashK - 1}),
-             |  i -> array_min(transform(sh,
-             |    s -> ${Hashing.hash64Sql("concat(s, '#', cast(i as string))")})))"""
-            .stripMargin).as("sig"))
+        call_function("minhash_sig", col("sh")).as("sig"))
+  }
 
   /** MinHash signatures rendered flat for oracle comparison. */
   def minhashSignaturesFlat(docs: DataFrame): DataFrame =
@@ -166,20 +165,17 @@ object Dedup {
   val SimhashBits = 48 // fits signed 64-bit in every engine
 
   /** 48-bit SimHash: per bit, the sign of the token-multiset vote
-    * (+1 if the token hash has the bit set, −1 otherwise). */
-  def simhashSignatures(docs: DataFrame): DataFrame =
+    * (+1 if the token hash has the bit set, −1 otherwise). Native codegen
+    * kernel ([[graft.functions.Signatures.simhash48]]) — identical values
+    * to the SQL/oracle nested-fold formulation. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     augmentedDocs(docs)
-      .withColumn("hs", expr(s"transform(toks, t -> ${Hashing.hash64Sql("t")})"))
       .select(
         col("doc_id"),
-        expr(
-          s"""aggregate(
-             |  transform(sequence(0, ${SimhashBits - 1}),
-             |    b -> case when aggregate(hs, 0,
-             |        (acc, h) -> acc + case when shiftright(h, b) % 2 = 1 then 1 else -1 end) > 0
-             |      then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end),
-             |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin).as("simhash"))
+        call_function("simhash48", col("toks")).as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   val SimhashChunks = 4 // 4 × 12-bit chunks for Hamming blocking
 

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event — the streaming-side shape of the `events` table. */
+case class Event(user_id: Long, event_id: Long, event_type: String,
+    ts: Timestamp, value: Double)
+
+/** Closed user session emitted by [[EventStream.sessionize]]. */
+case class UserSession(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, total_value: Double)
+
+private[streaming] case class SessionAcc(start: Long, end: Long, n: Long, total: Double)
+
+/**
+ * Stream operators over event streams: watermarked tumbling-window
+ * aggregation and custom session state via `flatMapGroupsWithState` — the
+ * Structured-Streaming surface a training-data ingest pipeline needs
+ * (the reference is batch-only; SURVEY.md §2.9).
+ *
+ * Both operators run identically over a bounded batch DataFrame (for
+ * backfill) and an unbounded stream (for tailing) — that is the Spark
+ * contract these are written against.
+ */
+object EventStream {
+
+  /** Tumbling-window counts with a watermark: late events beyond the
+    * allowed lateness are dropped, windows finalize incrementally. */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Event-time sessionization with a gap timeout: a user's session closes
+    * after `gapMinutes` without events (or on watermark timeout), emitting
+    * one [[UserSession]] row. Custom state via flatMapGroupsWithState —
+    * state per user_id is O(1), so keys scale horizontally. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionAcc]): Iterator[UserSession] = {
+      val out = Seq.newBuilder[UserSession]
+      if (state.hasTimedOut) {
+        val s = state.get
+        out += UserSession(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+        state.remove()
+      } else {
+        val sorted = it.toSeq.sortBy(_.ts.getTime)
+        var acc = state.getOption.orNull
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          if (acc == null) acc = SessionAcc(t, t, 1, e.value)
+          else if (t - acc.end > gapMs) {
+            out += UserSession(userId, new Timestamp(acc.start), new Timestamp(acc.end), acc.n, acc.total)
+            acc = SessionAcc(t, t, 1, e.value)
+          } else acc = SessionAcc(acc.start, math.max(acc.end, t), acc.n + 1, acc.total + e.value)
+        }
+        if (acc != null) {
+          state.update(acc)
+          state.setTimeoutTimestamp(acc.end + gapMs)
+        }
+      }
+      out.result().iterator
+    }
+
+    events
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}
