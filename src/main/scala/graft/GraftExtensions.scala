@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash64Expr, HexPopcount, MinHashSigExpr, Signatures, SimHash48Expr}
+import graft.functions.{Hash64Expr, HexPopcount, MinHashSigExpr, Signatures, SimHash48Expr, SortedOverlapExpr, WordShinglesExpr}
 
 /**
  * Session extensions registering graft's native Catalyst expressions, so
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hash64"),
       new ExpressionInfo(classOf[Hash64Expr].getName, "hash64"),
       (exprs: Seq[Expression]) => Hash64Expr(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlapExpr].getName, "sorted_overlap"),
+      (exprs: Seq[Expression]) => SortedOverlapExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShinglesExpr(exprs(0), exprs(1))))
   }
 }
 
@@ -49,6 +57,10 @@ object GraftExtensions {
         (ts: Seq[String]) => Signatures.simhash48Seq(ts))
       spark.udf.register("minhash_sig",
         (ts: Seq[String]) => Signatures.minhashSigSeq(ts))
+      spark.udf.register("sorted_overlap",
+        (a: Seq[Long], b: Seq[Long]) => Signatures.sortedOverlapSeq(a, b))
+      spark.udf.register("word_shingles",
+        (s: String, n: Int) => Signatures.wordShinglesSeq(s, n))
     }
   }
 }

@@ -112,6 +112,88 @@ object Signatures {
     // list_min over empty (callers filter size >= 3 anyway)
     mins
   }
+
+  /** Count of common elements of two sorted distinct long arrays. */
+  def sortedOverlap(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  def sortedOverlapSeq(a: Seq[Long], b: Seq[Long]): Long = {
+    var i = 0; var j = 0; var c = 0L
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** Same char class as java.util.regex \s — the tokenizer the SQL
+    * formulation (`split(text, '\\s+')`) uses. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Distinct word n-grams of a whitespace-tokenized string, first-occurrence
+    * order — equals
+    * `array_distinct(transform(sequence(0, size(toks)-n), i -> concat_ws(' ', toks[i..i+n-1])))`
+    * over `toks = split(text, '\s+')` for TRIMMED input (callers trim),
+    * but tokenizes ONCE. The SQL form re-evaluates the regex split per
+    * element once CollapseProject inlines the token column (measured ~25×
+    * slowdown on the ngram pipeline). */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    // manual \s+ split (no empty tokens for trimmed input)
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = str.length
+    var start = -1
+    while (i <= len) {
+      val ws = i == len || isWs(str.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) {
+        toks += str.substring(start, i)
+        start = -1
+      }
+      i += 1
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var j = 0
+    while (j <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      j += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  def wordShinglesSeq(s: String, n: Int): Seq[String] = {
+    val a = wordShingles(UTF8String.fromString(s), n)
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
 }
 
 /** `simhash48(array<string>) -> bigint` — native, codegen'd. */
@@ -146,6 +228,51 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
+}
+
+/** `sorted_overlap(array<bigint>, array<bigint>) -> bigint` — count of
+  * common elements of two sorted distinct arrays (two-pointer merge, zero
+  * allocation). The Jaccard kernel for hashed shingle sets: per-pair cost
+  * drops from string-set hashing to a linear long comparison. */
+case class SortedOverlapExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_overlap requires ARRAY<BIGINT> args, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Signatures.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Signatures.sortedOverlap($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedOverlapExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_overlap"
+}
+
+/** `word_shingles(string, n) -> array<string>` — distinct word n-grams,
+  * single-pass tokenization (see [[Signatures.wordShingles]]). */
+case class WordShinglesExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires (STRING, INT), got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def nullSafeEval(s: Any, n: Any): Any =
+    Signatures.wordShingles(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.functions.Signatures.wordShingles($s, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShinglesExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "word_shingles"
 }
 
 /** `hash64(string) -> bigint` — the portable md5-based mixer. */

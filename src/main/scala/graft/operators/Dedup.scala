@@ -75,32 +75,43 @@ object Dedup {
 
   // ── 2. n-gram Jaccard ──────────────────────────────────────────────────
 
-  /** Word-trigram shingle set as a column (distinct, order-free). */
-  private def shingles(toksCol: String): Column =
-    expr(
-      s"""array_distinct(transform(sequence(0, size($toksCol) - 3),
-         |  i -> concat_ws(' ', $toksCol[i], $toksCol[i+1], $toksCol[i+2])))""".stripMargin)
+  /** Word-trigram shingle set as a column (distinct, order-free). Native
+    * single-pass kernel: the equivalent
+    * `array_distinct(transform(sequence(...), i -> concat_ws(...)))` SQL
+    * re-runs the `split` tokenization per element after CollapseProject
+    * inlines the token column — a measured ~25× slowdown. */
+  private def shingles(textCol: String): Column =
+    call_function("word_shingles", col(textCol), lit(3))
 
   /** Blocked pairwise n-gram Jaccard: candidate pairs share a blocking key
     * (lang, first token) — the standard cheap blocker that keeps the join
-    * linear-ish; the full O(n²) pair space is never formed. */
+    * linear-ish; the full O(n²) pair space is never formed. Shingle sets
+    * are hashed to sorted long arrays once per doc, so the per-pair kernel
+    * is a zero-allocation two-pointer merge
+    * ([[graft.functions.Signatures.sortedOverlap]]) instead of a string-set
+    * intersection. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val sh = augmentedDocs(docs)
       .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingles("text"))
       .select(col("doc_id"), col("lang"),
-        element_at(col("toks"), 1).as("tok0"), shingles("toks").as("sh"))
+        element_at(col("toks"), 1).as("tok0"),
+        expr("array_sort(array_distinct(transform(sh, s -> hash64(s))))").as("shl"))
+      .withColumn("nsh", size(col("shl")))
     val a = sh.as("a")
     val b = sh.as("b")
     a.join(b,
         col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
           col("a.doc_id") < col("b.doc_id"))
+      .withColumn("common", call_function("sorted_overlap", col("a.shl"), col("b.shl")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("a.nsh") + col("b.nsh") - col("common")))
+      .filter(col("jaccard") >= threshold)
       .select(
         col("a.doc_id").as("doc_a"),
         col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+        round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -118,7 +129,7 @@ object Dedup {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     augmentedDocs(docs)
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh", shingles("toks"))
+      .withColumn("sh", shingles("text"))
       .select(
         col("doc_id"),
         call_function("minhash_sig", col("sh")).as("sig"))

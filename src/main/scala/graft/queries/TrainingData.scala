@@ -199,14 +199,19 @@ object TrainingData {
          |FROM aug GROUP BY 1 ORDER BY digest""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      s"""WITH $baseCte, $augCte, $shCte
+      s"""WITH $baseCte, $augCte, $shCte,
+         |shh AS (
+         |  SELECT doc_id, lang, tok0,
+         |         list_distinct(list_transform(sh, s -> ${h64("s")})) AS shl
+         |  FROM sh),
+         |shn AS (SELECT doc_id, lang, tok0, shl, len(shl) AS nsh FROM shh)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
-         |             / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
-         |FROM sh a JOIN sh b
+         |       ROUND(len(list_intersect(a.shl, b.shl))::DOUBLE
+         |             / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))), 4) AS jaccard
+         |FROM shn a JOIN shn b
          |  ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-         |      / len(list_distinct(a.sh || b.sh)) >= 0.6
+         |WHERE len(list_intersect(a.shl, b.shl))::DOUBLE
+         |      / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash_sig" ->
