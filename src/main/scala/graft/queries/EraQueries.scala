@@ -133,7 +133,145 @@ object EraQueries {
           .groupBy(date_trunc("day", col("timestamp_utc")).as("day"))
           .agg(count(lit(1)).as("n_blocks"),
             countDistinct(col("proposer_index")).as("n_proposers"))
-          .orderBy(col("day")))
+          .orderBy(col("day"))),
+      // CLICKHOUSE.md:476-489 — block production statistics (top proposers)
+      "era_proposer_stats" -> ((s, _) =>
+        Normalizer.blocksTable(blocks(s))
+          .groupBy(col("proposer_index"))
+          .agg(count(lit(1)).as("blocks_proposed"),
+            min(col("timestamp_utc")).as("first_block"),
+            max(col("timestamp_utc")).as("last_block"))
+          .orderBy(col("blocks_proposed").desc, col("proposer_index"))
+          .limit(20)),
+      // CLICKHOUSE.md:512-524 — tx volume by fee recipient w/ global share
+      "era_tx_fee_recipients" -> ((s, _) => {
+        val tx = Normalizer.transactions(blocks(s))
+        tx.groupBy(col("fee_recipient"))
+          .agg(count(lit(1)).as("transactions"),
+            round(avg(col("gas_limit")), 2).as("avg_gas_limit"),
+            round(avg(col("gas_used")), 2).as("avg_gas_used"))
+          .withColumn("percentage",
+            round(col("transactions") * 100.0 /
+              sum(col("transactions")).over(Window.partitionBy()), 4))
+          .orderBy(col("transactions").desc, col("fee_recipient"))
+          .limit(20)
+      }),
+      // CLICKHOUSE.md:555-580 — traditional vs request withdrawals (UNION ALL)
+      "era_withdrawal_comparison" -> ((s, _) => {
+        val w = Normalizer.withdrawals(blocks(s))
+          .groupBy(date_trunc("day", col("timestamp_utc")).as("day"))
+          .agg(count(lit(1)).as("withdrawal_count"),
+            sum(col("amount")).as("total_withdrawn_gwei"),
+            countDistinct(col("validator_index")).as("unique_validators"))
+          .withColumn("withdrawal_type", lit("traditional_withdrawals"))
+        val r = Normalizer.withdrawalRequests(blocks(s))
+          .groupBy(date_trunc("day", col("timestamp_utc")).as("day"))
+          .agg(count(lit(1)).as("withdrawal_count"),
+            sum(col("amount")).as("total_withdrawn_gwei"),
+            countDistinct(col("validator_pubkey")).as("unique_validators"))
+          .withColumn("withdrawal_type", lit("withdrawal_requests"))
+        w.unionByName(r).orderBy(col("day"), col("withdrawal_type"))
+      }),
+      // CLICKHOUSE.md:583-601 — deposits vs deposit_requests totals
+      "era_deposit_comparison" -> ((s, _) => {
+        val d = Normalizer.deposits(blocks(s))
+          .agg(count(lit(1)).as("deposit_count"),
+            sum(col("amount")).as("total_deposited_gwei"),
+            countDistinct(col("pubkey")).as("unique_validators"))
+          .withColumn("deposit_type", lit("traditional_deposits"))
+        val r = Normalizer.depositRequests(blocks(s))
+          .agg(count(lit(1)).as("deposit_count"),
+            sum(col("amount")).as("total_deposited_gwei"),
+            countDistinct(col("pubkey")).as("unique_validators"))
+          .withColumn("deposit_type", lit("deposit_requests"))
+        d.unionByName(r).orderBy(col("deposit_type"))
+      }),
+      // CLICKHOUSE.md:604-613 — attestation participation per committee
+      "era_attestation_participation" -> ((s, _) =>
+        Normalizer.attestations(blocks(s))
+          .groupBy(col("committee_index"))
+          .agg(count(lit(1)).as("attestations"),
+            countDistinct(col("attestation_slot")).as("slots_attested"),
+            countDistinct(col("slot")).as("inclusion_slots"),
+            round(avg(col("slot") - col("attestation_slot")), 4).as("avg_inclusion_delay"))
+          .orderBy(col("attestations").desc, col("committee_index"))),
+      // CLICKHOUSE.md:616-624 — voluntary exits by month
+      "era_exits_monthly" -> ((s, _) =>
+        Normalizer.voluntaryExits(blocks(s))
+          .groupBy(date_trunc("month", col("timestamp_utc")).as("month"))
+          .agg(count(lit(1)).as("exit_count"),
+            countDistinct(col("validator_index")).as("unique_validators"))
+          .orderBy(col("month"))),
+      // CLICKHOUSE.md:628-638 — sync participation (uses the popcount column
+      // the reference declares but never computes)
+      "era_sync_participation" -> ((s, _) =>
+        Normalizer.syncAggregates(blocks(s))
+          .groupBy(date_trunc("hour", col("timestamp_utc")).as("hour"))
+          .agg(round(avg(col("participating_validators")), 2).as("avg_participation"),
+            min(col("participating_validators")).as("min_participation"),
+            max(col("participating_validators")).as("max_participation"),
+            count(lit(1)).as("total_sync_aggregates"))
+          .orderBy(col("hour"))),
+      // CLICKHOUSE.md:641-650 — sync efficiency: avg + stddevPop by day
+      "era_sync_efficiency" -> ((s, _) =>
+        Normalizer.syncAggregates(blocks(s))
+          .groupBy(date_trunc("day", col("timestamp_utc")).as("day"))
+          .agg(round(avg(col("participating_validators")), 2).as("avg_participation"),
+            round(coalesce(stddev_pop(col("participating_validators")), lit(0.0)), 4)
+              .as("participation_stddev"),
+            count(lit(1)).as("sync_count"))
+          .orderBy(col("day"))),
+      // CLICKHOUSE.md:666-685 — slashing classification (double/surround vote)
+      "era_slashing_classified" -> ((s, _) =>
+        Normalizer.attesterSlashings(blocks(s))
+          .withColumn("slashing_type",
+            when(col("att_1_target_epoch") === col("att_2_target_epoch"), "Double Vote")
+              .when(col("att_1_source_epoch") < col("att_2_source_epoch") &&
+                col("att_1_target_epoch") > col("att_2_target_epoch"), "Surround Vote")
+              .otherwise("Other"))
+          .select(col("slot"), col("slashing_index"), col("att_1_committee_index"),
+            col("att_1_validator_count"), col("att_2_validator_count"),
+            col("total_slashed_validators"), col("slashing_type"))
+          .orderBy(col("slot"), col("slashing_index"))),
+      // CLICKHOUSE.md:688-697 — largest slashings (top-k)
+      "era_top_slashings" -> ((s, _) =>
+        Normalizer.attesterSlashings(blocks(s))
+          .select(col("slot"), col("total_slashed_validators"),
+            col("att_1_validator_count"), col("att_2_validator_count"))
+          .orderBy(col("total_slashed_validators").desc, col("slot"))
+          .limit(20)),
+      // CLICKHOUSE.md:710-719 — slashing trends by month
+      "era_slashing_monthly" -> ((s, _) =>
+        Normalizer.attesterSlashings(blocks(s))
+          .groupBy(date_trunc("month", col("timestamp_utc")).as("month"))
+          .agg(count(lit(1)).as("slashing_events"),
+            sum(col("total_slashed_validators")).as("total_validators_slashed"),
+            round(avg(col("total_slashed_validators")), 4).as("avg_validators_per_slashing"))
+          .orderBy(col("month"))),
+      // CLICKHOUSE.md:733-745 — repeat BLS changers with address groupArray
+      "era_bls_top_validators" -> ((s, _) =>
+        Normalizer.blsChanges(blocks(s))
+          .groupBy(col("validator_index"))
+          .agg(count(lit(1)).as("change_count"),
+            array_join(sort_array(collect_list(col("to_execution_address"))), ",")
+              .as("execution_addresses"))
+          .orderBy(col("change_count").desc, col("validator_index"))),
+      // CLICKHOUSE.md:749-760 — blob patterns with global hourly average (W2)
+      "era_blob_patterns" -> ((s, _) =>
+        Normalizer.blobCommitments(blocks(s))
+          .groupBy(date_trunc("hour", col("timestamp_utc")).as("hour"))
+          .agg(count(lit(1)).as("total_commitments"),
+            countDistinct(col("slot")).as("blocks_with_blobs"))
+          .withColumn("avg_hourly_commitments",
+            round(avg(col("total_commitments")).over(Window.partitionBy()), 4))
+          .orderBy(col("hour"))),
+      // CLICKHOUSE.md:762-771 — blocks with most blob commitments
+      "era_blob_top_blocks" -> ((s, _) =>
+        Normalizer.blobCommitments(blocks(s))
+          .groupBy(col("slot"))
+          .agg(count(lit(1)).as("commitment_count"))
+          .orderBy(col("commitment_count").desc, col("slot"))
+          .limit(20))
     )
   }
 }

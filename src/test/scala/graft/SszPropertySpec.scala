@@ -1,0 +1,113 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ssz.{SnappyFramed, Ssz}
+
+/** Property tests for the SSZ decode core (SURVEY.md §5 plan item 4):
+  * offset-table and fixed-stride list round-trips, LE readers, snappy
+  * round-trip, portable hash64 parity with its SQL definition. */
+class SszPropertySpec extends AnyFunSuite {
+
+  /** Minimal deterministic property driver (the scalatest-scalacheck bridge
+    * is not in the offline dependency cache): samples `gen` n times. */
+  private def forAll[A](gen: Gen[A], n: Int = 200)(body: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    var i = 0
+    while (i < n) {
+      gen.apply(Gen.Parameters.default, seed).foreach(body)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private def encodeVariableList(items: Seq[Array[Byte]]): Array[Byte] = {
+    val headerLen = items.length * 4
+    val out = java.nio.ByteBuffer.allocate(headerLen + items.map(_.length).sum)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = headerLen
+    items.foreach { it => out.putInt(off); off += it.length }
+    items.foreach(out.put)
+    out.array()
+  }
+
+  private val genItem: Gen[Array[Byte]] =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)))
+      .map(_.toArray)
+
+  test("variable-list offset-table round-trip for any non-empty item list") {
+    forAll(Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, genItem))) { items0 =>
+      locally {
+        val items = items0
+        val encoded = encodeVariableList(items)
+        val decoded = Ssz.parseVariableList(encoded, identity[Array[Byte]])
+        assert(decoded.length === items.length)
+        decoded.zip(items).foreach { case (d, o) => assert(d.sameElements(o)) }
+      }
+    }
+  }
+
+  test("empty variable list encodes as empty-buffer or offset==len and decodes empty") {
+    assert(Ssz.parseVariableList(Array.empty[Byte], identity[Array[Byte]]).isEmpty)
+    // a single 4-byte offset table pointing at end-of-buffer = empty list
+    val selfOffset = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4).array()
+    assert(Ssz.parseVariableList(selfOffset, identity[Array[Byte]]).isEmpty)
+  }
+
+  test("fixed-stride list round-trip with trailing-partial truncation") {
+    forAll(Gen.zip(Gen.chooseNum(1, 16),
+        Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)))) { case (stride, bytes0) =>
+      val bytes = bytes0.toArray
+      val items = Ssz.parseFixedList(bytes, stride, identity[Array[Byte]])
+      assert(items.length === bytes.length / stride) // partial tail dropped
+      items.zipWithIndex.foreach { case (it, i) =>
+        assert(it.sameElements(bytes.slice(i * stride, (i + 1) * stride)))
+      }
+    }
+  }
+
+  test("LE uint readers agree with ByteBuffer") {
+    forAll(Gen.listOfN(12, Gen.chooseNum(-128, 127).map(_.toByte))) { bs =>
+      val arr = bs.toArray
+      val bb = java.nio.ByteBuffer.wrap(arr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(Ssz.readUint32(arr, 0) === (bb.getInt(0).toLong & 0xffffffffL))
+      assert(Ssz.readUint64(arr, 2) === bb.getLong(2))
+    }
+  }
+
+  test("out-of-range reads return 0 (reference tolerance, ssz_utils.py:4-14)") {
+    assert(Ssz.readUint32(Array[Byte](1, 2), 0) === 0L)
+    assert(Ssz.readUint64(Array[Byte](1, 2, 3), 0) === 0L)
+  }
+
+  test("snappy framed compress/decompress round-trip") {
+    forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)), 100) { bs =>
+      val arr = bs.toArray
+      assert(SnappyFramed.decompress(SnappyFramed.compress(arr)).sameElements(arr))
+    }
+  }
+
+  test("native hash64 equals its SQL definition (first 15 hex chars of md5, base 16)") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expected = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      assert(graft.functions.Signatures.hash64String(s) === expected)
+    }
+  }
+
+  test("wordShingles equals the SQL tokenize-then-ngram formulation") {
+    val genText = Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+      .map(_.mkString(" "))
+    forAll(genText) { text =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+      val expected =
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
+      assert(graft.functions.Signatures.wordShinglesSeq(text.trim, 3) === expected)
+    }
+  }
+}
