@@ -50,6 +50,10 @@ object Cli {
     try {
       if (flags.contains("--era-status")) eraStatus(opts, pos)
       else if (flags.contains("--clean-failed-eras")) cleanFailed(opts, pos)
+      else if (flags.contains("--optimize")) {
+        new EraStateManager(session(), opts.getOrElse("--state-dir", "era_state")).optimize()
+        println("state log compacted to latest-version rows")
+      }
       else if (flags.contains("--remote")) remote(opts, pos, flags)
       else if (pos.length >= 2) local(opts, pos, flags)
       else printHelp()
@@ -86,18 +90,28 @@ object Cli {
           case None => System.err.println(s"no block at slot $slot"); sys.exit(1)
         }
       case "all-blocks" =>
-        val out = pos(2)
+        val jdbcUrl = opts.getOrElse("--export-jdbc", "")
         val blocks = Normalizer.decodeBlocks(records).cache()
         try {
-          if (flags.contains("--separate"))
-            Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks), out)
+          if (jdbcUrl.nonEmpty)
+            // `--export clickhouse` analogue: one table per dataset,
+            // batched inserts with retry (S15)
+            Normalizer.allDatasets(blocks).toSeq.sortBy(_._1).foreach { case (n, df) =>
+              Sinks.jdbcSink(df, jdbcUrl, n)
+              println(s"$n: exported to jdbc")
+            }
+          else if (flags.contains("--separate"))
+            Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks), pos(2))
               .foreach { case (n, c) => println(s"$n: $c records") }
-          else println(s"all-blocks: ${Sinks.write(Normalizer.wideBlocks(blocks), out)} records")
+          else println(s"all-blocks: ${Sinks.write(Normalizer.wideBlocks(blocks), pos(2))} records")
         } finally blocks.unpersist()
       case ds if Normalizer.datasetNames.contains(ds) =>
-        val out = pos(2)
+        val jdbcUrl = opts.getOrElse("--export-jdbc", "")
         val blocks = Normalizer.decodeBlocks(records)
-        println(s"$ds: ${Sinks.write(Normalizer.dataset(blocks, ds), out)} records")
+        if (jdbcUrl.nonEmpty) {
+          Sinks.jdbcSink(Normalizer.dataset(blocks, ds), jdbcUrl, ds)
+          println(s"$ds: exported to jdbc")
+        } else println(s"$ds: ${Sinks.write(Normalizer.dataset(blocks, ds), pos(2))} records")
       case other =>
         System.err.println(s"unknown command: $other"); printHelp(); sys.exit(2)
     }
@@ -177,7 +191,9 @@ object Cli {
       |  graft <era_path_or_glob> stats
       |  graft <era_path_or_glob> block <slot>
       |  graft <era_path_or_glob> all-blocks <out> [--separate]
-      |  graft <era_path_or_glob> <dataset> <out>
+      |  graft <era_path_or_glob> all-blocks --export-jdbc <jdbc-url>
+      |  graft <era_path_or_glob> <dataset> <out|--export-jdbc <url>>
+      |  graft --optimize [--state-dir D]
       |  graft --remote <base_url> <network> <era_range> [cmd] [out]
       |        [--separate] [--force] [--download-only] [--state-dir D] [--cache-dir D]
       |  graft --era-status <network> [--state-dir D]

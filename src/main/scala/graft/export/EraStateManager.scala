@@ -129,6 +129,17 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
     eraStatus.filter(col("network") === network && col("status") === "failed")
       .select("era_number").orderBy("era_number").collect().map(_.getLong(0)).toSeq
 
+  /** Log compaction — the ReplacingMergeTree `OPTIMIZE TABLE FINAL`
+    * analogue (era_state_manager.py:329-346): rewrite the append-only log
+    * keeping only the latest-version row per (network, era_number). */
+  def optimize(): Unit = {
+    if (!Files.exists(Paths.get(logPath))) return
+    val schema = log.schema
+    val latest = eraStatus.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(latest, 1), schema)
+      .write.mode("overwrite").parquet(logPath)
+  }
+
   /** Force-clean (era_state_manager.py:190-235): drop the era's partition
     * dirs from each dataset root (the Parquet-resident equivalent of the
     * slot-range DELETE — data is era-partitioned, so clean = partition

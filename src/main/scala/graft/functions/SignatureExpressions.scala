@@ -113,6 +113,24 @@ object Signatures {
     mins
   }
 
+  /** Ordered left-fold dot product (init 0.0, element order) — identical
+    * IEEE-754 result to the SQL `aggregate(zip_with(...))` fold. */
+  def vecDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  def vecDotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** Count of common elements of two sorted distinct long arrays. */
   def sortedOverlap(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
@@ -252,6 +270,31 @@ case class SortedOverlapExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedOverlapExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sorted_overlap"
+}
+
+/** `vec_dot(array<double>, array<double>) -> double` — ordered left-fold
+  * dot product, bit-identical to
+  * `aggregate(zip_with(a, b, (p,q) -> p*q), 0.0d, (acc,v) -> acc+v)` (and
+  * to the DuckDB oracle's list_reduce fold) but a tight loop instead of
+  * two interpreted lambdas per pair. */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vec_dot requires ARRAY<DOUBLE> args, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Signatures.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Signatures.vecDot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "vec_dot"
 }
 
 /** `word_shingles(string, n) -> array<string>` — distinct word n-grams,

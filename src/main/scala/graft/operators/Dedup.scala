@@ -224,6 +224,7 @@ object Dedup {
     * are computed once per vector, before the pair join fans out. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.995): DataFrame = {
     import graft.functions.VectorMath
+    graft.GraftExtensions.ensureRegistered(emb.sparkSession)
     val v = augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec"))
     val a = v.as("a")
     val b = v.as("b")

@@ -26,10 +26,12 @@ import graft.functions.{Hashing, VectorMath}
 object Similarity {
 
   /** embeddings with double vectors + precomputed squared norm. */
-  def prepared(emb: DataFrame): DataFrame =
+  def prepared(emb: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(emb.sparkSession)
     emb.select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("vec"))
       .withColumn("sq", VectorMath.normSq("vec"))
+  }
 
   /** Exact cosine top-k for each query vector (default: vec_id < nQueries
     * drawn from the corpus itself). */
@@ -79,6 +81,59 @@ object Similarity {
              |    case when ${VectorMath.dotSql("vec", "element_at(planes, p + 1)")} > cast(0 as double)
              |      then 1 else 0 end, p))""".stripMargin))
       .drop("planes")
+  }
+
+  val IvfCentroids = 16
+  val IvfProbes = 2
+
+  /** IVF-style coarse quantization: centroid set = a deterministic sample
+    * of the corpus (vec_id 100..115 — at real scale these are k-means
+    * centroids, refreshed offline); every vector is assigned to its
+    * nearest centroid by cosine (argmax, centroid-id tie-break). The
+    * assignment is a narrow broadcast-join + window — at 100 TB the
+    * assignment column becomes the partition key, so a query reads only
+    * its probed partitions. */
+  def withIvfCell(v: DataFrame): DataFrame = {
+    val cents = v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfCentroids)
+      .select((col("vec_id") - 100).as("centroid_id"), col("vec").as("cvec"), col("sq").as("csq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("centroid_id"))
+    v.join(broadcast(cents), lit(true))
+      .withColumn("cscore",
+        VectorMath.dot("vec", "cvec") / sqrt(col("sq") * col("csq")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("centroid_id").as("cell"))
+  }
+
+  /** IVF ANN top-k: probe the query's `IvfProbes` nearest centroids, rank
+    * candidates from those cells by exact cosine. */
+  def ivfTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val v = withIvfCell(prepared(emb))
+    val cents = prepared(emb)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfCentroids)
+      .select((col("vec_id") - 100).as("centroid_id"), col("vec").as("cvec"), col("sq").as("csq"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cscore").desc, col("centroid_id"))
+    val probes = prepared(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("cscore",
+        VectorMath.dot("qvec", "cvec") / sqrt(col("qsq") * col("csq")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= IvfProbes)
+      .select(col("query_id"), col("qvec"), col("qsq"), col("centroid_id").as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    v.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** ANN top-k: candidates share the query's LSH bucket; rank by exact

@@ -46,6 +46,7 @@ object TrainingData {
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
+    "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
 
     // ── multimodal ────────────────────────────────────────────────────────
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
@@ -321,6 +322,36 @@ object TrainingData {
          |  SELECT q.query_id, vb.vec_id,
          |         ${dotD("vb.vec", "q.qvec")} / sqrt(vb.sq * q.qsq) AS cos
          |  FROM vb, q WHERE vb.bucket = q.qbucket AND vb.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_ivf" ->
+      s"""WITH $vecCte,
+         |cents AS (
+         |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |assign AS (
+         |  SELECT vec_id, vec, sq, centroid_id AS cell FROM (
+         |    SELECT vn.vec_id, vn.vec, vn.sq, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM vn, cents c) t WHERE crank = 1),
+         |probes AS (
+         |  SELECT query_id, qvec, qsq, centroid_id AS cell FROM (
+         |    SELECT q.vec_id AS query_id, q.vec AS qvec, q.sq AS qsq, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotD("q.vec", "c.cvec")} / sqrt(q.sq * c.csq) DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM vn q, cents c WHERE q.vec_id < 5) t WHERE crank <= 2),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         ${dotD("a.vec", "p.qvec")} / sqrt(a.sq * p.qsq) AS cos
+         |  FROM assign a JOIN probes p ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.query_id),
          |r AS (SELECT query_id, vec_id, cos,
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
          |      FROM scored)

@@ -42,6 +42,18 @@ class CliSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$dir/out_SUMMARY.txt")))
   }
 
+  test("--export-jdbc routes a dataset into a JDBC table (S15 path)") {
+    val db = Files.createTempDirectory("cli-derby").toString + "/db"
+    val out = captureOut {
+      Cli.main(Array(eraDir, "attestations", "--export-jdbc", s"jdbc:derby:$db;create=true"))
+    }
+    assert(out.contains("attestations: exported to jdbc"))
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val n = spark.read.jdbc(s"jdbc:derby:$db", "attestations", new java.util.Properties()).count()
+    assert(n > 0)
+  }
+
   test("dataset verb writes a single dataset") {
     val dir = Files.createTempDirectory("cli-out2").toString
     val out = captureOut {

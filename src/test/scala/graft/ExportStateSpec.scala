@@ -109,6 +109,20 @@ class ExportStateSpec extends AnyFunSuite {
     assert(sum_("failed") === ((1L, 0L)))
   }
 
+  test("optimize compacts the log to latest-version rows, preserving status") {
+    val state = new EraStateManager(spark, tmpDir("state5"))
+    state.recordEraStart(1, "gnosis")
+    state.recordEraFailure(1, "gnosis", "x")
+    state.recordEraStart(1, "gnosis")
+    state.recordEraCompletion(1, "gnosis", Seq("blocks"), 9)
+    state.recordEraStart(2, "gnosis")
+    assert(state.log.count() === 5)
+    state.optimize()
+    assert(state.log.count() === 2) // one row per era
+    val status = state.eraStatus.collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(status(1L) === "completed" && status(2L) === "processing")
+  }
+
   test("force-clean removes the era's partitions and state rows") {
     import spark.implicits._
     val stateDir = tmpDir("state4")

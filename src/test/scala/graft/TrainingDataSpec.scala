@@ -98,6 +98,21 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k scores agree with brute force on shared candidates") {
+    val brute = Similarity.bruteForceTopK(emb, k = 500, nQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = Similarity.ivfTopK(emb, k = 10, nQueries = 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute.contains(key) && math.abs(brute(key) - r.getDouble(3)) < 1e-9)
+    }
+    // each vector belongs to exactly one cell → no duplicate candidates
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(2)).distinct.length === rs.length)
+    }
+  }
+
   test("langid confusion matrix covers every document exactly once") {
     val conf = TextAnalysis.langIdConfusion(docs)
     assert(conf.agg(sum("n")).collect()(0).getLong(0) === docs.count())
