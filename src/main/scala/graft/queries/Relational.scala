@@ -296,6 +296,21 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
     }),
+    // Skew-resistant aggregation: two-phase salted groupBy. The 5
+    // event_type keys are maximally skewed at scale (each key = 1/5 of a
+    // 100 TB table on one reducer); salting on a high-cardinality column
+    // spreads each hot key over 16 partial groups, then the tiny partial
+    // set re-aggregates. Result provably equals the plain groupBy (the
+    // oracle IS the plain GROUP BY).
+    "agg_salted_skew" -> ((s, dir) => {
+      val salted = t(s, dir, "events")
+        .withColumn("_salt", pmod(xxhash64(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+      salted.groupBy(col("event_type"))
+        .agg(sum(col("pc")).as("n_events"), round(sum(col("ps")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
     // toUInt64(string) cast ladder (CLICKHOUSE.md:795-798).
     "scalar_cast" -> ((s, dir) => {
       t(s, dir, "events")
@@ -438,6 +453,10 @@ object Relational {
          WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' - INTERVAL 90 DAY
            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_salted_skew" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "scalar_cast" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
          CAST(COUNT(*) AS BIGINT) AS n
