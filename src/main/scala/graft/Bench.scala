@@ -33,24 +33,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (try best(2) { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })
-    }
-
     // era parse throughput (BASELINE.md blocks/s): decode a synthetic
     // 128-file era corpus end-to-end (scan → decompress → SSZ decode →
-    // nested-block rows); best of 3 after explicit GC
+    // nested-block rows). Measured FIRST on a clean heap — after the query
+    // sweep, accumulated garbage adds multi-second GC noise.
     val (eraDir, _) = graft.testkit.BenchEras.ensureGenerated()
     val records = spark.read.format("era").load(eraDir)
     var decoded = 0L
     System.gc()
-    val decodeSec = best(3) {
+    val decodeSec = best(4) {
       decoded = graft.operators.Normalizer.decodeBlocks(records).count()
     }
     var attRows = 0L
-    val explodeSec = best(3) {
+    val explodeSec = best(4) {
       attRows = graft.operators.Normalizer
         .attestations(graft.operators.Normalizer.decodeBlocks(records)).count()
+    }
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> (try best(2) { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })
     }
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -129,6 +129,19 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
     eraStatus.filter(col("network") === network && col("status") === "failed")
       .select("era_number").orderBy("era_number").collect().map(_.getLong(0)).toSeq
 
+  /** Health check (docs/CLICKHOUSE.md monitoring section): era-coverage
+    * gaps — eras inside the completed span with no completed record. */
+  def missingEras(network: String): Seq[Long] = {
+    import spark.implicits._
+    val completed = completedEras(network)
+    val bounds = completed.agg(min("era_number"), max("era_number")).collect()(0)
+    if (bounds.isNullAt(0)) return Nil
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    spark.range(lo, hi + 1).toDF("era_number")
+      .join(completed, Seq("era_number"), "left_anti")
+      .orderBy("era_number").collect().map(_.getLong(0)).toSeq
+  }
+
   /** Log compaction — the ReplacingMergeTree `OPTIMIZE TABLE FINAL`
     * analogue (era_state_manager.py:329-346): rewrite the append-only log
     * keeping only the latest-version row per (network, era_number). */

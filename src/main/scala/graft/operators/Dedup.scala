@@ -218,6 +218,29 @@ object Dedup {
 
   // ── 5. embedding cosine near-dup ───────────────────────────────────────
 
+  /** Label-free variant: blocking via signed-hyperplane LSH buckets
+    * ([[Similarity.withBucket]]) — the honest 100 TB path when no cluster
+    * label exists. Recall is ANN-partial: a near-dup pair straddling a
+    * bucket boundary is missed (multi-probe or fewer planes to trade). */
+  def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.995): DataFrame = {
+    import graft.functions.VectorMath
+    graft.GraftExtensions.ensureRegistered(emb.sparkSession)
+    val v = Similarity.withBucket(
+      augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec")))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b,
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        VectorMath.dot("a.vec", "b.vec") / sqrt(col("a.sq") * col("b.sq")))
+      .filter(col("cos") >= threshold)
+      .select(
+        col("a.vec_id").as("vec_a"),
+        col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Embedding near-dup: pairs within the same cluster label (the blocking
     * key; at scale this is an LSH/IVF bucket — see
     * [[graft.operators.Similarity]]) with cosine ≥ threshold. Squared norms

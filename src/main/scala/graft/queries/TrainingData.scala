@@ -42,6 +42,7 @@ object TrainingData {
     "dedup_simhash" -> ((s, dir) => Dedup.simhashSignatures(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir))),
+    "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingNearDupsLsh(emb(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -289,6 +290,31 @@ object TrainingData {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ROUND(${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq), 6) AS cos
          |FROM vs a JOIN vs b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) >= 0.995
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_embedding_lsh" ->
+      s"""WITH ve AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+         |vaug AS (
+         |  SELECT vec_id, label, vec FROM ve
+         |  UNION ALL
+         |  SELECT vec_id + 100000, label,
+         |         list_concat([vec[1] + 0.05::DOUBLE], vec[2:len(vec)])
+         |  FROM ve WHERE vec_id % 11 = 0),
+         |vs AS (SELECT vec_id, vec, ${dotD("vec", "vec")} AS sq FROM vaug),
+         |planes AS (
+         |  SELECT p.p AS p, list_transform(range(0, 64),
+         |    d -> ((${h64("'hp' || p.p || '_' || d")} % 2001) - 1000)::DOUBLE / 1000.0::DOUBLE) AS w
+         |  FROM (SELECT unnest(range(0, 6)) AS p) p),
+         |vb AS (
+         |  SELECT vs.vec_id, vs.vec, vs.sq,
+         |         SUM(CASE WHEN ${dotD("vs.vec", "planes.w")} > 0.0::DOUBLE
+         |               THEN (1 << planes.p::INT) ELSE 0 END) AS bucket
+         |  FROM vs, planes GROUP BY vs.vec_id, vs.vec, vs.sq)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ROUND(${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq), 6) AS cos
+         |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) >= 0.995
          |ORDER BY vec_a, vec_b""".stripMargin,
 

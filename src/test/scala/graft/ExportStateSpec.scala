@@ -109,6 +109,14 @@ class ExportStateSpec extends AnyFunSuite {
     assert(sum_("failed") === ((1L, 0L)))
   }
 
+  test("missingEras reports coverage gaps inside the completed span") {
+    val state = new EraStateManager(spark, tmpDir("state6"))
+    assert(state.missingEras("gnosis") === Nil) // empty log
+    Seq(10L, 11L, 14L, 16L).foreach(e => state.recordEraCompletion(e, "gnosis", Seq("blocks"), 1))
+    state.recordEraFailure(15, "gnosis", "x") // failed ≠ completed
+    assert(state.missingEras("gnosis") === Seq(12L, 13L, 15L))
+  }
+
   test("optimize compacts the log to latest-version rows, preserving status") {
     val state = new EraStateManager(spark, tmpDir("state5"))
     state.recordEraStart(1, "gnosis")
