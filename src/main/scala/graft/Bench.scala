@@ -50,6 +50,16 @@ object Bench {
         .attestations(graft.operators.Normalizer.decodeBlocks(records)).count()
     }
 
+    // full 15-table extract + parquet sink for the corpus — the "per-era
+    // wall clock for the full 15-table extract" target from BASELINE.md
+    val etlOut = java.nio.file.Files.createTempDirectory("graft-bench-etl").toString
+    val etlSec = best(2) {
+      val blocks = graft.operators.Normalizer.decodeBlocks(records).cache()
+      try graft.export.Sinks.exportSeparateFiles(
+        graft.operators.Normalizer.allDatasets(blocks), s"$etlOut/out.parquet")
+      finally blocks.unpersist()
+    }
+
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> (try best(2) { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })
     }
@@ -61,7 +71,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","era_blocks":$decoded,"era_decode_sec":$decodeSec""" +
         s""","blocks_per_sec":${decoded / decodeSec}""" +
-        s""","attestation_rows":$attRows,"attestation_rows_per_sec":${attRows / explodeSec}}""")
+        s""","attestation_rows":$attRows,"attestation_rows_per_sec":${attRows / explodeSec}""" +
+        s""","etl_15table_sec":$etlSec,"etl_blocks_per_sec":${decoded / etlSec}}""")
     spark.stop()
   }
 }

@@ -132,6 +132,29 @@ class RemoteSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally s3Enabled = true
   }
 
+  test("--remote CLI runs the full incremental ETL and resumes idempotently") {
+    val work = Files.createTempDirectory("remote-e2e")
+    val out = s"$work/out/all.parquet"
+    val args = Array("--remote", baseUrl, "gnosis", "0+", "all-blocks", out,
+      "--state-dir", s"$work/state", "--cache-dir", s"$work/cache")
+    Cli.main(args)
+    // one era-suffixed output set per discovered era, 15 datasets each
+    val outDir = new File(s"$work/out")
+    val blockDirs = outDir.listFiles().map(_.getName).filter(_.contains("_blocks.parquet"))
+    assert(blockDirs.length === 3)
+    assert(blockDirs.forall(_.matches("all_era_\\d{5}_blocks\\.parquet")))
+    // state: every era completed
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
+    val state = new graft.export.EraStateManager(spark, s"$work/state")
+    assert(state.determineErasToProcess(Seq(0L, 12L, 1267L), "gnosis") === Nil)
+    assert(state.missingEras("gnosis") === Seq.range(1L, 12L) ++ Seq.range(13L, 1267L))
+    // resume: second run processes nothing (skip-completed anti-join)
+    val before = state.log.count()
+    Cli.main(args)
+    assert(state.log.count() === before) // no new state transitions
+  }
+
   test("downloaded era files decode through the full pipeline") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
