@@ -14,9 +14,13 @@ import duckdb
 
 
 def norm(df):
-    # align with the driver: sort columns by name, then sort rows
+    # align with the driver: sort columns by name, then sort rows.
+    # Normalize NULLs first: Spark parquet loads them as None, DuckDB .df()
+    # as NaN/NaT — string coercion would otherwise flag false mismatches.
+    import pandas as pd
+    df = df.astype(object).where(pd.notna(df), "NULL")
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    df = df.sort_values(by=list(df.columns), key=lambda s: s.astype(str)).reset_index(drop=True)
     return df
 
 

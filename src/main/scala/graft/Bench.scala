@@ -66,7 +66,9 @@ object Bench {
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failed queries keep their -1 sentinel in `queries` but must not
+    // subtract from the headline total
+    val total = results.values.filter(_ >= 0).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
         s""","era_blocks":$decoded,"era_decode_sec":$decodeSec""" +

@@ -41,8 +41,20 @@ object Cli {
       .getOrCreate()
   }
 
+  /** Flags that consume the following token as their value. */
+  private val valueFlags = Set(
+    "--state-dir", "--cache-dir", "--data-root", "--export-jdbc")
+
   def main(args: Array[String]): Unit = {
-    val (flags, pos) = args.partition(_.startsWith("--"))
+    // split argv into flags, flag values, and positionals — a flag's value
+    // must not leak into the positional list regardless of ordering
+    val flagValueIdx = args.zipWithIndex.collect {
+      case (f, i) if valueFlags(f) && i + 1 < args.length => i + 1
+    }.toSet
+    val flags = args.filter(_.startsWith("--"))
+    val pos = args.zipWithIndex.collect {
+      case (a, i) if !a.startsWith("--") && !flagValueIdx(i) => a
+    }
     val opts = parseFlags(args)
     // only stop a session this invocation created — never one an embedding
     // host (tests, a notebook) already owns
@@ -62,12 +74,21 @@ object Cli {
 
   private def parseFlags(args: Array[String]): Map[String, String] =
     args.zipWithIndex.collect {
-      case (f, i) if f.startsWith("--") && i + 1 < args.length && !args(i + 1).startsWith("--") =>
+      case (f, i) if valueFlags(f) && i + 1 < args.length && !args(i + 1).startsWith("--") =>
         f -> args(i + 1)
       case (f, _) if f.startsWith("--") => f -> ""
     }.toMap
 
   // ── local verbs ─────────────────────────────────────────────────────────
+
+  private def fail(msg: String): Nothing = {
+    System.err.println(msg)
+    printHelp()
+    sys.exit(2)
+  }
+
+  private def requireArg(pos: Array[String], i: Int, what: String): String =
+    if (i < pos.length) pos(i) else fail(s"missing argument: $what")
 
   private def local(opts: Map[String, String], pos: Array[String], flags: Array[String]): Unit = {
     val path = pos(0)
@@ -83,7 +104,8 @@ object Cli {
           .orderBy(col("record_type"))
           .show(false)
       case "block" =>
-        val slot = pos(2).toLong
+        val slot = scala.util.Try(requireArg(pos, 2, "slot").toLong)
+          .getOrElse(fail("slot must be a number"))
         val blocks = Normalizer.decodeBlocks(records.filter(col("slot") === slot))
         blocks.collect().headOption match {
           case Some(b) => println(BeaconJson.toJsonString(b))
@@ -101,9 +123,10 @@ object Cli {
               println(s"$n: exported to jdbc")
             }
           else if (flags.contains("--separate"))
-            Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks), pos(2))
+            Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks),
+              requireArg(pos, 2, "output path"))
               .foreach { case (n, c) => println(s"$n: $c records") }
-          else println(s"all-blocks: ${Sinks.write(Normalizer.wideBlocks(blocks), pos(2))} records")
+          else println(s"all-blocks: ${Sinks.write(Normalizer.wideBlocks(blocks), requireArg(pos, 2, "output path"))} records")
         } finally blocks.unpersist()
       case ds if Normalizer.datasetNames.contains(ds) =>
         val jdbcUrl = opts.getOrElse("--export-jdbc", "")
@@ -111,7 +134,7 @@ object Cli {
         if (jdbcUrl.nonEmpty) {
           Sinks.jdbcSink(Normalizer.dataset(blocks, ds), jdbcUrl, ds)
           println(s"$ds: exported to jdbc")
-        } else println(s"$ds: ${Sinks.write(Normalizer.dataset(blocks, ds), pos(2))} records")
+        } else println(s"$ds: ${Sinks.write(Normalizer.dataset(blocks, ds), requireArg(pos, 2, "output path"))} records")
       case other =>
         System.err.println(s"unknown command: $other"); printHelp(); sys.exit(2)
     }
@@ -120,6 +143,7 @@ object Cli {
   // ── remote incremental ETL (§3.2 shape) ─────────────────────────────────
 
   private def remote(opts: Map[String, String], pos: Array[String], flags: Array[String]): Unit = {
+    if (pos.length < 3) fail("--remote requires <base_url> <network> <era_range>")
     val Array(baseUrl, network, range) = pos.take(3)
     val cacheDir = opts.getOrElse("--cache-dir", "era_cache")
     val stateDir = opts.getOrElse("--state-dir", "era_state")
@@ -168,7 +192,7 @@ object Cli {
   // ── state verbs ─────────────────────────────────────────────────────────
 
   private def eraStatus(opts: Map[String, String], pos: Array[String]): Unit = {
-    val network = pos(0)
+    val network = requireArg(pos, 0, "network")
     val state = new EraStateManager(session(), opts.getOrElse("--state-dir", "era_state"))
     state.summary(network).show(false)
     state.eraStatus.filter(col("network") === network)
@@ -177,7 +201,7 @@ object Cli {
   }
 
   private def cleanFailed(opts: Map[String, String], pos: Array[String]): Unit = {
-    val network = pos(0)
+    val network = requireArg(pos, 0, "network")
     val state = new EraStateManager(session(), opts.getOrElse("--state-dir", "era_state"))
     val failed = state.failedEras(network)
     failed.foreach(era =>

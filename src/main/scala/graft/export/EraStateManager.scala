@@ -35,12 +35,17 @@ import graft.config.Networks
 class EraStateManager(spark: SparkSession, stateDir: String) {
 
   private val logPath = s"$stateDir/era_completion"
-  private val versionCounter = new AtomicLong(System.currentTimeMillis())
+  // monotonic within the process AND tracking wall-clock across processes:
+  // next = max(prev + 1, now). Two managers on the same state dir then
+  // interleave versions in real-time order (same-millisecond writes from
+  // two JVMs remain racy — same as the reference's insert-version idiom)
+  private val versionCounter = new AtomicLong(0L)
 
   /** Dataset names — mirrors era_state_manager.py:30-36. */
   val allDatasets: Seq[String] = graft.operators.Normalizer.datasetNames
 
-  private def nextVersion(): Long = versionCounter.incrementAndGet()
+  private def nextVersion(): Long =
+    versionCounter.updateAndGet(prev => math.max(prev + 1, System.currentTimeMillis()))
 
   private def eraSlotRange(eraNumber: Long, network: String): (Long, Long) = {
     val spe = Networks(network).slotsPerHistoricalRoot
@@ -158,11 +163,24 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
     * slot-range DELETE — data is era-partitioned, so clean = partition
     * remove) and erase the era from the state log via filtered rewrite. */
   def cleanEraCompletely(dataRoot: String, network: String, era: Long): Unit = {
+    // partitioned layout: <root>/<dataset>/era_number=<era>
     allDatasets.foreach { ds =>
       val p = Paths.get(s"$dataRoot/$ds/era_number=$era")
       if (Files.exists(p)) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.delete(f))
+      }
+    }
+    // era-suffixed CLI layout: <root>/..._era_<00000>_<dataset>.<ext>
+    // (Sinks.eraOutputFilename) — a failed era's partial outputs must go too
+    val root = Paths.get(dataRoot)
+    val eraTag = f"_era_$era%05d"
+    if (Files.exists(root)) {
+      Files.list(root).forEach { p =>
+        if (p.getFileName.toString.contains(eraTag)) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
       }
     }
     if (Files.exists(Paths.get(logPath))) {

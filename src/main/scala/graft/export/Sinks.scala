@@ -53,15 +53,24 @@ object Sinks {
   }
 
   /** Write one DataFrame in the format implied by the extension. Returns
-    * the row count (also written to the sidecar). */
+    * the row count (also written to the sidecar). For parquet the count
+    * comes from the written footers (metadata-only read) so the data is
+    * computed exactly once; csv/json pay one pre-count action. */
   def write(df: DataFrame, path: String, singleFile: Boolean = false,
       metadata: Map[String, String] = Map.empty): Long = {
     val out = if (singleFile) df.coalesce(1) else df
-    val n = df.count()
-    formatOf(path) match {
-      case "json" => out.write.mode("overwrite").json(path)
-      case "csv" => out.write.mode("overwrite").option("header", "true").csv(path)
-      case _ => out.write.mode("overwrite").parquet(path)
+    val n = formatOf(path) match {
+      case "json" =>
+        val c = df.count()
+        out.write.mode("overwrite").json(path)
+        c
+      case "csv" =>
+        val c = df.count()
+        out.write.mode("overwrite").option("header", "true").csv(path)
+        c
+      case _ =>
+        out.write.mode("overwrite").parquet(path)
+        df.sparkSession.read.parquet(path).count() // footer-only
     }
     if (metadata.nonEmpty) writeMetadataSidecar(path, metadata + ("rows" -> n.toString))
     n

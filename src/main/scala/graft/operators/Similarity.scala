@@ -57,17 +57,12 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: w(p,d) =
     * ((hash64("hp<p>_<d>") % 2001) − 1000) / 1000.0 ∈ [−1, 1]. Generated
     * host-side with the same md5 formula the oracle uses in SQL. */
-  def hyperplanes(planes: Int = LshPlanes, dims: Int = 64): Seq[Seq[Double]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+  def hyperplanes(planes: Int = LshPlanes, dims: Int = 64): Seq[Seq[Double]] =
     (0 until planes).map { p =>
       (0 until dims).map { d =>
-        val hex = md.digest(s"hp${p}_$d".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.substring(0, 15)
-        val h = java.lang.Long.parseLong(hex, 16)
-        ((h % 2001) - 1000) / 1000.0
+        ((graft.functions.Signatures.hash64String(s"hp${p}_$d") % 2001) - 1000) / 1000.0
       }
     }
-  }
 
   /** Signed-hyperplane LSH bucket id for every vector — a narrow, codegen'd
     * projection (planes are a literal array<array<double>>). */

@@ -97,12 +97,22 @@ object RemoteDiscovery {
     * carry a content hash the prober can't know, so probing servers that
     * hash filenames requires the listing path; plain layouts can omit the
     * hash — we probe `<network>-<era>-*` via the provided namer. */
-  private def headOk(client: HttpClient, url: String): Boolean = {
+  private def headOk(client: HttpClient, url: String, attempts: Int = 2): Boolean = {
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(Duration.ofSeconds(15))
       .method("HEAD", HttpRequest.BodyPublishers.noBody()).build()
-    try client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode() == 200
-    catch { case _: Exception => false }
+    var attempt = 0
+    while (attempt < attempts) {
+      try return client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode() == 200
+      catch {
+        case _: Exception =>
+          // a transient error here would silently truncate the discovered
+          // era range (these probes define the work list) — retry once
+          attempt += 1
+          if (attempt < attempts) Thread.sleep(200L)
+      }
+    }
+    false
   }
 
   /** S8: parallel existence probing (20-way, remote_downloader.py:290-437)
@@ -147,12 +157,15 @@ object RemoteDiscovery {
     val dest = Paths.get(destDir, name)
     if (Files.exists(dest) && Files.size(dest) > 0) return dest // cache hit
     var attempt = 0
+    val tmp = Paths.get(destDir, name + ".part")
     while (true) {
       try {
         val req = HttpRequest.newBuilder(URI.create(url))
           .timeout(Duration.ofMinutes(10))
           .header("User-Agent", "graft/1.0").GET().build()
-        val tmp = Paths.get(destDir, name + ".part")
+        // truncate any partial bytes from a failed earlier attempt — a
+        // shorter retry body must not inherit a stale tail
+        Files.deleteIfExists(tmp)
         val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
         if (resp.statusCode() != 200) {
           Files.deleteIfExists(tmp)
@@ -162,6 +175,7 @@ object RemoteDiscovery {
         return dest
       } catch {
         case e: Exception =>
+          Files.deleteIfExists(tmp) // never leave a partial in the cache dir
           attempt += 1
           if (attempt >= maxRetries) throw e
           Thread.sleep(500L << attempt)

@@ -54,6 +54,14 @@ class CliSpec extends AnyFunSuite {
     assert(n > 0)
   }
 
+  test("value-taking flags may precede positionals without shifting them") {
+    val db = Files.createTempDirectory("cli-derby2").toString + "/db"
+    val out = captureOut {
+      Cli.main(Array("--export-jdbc", s"jdbc:derby:$db;create=true", eraDir, "attestations"))
+    }
+    assert(out.contains("attestations: exported to jdbc"))
+  }
+
   test("dataset verb writes a single dataset") {
     val dir = Files.createTempDirectory("cli-out2").toString
     val out = captureOut {

@@ -143,8 +143,16 @@ class ExportStateSpec extends AnyFunSuite {
     state.recordEraCompletion(5, "gnosis", Seq("blocks"), 1)
     state.recordEraCompletion(6, "gnosis", Seq("blocks"), 1)
 
+    // era-suffixed CLI layout partials must be cleaned too
+    Files.createDirectories(Paths.get(s"$dataRoot/all_era_00005_blocks.parquet"))
+    Files.write(Paths.get(s"$dataRoot/all_era_00005_blocks.parquet/part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    Files.createDirectories(Paths.get(s"$dataRoot/all_era_00006_blocks.parquet"))
+
     state.cleanEraCompletely(dataRoot, "gnosis", 5)
     assert(!Files.exists(Paths.get(s"$dataRoot/blocks/era_number=5")))
+    assert(!Files.exists(Paths.get(s"$dataRoot/all_era_00005_blocks.parquet")))
+    assert(Files.exists(Paths.get(s"$dataRoot/all_era_00006_blocks.parquet"))) // other eras untouched
     assert(state.determineErasToProcess(Seq(5L, 6L), "gnosis") === Seq(5L))
   }
 }

@@ -77,12 +77,13 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("windowed counts run identically on the batch events table") {
-    // the same operator body over a bounded DataFrame — backfill path
-    val events = graft.queries.Relational.queries("agg_timebucket_day")
-    // direct batch invocation of the streaming operator:
+    // the same operator body over a bounded DataFrame — backfill path;
+    // totals must reconcile with a plain aggregation of the same table
     val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     val out = EventStream.windowedCounts(df, "24 hours", "0 seconds")
-    assert(out.count() > 0)
+    val windowedTotal = out.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0)
+    assert(windowedTotal === df.count())
   }
 }
