@@ -45,19 +45,30 @@ object Ssz {
     java.util.Arrays.copyOfRange(data, f, u)
   }
 
-  def hex(data: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(2 + data.length * 2)
-    sb.append("0x")
-    var i = 0
-    while (i < data.length) {
-      val b = data(i) & 0xff
-      sb.append(Character.forDigit(b >> 4, 16)).append(Character.forDigit(b & 0xf, 16))
-      i += 1
-    }
-    sb.toString
-  }
+  private val HexChars = "0123456789abcdef".toCharArray
 
-  def hex(data: Array[Byte], from: Int, until: Int): String = hex(slice(data, from, until))
+  def hex(data: Array[Byte]): String = hex(data, 0, data.length)
+
+  /** "0x…" hex of a byte range — the hottest kernel in block decode (every
+    * hash/signature/tx renders through here): direct char-array fill over
+    * the range, no intermediate slice copy, no StringBuilder bookkeeping. */
+  def hex(data: Array[Byte], from: Int, until: Int): String = {
+    val f = math.max(0, math.min(from, data.length))
+    val u = math.max(f, math.min(until, data.length))
+    val out = new Array[Char](2 + (u - f) * 2)
+    out(0) = '0'
+    out(1) = 'x'
+    var i = f
+    var j = 2
+    while (i < u) {
+      val b = data(i) & 0xff
+      out(j) = HexChars(b >> 4)
+      out(j + 1) = HexChars(b & 0xf)
+      i += 1
+      j += 2
+    }
+    new String(out)
+  }
 
   /** Fixed-stride SSZ list: truncate trailing partial item, parse each
     * (ssz_utils.py:30-51). `parse` returning null drops the item. */
