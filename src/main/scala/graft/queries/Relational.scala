@@ -159,6 +159,42 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // W: rolling frame — sliding sum over the last 4 events per user
+    // (ROWS BETWEEN; beyond the reference surface, standard stream-shape
+    // analytics).
+    "win_rolling_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("rolling_value", round(sum(col("value")).over(w), 4))
+        .select(col("user_id"), col("event_id"), col("rolling_value"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    // W: ranking family — dense_rank + ntile over order value per segment.
+    "win_ranking" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val byPrio = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      o.withColumn("rnk", dense_rank().over(byPrio).cast("long"))
+        .withColumn("quartile", ntile(4).over(byPrio).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("quartile"), col("o_orderkey"))
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+    // Correlated scalar subquery (TPC-H Q17 shape): parts whose small
+    // orders fall under 20% of that part's average quantity — Catalyst
+    // decorrelates into an aggregate + join.
+    "sub_scalar_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((avg(col("l_quantity")) * 0.2).as("threshold"))
+      li.join(avgQty, li("l_partkey") === avgQty("p_key"))
+        .filter(col("l_quantity") < col("threshold"))
+        .agg(
+          round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n_small_orders"))
+    }),
+
     // ── O: sorts / top-k (SURVEY §2.7) ────────────────────────────────────
     // O3: ORDER BY … DESC LIMIT k → TakeOrderedAndProject, no global sort
     // materialization (CLICKHOUSE.md:400-413). Unique tiebreak for determinism.
@@ -174,6 +210,23 @@ object Relational {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // U: INTERSECT / EXCEPT — absent from the reference (SURVEY §2.7 notes)
+    // but part of a complete relational surface: customers who clicked vs
+    // purchased.
+    "setop_intersect_except" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clickers = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val buyers = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val both = clickers.intersect(buyers)
+        .withColumn("cohort", lit("click_and_buy"))
+      val onlyClick = clickers.except(buyers)
+        .withColumn("cohort", lit("click_only"))
+      both.unionByName(onlyClick)
+        .groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"))
     }),
 
     // ── U: set ops (SURVEY §2.7) ──────────────────────────────────────────
@@ -387,6 +440,39 @@ object Relational {
            SELECT user_id, event_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) t WHERE rn = 1 ORDER BY user_id""",
+    "win_rolling_sum" ->
+      """SELECT user_id, event_id,
+         ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS rolling_value
+         FROM events ORDER BY user_id, event_id""",
+    "win_ranking" ->
+      """SELECT o_orderpriority, rnk, quartile, o_orderkey FROM (
+           SELECT o_orderpriority, o_orderkey,
+             CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+             CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+           FROM orders) t
+         WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""",
+    "sub_scalar_corr" ->
+      """SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+         CAST(COUNT(*) AS BIGINT) AS n_small_orders
+         FROM lineitem l
+         WHERE l_quantity < (
+           SELECT 0.2 * AVG(l_quantity) FROM lineitem i
+           WHERE i.l_partkey = l.l_partkey)""",
+    "setop_intersect_except" ->
+      """SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM (
+           SELECT user_id, 'click_and_buy' AS cohort FROM (
+             SELECT user_id FROM events WHERE event_type = 'click'
+             INTERSECT
+             SELECT user_id FROM events WHERE event_type = 'purchase') a
+           UNION ALL
+           SELECT user_id, 'click_only' AS cohort FROM (
+             SELECT user_id FROM events WHERE event_type = 'click'
+             EXCEPT
+             SELECT user_id FROM events WHERE event_type = 'purchase') b) u
+         GROUP BY cohort ORDER BY cohort""",
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
