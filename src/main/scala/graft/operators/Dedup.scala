@@ -171,6 +171,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate clusters: connected components over the MinHash-LSH pair
+    * graph, computed by iterative min-label propagation over DataFrames
+    * (the standard large-graph CC shape — each round is one shuffle on
+    * doc_id; rounds ≈ component diameter, which for dup clusters is tiny).
+    * Output: (doc_id, cluster) for every doc that appears in ≥1 pair,
+    * cluster = smallest doc_id in its component — the canonical keeper. */
+  def duplicateClusters(docs: DataFrame): DataFrame = {
+    val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b")).cache()
+    try {
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+        .cache()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 50) {
+        // candidate label = min(own, min over neighbors' labels)
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "ncluster"), Seq("dst"))
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("ncluster")).as("ncluster"))
+        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
+          .filter(col("cluster") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      labels.orderBy(col("doc_id"))
+    } finally pairs.unpersist()
+  }
+
   // ── 4. SimHash ─────────────────────────────────────────────────────────
 
   val SimhashBits = 48 // fits signed 64-bit in every engine

@@ -39,6 +39,7 @@ object TrainingData {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "dedup_minhash_sig" -> ((s, dir) => Dedup.minhashSignaturesFlat(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+    "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashSignatures(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir))),
@@ -151,7 +152,36 @@ object TrainingData {
     s"ROUND(CASE WHEN $j * cl >= n THEN 0.0::DOUBLE ELSE ($sum % 1000)::DOUBLE / 999.0 END, 6) AS f$j"
   }.mkString(",\n       ")
 
+  /** MinHash-LSH candidate pairs above the est-Jaccard threshold (shared
+    * by dedup_minhash_pairs and dedup_clusters). */
+  private val fpairsCtes =
+    s"""banded AS (
+       |  SELECT doc_id, sig, b.band AS band,
+       |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+       |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+       |         a.sig AS sig_a, b2.sig AS sig_b
+       |  FROM banded a JOIN banded b2
+       |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+       |fpairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5)"""
+      .stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $baseCte, $augCte, $shCte, $sigCte, $fpairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM fpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM fpairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a)
+         |SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
     "text_token_count" ->
       s"""WITH $baseCte
          |SELECT doc_id,

@@ -56,6 +56,19 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate clusters: every doc in a pair joins its source's component") {
+    val clusters = Dedup.duplicateClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every exact copy clusters with its source; rep = smallest member
+    clusters.keys.filter(_ >= 200000).foreach { copyId =>
+      assert(clusters.contains(copyId - 200000))
+      assert(clusters(copyId) === clusters(copyId - 200000))
+      assert(clusters(copyId) <= copyId - 200000)
+    }
+    // cluster reps are themselves members mapping to themselves
+    clusters.values.foreach(rep => assert(clusters(rep) === rep))
+  }
+
   test("simhash of an exact copy is identical (hamming 0)") {
     val sig = Dedup.simhashSignatures(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
