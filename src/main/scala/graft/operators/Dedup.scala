@@ -204,6 +204,7 @@ object Dedup {
         labels = next
         rounds += 1
       }
+      edges.unpersist()
       labels.orderBy(col("doc_id"))
     } finally pairs.unpersist()
   }

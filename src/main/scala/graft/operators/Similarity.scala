@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Hashing, VectorMath}
+import graft.functions.VectorMath
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
@@ -19,7 +19,7 @@ import graft.functions.{Hashing, VectorMath}
  *    query's bucket. At 100 TB the bucket column is a partition/bucketing
  *    key, so a query touches 1/2^planes of the data.
  *
- * Hyperplane weights derive from the portable [[Hashing.hash64]] of
+ * Hyperplane weights derive from the portable [[graft.functions.Signatures.hash64]] of
  * `"hp<p>_<d>"`, so the DuckDB oracle regenerates the identical planes and
  * the whole ANN pipeline is value-verified, not just row-counted.
  */
@@ -33,15 +33,8 @@ object Similarity {
       .withColumn("sq", VectorMath.normSq("vec"))
   }
 
-  /** Exact cosine top-k for each query vector (default: vec_id < nQueries
-    * drawn from the corpus itself). */
-  def bruteForceTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
-    val v = prepared(emb)
-    val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
+  /** Rank scored candidates per query, keep top k, normalize output. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored
@@ -50,6 +43,19 @@ object Similarity {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Exact cosine top-k for each query vector (default: vec_id < nQueries
+    * drawn from the corpus itself). */
+  def bruteForceTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val v = prepared(emb)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
+    rankTopK(
+      v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
+      k)
   }
 
   val LshPlanes = 6
@@ -118,17 +124,12 @@ object Similarity {
       .withColumn("crank", row_number().over(wProbe))
       .filter(col("crank") <= IvfProbes)
       .select(col("query_id"), col("qvec"), col("qsq"), col("centroid_id").as("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    v.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(
+      v.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
+      k)
   }
 
   /** ANN top-k: candidates share the query's LSH bucket; rank by exact
@@ -139,17 +140,11 @@ object Similarity {
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
         col("sq").as("qsq"), col("bucket").as("qbucket"))
-    val scored = v.join(broadcast(q),
-        col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id"), round(col("cos"), 6).as("cos"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(
+      v.join(broadcast(q),
+          col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
+      k)
   }
 }

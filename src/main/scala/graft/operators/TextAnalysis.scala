@@ -103,8 +103,10 @@ object TextAnalysis {
 
   /** Order-sensitive document fingerprint (rolling polynomial hash over the
     * token stream) — exact-dup detection that survives re-serialization. */
-  def fingerprints(docs: DataFrame): DataFrame =
+  def fingerprints(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     withTokens(docs).select(
       col("doc_id"),
       Hashing.rollingFingerprint("toks").as("fingerprint"))
+  }
 }

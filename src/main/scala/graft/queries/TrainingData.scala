@@ -61,7 +61,7 @@ object TrainingData {
   // computations replicate the Spark expressions value-for-value.
   // ────────────────────────────────────────────────────────────────────────
 
-  /** hash64: first 15 hex chars of md5 → BIGINT (mirrors Hashing.hash64). */
+  /** hash64: first 15 hex chars of md5 → BIGINT (mirrors Signatures.hash64). */
   private def h64(inner: String): String =
     s"('0x' || substr(md5($inner), 1, 15))::BIGINT"
 
