@@ -50,8 +50,10 @@ object EraFileReader {
 
   def readRecords(in: InputStream, info: EraFileInfo): Iterator[EraRecord] = {
     val din = new DataInputStream(in)
-    // skip 8-byte version header (era_reader.py:92)
-    din.skipNBytes(8)
+    // skip 8-byte version header (era_reader.py:92); a file shorter than
+    // the header is empty, not an error
+    try din.skipNBytes(8)
+    catch { case _: EOFException => return Iterator.empty }
     new Iterator[EraRecord] {
       private var nextRecord: EraRecord = _
       private var done = false

@@ -100,8 +100,12 @@ class SszPropertySpec extends AnyFunSuite {
   }
 
   test("wordShingles equals the SQL tokenize-then-ngram formulation") {
-    val genText = Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
-      .map(_.mkString(" "))
+    // separators include runs of mixed whitespace — the regex-\s+ class
+    val genText = for {
+      words <- Gen.listOf(Gen.oneOf("alpha", "beta", "gamma", "delta", "x"))
+      seps <- Gen.listOfN(math.max(words.length - 1, 0),
+        Gen.oneOf(" ", "  ", "\t", " \t ", "\n"))
+    } yield words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString
     forAll(genText) { text =>
       val toks = text.trim.split("\\s+").filter(_.nonEmpty)
       val expected =
@@ -109,5 +113,19 @@ class SszPropertySpec extends AnyFunSuite {
         else toks.sliding(3).map(_.mkString(" ")).toSeq.distinct
       assert(graft.functions.Signatures.wordShinglesSeq(text.trim, 3) === expected)
     }
+  }
+
+  test("era reader tolerates truncated and garbage files (skips, never throws)") {
+    import graft.sources.{EraFileInfo, EraFileReader}
+    val info = EraFileInfo.fromPath("gnosis-00001-deadbeef.era")
+    def read(bytes: Array[Byte]) =
+      EraFileReader.readRecords(new java.io.ByteArrayInputStream(bytes), info).toVector
+    assert(read(Array.empty[Byte]).isEmpty) // empty file
+    assert(read(Array.fill[Byte](5)(1)).isEmpty) // shorter than the header
+    assert(read(Array.fill[Byte](64)(0x42)).isEmpty) // garbage body
+    // valid header + truncated record payload → record dropped cleanly
+    val truncated = Array[Byte]('e', '2', 's', 't', 0, 0, 0, 0,
+      0x01, 0x00, 100, 0, 0, 0, 0, 0, /* payload shorter than length: */ 1, 2, 3)
+    assert(read(truncated).isEmpty)
   }
 }
