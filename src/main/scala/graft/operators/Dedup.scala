@@ -180,28 +180,38 @@ object Dedup {
   def duplicateClusters(docs: DataFrame): DataFrame = {
     val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b")).cache()
     try {
+      // dup-pair graphs are sparse relative to the corpus: size the loop's
+      // partitioning to the graph, not the session default — iterating a
+      // few-hundred-edge graph over 32 shuffle partitions is pure overhead
+      val nEdges = pairs.count()
+      val parts = math.max(1, math.min(
+        (nEdges / 500000L).toInt, pairs.sparkSession.sparkContext.defaultParallelism))
       val edges = pairs
         .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+        .repartition(parts, col("dst"))
         .cache()
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
+      var cachedStep: DataFrame = null
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 50) {
-        // candidate label = min(own, min over neighbors' labels)
+        // candidate label = min(own, min over neighbors' labels); the
+        // convergence check reads the same cached frame — one extra count
+        // per round, no extra join
         val viaNeighbors = edges
           .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "ncluster"), Seq("dst"))
           .groupBy(col("src").as("doc_id"))
           .agg(min(col("ncluster")).as("ncluster"))
-        val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
-          .select(col("doc_id"),
+        val step = labels.join(viaNeighbors, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("cluster").as("old"),
             least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
           .cache()
-        changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("doc_id"))
-          .filter(col("cluster") =!= col("old")).count()
-        labels.unpersist()
-        labels = next
+        changed = step.filter(col("cluster") =!= col("old")).count()
+        if (cachedStep != null) cachedStep.unpersist()
+        cachedStep = step // final round's cache backs the returned frame
+        labels = step.drop("old")
         rounds += 1
       }
       edges.unpersist()
