@@ -101,6 +101,24 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Repetition ratio: 1 − distinct/total word 5-grams — the standard
+    * degenerate-text pre-filter (looping generations, boilerplate spam
+    * score near 1; natural text near 0). Single-pass native shingling. */
+  def repetitionRatio(docs: DataFrame, n: Int = 5): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    withTokens(docs)
+      .withColumn("total", (size(col("toks")) - (n - 1)).cast("long"))
+      .filter(col("total") > 0)
+      .select(
+        col("doc_id"),
+        col("total").as("total_ngrams"),
+        size(call_function("word_shingles", col("text"), lit(n)))
+          .cast("long").as("distinct_ngrams"))
+      .withColumn("repetition_ratio",
+        round(lit(1.0) - col("distinct_ngrams").cast("double") / col("total_ngrams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** Order-sensitive document fingerprint (rolling polynomial hash over the
     * token stream) — exact-dup detection that survives re-serialization. */
   def fingerprints(docs: DataFrame): DataFrame = {

@@ -159,6 +159,16 @@ object Relational {
         .orderBy(col("user_id"))
     }),
 
+    // A: exact interpolated percentiles (median / p90) per group.
+    "agg_percentile" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
     // W: rolling frame — sliding sum over the last 4 events per user
     // (ROWS BETWEEN; beyond the reference surface, standard stream-shape
     // analytics).
@@ -440,6 +450,12 @@ object Relational {
            SELECT user_id, event_id, event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) t WHERE rn = 1 ORDER BY user_id""",
+    "agg_percentile" ->
+      """SELECT o_orderpriority,
+         ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+         ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "win_rolling_sum" ->
       """SELECT user_id, event_id,
          ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -33,6 +33,8 @@ object TrainingData {
       TextAnalysis.langIdConfusion(docs(s, dir))),
     "text_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Dedup.augmentedDocs(docs(s, dir))).orderBy(col("doc_id"))),
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(docs(s, dir))),
 
     // ── dedup ─────────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -223,6 +225,19 @@ object TrainingData {
          |  ${fold(s"list_transform(toks, t -> ${h64("t")} % 1000000007)",
              "0::BIGINT", "(acc, h) -> (acc * 1000003 + h) % 1000000007")} AS fingerprint
          |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH $baseCte,
+         |r AS (
+         |  SELECT doc_id, len(toks) - 4 AS total_ngrams,
+         |         len(list_distinct(list_transform(range(1, len(toks) - 3),
+         |           i -> toks[i::INT] || ' ' || toks[(i+1)::INT] || ' ' || toks[(i+2)::INT]
+         |                || ' ' || toks[(i+3)::INT] || ' ' || toks[(i+4)::INT]))) AS distinct_ngrams
+         |  FROM base WHERE len(toks) - 4 > 0)
+         |SELECT doc_id, CAST(total_ngrams AS BIGINT) AS total_ngrams,
+         |       CAST(distinct_ngrams AS BIGINT) AS distinct_ngrams,
+         |       ROUND(1.0::DOUBLE - distinct_ngrams::DOUBLE / total_ngrams, 4) AS repetition_ratio
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       s"""WITH $baseCte, $augCte
