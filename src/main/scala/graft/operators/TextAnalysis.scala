@@ -101,6 +101,21 @@ object TextAnalysis {
       .orderBy(col("lang"), col("pred_lang"))
   }
 
+  /** Corpus vocabulary stats: explode tokens → per-token document and
+    * occurrence counts, top-k by frequency. The high-cardinality
+    * explode→aggregate shape: the shuffle carries (token) keys after
+    * map-side partial aggregation — at 100 TB this is the word-count
+    * pattern, linear in corpus size. */
+  def vocabulary(docs: DataFrame, k: Int = 50): DataFrame =
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(k)
+
   /** Repetition ratio: 1 − distinct/total word 5-grams — the standard
     * degenerate-text pre-filter (looping generations, boilerplate spam
     * score near 1; natural text near 0). Single-pass native shingling. */

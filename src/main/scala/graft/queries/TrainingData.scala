@@ -35,6 +35,8 @@ object TrainingData {
       TextAnalysis.fingerprints(Dedup.augmentedDocs(docs(s, dir))).orderBy(col("doc_id"))),
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(docs(s, dir))),
+    "text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir))),
 
     // ── dedup ─────────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -225,6 +227,14 @@ object TrainingData {
          |  ${fold(s"list_transform(toks, t -> ${h64("t")} % 1000000007)",
              "0::BIGINT", "(acc, h) -> (acc * 1000003 + h) % 1000000007")} AS fingerprint
          |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH $baseCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS token FROM base)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         |FROM tok GROUP BY token
+         |ORDER BY occurrences DESC, token LIMIT 50""".stripMargin,
 
     "text_repetition" ->
       s"""WITH $baseCte,
