@@ -50,6 +50,18 @@ object Bench {
         .attestations(graft.operators.Normalizer.decodeBlocks(records)).count()
     }
 
+    // per-fork decode throughput — directly comparable to BASELINE.md's
+    // per-fork blocks/s table (fork ↔ era number of its fixture corpus)
+    val forkEras = Seq("phase0" -> 0L, "altair" -> 11L, "capella" -> 1267L, "deneb" -> 1999L)
+    val perFork = forkEras.map { case (fork, era) =>
+      val f = spark.read.format("era").load(f"$eraDir/gnosis-$era%05d-*.era")
+      var n = 0L
+      val sec = best(3) { n = graft.operators.Normalizer.decodeBlocks(f).count() }
+      fork -> (n / sec)
+    }
+    val forkJson = perFork
+      .map { case (f, bps) => s""""$f":$bps""" }.mkString("{", ",", "}")
+
     // full 15-table extract + parquet sink for the corpus — the "per-era
     // wall clock for the full 15-table extract" target from BASELINE.md
     val etlOut = java.nio.file.Files.createTempDirectory("graft-bench-etl").toString
@@ -74,6 +86,7 @@ object Bench {
         s""","era_blocks":$decoded,"era_decode_sec":$decodeSec""" +
         s""","blocks_per_sec":${decoded / decodeSec}""" +
         s""","attestation_rows":$attRows,"attestation_rows_per_sec":${attRows / explodeSec}""" +
+        s""","blocks_per_sec_by_fork":$forkJson""" +
         s""","etl_15table_sec":$etlSec,"etl_blocks_per_sec":${decoded / etlSec}}""")
     spark.stop()
   }
