@@ -296,6 +296,26 @@ object Relational {
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy(col("c_custkey"))
     }),
+    // As-of (point-in-time) join: each event matched to the user's most
+    // recent order at-or-before the event time — the equi+range join the
+    // prompt-level operator list calls out, expressed as join + aggregate
+    // (deterministic: max date + prior-order count, no ambiguous row pick).
+    // Scale: the range predicate rides the equi-join on user_id, so the
+    // shuffle is keyed and the range filter is evaluated stream-side.
+    "join_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val o = t(s, dir, "orders")
+      ev.join(o, ev("user_id") === o("o_custkey") && o("o_orderdate") <= ev("ts"))
+        .groupBy(col("event_id"), col("user_id"), col("ts"))
+        .agg(
+          max(col("o_orderdate")).as("last_order_date"),
+          count(lit(1)).as("n_prior_orders"))
+        .select(
+          col("event_id"), col("user_id"),
+          datediff(col("ts"), col("last_order_date")).cast("long").as("days_since_last_order"),
+          col("n_prior_orders"))
+        .orderBy(col("event_id"))
+    }),
     // J5: semi-join (EXISTS) — fixture-pairing check shape (test_validation.py:88-101).
     "join_semi" -> ((s, dir) => {
       val s_ = t(s, dir, "supplier")
@@ -522,6 +542,14 @@ object Relational {
       """SELECT c_custkey, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
          ORDER BY c_custkey""",
+    "join_asof" ->
+      """SELECT e.event_id, e.user_id,
+         CAST(CAST(e.ts AS DATE) - CAST(MAX(o.o_orderdate) AS DATE) AS BIGINT) AS days_since_last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_prior_orders
+         FROM events e JOIN orders o
+           ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+         GROUP BY e.event_id, e.user_id, e.ts
+         ORDER BY e.event_id""",
     "join_semi" ->
       """SELECT s_suppkey, s_name FROM supplier
          WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
