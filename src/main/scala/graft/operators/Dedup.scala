@@ -83,15 +83,20 @@ object Dedup {
   private def shingles(textCol: String): Column =
     call_function("word_shingles", col(textCol), lit(3))
 
-  /** Blocked pairwise n-gram Jaccard: candidate pairs share a blocking key
-    * (lang, first token) — the standard cheap blocker that keeps the join
-    * linear-ish; the full O(n²) pair space is never formed. Shingle sets
-    * are hashed to sorted long arrays once per doc, so the per-pair kernel
-    * is a zero-allocation two-pointer merge
-    * ([[graft.functions.Signatures.sortedOverlap]]) instead of a string-set
-    * intersection. */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+  /** Candidate pairs for [[ngramJaccard]] — the blocking stage, exposed for
+    * the skew test. The blocking key is (lang, first token, shingle-count
+    * log₂-bucket): J(A,B) ≥ t forces |A|/|B| ∈ [t, 1/t], so a true pair's
+    * buckets differ by at most ceil(log₂(1/t)); one side probes that many
+    * adjacent buckets and no pair is lost. The size dimension splits the
+    * hot first-token block ("the …") that would otherwise go quadratic at
+    * 100× — block size is now bounded by docs sharing tok0 AND length
+    * scale, and the in-block size-ratio prefilter (`max·t ≤ min+1`, one
+    * shingle of slack so float rounding can never drop a true pair) prunes
+    * most survivors before the merge kernel runs. */
+  private[graft] def ngramCandidates(docs: DataFrame, threshold: Double): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold out of range: $threshold")
+    // bucket = floor(log2(nsh)) via binary-string length — exact int math
     val sh = augmentedDocs(docs)
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles("text"))
@@ -99,21 +104,45 @@ object Dedup {
         element_at(col("toks"), 1).as("tok0"),
         expr("array_sort(array_distinct(transform(sh, s -> hash64(s))))").as("shl"))
       .withColumn("nsh", size(col("shl")))
-    val a = sh.as("a")
+      .withColumn("bucket", expr("length(bin(nsh)) - 1"))
+    val probeWidth = math.max(1,
+      math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt)
+    val a = sh
+      .withColumn("probe", explode(sequence(
+        col("bucket") - probeWidth, col("bucket") + probeWidth)))
+      .as("a")
     val b = sh.as("b")
+    // a pair matches exactly once: b's home bucket is a single value and
+    // a's probe values are distinct — no post-join dedup needed
     a.join(b,
         col("a.lang") === col("b.lang") && col("a.tok0") === col("b.tok0") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .withColumn("common", call_function("sorted_overlap", col("a.shl"), col("b.shl")))
+          col("a.probe") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          greatest(col("a.nsh"), col("b.nsh")) * lit(threshold) <=
+            least(col("a.nsh"), col("b.nsh")) + lit(1.0))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.shl").as("shl_a"), col("b.shl").as("shl_b"),
+        col("a.nsh").as("nsh_a"), col("b.nsh").as("nsh_b"))
+  }
+
+  /** Blocked pairwise n-gram Jaccard: candidate pairs share a skew-resistant
+    * blocking key — see [[ngramCandidates]] — so the full O(n²) pair space
+    * is never formed and no single block goes quadratic. Shingle sets are
+    * hashed to sorted long arrays once per doc, so the per-pair kernel is a
+    * zero-allocation two-pointer merge
+    * ([[graft.functions.Signatures.sortedOverlap]]) instead of a string-set
+    * intersection. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    ngramCandidates(docs, threshold)
+      .withColumn("common", call_function("sorted_overlap", col("shl_a"), col("shl_b")))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("a.nsh") + col("b.nsh") - col("common")))
+        col("common").cast("double") / (col("nsh_a") + col("nsh_b") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(
-        col("a.doc_id").as("doc_a"),
-        col("b.doc_id").as("doc_b"),
+        col("doc_a"),
+        col("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   // ── 3. MinHash + LSH ───────────────────────────────────────────────────
 
@@ -172,11 +201,16 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over the MinHash-LSH pair
-    * graph, computed by iterative min-label propagation over DataFrames
-    * (the standard large-graph CC shape — each round is one shuffle on
-    * doc_id; rounds ≈ component diameter, which for dup clusters is tiny).
-    * Output: (doc_id, cluster) for every doc that appears in ≥1 pair,
-    * cluster = smallest doc_id in its component — the canonical keeper. */
+    * graph, computed by min-label propagation **with pointer doubling**
+    * over DataFrames: each round takes the min over neighbor labels AND
+    * jumps `label ← label(label)`, so label chains halve every round and
+    * convergence is O(log diameter) instead of O(diameter). Labels are
+    * monotone non-increasing and always ids inside the component, so the
+    * fixed point is the component minimum. Each round is one action (the
+    * count that materializes the cached step doubles as the convergence
+    * check — no extra job). Output: (doc_id, cluster) for every doc that
+    * appears in ≥1 pair, cluster = smallest doc_id in its component — the
+    * canonical keeper. */
   def duplicateClusters(docs: DataFrame): DataFrame = {
     val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b")).cache()
     try {
@@ -194,19 +228,25 @@ object Dedup {
       var labels = edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster", col("doc_id"))
       var cachedStep: DataFrame = null
+      val maxRounds = 30 // 2^30 ≫ any component diameter
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 50) {
-        // candidate label = min(own, min over neighbors' labels); the
-        // convergence check reads the same cached frame — one extra count
-        // per round, no extra join
+      while (changed > 0 && rounds < maxRounds) {
+        // candidate label = min(own, min over neighbors' labels)
         val viaNeighbors = edges
           .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "ncluster"), Seq("dst"))
           .groupBy(col("src").as("doc_id"))
           .agg(min(col("ncluster")).as("ncluster"))
-        val step = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        val propagated = labels.join(viaNeighbors, Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster").as("old"),
             least(col("cluster"), coalesce(col("ncluster"), col("cluster"))).as("cluster"))
+        // pointer doubling: cluster ← label(cluster) using this round's
+        // labels (label(x) ≤ x always, so the jump only tightens)
+        val step = propagated.join(
+            propagated.select(col("doc_id").as("cluster"), col("cluster").as("jcluster")),
+            Seq("cluster"), "left")
+          .select(col("doc_id"), col("old"),
+            coalesce(col("jcluster"), col("cluster")).as("cluster"))
           .cache()
         changed = step.filter(col("cluster") =!= col("old")).count()
         if (cachedStep != null) cachedStep.unpersist()
@@ -214,6 +254,9 @@ object Dedup {
         labels = step.drop("old")
         rounds += 1
       }
+      require(changed == 0L,
+        s"duplicateClusters did not converge after $maxRounds rounds — " +
+          "partial labels would be wrong; raise maxRounds")
       edges.unpersist()
       labels.orderBy(col("doc_id"))
     } finally pairs.unpersist()

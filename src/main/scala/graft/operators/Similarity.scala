@@ -87,43 +87,63 @@ object Similarity {
   val IvfCentroids = 16
   val IvfProbes = 2
 
+  /** Collected centroid table: (centroid_id, vector, squared norm), sorted
+    * by id. 16 rows of driver-side job planning — at real scale these are
+    * k-means centroids loaded from an offline artifact, never a shuffle. */
+  private def collectCentroids(v: DataFrame): Array[(Long, Seq[Double], Double)] =
+    v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfCentroids)
+      .select((col("vec_id") - 100).as("centroid_id"), col("vec"), col("sq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+
   /** IVF-style coarse quantization: centroid set = a deterministic sample
     * of the corpus (vec_id 100..115 — at real scale these are k-means
     * centroids, refreshed offline); every vector is assigned to its
     * nearest centroid by cosine (argmax, centroid-id tie-break). The
-    * assignment is a narrow broadcast-join + window — at 100 TB the
-    * assignment column becomes the partition key, so a query reads only
-    * its probed partitions. */
-  def withIvfCell(v: DataFrame): DataFrame = {
-    val cents = v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfCentroids)
-      .select((col("vec_id") - 100).as("centroid_id"), col("vec").as("cvec"), col("sq").as("csq"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("centroid_id"))
-    v.join(broadcast(cents), lit(true))
-      .withColumn("cscore",
-        VectorMath.dot("vec", "cvec") / sqrt(col("sq") * col("csq")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("centroid_id").as("cell"))
+    * argmax is `array_max` over a literal array of (score, −id) structs —
+    * no join, no window, no Exchange before the cell column exists; at
+    * 100 TB the cell becomes the partition key, so a query reads only its
+    * probed partitions. */
+  def withIvfCell(v: DataFrame): DataFrame =
+    withIvfCell(v, collectCentroids(v))
+
+  private def withIvfCell(v: DataFrame, cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    require(cents.nonEmpty, "IVF centroid set is empty")
+    // max over struct(s, -cid) = (score desc, centroid_id asc) tie-break
+    val negScored = cents.toSeq.map { case (cid, cvec, csq) =>
+      struct(
+        (call_function("vec_dot", col("vec"), typedLit(cvec)) /
+          sqrt(col("sq") * lit(csq))).as("s"),
+        lit(-cid).as("ncid"))
+    }
+    v.withColumn("cell", -array_max(array(negScored: _*)).getField("ncid"))
+      .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
   }
 
   /** IVF ANN top-k: probe the query's `IvfProbes` nearest centroids, rank
-    * candidates from those cells by exact cosine. */
+    * candidates from those cells by exact cosine. Probe selection uses the
+    * same literal-centroid projection (sort 16 structs per query row, take
+    * the top `IvfProbes`) — narrow on both sides; the only join left is
+    * corpus ⋈ broadcast(probes) on the cell key. */
   def ivfTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
-    val v = withIvfCell(prepared(emb))
-    val cents = prepared(emb)
-      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfCentroids)
-      .select((col("vec_id") - 100).as("centroid_id"), col("vec").as("cvec"), col("sq").as("csq"))
-    val wProbe = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cscore").desc, col("centroid_id"))
-    val probes = prepared(emb).filter(col("vec_id") < nQueries)
+    val prep = prepared(emb)
+    val cents = collectCentroids(prep)
+    val v = withIvfCell(prep, cents)
+    // (−score, centroid_id) structs sort ascending = (score desc, id asc)
+    val probeScored = cents.toSeq.map { case (cid, cvec, csq) =>
+      struct(
+        (-(call_function("vec_dot", col("qvec"), typedLit(cvec)) /
+          sqrt(col("qsq") * lit(csq)))).as("ns"),
+        lit(cid).as("cid"))
+    }
+    val probes = prep.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
-      .join(broadcast(cents), lit(true))
-      .withColumn("cscore",
-        VectorMath.dot("qvec", "cvec") / sqrt(col("qsq") * col("csq")))
-      .withColumn("crank", row_number().over(wProbe))
-      .filter(col("crank") <= IvfProbes)
-      .select(col("query_id"), col("qvec"), col("qsq"), col("centroid_id").as("cell"))
+      .withColumn("cell",
+        explode(transform(
+          slice(sort_array(array(probeScored: _*)), 1, IvfProbes),
+          s => s.getField("cid"))))
+      .select(col("query_id"), col("qvec"), col("qsq"), col("cell"))
     rankTopK(
       v.join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("query_id"))

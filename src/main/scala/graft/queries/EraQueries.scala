@@ -24,17 +24,24 @@ import graft.testkit.EraFixtures
  */
 object EraQueries {
 
-  @volatile private var cachedBlocks: Dataset[DecodedBlock] = _
+  /** Per-session decode cache, weakly keyed so a retired session's plan and
+    * cached blocks are collectable — the harness (Bench/Verify) gets the
+    * decode-once-fan-out-15-tables shape the reference uses, without the
+    * library pinning state across sessions. */
+  private val cachedBlocks =
+    new java.util.WeakHashMap[SparkSession, Dataset[DecodedBlock]]()
 
   /** Decoded blocks over the fixture era directory; cached across queries
     * within a session (the reference decodes once and fans out 15 tables —
     * same shape here). */
   def blocks(spark: SparkSession): Dataset[DecodedBlock] = synchronized {
-    if (cachedBlocks == null || cachedBlocks.sparkSession.ne(spark)) {
+    var ds = cachedBlocks.get(spark)
+    if (ds == null) {
       val dir = EraFixtures.ensureGenerated()
-      cachedBlocks = Normalizer.decodeBlocks(spark.read.format("era").load(dir)).cache()
+      ds = Normalizer.decodeBlocks(spark.read.format("era").load(dir)).cache()
+      cachedBlocks.put(spark, ds)
     }
-    cachedBlocks
+    ds
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
@@ -70,12 +77,22 @@ object EraQueries {
           .agg(round(avg(col("slot") - col("attestation_slot")), 4).as("avg_inclusion_delay"),
             count(lit(1)).as("n_attestations"))
           .orderBy(col("committee_index"))),
-      // CLICKHOUSE.md:500-508 — missing-slot gap analysis (W1; global order
-      // by design: the reference query is a chain-integrity check)
+      // CLICKHOUSE.md:500-508 — missing-slot gap analysis (W1). Scale-safe
+      // form of the inherently-global chain-integrity lag: lag within
+      // era_number partitions, then stitch era boundaries with a tiny
+      // per-era frame (rows ∝ eras) — no single-reducer global window.
       "era_slot_gaps" -> ((s, _) => {
-        val w = Window.orderBy(col("slot"))
-        Normalizer.blocksTable(blocks(s))
-          .select(col("slot"), lag(col("slot"), 1).over(w).as("prev_slot"))
+        val b = blocks(s).toDF().select(col("era_number"), col("slot"))
+        val wEra = Window.partitionBy(col("era_number")).orderBy(col("slot"))
+        val lagged = b.withColumn("prev_in_era", lag(col("slot"), 1).over(wEra))
+        val eraBounds = b.groupBy(col("era_number")).agg(max(col("slot")).as("era_last"))
+        val prevLast = eraBounds
+          .withColumn("prev_era_last",
+            lag(col("era_last"), 1).over(Window.orderBy(col("era_number"))))
+          .select(col("era_number"), col("prev_era_last"))
+        lagged.join(broadcast(prevLast), Seq("era_number"))
+          .select(col("slot"),
+            coalesce(col("prev_in_era"), col("prev_era_last")).as("prev_slot"))
           .withColumn("gap", col("slot") - coalesce(col("prev_slot"), col("slot")))
           .orderBy(col("slot"))
       }),
@@ -143,16 +160,21 @@ object EraQueries {
             max(col("timestamp_utc")).as("last_block"))
           .orderBy(col("blocks_proposed").desc, col("proposer_index"))
           .limit(20)),
-      // CLICKHOUSE.md:512-524 — tx volume by fee recipient w/ global share
+      // CLICKHOUSE.md:512-524 — tx volume by fee recipient w/ global share.
+      // The share denominator is a scalar agg cross-joined broadcast — not
+      // a `sum() over ()` window, which would funnel every group through
+      // one partition at real fee-recipient cardinality.
       "era_tx_fee_recipients" -> ((s, _) => {
         val tx = Normalizer.transactions(blocks(s))
-        tx.groupBy(col("fee_recipient"))
+        val grouped = tx.groupBy(col("fee_recipient"))
           .agg(count(lit(1)).as("transactions"),
             round(avg(col("gas_limit")), 2).as("avg_gas_limit"),
             round(avg(col("gas_used")), 2).as("avg_gas_used"))
+        val total = tx.agg(count(lit(1)).as("total_tx"))
+        grouped.crossJoin(broadcast(total))
           .withColumn("percentage",
-            round(col("transactions") * 100.0 /
-              sum(col("transactions")).over(Window.partitionBy()), 4))
+            round(col("transactions") * 100.0 / col("total_tx"), 4))
+          .drop("total_tx")
           .orderBy(col("transactions").desc, col("fee_recipient"))
           .limit(20)
       }),
@@ -256,15 +278,18 @@ object EraQueries {
             array_join(sort_array(collect_list(col("to_execution_address"))), ",")
               .as("execution_addresses"))
           .orderBy(col("change_count").desc, col("validator_index"))),
-      // CLICKHOUSE.md:749-760 — blob patterns with global hourly average (W2)
-      "era_blob_patterns" -> ((s, _) =>
-        Normalizer.blobCommitments(blocks(s))
+      // CLICKHOUSE.md:749-760 — blob patterns with global hourly average
+      // (W2). The global average is a scalar agg over the grouped frame,
+      // cross-joined broadcast — no single-partition window.
+      "era_blob_patterns" -> ((s, _) => {
+        val hourly = Normalizer.blobCommitments(blocks(s))
           .groupBy(date_trunc("hour", col("timestamp_utc")).as("hour"))
           .agg(count(lit(1)).as("total_commitments"),
             countDistinct(col("slot")).as("blocks_with_blobs"))
-          .withColumn("avg_hourly_commitments",
-            round(avg(col("total_commitments")).over(Window.partitionBy()), 4))
-          .orderBy(col("hour"))),
+        val avgHour = hourly.agg(
+          round(avg(col("total_commitments")), 4).as("avg_hourly_commitments"))
+        hourly.crossJoin(broadcast(avgHour)).orderBy(col("hour"))
+      }),
       // CLICKHOUSE.md:762-771 — blocks with most blob commitments
       "era_blob_top_blocks" -> ((s, _) =>
         Normalizer.blobCommitments(blocks(s))

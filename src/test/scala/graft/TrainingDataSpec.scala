@@ -45,6 +45,35 @@ class TrainingDataSpec extends AnyFunSuite {
     pairs.values.foreach(j => assert(j >= 0.6 && j <= 1.0))
   }
 
+  test("ngram blocker: a hot first token does not create a quadratic block") {
+    // adversarial corpus: EVERY doc starts with the same token ("the"), so
+    // the old (lang, tok0) blocker would put all of them in ONE block and
+    // the join would go quadratic. The size-bucket dimension splits it.
+    import spark.implicits._
+    val n = 256
+    val synth = (0 until n).map { i =>
+      val len = 4 << (i % 10) // exponential length spread, 4..2048 tokens
+      val body = (1 until len).map(j => s"w${i}_$j").mkString(" ")
+      (i.toLong, s"the $body", "en")
+    }.toDF("doc_id", "text", "lang")
+    val nAug = Dedup.augmentedDocs(synth).count()
+    val allPairs = nAug * (nAug - 1) / 2.0
+    val candidates = Dedup.ngramCandidates(synth, 0.6).count()
+    assert(candidates < 0.2 * allPairs,
+      s"blocking degenerated: $candidates candidates of ${allPairs.toLong} possible pairs")
+    // and the blocker is still lossless: every injected dup survives
+    val pairs = Dedup.ngramJaccard(synth)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    (0 until n).filter(_ % 13 == 0).foreach { id =>
+      assert(pairs.get((id.toLong, id + 200000L)).contains(1.0),
+        s"exact copy of $id lost by blocking")
+    }
+    (0 until n).filter(_ % 7 == 0).foreach { id =>
+      val j = pairs.get((id.toLong, id + 100000L))
+      assert(j.isDefined && j.get >= 0.6, s"truncated near-dup of $id lost by blocking")
+    }
+  }
+
   test("minhash LSH candidates include all exact copies at est_jaccard 1.0") {
     val pairs = Dedup.minhashLshPairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
