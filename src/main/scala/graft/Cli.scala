@@ -143,9 +143,21 @@ object Cli {
   // ── remote incremental ETL (§3.2 shape) ─────────────────────────────────
 
   private def remote(opts: Map[String, String], pos: Array[String], flags: Array[String]): Unit = {
-    if (pos.length < 3) fail("--remote requires <base_url> <network> <era_range>")
-    val Array(baseUrl, network, range) = pos.take(3)
-    val cacheDir = opts.getOrElse("--cache-dir", "era_cache")
+    // base URL: explicit positional (recognized by the scheme separator) or
+    // the reference's env entry point (ERA_BASE_URL, with .env defaults —
+    // remote_downloader.py:742-799)
+    val (baseUrl, rest) =
+      if (pos.headOption.exists(_.contains("://"))) (pos(0), pos.drop(1))
+      else graft.config.EnvConfig.get(graft.config.EnvConfig.BaseUrlKey) match {
+        case Some(u) => (u, pos)
+        case None => fail("--remote requires <base_url> <network> <era_range> " +
+          "(or set ERA_BASE_URL in the environment / .env)")
+      }
+    if (rest.length < 2) fail("--remote requires <network> <era_range>")
+    val Array(network, range) = rest.take(2)
+    val cacheDir = opts.get("--cache-dir")
+      .orElse(graft.config.EnvConfig.get(graft.config.EnvConfig.DownloadDirKey))
+      .getOrElse("era_cache")
     val stateDir = opts.getOrElse("--state-dir", "era_state")
     val discovered = RemoteDiscovery.discover(baseUrl, network, range)
     println(s"discovered ${discovered.size} era files")
@@ -153,8 +165,12 @@ object Cli {
       discovered.foreach { case (_, url) => RemoteDiscovery.download(url, cacheDir) }
       return
     }
-    val verb = pos.lift(3).getOrElse("all-blocks")
-    val out = pos.lift(4).getOrElse("output/remote.parquet")
+    val verb = rest.lift(2).getOrElse("all-blocks")
+    val out = rest.lift(3).getOrElse("output/remote.parquet")
+    // force-clean must target where the outputs actually land: default the
+    // clean root to the resolved out path's parent, not a fixed "output"
+    val dataRoot = opts.getOrElse("--data-root",
+      Option(new java.io.File(out).getParent).getOrElse("."))
     val spark = session()
     val state = new EraStateManager(spark, stateDir)
     val eras = discovered.map(_._1.toLong)
@@ -166,7 +182,7 @@ object Cli {
     todo.foreach { era =>
       val url = byEra(era.toInt)
       if (flags.contains("--force"))
-        state.cleanEraCompletely(opts.getOrElse("--data-root", "output"), network, era)
+        state.cleanEraCompletely(dataRoot, network, era)
       state.recordEraStart(era, network)
       try {
         val local = RemoteDiscovery.download(url, cacheDir)

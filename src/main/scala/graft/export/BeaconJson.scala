@@ -26,7 +26,7 @@ object BeaconJson {
     message.put("proposer_index", b.proposer_index.toString)
     message.put("parent_root", b.parent_root)
     message.put("state_root", b.state_root)
-    message.set("body", bodyJson(b.body))
+    message.set[ObjectNode]("body", bodyJson(b.body))
     data.put("signature", b.signature)
     root.put("execution_optimistic", false)
     root.put("finalized", true)
@@ -54,20 +54,20 @@ object BeaconJson {
     val ps = o.putArray("proposer_slashings")
     body.proposer_slashings.foreach { s =>
       val n = ps.addObject()
-      n.set("signed_header_1", signedHeaderJson(s.signed_header_1))
-      n.set("signed_header_2", signedHeaderJson(s.signed_header_2))
+      n.set[ObjectNode]("signed_header_1", signedHeaderJson(s.signed_header_1))
+      n.set[ObjectNode]("signed_header_2", signedHeaderJson(s.signed_header_2))
     }
     val as = o.putArray("attester_slashings")
     body.attester_slashings.foreach { s =>
       val n = as.addObject()
-      n.set("attestation_1", indexedAttJson(s.attestation_1))
-      n.set("attestation_2", indexedAttJson(s.attestation_2))
+      n.set[ObjectNode]("attestation_1", indexedAttJson(s.attestation_1))
+      n.set[ObjectNode]("attestation_2", indexedAttJson(s.attestation_2))
     }
     val atts = o.putArray("attestations")
     body.attestations.foreach { a =>
       val n = atts.addObject()
       n.put("aggregation_bits", a.aggregation_bits)
-      n.set("data", attDataJson(a.data))
+      n.set[ObjectNode]("data", attDataJson(a.data))
       n.put("signature", a.signature)
     }
     val deps = o.putArray("deposits")
@@ -169,7 +169,7 @@ object BeaconJson {
     val n = mapper.createObjectNode()
     val idx = n.putArray("attesting_indices")
     a.attesting_indices.foreach(i => idx.add(i.toString))
-    n.set("data", attDataJson(a.data))
+    n.set[ObjectNode]("data", attDataJson(a.data))
     n.put("signature", a.signature)
     n
   }

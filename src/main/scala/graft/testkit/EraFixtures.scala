@@ -3,40 +3,67 @@ package graft.testkit
 import java.io.{BufferedOutputStream, File, FileOutputStream}
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
 
 import graft.sources.EraFileWriter
 
 /**
  * Generates e2store era files from the reference's RPC fixtures
  * (FIXTURES.md §3) — the scan-layer test inputs and the input for the
- * rows-only era queries in SparkEntry. Deterministic: same fixtures → same
- * bytes, so generated files are safe to cache under target/.
+ * rows-only era queries in SparkEntry. Each fixture's beacon JSON is the
+ * [[FixtureAugmenter]]-augmented form (synthetic deposits / exits /
+ * slashings / blobs / requests injected deterministically), plus two
+ * synthetic-fork fixtures (bellatrix, electra) the reference ships no RPC
+ * docs for — so all 7 forks and all 15 normalized tables carry rows.
+ * Deterministic: same fixtures → same bytes, so generated files are safe
+ * to cache under target/.
  */
 object EraFixtures {
 
   private val mapper = new ObjectMapper()
   val fixtureDir = "/root/reference/tests/test_data"
 
-  /** (fixture name, slot, fork) — all gnosis (FIXTURES.md §1). */
+  /** (fixture name, slot, fork). First five are the reference's gnosis RPC
+    * fixtures (FIXTURES.md §1); the last two are reshaped synthetics
+    * (bellatrix = capella stripped of capella-only fields, electra =
+    * deneb + execution_requests) at in-range gnosis slots. */
   val fixtures: Seq[(String, Long, String)] = Seq(
     ("gnosis_300", 300L, "phase0"),
     ("gnosis_98300", 98300L, "altair"),
     ("gnosis_10379290", 10379290L, "capella"),
     ("gnosis_12678717", 12678717L, "capella"),
-    ("gnosis_16383000", 16383000L, "deneb"))
+    ("gnosis_16383000", 16383000L, "deneb"),
+    ("gnosis_bellatrix_syn", 6200000L, "bellatrix"),
+    ("gnosis_electra_syn", 21405701L, "electra"))
+
+  /** Raw RPC fixture each name derives from. */
+  private def rawName(name: String): String = name match {
+    case "gnosis_bellatrix_syn" => "gnosis_10379290"
+    case "gnosis_electra_syn" => "gnosis_16383000"
+    case n => n
+  }
+
+  /** The augmented beacon-API `data` node for a fixture — the single source
+    * of truth for era files, golden counts, and round-trip specs. */
+  def fixtureJson(name: String): ObjectNode = {
+    val slot = fixtures.find(_._1 == name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown fixture $name"))._2
+    val raw = mapper.readTree(new File(s"$fixtureDir/${rawName(name)}_rpc.json"))
+    FixtureAugmenter.augmentedData(name, raw.get("data"), slot)
+  }
 
   /** Write one era file per fixture (era number = slot/8192, gnosis naming)
     * plus a `state` and `index` record so record-type dispatch is exercised.
-    * Returns the directory. Idempotent: skips when files exist. */
-  def ensureGenerated(dir: String = "target/fixture-eras"): String = {
+    * Returns the directory. Idempotent: skips when files exist. The dir name
+    * carries the augmentation generation so stale caches are never reused. */
+  def ensureGenerated(dir: String = "target/fixture-eras-aug1"): String = {
     val d = new File(dir)
     d.mkdirs()
     fixtures.foreach { case (name, slot, fork) =>
       val era = slot / 8192
       val f = new File(d, f"gnosis-$era%05d-${name.hashCode.toHexString.take(8)}%s.era")
       if (!f.exists()) {
-        val rpc = mapper.readTree(new File(s"$fixtureDir/${name}_rpc.json"))
-        val ssz = SszEncoder.encodeSignedBlock(rpc.get("data"), fork)
+        val ssz = SszEncoder.encodeSignedBlock(fixtureJson(name), fork)
         val out = new BufferedOutputStream(new FileOutputStream(f))
         try {
           EraFileWriter.write(out, Iterator(

@@ -14,11 +14,9 @@ import graft.testkit.{EraFixtures, SszEncoder}
   * cost from Dataset-encoder overhead in the Bench numbers. */
 object DecodeProfile {
   def main(args: Array[String]): Unit = {
-    val mapper = new ObjectMapper()
     val n = if (args.nonEmpty) args(0).toInt else 2000
     EraFixtures.fixtures.foreach { case (name, slot, fork) =>
-      val rpc = mapper.readTree(new File(s"${EraFixtures.fixtureDir}/${name}_rpc.json"))
-      val ssz = SszEncoder.encodeSignedBlock(rpc.get("data"), fork)
+      val ssz = SszEncoder.encodeSignedBlock(EraFixtures.fixtureJson(name), fork)
       val compressed = SnappyFramed.compress(ssz)
       val cfg = Networks("gnosis")
       // warm

@@ -20,12 +20,14 @@ class EraPipelineSpec extends AnyFunSuite {
   private lazy val blocks = Normalizer.decodeBlocks(records).cache()
   private val mapper = new ObjectMapper()
 
+  private val nFixtures = EraFixtures.fixtures.size // 5 reference + 2 synthetic forks
+
   test("era scan reads all records with type dispatch (S1)") {
     val byType = records.groupBy("record_type").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byType("block") == 5)
-    assert(byType("state") == 5)
-    assert(byType("index") == 5)
+    assert(byType("block") == nFixtures)
+    assert(byType("state") == nFixtures)
+    assert(byType("index") == nFixtures)
   }
 
   test("era scan derives filename metadata (S5)") {
@@ -50,10 +52,14 @@ class EraPipelineSpec extends AnyFunSuite {
   }
 
   test("the 15 normalized tables have fixture-derived row counts") {
+    // golden counts come from the AUGMENTED fixture JSON (the era files'
+    // source of truth), so injected deposits/exits/slashings/blobs/requests
+    // must all survive the full scan → decode → flatten pipeline
     val expected = EraFixtures.fixtures.map { case (name, slot, _) =>
-      val body = mapper.readTree(new java.io.File(s"${EraFixtures.fixtureDir}/${name}_rpc.json"))
-        .get("data").get("message").get("body")
+      val body = EraFixtures.fixtureJson(name).get("message").get("body")
       def n(f: String) = Option(body.get(f)).map(_.size()).getOrElse(0)
+      def nReq(f: String) = Option(body.get("execution_requests"))
+        .map(er => Option(er.get(f)).map(_.size()).getOrElse(0)).getOrElse(0)
       slot -> Map(
         "attestations" -> n("attestations"),
         "deposits" -> n("deposits"),
@@ -67,10 +73,13 @@ class EraPipelineSpec extends AnyFunSuite {
         "withdrawals" -> Option(body.get("execution_payload"))
           .flatMap(p => Option(p.get("withdrawals")).map(_.size())).getOrElse(0),
         "sync_aggregates" -> Option(body.get("sync_aggregate")).map(_ => 1).getOrElse(0),
-        "execution_payloads" -> Option(body.get("execution_payload")).map(_ => 1).getOrElse(0))
+        "execution_payloads" -> Option(body.get("execution_payload")).map(_ => 1).getOrElse(0),
+        "deposit_requests" -> nReq("deposits"),
+        "withdrawal_requests" -> nReq("withdrawals"),
+        "consolidation_requests" -> nReq("consolidations"))
     }.toMap
 
-    assert(Normalizer.blocksTable(blocks).count() == 5)
+    assert(Normalizer.blocksTable(blocks).count() == nFixtures)
     expected.foreach { case (slot, tables) =>
       tables.foreach { case (tableName, n) =>
         val got = Normalizer.dataset(blocks, tableName)
@@ -78,10 +87,25 @@ class EraPipelineSpec extends AnyFunSuite {
         assert(got == n, s"$tableName@$slot: got $got, fixture has $n")
       }
     }
-    // electra-only tables are empty for these fixtures
-    Seq("deposit_requests", "withdrawal_requests", "consolidation_requests").foreach { t =>
-      assert(Normalizer.dataset(blocks, t).count() == 0, s"$t should be empty")
+    // the rare families must be non-empty SOMEWHERE now — guard against the
+    // injection silently regressing to empty corpora
+    Seq("deposits", "voluntary_exits", "proposer_slashings", "attester_slashings",
+      "blob_commitments", "deposit_requests", "withdrawal_requests",
+      "consolidation_requests").foreach { t =>
+      assert(Normalizer.dataset(blocks, t).count() > 0, s"$t should be non-empty")
     }
+  }
+
+  test("attester slashing flatten computes the distinct-union slashed count (A3)") {
+    val rows = Normalizer.attesterSlashings(blocks)
+      .filter(col("slot") === 98300L).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    // injected overlap: [0,1,2] vs [1,2,3] → distinct union 4, naive sum 6
+    assert(r.getAs[Long]("att_1_validator_count") == 3)
+    assert(r.getAs[Long]("att_2_validator_count") == 3)
+    assert(r.getAs[Long]("total_slashed_validators") == 4)
+    assert(r.getAs[String]("att_1_attesting_indices") == "[0,1,2]")
   }
 
   test("attestations table values match the fixture (spot check)") {

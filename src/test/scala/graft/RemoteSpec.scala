@@ -29,8 +29,14 @@ class RemoteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     val dir = EraFixtures.ensureGenerated()
-    val files = new File(dir).listFiles().filter(_.getName.endsWith(".era")).sortBy(_.getName)
-    eraBytes = names.zip(files.take(3).map(f => Files.readAllBytes(f.toPath))).toMap
+    // serve the same three fixture eras as before the corpus grew to 7
+    // files (slot 98300 lands in era 11; the served name claims 12 — only
+    // the name drives discovery, tests assert on names)
+    val files = Seq("gnosis-00000", "gnosis-00011", "gnosis-01267").map { prefix =>
+      new File(dir).listFiles().find(_.getName.startsWith(prefix))
+        .getOrElse(fail(s"fixture era $prefix missing"))
+    }
+    eraBytes = names.zip(files.map(f => Files.readAllBytes(f.toPath))).toMap
 
     server = HttpServer.create(new InetSocketAddress(0), 0)
     server.createContext("/", new HttpHandler {
@@ -153,6 +159,23 @@ class RemoteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = state.log.count()
     Cli.main(args)
     assert(state.log.count() === before) // no new state transitions
+  }
+
+  test("--remote with no URL falls back to ERA_BASE_URL from .env (env entry point)") {
+    val work = Files.createTempDirectory("remote-env")
+    val envFile = Paths.get(s"$work/.env")
+    Files.writeString(envFile,
+      s"# era store config\nERA_BASE_URL=$baseUrl\nERA_DOWNLOAD_DIR=$work/cache\n")
+    System.setProperty("graft.env.file", envFile.toString)
+    try {
+      val out = s"$work/out/env.parquet"
+      Cli.main(Array("--remote", "gnosis", "0", "all-blocks", out,
+        "--state-dir", s"$work/state"))
+      val outDir = new File(s"$work/out")
+      assert(outDir.listFiles() != null &&
+        outDir.listFiles().exists(_.getName.contains("_blocks.parquet")))
+      assert(new File(s"$work/cache").exists(), "ERA_DOWNLOAD_DIR should be the cache dir")
+    } finally System.clearProperty("graft.env.file")
   }
 
   test("downloaded era files decode through the full pipeline") {

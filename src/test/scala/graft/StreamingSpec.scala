@@ -23,12 +23,12 @@ class StreamingSpec extends AnyFunSuite {
     val q = EraStream.runAvailableNow(spark, inDir, outDir, cp)
     q.awaitTermination(120000)
     val got = spark.read.parquet(outDir)
-    assert(got.count() === 5) // one block per fixture era
+    assert(got.count() === EraFixtures.fixtures.size) // one block per fixture era
     assert(got.columns.contains("transaction_count"))
     // exactly-once: a second AvailableNow run with the same checkpoint adds nothing
     val q2 = EraStream.runAvailableNow(spark, inDir, outDir, cp)
     q2.awaitTermination(120000)
-    assert(spark.read.parquet(outDir).count() === 5)
+    assert(spark.read.parquet(outDir).count() === EraFixtures.fixtures.size)
   }
 
   test("windowed counts with watermark over a memory stream") {
