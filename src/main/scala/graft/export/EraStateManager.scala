@@ -41,6 +41,11 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
   // two JVMs remain racy — same as the reference's insert-version idiom)
   private val versionCounter = new AtomicLong(0L)
 
+  // per-writer discriminator: two managers writing the same (network, era)
+  // in the same millisecond would otherwise tie on insert_version and make
+  // the latest-state argmax nondeterministic
+  private val writerId = java.util.UUID.randomUUID().toString
+
   /** Dataset names — mirrors era_state_manager.py:30-36. */
   val allDatasets: Seq[String] = graft.operators.Normalizer.datasetNames
 
@@ -58,10 +63,10 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
     import spark.implicits._
     val (s0, s1) = eraSlotRange(era, network)
     val df = Seq((network, era, status, s0, s1, totalRecords, datasets,
-        errorMessage.take(500), retryCount, nextVersion()))
+        errorMessage.take(500), retryCount, nextVersion(), writerId))
       .toDF("network", "era_number", "status", "slot_start", "slot_end",
         "total_records", "datasets_processed", "error_message", "retry_count",
-        "insert_version")
+        "insert_version", "writer_id")
       .withColumn("recorded_at", current_timestamp())
     df.coalesce(1).write.mode("append").parquet(logPath)
   }
@@ -88,13 +93,15 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
         """network STRING, era_number BIGINT, status STRING, slot_start BIGINT,
           |slot_end BIGINT, total_records BIGINT, datasets_processed ARRAY<STRING>,
           |error_message STRING, retry_count BIGINT, insert_version BIGINT,
-          |recorded_at TIMESTAMP""".stripMargin.replaceAll("\n", " ")))
+          |writer_id STRING, recorded_at TIMESTAMP""".stripMargin.replaceAll("\n", " ")))
 
   /** The `era_status` latest-state view (W3): argmax over insert_version
-    * per (network, era_number) — 002_performance_optimizations_up.sql:20-38. */
+    * per (network, era_number) — 002_performance_optimizations_up.sql:20-38.
+    * Ties (same-millisecond writes from two processes) resolve
+    * deterministically via recorded_at then the unique writer_id. */
   def eraStatus: DataFrame = {
     val w = Window.partitionBy(col("network"), col("era_number"))
-      .orderBy(col("insert_version").desc)
+      .orderBy(col("insert_version").desc, col("recorded_at").desc, col("writer_id").desc)
     log.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 

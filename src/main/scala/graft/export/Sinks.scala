@@ -55,19 +55,23 @@ object Sinks {
   /** Write one DataFrame in the format implied by the extension. Returns
     * the row count (also written to the sidecar). For parquet the count
     * comes from the written footers (metadata-only read) so the data is
-    * computed exactly once; csv/json pay one pre-count action. */
+    * computed exactly once; csv/json cache the frame across the write +
+    * count pair, so the sidecar count always agrees with the data actually
+    * written (a nondeterministic frame recomputed for a separate count
+    * could drift) and the computation isn't paid twice. */
   def write(df: DataFrame, path: String, singleFile: Boolean = false,
       metadata: Map[String, String] = Map.empty): Long = {
     val out = if (singleFile) df.coalesce(1) else df
+    def writeCached(doWrite: DataFrame => Unit): Long = {
+      val cached = out.persist()
+      try { doWrite(cached); cached.count() }
+      finally cached.unpersist()
+    }
     val n = formatOf(path) match {
       case "json" =>
-        val c = df.count()
-        out.write.mode("overwrite").json(path)
-        c
+        writeCached(_.write.mode("overwrite").json(path))
       case "csv" =>
-        val c = df.count()
-        out.write.mode("overwrite").option("header", "true").csv(path)
-        c
+        writeCached(_.write.mode("overwrite").option("header", "true").csv(path))
       case _ =>
         out.write.mode("overwrite").parquet(path)
         df.sparkSession.read.parquet(path).count() // footer-only
@@ -114,10 +118,18 @@ object Sinks {
   }
 
   /** S15: batched JDBC sink with the reference's retry discipline
-    * (100k batches, ×3 retries, exponential backoff + reconnect —
-    * clickhouse_service.py:115-342). Works against any JDBC URL; for
-    * ClickHouse use `jdbc:clickhouse://…` with the ClickHouse driver on
-    * the executor classpath. */
+    * (100k batches, ×3 retries, exponential backoff —
+    * clickhouse_service.py:115-342) made IDEMPOTENT for generic JDBC
+    * targets: the reference can retry blind appends because ClickHouse
+    * ReplacingMergeTree dedups by version, but a plain append target would
+    * keep the partitions committed before a mid-write failure and
+    * duplicate them on retry. So each attempt (1) overwrites a staging
+    * table — overwrite makes the retry itself idempotent — then
+    * (2) promotes staging into the target with a single INSERT…SELECT +
+    * DROP inside one transaction: either the whole attempt lands or none
+    * of it does. Works against any JDBC URL; for ClickHouse use
+    * `jdbc:clickhouse://…` with the ClickHouse driver on the executor
+    * classpath. */
   def jdbcSink(
       df: DataFrame,
       url: String,
@@ -128,12 +140,35 @@ object Sinks {
     val props = new java.util.Properties()
     properties.foreach { case (k, v) => props.setProperty(k, v) }
     props.setProperty("batchsize", batchSize.toString)
+    val stage = s"${table}__stage"
+    val cols = df.columns.map(c => s""""$c"""").mkString(", ")
     var attempt = 0
     var done = false
     var lastErr: Throwable = null
     while (!done && attempt < maxRetries) {
       try {
-        df.write.mode("append").jdbc(url, table, props)
+        // (1) stage: overwrite → a partial previous attempt leaves no residue
+        df.write.mode("overwrite").jdbc(url, stage, props)
+        // target must exist before the promote (0-row append creates it)
+        df.limit(0).write.mode("append").jdbc(url, table, props)
+        // (2) promote atomically: INSERT…SELECT + DROP in one transaction
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.createStatement()
+          try {
+            // table names stay unquoted (Spark passes them raw to CREATE
+            // TABLE, so the DB applies its own case normalization); column
+            // names are quoted (Spark quotes them at CREATE time)
+            st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+            st.executeUpdate(s"DROP TABLE $stage")
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally st.close()
+        } finally conn.close()
         done = true
       } catch {
         case e: Throwable =>
