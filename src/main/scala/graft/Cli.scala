@@ -43,7 +43,7 @@ object Cli {
 
   /** Flags that consume the following token as their value. */
   private val valueFlags = Set(
-    "--state-dir", "--cache-dir", "--data-root", "--export-jdbc")
+    "--state-dir", "--cache-dir", "--data-root", "--export-jdbc", "--migrate")
 
   def main(args: Array[String]): Unit = {
     // split argv into flags, flag values, and positionals — a flag's value
@@ -66,6 +66,7 @@ object Cli {
         new EraStateManager(session(), opts.getOrElse("--state-dir", "era_state")).optimize()
         println("state log compacted to latest-version rows")
       }
+      else if (flags.contains("--migrate")) migrate(opts, pos)
       else if (flags.contains("--remote")) remote(opts, pos, flags)
       else if (pos.length >= 2) local(opts, pos, flags)
       else printHelp()
@@ -126,7 +127,14 @@ object Cli {
             Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks),
               requireArg(pos, 2, "output path"))
               .foreach { case (n, c) => println(s"$n: $c records") }
-          else println(s"all-blocks: ${Sinks.write(Normalizer.wideBlocks(blocks), requireArg(pos, 2, "output path"))} records")
+          else {
+            val out = requireArg(pos, 2, "output path")
+            val wide = Normalizer.wideBlocks(blocks)
+            val c =
+              if (flags.contains("--parity")) Sinks.writeWithEnvelope(wide, out, "blocks")
+              else Sinks.write(wide, out)
+            println(s"all-blocks: $c records")
+          }
         } finally blocks.unpersist()
       case ds if Normalizer.datasetNames.contains(ds) =>
         val jdbcUrl = opts.getOrElse("--export-jdbc", "")
@@ -134,7 +142,15 @@ object Cli {
         if (jdbcUrl.nonEmpty) {
           Sinks.jdbcSink(Normalizer.dataset(blocks, ds), jdbcUrl, ds)
           println(s"$ds: exported to jdbc")
-        } else println(s"$ds: ${Sinks.write(Normalizer.dataset(blocks, ds), requireArg(pos, 2, "output path"))} records")
+        } else {
+          val out = requireArg(pos, 2, "output path")
+          // --parity: the reference's exact single-file envelope (S11/S13)
+          val c =
+            if (flags.contains("--parity")) Sinks.writeWithEnvelope(
+              Normalizer.dataset(blocks, ds), out, ds)
+            else Sinks.write(Normalizer.dataset(blocks, ds), out)
+          println(s"$ds: $c records")
+        }
       case other =>
         System.err.println(s"unknown command: $other"); printHelp(); sys.exit(2)
     }
@@ -205,6 +221,27 @@ object Cli {
     }
   }
 
+  // ── schema migrations (migration_manager.py / commands/migrate.py) ──────
+
+  private def migrate(opts: Map[String, String], pos: Array[String]): Unit = {
+    val url = opts.getOrElse("--migrate", "")
+    if (url.isEmpty) fail("--migrate requires a JDBC url: graft --migrate <jdbc-url> <status|run|list> [version]")
+    val m = new graft.export.JdbcMigrator(session(), url)
+    pos.headOption.getOrElse("status") match {
+      case "run" =>
+        val done = m.run(pos.lift(1))
+        if (done.isEmpty) println("no pending migrations")
+        else done.foreach(v => println(s"applied migration $v"))
+      case "list" =>
+        m.migrations.foreach { case (v, name, _) => println(s"$v  $name") }
+      case "status" =>
+        val (applied, available, pending, last) = m.status()
+        println(s"applied: ${applied.size}  available: ${available.size}  " +
+          s"pending: ${pending.size}  last: ${last.getOrElse("none")}")
+      case other => fail(s"unknown migrate subcommand: $other")
+    }
+  }
+
   // ── state verbs ─────────────────────────────────────────────────────────
 
   private def eraStatus(opts: Map[String, String], pos: Array[String]): Unit = {
@@ -232,8 +269,9 @@ object Cli {
       |  graft <era_path_or_glob> block <slot>
       |  graft <era_path_or_glob> all-blocks <out> [--separate]
       |  graft <era_path_or_glob> all-blocks --export-jdbc <jdbc-url>
-      |  graft <era_path_or_glob> <dataset> <out|--export-jdbc <url>>
+      |  graft <era_path_or_glob> <dataset> <out|--export-jdbc <url>> [--parity]
       |  graft --optimize [--state-dir D]
+      |  graft --migrate <jdbc-url> <status|run|list> [version]
       |  graft --remote <base_url> <network> <era_range> [cmd] [out]
       |        [--separate] [--force] [--download-only] [--state-dir D] [--cache-dir D]
       |  graft --era-status <network> [--state-dir D]

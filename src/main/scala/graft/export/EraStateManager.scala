@@ -32,6 +32,29 @@ import graft.config.Networks
  * broadcast-size scan; the anti-join broadcasts the completed set against
  * the available list.
  */
+object EraStateManager {
+
+  /** The era_completion log schema (002_performance_optimizations_up.sql's
+    * era_completion, Parquet-resident). */
+  val logSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      """network STRING, era_number BIGINT, status STRING, slot_start BIGINT,
+        |slot_end BIGINT, total_records BIGINT, datasets_processed ARRAY<STRING>,
+        |error_message STRING, retry_count BIGINT, insert_version BIGINT,
+        |writer_id STRING, recorded_at TIMESTAMP""".stripMargin.replaceAll("\n", " "))
+
+  /** era_completion shape for a generic JDBC target: the array column is
+    * flattened to a comma-joined string (JDBC writers have no portable
+    * array type; ClickHouse-specific Array(String) is the reference's
+    * luxury, not ours). */
+  val jdbcLogSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(logSchema.map { f =>
+      if (f.name == "datasets_processed")
+        f.copy(dataType = org.apache.spark.sql.types.StringType)
+      else f
+    })
+}
+
 class EraStateManager(spark: SparkSession, stateDir: String) {
 
   private val logPath = s"$stateDir/era_completion"
@@ -89,11 +112,7 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
     if (Files.exists(Paths.get(logPath))) spark.read.parquet(logPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(
-        """network STRING, era_number BIGINT, status STRING, slot_start BIGINT,
-          |slot_end BIGINT, total_records BIGINT, datasets_processed ARRAY<STRING>,
-          |error_message STRING, retry_count BIGINT, insert_version BIGINT,
-          |writer_id STRING, recorded_at TIMESTAMP""".stripMargin.replaceAll("\n", " ")))
+      EraStateManager.logSchema)
 
   /** The `era_status` latest-state view (W3): argmax over insert_version
     * per (network, era_number) — 002_performance_optimizations_up.sql:20-38.

@@ -1,0 +1,155 @@
+package graft.export
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType, StringType, TimestampType}
+
+import graft.model.DecodedBlock
+import graft.operators.Normalizer
+
+/**
+ * Versioned JDBC schema bootstrap — the analogue of the reference's
+ * ClickHouse migration layer (`migrations/migration_manager.py:71-113`,
+ * `commands/migrate.py`, `migrations/sql/001/002_*_up.sql`): a user
+ * pointing `--export-jdbc` at a fresh database gets every table created by
+ * `graft --migrate <url> run` instead of by hand.
+ *
+ *  - `schema_migrations` tracking table: (version, name, applied_at,
+ *    checksum), exactly the reference's columns;
+ *  - migration 001 `initial_tables`: the 15 normalized dataset tables.
+ *    The DDL is not hand-written — each table is created by an empty
+ *    DataFrame carrying the Normalizer's own output schema, so the sink
+ *    schema can never drift from the engine (the reference maintains the
+ *    same 15 CREATE TABLEs by hand in SQL);
+ *  - migration 002 `state_tracking`: `era_completion` (the state log,
+ *    array column flattened for portable JDBC) and the `era_status`
+ *    latest-state VIEW (correlated max-version subquery — the portable
+ *    form of the reference's argMax view, 002_performance_optimizations
+ *    _up.sql:20-38).
+ *
+ * Engine-specifics (ReplacingMergeTree, PARTITION BY, MATERIALIZED
+ * insert_version) are ClickHouse luxuries with no generic-JDBC analogue;
+ * idempotent upsert semantics live in [[Sinks.jdbcSink]]'s staged promote
+ * instead.
+ */
+class JdbcMigrator(spark: SparkSession, url: String,
+    properties: Map[String, String] = Map.empty) {
+
+  import spark.implicits._
+
+  private val props = {
+    val p = new java.util.Properties()
+    properties.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
+  private val MigrationTable = "schema_migrations"
+
+  private val migrationTableSchema = StructType(Seq(
+    StructField("version", StringType),
+    StructField("name", StringType),
+    StructField("applied_at", TimestampType),
+    StructField("checksum", StringType)))
+
+  /** Create a table from a code-derived schema by appending zero rows —
+    * Spark's dialect mapping does the DDL; existing tables are untouched. */
+  private def createFromSchema(table: String, schema: StructType,
+      columnTypes: Option[String] = None): Unit = {
+    val empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val w = empty.write.mode("append")
+    columnTypes.fold(w)(t => w.option("createTableColumnTypes", t))
+      .jdbc(url, table, props)
+  }
+
+  private def datasetSchemas: Seq[(String, StructType)] = {
+    val empty = spark.emptyDataset[DecodedBlock]
+    Normalizer.datasetNames.sorted.map(n => n -> Normalizer.dataset(empty, n).schema)
+  }
+
+  // VARCHAR overrides so the era_status view can compare/filter these
+  // columns (Derby maps plain STRING to CLOB, which is not comparable)
+  private val eraCompletionTypes =
+    "network VARCHAR(64), status VARCHAR(32), error_message VARCHAR(600), " +
+      "datasets_processed VARCHAR(4000), writer_id VARCHAR(64)"
+
+  private def execDdl(sql: String, tolerateExisting: Boolean): Unit = {
+    val conn = DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(sql)
+      catch {
+        case e: java.sql.SQLException
+          if tolerateExisting && e.getMessage != null &&
+            e.getMessage.toLowerCase.contains("exist") => ()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** (version, name, action) — ordered; mirror of get_available_migrations. */
+  val migrations: Seq[(String, String, () => Unit)] = Seq(
+    ("001", "001_initial_tables", () =>
+      datasetSchemas.foreach { case (table, schema) => createFromSchema(table, schema) }),
+    ("002", "002_state_tracking", () => {
+      createFromSchema("era_completion", EraStateManager.jdbcLogSchema,
+        Some(eraCompletionTypes))
+      execDdl(
+        """CREATE VIEW era_status AS
+          |SELECT * FROM era_completion ec
+          |WHERE ec."insert_version" = (
+          |  SELECT MAX(e2."insert_version") FROM era_completion e2
+          |  WHERE e2."network" = ec."network"
+          |    AND e2."era_number" = ec."era_number")""".stripMargin,
+        tolerateExisting = true)
+    }))
+
+  /** Deterministic content fingerprint for the tracking row: md5 over the
+    * created tables' code-derived DDL. */
+  private def checksumOf(version: String): String = {
+    val ddl = version match {
+      case "001" => datasetSchemas.map { case (n, s) => s"$n:${s.toDDL}" }.mkString(";")
+      case "002" => s"era_completion:${EraStateManager.jdbcLogSchema.toDDL}"
+      case _ => ""
+    }
+    java.security.MessageDigest.getInstance("MD5").digest(ddl.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+  }
+
+  def ensureMigrationTable(): Unit =
+    createFromSchema(MigrationTable, migrationTableSchema,
+      Some("version VARCHAR(16), name VARCHAR(128), checksum VARCHAR(64)"))
+
+  /** Applied migration versions, sorted (empty if the table is absent). */
+  def appliedVersions(): Seq[String] =
+    try spark.read.jdbc(url, MigrationTable, props)
+      .select("version").collect().map(_.getString(0)).toSeq.sorted
+    catch { case _: Exception => Nil }
+
+  /** Run pending migrations (optionally only up to `target`); returns the
+    * versions applied this call. Mirrors run_migrations. */
+  def run(target: Option[String] = None): Seq[String] = {
+    ensureMigrationTable()
+    val applied = appliedVersions().toSet
+    val pending = migrations
+      .filter { case (v, _, _) => target.forall(v <= _) }
+      .filterNot { case (v, _, _) => applied(v) }
+    pending.foreach { case (version, name, action) =>
+      action()
+      Seq((version, name, checksumOf(version)))
+        .toDF("version", "name", "checksum")
+        .withColumn("applied_at", org.apache.spark.sql.functions.current_timestamp())
+        .select("version", "name", "applied_at", "checksum")
+        .write.mode("append").jdbc(url, MigrationTable, props)
+    }
+    pending.map(_._1)
+  }
+
+  /** (applied, available, pending, lastApplied) — mirror of
+    * get_migration_status. */
+  def status(): (Seq[String], Seq[String], Seq[String], Option[String]) = {
+    val applied = appliedVersions()
+    val available = migrations.map(_._1)
+    val pending = available.filterNot(applied.toSet)
+    (applied, available, pending, applied.lastOption)
+  }
+}

@@ -2,6 +2,8 @@ package graft.export
 
 import java.nio.file.{Files, Paths, StandardOpenOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -77,6 +79,59 @@ object Sinks {
         df.sparkSession.read.parquet(path).count() // footer-only
     }
     if (metadata.nonEmpty) writeMetadataSidecar(path, metadata + ("rows" -> n.toString))
+    n
+  }
+
+  /** S11/S13 exact-parity single-file export: the reference's INLINE
+    * metadata envelope — JSONL metadata as the first line
+    * (json_exporter.py:31-41) or a CSV `#` comment preamble
+    * (csv_exporter.py:30-45) — followed by the data. Opt-in (`--parity`)
+    * because an inline header forces one file: the distributed default
+    * keeps the envelope in a sidecar so the write itself parallelizes.
+    * Returns the row count. */
+  def writeWithEnvelope(df: DataFrame, path: String, dataType: String,
+      eraInfo: Map[String, String] = Map.empty): Long = {
+    val fmt = formatOf(path)
+    require(fmt == "json" || fmt == "csv", s"envelope parity applies to csv/json, not $fmt")
+    val tmp = s"$path.__parts"
+    val cached = df.coalesce(1).persist()
+    val n =
+      try {
+        if (fmt == "json") cached.write.mode("overwrite").json(tmp)
+        else cached.write.mode("overwrite").option("header", "true").csv(tmp)
+        cached.count()
+      } finally cached.unpersist()
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val ts = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
+    val envelope =
+      if (fmt == "json") {
+        val eraJson = eraInfo.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }.mkString("{", ", ", "}")
+        s"""{"era_info": $eraJson, "data_type": "${esc(dataType)}", "record_count": $n, "export_timestamp": "$ts", "type": "metadata"}\n"""
+      } else {
+        val era = eraInfo.getOrElse("era_number", "?")
+        val slots = (eraInfo.get("start_slot"), eraInfo.get("end_slot")) match {
+          case (Some(a), Some(b)) => s"# Slots: $a - $b\n"
+          case _ => ""
+        }
+        s"# Era $era: $dataType data\n" + slots +
+          s"# Network: ${eraInfo.getOrElse("network", "?")}\n" +
+          s"# Export timestamp: $ts\n# Total records: $n\n"
+      }
+    val target = Paths.get(path)
+    if (target.getParent != null) Files.createDirectories(target.getParent)
+    val out = Files.newOutputStream(target,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      out.write(envelope.getBytes("UTF-8"))
+      Files.copy(part, out)
+    } finally out.close()
+    // drop the temp part dir
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
     n
   }
 

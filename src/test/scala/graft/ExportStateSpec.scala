@@ -49,6 +49,36 @@ class ExportStateSpec extends AnyFunSuite {
     }
   }
 
+  test("--parity envelope: CSV '#' preamble and JSONL metadata first line (S11/S13)") {
+    import spark.implicits._
+    val dir = tmpDir("envelope")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("slot", "v")
+    val info = Map("era_number" -> "42", "network" -> "gnosis",
+      "start_slot" -> "344064", "end_slot" -> "352255")
+
+    val nCsv = Sinks.writeWithEnvelope(df, s"$dir/out.csv", "blocks", info)
+    assert(nCsv === 2)
+    val csv = new String(Files.readAllBytes(Paths.get(s"$dir/out.csv")), "UTF-8")
+    val csvLines = csv.split("\n")
+    assert(csvLines(0) === "# Era 42: blocks data")
+    assert(csvLines(1) === "# Slots: 344064 - 352255")
+    assert(csvLines(2) === "# Network: gnosis")
+    assert(csvLines(3).startsWith("# Export timestamp: "))
+    assert(csvLines(4) === "# Total records: 2")
+    assert(csvLines(5) === "slot,v") // header, then data
+    assert(csvLines.length === 8)
+
+    val nJson = Sinks.writeWithEnvelope(df, s"$dir/out.jsonl", "blocks", info)
+    assert(nJson === 2)
+    val jsonLines = new String(Files.readAllBytes(Paths.get(s"$dir/out.jsonl")), "UTF-8")
+      .split("\n")
+    assert(jsonLines.length === 3)
+    assert(jsonLines(0).contains("\"type\": \"metadata\""))
+    assert(jsonLines(0).contains("\"record_count\": 2"))
+    assert(jsonLines(0).contains("\"era_number\": \"42\""))
+    assert(jsonLines(1).contains("\"slot\"")) // data rows follow
+  }
+
   test("jdbc sink writes batched rows readable back through jdbc (S15)") {
     import spark.implicits._
     val db = tmpDir("derby") + "/testdb"
@@ -61,6 +91,48 @@ class ExportStateSpec extends AnyFunSuite {
     // append semantics: a second sink call doubles the rows
     Sinks.jdbcSink(df, url, "metrics", batchSize = 100)
     assert(spark.read.jdbc(url, "metrics", new java.util.Properties()).count() === 500)
+  }
+
+  test("--migrate bootstraps an empty database end-to-end via CLI verbs") {
+    val db = tmpDir("derby-mig") + "/migdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+
+    // fresh DB → run creates 15 dataset tables + era_completion + tracking
+    Cli.main(Array("--migrate", url, "run"))
+    val tracking = spark.read.jdbc(url, "schema_migrations", props)
+    assert(tracking.count() === 2)
+    assert(tracking.select("version").collect().map(_.getString(0)).sorted
+      === Array("001", "002"))
+    graft.operators.Normalizer.datasetNames.foreach { t =>
+      assert(spark.read.jdbc(url, t, props).count() === 0, s"table $t missing")
+    }
+    assert(spark.read.jdbc(url, "era_completion", props).count() === 0)
+
+    // idempotent: a second run applies nothing
+    Cli.main(Array("--migrate", url, "run"))
+    assert(spark.read.jdbc(url, "schema_migrations", props).count() === 2)
+
+    // the freshly created tables accept a real export (S15 path, no manual DDL)
+    val eraDir = graft.testkit.EraFixtures.ensureGenerated()
+    Cli.main(Array(eraDir, "attestations", "--export-jdbc", url))
+    assert(spark.read.jdbc(url, "attestations", props).count() > 0)
+
+    // era_status view resolves the latest state per (network, era)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate(
+        """INSERT INTO era_completion ("network", "era_number", "status", "insert_version")
+          |VALUES ('gnosis', 5, 'processing', 1)""".stripMargin.replaceAll("\n", " "))
+      st.executeUpdate(
+        """INSERT INTO era_completion ("network", "era_number", "status", "insert_version")
+          |VALUES ('gnosis', 5, 'completed', 2)""".stripMargin.replaceAll("\n", " "))
+      val rs = st.executeQuery("""SELECT "status" FROM era_status""")
+      assert(rs.next() && rs.getString(1) === "completed")
+      assert(!rs.next(), "era_status must collapse to one row per era")
+      st.close()
+    } finally conn.close()
   }
 
   test("state machine: start → completed/failed, latest-state view, retry counts") {
