@@ -51,11 +51,14 @@ object Bench {
     }
 
     // per-fork decode throughput — directly comparable to BASELINE.md's
-    // per-fork blocks/s table (fork ↔ era number of its fixture corpus)
-    val forkEras = Seq("phase0" -> 0L, "altair" -> 11L, "capella" -> 1267L, "deneb" -> 1999L)
+    // per-fork blocks/s table, all six rows (fork ↔ era number of its
+    // fixture corpus; bellatrix/electra are the reshaped synthetics)
+    val forkEras = Seq("phase0" -> 0L, "altair" -> 11L, "bellatrix" -> 756L,
+      "capella" -> 1267L, "deneb" -> 1999L, "electra" -> 2613L)
     val perFork = forkEras.map { case (fork, era) =>
       val f = spark.read.format("era").load(f"$eraDir/gnosis-$era%05d-*.era")
       var n = 0L
+      System.gc() // isolate each fork's best-of from the previous fork's garbage
       val sec = best(3) { n = graft.operators.Normalizer.decodeBlocks(f).count() }
       fork -> (n / sec)
     }

@@ -201,23 +201,66 @@ object Dedup {
   }
 
   /** Duplicate clusters: connected components over the MinHash-LSH pair
-    * graph, computed by min-label propagation **with pointer doubling**
-    * over DataFrames: each round takes the min over neighbor labels AND
-    * jumps `label ← label(label)`, so label chains halve every round and
-    * convergence is O(log diameter) instead of O(diameter). Labels are
-    * monotone non-increasing and always ids inside the component, so the
-    * fixed point is the component minimum. Each round is one action (the
-    * count that materializes the cached step doubles as the convergence
-    * check — no extra job). Output: (doc_id, cluster) for every doc that
+    * graph. Adaptive execution: a broadcast-size graph
+    * (≤ [[DriverCcMaxEdges]]) is solved with driver-side union-find — one
+    * collect, no iterative jobs; a larger graph runs min-label propagation
+    * **with pointer doubling** over DataFrames: each round takes the min
+    * over neighbor labels AND jumps `label ← label(label)`, so label
+    * chains halve every round and convergence is O(log diameter) instead
+    * of O(diameter). Labels are monotone non-increasing and always ids
+    * inside the component, so the fixed point is the component minimum —
+    * both paths produce identical labels. Each distributed round is one
+    * action (the count that materializes the cached step doubles as the
+    * convergence check). Output: (doc_id, cluster) for every doc that
     * appears in ≥1 pair, cluster = smallest doc_id in its component — the
     * canonical keeper. */
-  def duplicateClusters(docs: DataFrame): DataFrame = {
+  /** Pair graphs up to this many edges are solved with driver-side
+    * union-find instead of the distributed loop — the adaptive move AQE
+    * makes when a join side fits in a broadcast. ~16 bytes/edge ⇒ 5M edges
+    * ≈ 80 MB, trivially driver-sized; the distributed loop pays several
+    * shuffle jobs per round, which for a broadcast-size graph is pure
+    * overhead (measured: the loop is job-latency-bound locally). */
+  val DriverCcMaxEdges = 5000000L
+
+  /** Union-find with path compression; roots are component minima (union
+    * always attaches the larger root under the smaller), so labels match
+    * the distributed fixed point exactly. */
+  private def unionFindClusters(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.toSeq.map(n => n -> find(n))
+  }
+
+  def duplicateClusters(docs: DataFrame): DataFrame =
+    duplicateClusters(docs, DriverCcMaxEdges)
+
+  /** Threshold-injectable form so tests can force the distributed loop. */
+  private[graft] def duplicateClusters(docs: DataFrame, driverMaxEdges: Long): DataFrame = {
     val pairs = minhashLshPairs(docs).select(col("doc_a"), col("doc_b")).cache()
     try {
       // dup-pair graphs are sparse relative to the corpus: size the loop's
       // partitioning to the graph, not the session default — iterating a
       // few-hundred-edge graph over 32 shuffle partitions is pure overhead
       val nEdges = pairs.count()
+      if (nEdges <= driverMaxEdges) {
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val labels = unionFindClusters(
+          pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
+        return labels.toDF("doc_id", "cluster").orderBy(col("doc_id"))
+      }
       val parts = math.max(1, math.min(
         (nEdges / 500000L).toInt, pairs.sparkSession.sparkContext.defaultParallelism))
       val edges = pairs

@@ -98,6 +98,18 @@ class TrainingDataSpec extends AnyFunSuite {
     clusters.values.foreach(rep => assert(clusters(rep) === rep))
   }
 
+  test("distributed pointer-doubling CC produces identical labels to union-find") {
+    // force the distributed loop (threshold 0) and compare against the
+    // adaptive driver-side union-find path — both must reach the same
+    // component-minimum fixed point
+    val viaUnionFind = Dedup.duplicateClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val viaLoop = Dedup.duplicateClusters(docs, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(viaLoop === viaUnionFind)
+    assert(viaLoop.nonEmpty)
+  }
+
   test("simhash of an exact copy is identical (hamming 0)") {
     val sig = Dedup.simhashSignatures(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
