@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation operators — the steps a pretraining-data pipeline runs
+ * AFTER dedup/quality analysis to produce the training set:
+ *
+ *  - [[clusterKeepers]]: quality-aware canonical-document selection per
+ *    duplicate cluster (keep the best-scoring member, not just the lowest
+ *    id) — the decision step that turns dedup output into a keep/drop list;
+ *  - [[withSplit]] / [[splitSummary]]: deterministic hash-based train/val
+ *    split, stratified per language by construction (the hash is uniform
+ *    within every stratum) — reproducible across runs and engines, no RNG;
+ *  - [[packSequences]] / [[packingSummary]]: GPT-style concat-and-chunk
+ *    sequence packing — documents are ordered within hash shards, token
+ *    offsets accumulated, and each document assigned to the context-window
+ *    chunk its start offset lands in.
+ *
+ * Scale shape: splits are narrow projections; keeper selection is one
+ * groupBy over the (tiny) cluster set; packing is a per-shard window — the
+ * shard count bounds every sort partition to corpus/shards, and the
+ * cumulative sum is the only stateful step (inherent: packing requires a
+ * defined order). All outputs are integers or 4-digit-rounded doubles, so
+ * the DuckDB oracle verifies them value-for-value.
+ */
+object Curation {
+
+  /** Portable per-doc split hash: hash64("<doc_id>#<salt>") ∈ [0, 2^60). */
+  private def splitHash(salt: String): Column =
+    call_function("hash64", concat(col("doc_id").cast("string"), lit("#" + salt)))
+
+  /** Quality-aware keeper per duplicate cluster: join the MinHash-LSH
+    * connected components with quality scores and keep the member with the
+    * best (rounded) quality, doc-id tie-break. Output: one row per cluster
+    * with the keeper and the member count — the keep/drop decision list. */
+  def clusterKeepers(docs: DataFrame): DataFrame = {
+    val clusters = Dedup.duplicateClusters(docs) // (doc_id, cluster)
+    val quality = TextAnalysis.qualityScores(
+      Dedup.augmentedDocs(docs).select(col("doc_id"), col("text"), col("lang")))
+      .select(col("doc_id"), col("quality_score"))
+    clusters.join(quality, Seq("doc_id"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        // argmax by (quality desc, doc_id asc) via struct max on (q, -id)
+        max(struct(col("quality_score").as("q"), (-col("doc_id")).as("nd")))
+          .as("best"))
+      .select(
+        col("cluster"),
+        col("n_members"),
+        (-col("best.nd")).as("keep_doc_id"),
+        col("best.q").as("keep_quality"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Deterministic train/val assignment: `val` iff
+    * hash64(doc_id#salt) mod 1000 < valPermille. Uniform within any
+    * stratum, stable across runs/engines, and adding documents never
+    * reassigns existing ones — the properties an RNG split lacks. */
+  def withSplit(docs: DataFrame, valPermille: Int = 100,
+      salt: String = "split1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs.withColumn("split",
+      when(splitHash(salt) % 1000 < valPermille, "val").otherwise("train"))
+  }
+
+  /** Per-(lang, split) corpus accounting over the split assignment. */
+  def splitSummary(docs: DataFrame, valPermille: Int = 100,
+      salt: String = "split1"): DataFrame =
+    withSplit(docs, valPermille, salt)
+      .join(TextAnalysis.tokenCounts(docs).select(col("doc_id"), col("n_tokens")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"), col("split"))
+
+  /** Concat-and-chunk packing: shard documents by hash, order by doc_id
+    * within each shard, accumulate token offsets, and assign each document
+    * to the `budgetTokens`-sized chunk its start offset lands in. Output:
+    * (doc_id, shard, start_offset, seq_index). */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 2048,
+      shards: Int = 8, salt: String = "pack1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("n_tokens"))
+      .withColumn("shard", splitHash(salt) % shards)
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_index", floor(col("start_offset") / budgetTokens))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_offset"), col("seq_index"))
+  }
+
+  /** Chunks-per-shard accounting: how many documents and tokens land in
+    * each packed context window. */
+  def packingSummary(docs: DataFrame, budgetTokens: Int = 2048,
+      shards: Int = 8, salt: String = "pack1"): DataFrame =
+    packSequences(docs, budgetTokens, shards, salt)
+      .groupBy(col("shard"), col("seq_index"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+      .orderBy(col("shard"), col("seq_index"))
+}

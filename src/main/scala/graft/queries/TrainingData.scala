@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /**
  * Training-data pipeline query corpus: text analysis, dedup (exact /
@@ -48,6 +48,11 @@ object TrainingData {
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingNearDupsLsh(emb(s, dir))),
+
+    // ── curation (post-dedup pipeline steps) ──────────────────────────────
+    "cur_keeper" -> ((s, dir) => Curation.clusterKeepers(docs(s, dir))),
+    "cur_split" -> ((s, dir) => Curation.splitSummary(docs(s, dir))),
+    "cur_packing" -> ((s, dir) => Curation.packingSummary(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -185,6 +190,61 @@ object TrainingData {
          |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a)
          |SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS cluster
          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "cur_keeper" ->
+      s"""WITH RECURSIVE $baseCte, $augCte, $shCte, $sigCte, $fpairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM fpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM fpairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a),
+         |clusters AS (
+         |  SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY a),
+         |q AS (
+         |  SELECT doc_id,
+         |         ROUND(least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+         |               + (len(list_filter(toks, t -> list_contains($stopArr, t)))::DOUBLE
+         |                  / len(toks)) * 0.5::DOUBLE, 4) AS quality_score
+         |  FROM aug),
+         |ranked AS (
+         |  SELECT c.cluster, c.doc_id, q.quality_score,
+         |         COUNT(*) OVER (PARTITION BY c.cluster) AS n_members,
+         |         ROW_NUMBER() OVER (PARTITION BY c.cluster
+         |           ORDER BY q.quality_score DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN q USING (doc_id))
+         |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
+         |       doc_id AS keep_doc_id, quality_score AS keep_quality
+         |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    "cur_split" ->
+      s"""WITH $baseCte,
+         |s AS (
+         |  SELECT doc_id, lang, len(toks) AS n_tokens,
+         |         CASE WHEN ${h64("doc_id::VARCHAR || '#split1'")} % 1000 < 100
+         |           THEN 'val' ELSE 'train' END AS split
+         |  FROM base)
+         |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM s GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "cur_packing" ->
+      s"""WITH $baseCte,
+         |sh AS (
+         |  SELECT doc_id, len(toks) AS n_tokens,
+         |         ${h64("doc_id::VARCHAR || '#pack1'")} % 8 AS shard
+         |  FROM base),
+         |o AS (
+         |  SELECT shard, n_tokens,
+         |         COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+         |  FROM sh)
+         |SELECT shard, CAST(start_offset // 2048 AS BIGINT) AS seq_index,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+         |FROM o GROUP BY 1, 2 ORDER BY shard, seq_index""".stripMargin,
 
     "text_token_count" ->
       s"""WITH $baseCte

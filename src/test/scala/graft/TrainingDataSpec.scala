@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Structural invariants for the training-data pipeline operators. Exact
   * value-parity with DuckDB is enforced by the driver's oracle gate (and
@@ -164,6 +164,57 @@ class TrainingDataSpec extends AnyFunSuite {
     // each vector belongs to exactly one cell → no duplicate candidates
     ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       assert(rs.map(_.getLong(2)).distinct.length === rs.length)
+    }
+  }
+
+  test("cluster keepers: keeper is a member of its own cluster with maximal quality") {
+    val clusters = Dedup.duplicateClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = TextAnalysis.qualityScores(
+        Dedup.augmentedDocs(docs).select(col("doc_id"), col("text"), col("lang")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val keepers = Curation.clusterKeepers(docs).collect()
+    assert(keepers.nonEmpty)
+    keepers.foreach { r =>
+      val (cluster, n, keepId, keepQ) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val members = clusters.filter(_._2 == cluster).keys.toSeq
+      assert(members.size.toLong === n)
+      assert(members.contains(keepId), s"keeper $keepId not in cluster $cluster")
+      assert(members.forall(m => quality(m) <= keepQ + 1e-9),
+        s"cluster $cluster keeper $keepId is not max-quality")
+      assert(keepQ === quality(keepId))
+    }
+  }
+
+  test("train/val split is deterministic, complete, and stratification-stable") {
+    val s1 = Curation.withSplit(docs).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Curation.withSplit(docs.repartition(7)).select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 === s2) // partitioning-invariant
+    assert(s1.size === docs.count())
+    val valFrac = s1.values.count(_ == "val").toDouble / s1.size
+    assert(valFrac > 0.03 && valFrac < 0.25, s"val fraction $valFrac far from 10%")
+    // a different salt reshuffles assignments
+    val s3 = Curation.withSplit(docs, salt = "other").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s3 !== s1)
+  }
+
+  test("sequence packing: offsets are contiguous per shard and chunks respect the budget") {
+    val budget = 512
+    val rows = Curation.packSequences(docs, budgetTokens = budget, shards = 4).collect()
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length) // every doc once
+    rows.groupBy(_.getLong(1)).foreach { case (_, shardRows) =>
+      val byId = shardRows.sortBy(_.getLong(0))
+      // start offsets are the exclusive running sum of token counts
+      var expected = 0L
+      byId.foreach { r =>
+        assert(r.getLong(3) === expected, s"offset gap at doc ${r.getLong(0)}")
+        expected += r.getLong(2)
+        assert(r.getLong(4) === r.getLong(3) / budget) // chunk = start / budget
+      }
     }
   }
 
