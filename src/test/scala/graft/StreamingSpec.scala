@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{EraStream, Event, EventStream}
+import graft.streaming.{DocStream, EraStream, Event, EventStream, StreamDoc}
 import graft.testkit.EraFixtures
 
 /** Structured-Streaming layer: era-directory monitoring (AvailableNow),
@@ -74,6 +74,50 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     query.stop()
     assert(sessions.contains((7L, 2L, 3.0))) // first burst: 2 events, value 3
+  }
+
+  test("streaming exact dedup emits only the first copy of each content digest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val query = DocStream.dedupExact(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def doc(id: Long, text: String, min: Int) =
+      StreamDoc(id, text, "en",
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L))
+    mem.addData(doc(1, "alpha beta", 0), doc(2, "gamma delta", 1))
+    query.processAllAvailable()
+    // copies arriving in a LATER batch must still be dropped (cross-batch state)
+    mem.addData(doc(3, "alpha beta", 2), doc(4, "epsilon", 3), doc(5, "gamma delta", 4))
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id, digest, simhash FROM dedup_stream ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    query.stop()
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L)) // first-seen only
+    // streaming signatures equal the batch kernels' values
+    val batch = DocStream.withSignatures(
+        Seq((1L, "alpha beta", "en")).toDF("doc_id", "text", "lang"))
+      .select("digest", "simhash").collect().head
+    assert(rows.head._2 === batch.getString(0))
+    assert(rows.head._3 === batch.getLong(1))
+  }
+
+  test("watermarked dedup keeps state bounded but still drops in-window duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val query = DocStream.dedupWithinWatermark(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def doc(id: Long, text: String, min: Int) =
+      StreamDoc(id, text, "en",
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L))
+    mem.addData(doc(1, "alpha beta", 0), doc(2, "alpha beta", 3)) // dup within window
+    query.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id FROM dedup_wm").collect().map(_.getLong(0))
+    query.stop()
+    assert(rows.toSeq === Seq(1L)) // in-window duplicate dropped
   }
 
   test("windowed counts run identically on the batch events table") {
