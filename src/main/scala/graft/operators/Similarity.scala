@@ -121,6 +121,60 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
   }
 
+  /** Lloyd's k-means refinement of the IVF centroid set (spherical:
+    * assignment by cosine, update = per-cell member mean). Each iteration
+    * is one narrow assignment pass over the corpus (the literal-centroid
+    * `array_max` projection — no join, no shuffle of vectors) plus one
+    * groupBy(cell) whose shuffle carries k cells; the k-row centroid
+    * table round-trips through the driver between iterations, k-means'
+    * inherent sync point. Per-dimension means are ordered folds over
+    * members sorted by vec_id, so the centroid doubles are bit-identical
+    * in any IEEE engine and the DuckDB oracle verifies the training
+    * value-for-value. Empty cells keep their previous centroid. At real
+    * scale this trains on a bounded sample (standard IVF practice) and
+    * the full corpus is assigned once at the end. */
+  def kmeansCentroids(emb: DataFrame, iters: Int = 2): Array[(Long, Seq[Double], Double)] = {
+    val prep = prepared(emb)
+    var cents = collectCentroids(prep)
+    val dims = cents.head._2.size
+    (1 to iters).foreach { _ =>
+      val means = withIvfCell(prep, cents)
+        .groupBy(col("cell"))
+        .agg(expr("sort_array(collect_list(struct(vec_id, vec)))").as("ms"))
+        .select(col("cell"), expr(
+          s"""transform(sequence(0, ${dims - 1}),
+             |  d -> aggregate(ms, cast(0 as double), (acc, m) -> acc + m.vec[d])
+             |       / size(ms))""".stripMargin).as("cvec"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cid, old, _) =>
+        val nv = means.getOrElse(cid, old)
+        (cid, nv, nv.foldLeft(0.0)((acc, x) => acc + x * x))
+      }
+    }
+    cents
+  }
+
+  /** Trained-centroid summary for the oracle gate: one row per
+    * (cell, dim) with the rounded centroid coordinate and the cell's final
+    * member count — value-verifies the whole training loop. */
+  def kmeansCells(emb: DataFrame, iters: Int = 2): DataFrame = {
+    val prep = prepared(emb)
+    val cents = kmeansCentroids(emb, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroidRows = cents.toSeq.flatMap { case (cid, cvec, _) =>
+      cvec.zipWithIndex.map { case (v, d) => (cid, d.toLong, v) }
+    }.toDF("cell", "dim", "centroid_val")
+    val sizes = withIvfCell(prep, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    centroidRows
+      .join(broadcast(sizes), Seq("cell"), "left")
+      .select(col("cell"), col("dim"),
+        round(col("centroid_val"), 6).as("centroid_val"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
   /** IVF ANN top-k: probe the query's `IvfProbes` nearest centroids, rank
     * candidates from those cells by exact cosine. Probe selection uses the
     * same literal-centroid projection (sort 16 structs per query row, take

@@ -58,6 +58,7 @@ object TrainingData {
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
+    "sim_kmeans_cells" -> ((s, dir) => Similarity.kmeansCells(emb(s, dir))),
 
     // ── multimodal ────────────────────────────────────────────────────────
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
@@ -178,7 +179,54 @@ object TrainingData {
        |  WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5)"""
       .stripMargin
 
+  /** One Lloyd iteration as CTEs (mirrors Similarity.kmeansCentroids):
+    * assign by cosine argmax vs `prevC`, per-cell per-dim ordered-fold
+    * mean over members sorted by vec_id, empty cells keep the previous
+    * centroid, then recompute squared norms. */
+  private def kmeansIterCtes(i: Int, prevC: String): String = {
+    val memberDim = s"list_transform(m$i.ms, m -> m[d::INT])"
+    s"""a$i AS (
+       |  SELECT vec_id, vec, cell FROM (
+       |    SELECT vn.vec_id, vn.vec, c.cell,
+       |           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+       |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
+       |                      c.cell) AS rn
+       |    FROM vn, $prevC c) t WHERE rn = 1),
+       |m$i AS (SELECT cell, list(vec ORDER BY vec_id) AS ms FROM a$i GROUP BY cell),
+       |c$i AS (
+       |  SELECT p.cell,
+       |         CASE WHEN m$i.cell IS NULL THEN p.cvec
+       |              ELSE list_transform(range(1, 65), d ->
+       |                ${fold(memberDim, "0.0::DOUBLE", "(x, y) -> x + y")} / len(m$i.ms))
+       |         END AS cvec
+       |  FROM $prevC p LEFT JOIN m$i ON p.cell = m$i.cell),
+       |c${i}n AS (SELECT cell, cvec, ${dotD("cvec", "cvec")} AS csq FROM c$i)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sim_kmeans_cells" ->
+      s"""WITH $vecCte,
+         |c0 AS (
+         |  SELECT vec_id - 100 AS cell, vec AS cvec, sq AS csq
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |${kmeansIterCtes(1, "c0")},
+         |${kmeansIterCtes(2, "c1n")},
+         |final_assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vn.vec_id, c.cell,
+         |           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
+         |                      c.cell) AS rn
+         |    FROM vn, c2n c) t WHERE rn = 1),
+         |sizes AS (SELECT cell, COUNT(*) AS n FROM final_assign GROUP BY cell)
+         |SELECT c.cell, CAST(d.d - 1 AS BIGINT) AS dim,
+         |       ROUND(c.cvec[d.d::INT], 6) AS centroid_val,
+         |       CAST(COALESCE(s.n, 0) AS BIGINT) AS n_members
+         |FROM c2n c
+         |CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
+         |LEFT JOIN sizes s ON s.cell = c.cell
+         |ORDER BY c.cell, dim""".stripMargin,
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE $baseCte, $augCte, $shCte, $sigCte, $fpairsCtes,
          |edges AS (

@@ -167,6 +167,20 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans cells: full coverage, fixed shape, partitioning-invariant") {
+    val cells = Similarity.kmeansCells(emb)
+    val rows = cells.collect()
+    assert(rows.length === Similarity.IvfCentroids * 64) // one row per (cell, dim)
+    // every corpus vector lands in exactly one cell
+    val perCell = rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+      assert(rs.map(_.getLong(3)).distinct.length === 1); rs.head.getLong(3)
+    }
+    assert(perCell.sum === emb.count())
+    // training is deterministic regardless of input partitioning
+    val rows2 = Similarity.kmeansCells(emb.repartition(7)).collect()
+    assert(rows2.map(_.toSeq).toSeq === rows.map(_.toSeq).toSeq)
+  }
+
   test("cluster keepers: keeper is a member of its own cluster with maximal quality") {
     val clusters = Dedup.duplicateClusters(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
