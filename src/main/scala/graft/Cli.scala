@@ -129,6 +129,8 @@ object Cli {
               .foreach { case (n, c) => println(s"$n: $c records") }
           else {
             val out = requireArg(pos, 2, "output path")
+            if (flags.contains("--parity") && !Sinks.supportsEnvelope(out))
+              fail("--parity applies to .csv/.json/.jsonl outputs only")
             val wide = Normalizer.wideBlocks(blocks)
             val c =
               if (flags.contains("--parity")) Sinks.writeWithEnvelope(wide, out, "blocks")
@@ -144,6 +146,8 @@ object Cli {
           println(s"$ds: exported to jdbc")
         } else {
           val out = requireArg(pos, 2, "output path")
+          if (flags.contains("--parity") && !Sinks.supportsEnvelope(out))
+            fail("--parity applies to .csv/.json/.jsonl outputs only")
           // --parity: the reference's exact single-file envelope (S11/S13)
           val c =
             if (flags.contains("--parity")) Sinks.writeWithEnvelope(

@@ -34,10 +34,17 @@ object EnvConfig {
       .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
       .map { l =>
         val i = l.indexOf('=')
-        l.substring(0, i).trim -> l.substring(i + 1).trim
+        l.substring(0, i).trim -> unquote(l.substring(i + 1).trim)
       }
       .toMap
   }
+
+  /** `KEY="value"` / `KEY='value'` dotenv quoting → bare value. */
+  private def unquote(v: String): String =
+    if (v.length >= 2 &&
+      ((v.head == '"' && v.last == '"') || (v.head == '\'' && v.last == '\'')))
+      v.substring(1, v.length - 1)
+    else v
 
   /** Effective config: `.env` file defaults overridden by the process env. */
   def all: Map[String, String] = parseEnvFile(envFilePath) ++ sys.env

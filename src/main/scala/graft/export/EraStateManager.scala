@@ -107,10 +107,15 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
   def recordEraFailure(era: Long, network: String, error: String): Unit =
     appendRow(network, era, "failed", 0, Nil, error, retryCount(era, network) + 1)
 
-  /** Raw append-only log (empty DataFrame with full schema if none yet). */
+  /** Raw append-only log (empty DataFrame with full schema if none yet).
+    * Logs written before the writer_id column existed are upgraded on read
+    * with an empty discriminator (sorts last in the tie-break). */
   def log: DataFrame =
-    if (Files.exists(Paths.get(logPath))) spark.read.parquet(logPath)
-    else spark.createDataFrame(
+    if (Files.exists(Paths.get(logPath))) {
+      val df = spark.read.option("mergeSchema", "true").parquet(logPath)
+      if (df.columns.contains("writer_id")) df
+      else df.withColumn("writer_id", lit(""))
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       EraStateManager.logSchema)
 

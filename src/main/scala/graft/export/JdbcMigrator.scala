@@ -119,11 +119,19 @@ class JdbcMigrator(spark: SparkSession, url: String,
     createFromSchema(MigrationTable, migrationTableSchema,
       Some("version VARCHAR(16), name VARCHAR(128), checksum VARCHAR(64)"))
 
-  /** Applied migration versions, sorted (empty if the table is absent). */
+  /** Applied migration versions, sorted (empty if the table is absent).
+    * Only a missing-table error maps to "nothing applied" — a connection
+    * or auth failure must propagate, otherwise run() would re-apply
+    * migrations and duplicate tracking rows on a transient outage. */
   def appliedVersions(): Seq[String] =
     try spark.read.jdbc(url, MigrationTable, props)
       .select("version").collect().map(_.getString(0)).toSeq.sorted
-    catch { case _: Exception => Nil }
+    catch {
+      case e: Exception if {
+        val m = String.valueOf(e.getMessage).toLowerCase
+        m.contains("not exist") || m.contains("not found") || m.contains("doesn't exist")
+      } => Nil
+    }
 
   /** Run pending migrations (optionally only up to `target`); returns the
     * versions applied this call. Mirrors run_migrations. */

@@ -101,9 +101,12 @@ object Sinks {
         else cached.write.mode("overwrite").option("header", "true").csv(tmp)
         cached.count()
       } finally cached.unpersist()
-    val part = Files.list(Paths.get(tmp)).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      finally listing.close()
     val ts = java.time.OffsetDateTime.now(java.time.ZoneOffset.UTC)
       .format(java.time.format.DateTimeFormatter.ISO_OFFSET_DATE_TIME)
     val envelope =
@@ -130,9 +133,16 @@ object Sinks {
       Files.copy(part, out)
     } finally out.close()
     // drop the temp part dir
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(f => Files.delete(f))
+    val walk = Files.walk(Paths.get(tmp))
+    try walk.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+    finally walk.close()
     n
+  }
+
+  /** True iff `path`'s extension routes to a format that supports the
+    * inline `--parity` envelope (csv/json). */
+  def supportsEnvelope(path: String): Boolean = {
+    val f = formatOf(path); f == "json" || f == "csv"
   }
 
   /** The reference's per-file KV metadata (era number, network, slot range
@@ -181,10 +191,13 @@ object Sinks {
     * duplicate them on retry. So each attempt (1) overwrites a staging
     * table — overwrite makes the retry itself idempotent — then
     * (2) promotes staging into the target with a single INSERT…SELECT +
-    * DROP inside one transaction: either the whole attempt lands or none
-    * of it does. Works against any JDBC URL; for ClickHouse use
-    * `jdbc:clickhouse://…` with the ClickHouse driver on the executor
-    * classpath. */
+    * DROP, inside one transaction on engines with transactional DML
+    * (either the whole attempt lands or none of it does); on
+    * non-transactional engines (ClickHouse) the promote is plain and the
+    * retry hazard is covered by the engine's own insert-version dedup —
+    * the reference's assumption. Works against any JDBC URL; for
+    * ClickHouse use `jdbc:clickhouse://…` with the ClickHouse driver on
+    * the executor classpath. */
   def jdbcSink(
       df: DataFrame,
       url: String,
@@ -196,7 +209,12 @@ object Sinks {
     properties.foreach { case (k, v) => props.setProperty(k, v) }
     props.setProperty("batchsize", batchSize.toString)
     val stage = s"${table}__stage"
-    val cols = df.columns.map(c => s""""$c"""").mkString(", ")
+    // column names must be quoted the way Spark quoted them at CREATE time
+    // — per-dialect (double quotes on Derby/Postgres, backticks on MySQL);
+    // table names stay unquoted (Spark passes them raw to CREATE TABLE, so
+    // the DB applies its own case normalization)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val cols = df.columns.map(dialect.quoteIdentifier).mkString(", ")
     var attempt = 0
     var done = false
     var lastErr: Throwable = null
@@ -206,21 +224,26 @@ object Sinks {
         df.write.mode("overwrite").jdbc(url, stage, props)
         // target must exist before the promote (0-row append creates it)
         df.limit(0).write.mode("append").jdbc(url, table, props)
-        // (2) promote atomically: INSERT…SELECT + DROP in one transaction
+        // (2) promote: INSERT…SELECT + DROP in one transaction where the
+        // engine supports it. Engines without transactional DML (ClickHouse
+        // — which rejects or no-ops setAutoCommit(false)) get a plain
+        // promote: there the duplicate-on-retry hazard is covered by the
+        // engine's own dedup (ReplacingMergeTree insert versions, exactly
+        // the reference's assumption), and staging still makes the Spark
+        // write itself retry-clean.
         val conn = java.sql.DriverManager.getConnection(url, props)
         try {
-          conn.setAutoCommit(false)
+          val transactional =
+            try { conn.setAutoCommit(false); true }
+            catch { case _: java.sql.SQLException => false }
           val st = conn.createStatement()
           try {
-            // table names stay unquoted (Spark passes them raw to CREATE
-            // TABLE, so the DB applies its own case normalization); column
-            // names are quoted (Spark quotes them at CREATE time)
             st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
             st.executeUpdate(s"DROP TABLE $stage")
-            conn.commit()
+            if (transactional) conn.commit()
           } catch {
             case e: Throwable =>
-              try conn.rollback() catch { case _: Throwable => () }
+              if (transactional) { try conn.rollback() catch { case _: Throwable => () } }
               throw e
           } finally st.close()
         } finally conn.close()

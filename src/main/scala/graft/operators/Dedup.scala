@@ -216,11 +216,14 @@ object Dedup {
     * canonical keeper. */
   /** Pair graphs up to this many edges are solved with driver-side
     * union-find instead of the distributed loop — the adaptive move AQE
-    * makes when a join side fits in a broadcast. ~16 bytes/edge ⇒ 5M edges
-    * ≈ 80 MB, trivially driver-sized; the distributed loop pays several
-    * shuffle jobs per round, which for a broadcast-size graph is pure
-    * overhead (measured: the loop is job-latency-bound locally). */
-  val DriverCcMaxEdges = 5000000L
+    * makes when a join side fits in a broadcast. Sized for the REAL driver
+    * footprint, not the raw bytes: collect() materializes ~100 B/edge of
+    * Row objects and the boxed parent map ~50 B/node, so 1M edges is
+    * roughly 150–200 MB transient heap — safe on default driver memory.
+    * The distributed loop pays several shuffle jobs per round, which for
+    * a broadcast-size graph is pure overhead (measured: job-latency-bound
+    * locally). */
+  val DriverCcMaxEdges = 1000000L
 
   /** Union-find with path compression; roots are component minima (union
     * always attaches the larger root under the smaller), so labels match

@@ -24,24 +24,27 @@ import graft.testkit.EraFixtures
  */
 object EraQueries {
 
-  /** Per-session decode cache, weakly keyed so a retired session's plan and
-    * cached blocks are collectable — the harness (Bench/Verify) gets the
-    * decode-once-fan-out-15-tables shape the reference uses, without the
-    * library pinning state across sessions. */
-  private val cachedBlocks =
-    new java.util.WeakHashMap[SparkSession, Dataset[DecodedBlock]]()
+  /** Single-slot per-session decode cache — the harness (Bench/Verify)
+    * gets the decode-once-fan-out-15-tables shape the reference uses. One
+    * slot, explicitly released on session change, so library use never
+    * accumulates retired sessions' plans or cached blocks (a weak map
+    * would not work here: the Dataset strongly references its own
+    * SparkSession, so a session-keyed entry could never be collected). */
+  @volatile private var cachedBlocks: Dataset[DecodedBlock] = _
 
   /** Decoded blocks over the fixture era directory; cached across queries
     * within a session (the reference decodes once and fans out 15 tables —
     * same shape here). */
   def blocks(spark: SparkSession): Dataset[DecodedBlock] = synchronized {
-    var ds = cachedBlocks.get(spark)
-    if (ds == null) {
+    if (cachedBlocks == null || cachedBlocks.sparkSession.ne(spark)) {
+      if (cachedBlocks != null) {
+        // release the previous session's cached blocks (no-op if stopped)
+        try cachedBlocks.unpersist() catch { case _: Throwable => () }
+      }
       val dir = EraFixtures.ensureGenerated()
-      ds = Normalizer.decodeBlocks(spark.read.format("era").load(dir)).cache()
-      cachedBlocks.put(spark, ds)
+      cachedBlocks = Normalizer.decodeBlocks(spark.read.format("era").load(dir)).cache()
     }
-    ds
+    cachedBlocks
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
