@@ -190,14 +190,21 @@ object Sinks {
     * keep the partitions committed before a mid-write failure and
     * duplicate them on retry. So each attempt (1) overwrites a staging
     * table — overwrite makes the retry itself idempotent — then
-    * (2) promotes staging into the target with a single INSERT…SELECT +
-    * DROP, inside one transaction on engines with transactional DML
-    * (either the whole attempt lands or none of it does); on
-    * non-transactional engines (ClickHouse) the promote is plain and the
-    * retry hazard is covered by the engine's own insert-version dedup —
-    * the reference's assumption. Works against any JDBC URL; for
-    * ClickHouse use `jdbc:clickhouse://…` with the ClickHouse driver on
-    * the executor classpath. */
+    * (2) promotes staging into the target with a single INSERT…SELECT
+    * committed on its own, after which the stage is dropped outside the
+    * transaction (several engines — MySQL, Derby in some modes — treat
+    * DDL as implicit-commit, so a DROP inside the "transaction" would
+    * silently commit the INSERT and a post-DROP failure would re-run the
+    * whole attempt and duplicate rows; a failed post-commit DROP is
+    * instead non-fatal because the stage name is per-invocation unique
+    * and gets a best-effort cleanup). On engines without transactional
+    * DML (ClickHouse — which rejects or no-ops setAutoCommit(false)) the
+    * promote is plain and the retry hazard is covered by the engine's own
+    * insert-version dedup — the reference's assumption. The stage name
+    * carries a per-invocation unique suffix so concurrent sinks to the
+    * same target cannot clobber each other's stage mid-promote. Works
+    * against any JDBC URL; for ClickHouse use `jdbc:clickhouse://…` with
+    * the ClickHouse driver on the executor classpath. */
   def jdbcSink(
       df: DataFrame,
       url: String,
@@ -208,7 +215,10 @@ object Sinks {
     val props = new java.util.Properties()
     properties.foreach { case (k, v) => props.setProperty(k, v) }
     props.setProperty("batchsize", batchSize.toString)
-    val stage = s"${table}__stage"
+    // Unique per invocation (driver-side), constant across this call's
+    // retries: retries still overwrite the same stage (idempotent), but two
+    // concurrent writers to the same target never share a stage.
+    val stage = s"${table}__stage_${java.util.UUID.randomUUID.toString.replace("-", "").take(12)}"
     // column names must be quoted the way Spark quoted them at CREATE time
     // — per-dialect (double quotes on Derby/Postgres, backticks on MySQL);
     // table names stay unquoted (Spark passes them raw to CREATE TABLE, so
@@ -224,13 +234,16 @@ object Sinks {
         df.write.mode("overwrite").jdbc(url, stage, props)
         // target must exist before the promote (0-row append creates it)
         df.limit(0).write.mode("append").jdbc(url, table, props)
-        // (2) promote: INSERT…SELECT + DROP in one transaction where the
-        // engine supports it. Engines without transactional DML (ClickHouse
-        // — which rejects or no-ops setAutoCommit(false)) get a plain
-        // promote: there the duplicate-on-retry hazard is covered by the
-        // engine's own dedup (ReplacingMergeTree insert versions, exactly
-        // the reference's assumption), and staging still makes the Spark
-        // write itself retry-clean.
+        // (2) promote: INSERT…SELECT, committed BEFORE the stage DROP. The
+        // DROP must run outside the transaction: on implicit-commit-DDL
+        // engines (MySQL; Derby DDL-in-txn quirks) a DROP "inside" the txn
+        // commits the INSERT anyway, so a failure at/after the DROP would
+        // retry and duplicate the batch while the code still believed the
+        // attempt was atomic. Engines without transactional DML
+        // (ClickHouse — rejects or no-ops setAutoCommit(false)) get a
+        // plain promote: the duplicate-on-retry hazard there is covered by
+        // the engine's own dedup (ReplacingMergeTree insert versions,
+        // exactly the reference's assumption).
         val conn = java.sql.DriverManager.getConnection(url, props)
         try {
           val transactional =
@@ -238,13 +251,21 @@ object Sinks {
             catch { case _: java.sql.SQLException => false }
           val st = conn.createStatement()
           try {
-            st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
-            st.executeUpdate(s"DROP TABLE $stage")
-            if (transactional) conn.commit()
-          } catch {
-            case e: Throwable =>
-              if (transactional) { try conn.rollback() catch { case _: Throwable => () } }
-              throw e
+            try {
+              st.executeUpdate(s"INSERT INTO $table ($cols) SELECT $cols FROM $stage")
+              if (transactional) conn.commit()
+            } catch {
+              case e: Throwable =>
+                if (transactional) { try conn.rollback() catch { case _: Throwable => () } }
+                throw e
+            }
+            // Post-commit cleanup: non-fatal. The rows are in; a leaked
+            // stage is reclaimed by the final best-effort drop below or by
+            // a later invocation's overwrite of ITS own stage (names are
+            // unique, so nothing ever clobbers a live writer).
+            if (transactional) { try conn.setAutoCommit(true) catch { case _: java.sql.SQLException => () } }
+            try st.executeUpdate(s"DROP TABLE $stage")
+            catch { case _: java.sql.SQLException => () }
           } finally st.close()
         } finally conn.close()
         done = true
@@ -255,7 +276,17 @@ object Sinks {
           if (attempt < maxRetries) Thread.sleep(1000L << attempt) // 2s, 4s
       }
     }
-    if (!done) throw new RuntimeException(
-      s"JDBC sink to $table failed after $maxRetries attempts", lastErr)
+    if (!done) {
+      // best-effort: don't leak the uniquely-named stage on terminal failure
+      try {
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+        } finally conn.close()
+      } catch { case _: Throwable => () }
+      throw new RuntimeException(
+        s"JDBC sink to $table failed after $maxRetries attempts", lastErr)
+    }
   }
 }
