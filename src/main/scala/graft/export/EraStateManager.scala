@@ -109,11 +109,14 @@ class EraStateManager(spark: SparkSession, stateDir: String) {
 
   /** Raw append-only log (empty DataFrame with full schema if none yet).
     * Logs written before the writer_id column existed are upgraded on read
-    * with an empty discriminator (sorts last in the tie-break). */
+    * with an empty discriminator (sorts last in the tie-break). A mixed
+    * old+new log needs the coalesce, not just the add-column: mergeSchema
+    * surfaces the column but reads legacy files' rows as NULL. */
   def log: DataFrame =
     if (Files.exists(Paths.get(logPath))) {
       val df = spark.read.option("mergeSchema", "true").parquet(logPath)
-      if (df.columns.contains("writer_id")) df
+      if (df.columns.contains("writer_id"))
+        df.withColumn("writer_id", coalesce(col("writer_id"), lit("")))
       else df.withColumn("writer_id", lit(""))
     } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

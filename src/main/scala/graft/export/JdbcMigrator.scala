@@ -80,11 +80,13 @@ class JdbcMigrator(spark: SparkSession, url: String,
       try st.executeUpdate(sql)
       catch {
         case e: java.sql.SQLException
-          if tolerateExisting && e.getMessage != null &&
-            e.getMessage.toLowerCase.contains("exist") => ()
+          if tolerateExisting && isAlreadyExists(e) => ()
       } finally st.close()
     } finally conn.close()
   }
+
+  private def isAlreadyExists(e: java.sql.SQLException): Boolean =
+    JdbcMigrator.isAlreadyExists(e)
 
   /** (version, name, action) — ordered; mirror of get_available_migrations. */
   val migrations: Seq[(String, String, () => Unit)] = Seq(
@@ -93,13 +95,44 @@ class JdbcMigrator(spark: SparkSession, url: String,
     ("002", "002_state_tracking", () => {
       createFromSchema("era_completion", EraStateManager.jdbcLogSchema,
         Some(eraCompletionTypes))
+      // Mirrors EraStateManager.eraStatus's full ordering (insert_version
+      // desc, recorded_at desc, writer_id desc) as nested correlated MAXes
+      // — Derby has neither PARTITION BY windows nor row-value comparison,
+      // so each tie-break level filters within the previous level's
+      // winners. Without the extra levels, same-version ties (two writers
+      // racing an era) emit multiple rows per (network, era) and diverge
+      // from the Parquet-side latest-state view.
       execDdl(
         """CREATE VIEW era_status AS
           |SELECT * FROM era_completion ec
           |WHERE ec."insert_version" = (
           |  SELECT MAX(e2."insert_version") FROM era_completion e2
           |  WHERE e2."network" = ec."network"
-          |    AND e2."era_number" = ec."era_number")""".stripMargin,
+          |    AND e2."era_number" = ec."era_number")
+          |AND (ec."recorded_at" = (
+          |  SELECT MAX(e3."recorded_at") FROM era_completion e3
+          |  WHERE e3."network" = ec."network"
+          |    AND e3."era_number" = ec."era_number"
+          |    AND e3."insert_version" = ec."insert_version")
+          | OR (ec."recorded_at" IS NULL AND (
+          |  SELECT MAX(e3."recorded_at") FROM era_completion e3
+          |  WHERE e3."network" = ec."network"
+          |    AND e3."era_number" = ec."era_number"
+          |    AND e3."insert_version" = ec."insert_version") IS NULL))
+          |AND (ec."writer_id" = (
+          |  SELECT MAX(e4."writer_id") FROM era_completion e4
+          |  WHERE e4."network" = ec."network"
+          |    AND e4."era_number" = ec."era_number"
+          |    AND e4."insert_version" = ec."insert_version"
+          |    AND (e4."recorded_at" = ec."recorded_at"
+          |         OR (e4."recorded_at" IS NULL AND ec."recorded_at" IS NULL)))
+          | OR (ec."writer_id" IS NULL AND (
+          |  SELECT MAX(e4."writer_id") FROM era_completion e4
+          |  WHERE e4."network" = ec."network"
+          |    AND e4."era_number" = ec."era_number"
+          |    AND e4."insert_version" = ec."insert_version"
+          |    AND (e4."recorded_at" = ec."recorded_at"
+          |         OR (e4."recorded_at" IS NULL AND ec."recorded_at" IS NULL))) IS NULL))""".stripMargin,
         tolerateExisting = true)
     }))
 
@@ -159,5 +192,21 @@ class JdbcMigrator(spark: SparkSession, url: String,
     val available = migrations.map(_._1)
     val pending = available.filterNot(applied.toSet)
     (applied, available, pending, applied.lastOption)
+  }
+}
+
+object JdbcMigrator {
+
+  /** True only for genuine already-exists collisions. The bare substring
+    * "exist" also matches "does not exist", which would silently swallow a
+    * broken view definition (e.g. era_status referencing a table whose
+    * CREATE failed) and record the migration as applied with no view.
+    * Prefer the dialect's SQLState (Derby X0Y32 schema-object-exists,
+    * X0Y68 view/alias-exists; SQL-standard duplicate states 42P07
+    * Postgres / 42S01 MySQL), fall back to the phrase "already exist". */
+  private[graft] def isAlreadyExists(e: java.sql.SQLException): Boolean = {
+    val state = Option(e.getSQLState).getOrElse("")
+    state == "X0Y32" || state == "X0Y68" || state == "42P07" || state == "42S01" ||
+      Option(e.getMessage).exists(_.toLowerCase.contains("already exist"))
   }
 }

@@ -136,6 +136,7 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, iters: Int = 2): Array[(Long, Seq[Double], Double)] = {
     val prep = prepared(emb)
     var cents = collectCentroids(prep)
+    require(cents.nonEmpty, "IVF centroid set is empty")
     val dims = cents.head._2.size
     (1 to iters).foreach { _ =>
       val means = withIvfCell(prep, cents)

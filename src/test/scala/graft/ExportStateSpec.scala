@@ -135,6 +135,84 @@ class ExportStateSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("era_status view breaks same-version ties like the Parquet-side eraStatus") {
+    val db = tmpDir("derby-tie") + "/tiedb"
+    val url = s"jdbc:derby:$db;create=true"
+    Cli.main(Array("--migrate", url, "run"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // two writers race era 9: same insert_version, same recorded_at,
+      // distinct writer_id → exactly one row survives (max writer_id)
+      st.executeUpdate(
+        """INSERT INTO era_completion ("network", "era_number", "status",
+          |"insert_version", "recorded_at", "writer_id")
+          |VALUES ('gnosis', 9, 'processing', 7,
+          |TIMESTAMP('2026-01-01 00:00:00'), 'aaaa')""".stripMargin.replaceAll("\n", " "))
+      st.executeUpdate(
+        """INSERT INTO era_completion ("network", "era_number", "status",
+          |"insert_version", "recorded_at", "writer_id")
+          |VALUES ('gnosis', 9, 'completed', 7,
+          |TIMESTAMP('2026-01-01 00:00:00'), 'bbbb')""".stripMargin.replaceAll("\n", " "))
+      // and a later-timestamp row at the same version for era 10: the
+      // recorded_at level resolves it before writer_id is consulted
+      st.executeUpdate(
+        """INSERT INTO era_completion ("network", "era_number", "status",
+          |"insert_version", "recorded_at", "writer_id")
+          |VALUES ('gnosis', 10, 'processing', 3,
+          |TIMESTAMP('2026-01-01 00:00:00'), 'zzzz')""".stripMargin.replaceAll("\n", " "))
+      st.executeUpdate(
+        """INSERT INTO era_completion ("network", "era_number", "status",
+          |"insert_version", "recorded_at", "writer_id")
+          |VALUES ('gnosis', 10, 'completed', 3,
+          |TIMESTAMP('2026-01-01 00:00:05'), 'aaaa')""".stripMargin.replaceAll("\n", " "))
+      val rs = st.executeQuery(
+        """SELECT "era_number", "status" FROM era_status ORDER BY "era_number"""")
+      assert(rs.next() && rs.getLong(1) === 9L && rs.getString(2) === "completed")
+      assert(rs.next() && rs.getLong(1) === 10L && rs.getString(2) === "completed")
+      assert(!rs.next(), "era_status must emit exactly one row per era under ties")
+      st.close()
+    } finally conn.close()
+  }
+
+  test("already-exists detection rejects 'does not exist' errors") {
+    import graft.export.JdbcMigrator.isAlreadyExists
+    assert(!isAlreadyExists(new java.sql.SQLException(
+      "Table/View 'ERA_COMPLETION' does not exist.", "42X05")))
+    assert(!isAlreadyExists(new java.sql.SQLException(
+      "Column 'STATUS' does not exist.", "42X04")))
+    assert(isAlreadyExists(new java.sql.SQLException(
+      "Table/View 'ERA_STATUS' already exists in Schema 'APP'.", "X0Y32")))
+    assert(isAlreadyExists(new java.sql.SQLException(null: String, "X0Y68")))
+    assert(isAlreadyExists(new java.sql.SQLException(
+      "relation \"era_status\" already exists", "42P07")))
+  }
+
+  test("mixed legacy+current state log coalesces NULL writer_id to empty") {
+    import spark.implicits._
+    val dir = tmpDir("state-mixed")
+    val logDir = s"$dir/era_completion"
+    // a legacy log file written before writer_id existed: same columns
+    // minus writer_id (mergeSchema will surface the column as NULL here)
+    val legacy = Seq(("gnosis", 1L, "completed", 8192L, 16383L, 10L,
+        Seq("blocks"), "", 0L, 1L))
+      .toDF("network", "era_number", "status", "slot_start", "slot_end",
+        "total_records", "datasets_processed", "error_message", "retry_count",
+        "insert_version")
+      .withColumn("recorded_at", current_timestamp())
+    legacy.coalesce(1).write.mode("append").parquet(logDir)
+    // a current-era writer appends with writer_id present
+    val state = new EraStateManager(spark, dir)
+    state.recordEraCompletion(2, "gnosis", Seq("blocks"), 20)
+    val log = state.log
+    assert(log.count() === 2)
+    assert(log.filter(col("writer_id").isNull).count() === 0,
+      "legacy rows must read as empty string, not NULL")
+    assert(log.filter(col("era_number") === 1 && col("writer_id") === "").count() === 1)
+    // and the latest-state view still resolves both eras
+    assert(state.eraStatus.count() === 2)
+  }
+
   test("state machine: start → completed/failed, latest-state view, retry counts") {
     val state = new EraStateManager(spark, tmpDir("state"))
     state.recordEraStart(100, "gnosis")
