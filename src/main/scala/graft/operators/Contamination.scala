@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark-decontamination operator — the training-data pipeline step that
+ * flags training documents sharing long n-grams with a held-out evaluation
+ * set (the standard leakage check run before pretraining: any training doc
+ * carrying a verbatim benchmark n-gram is excluded or cleaned).
+ *
+ * Shape: the eval set is tiny relative to the corpus (benchmarks are
+ * thousands of documents; the corpus is billions), so its n-gram hash set
+ * is BROADCAST and the training corpus is never shuffled — each corpus
+ * partition computes its shingle hashes map-side (narrow, codegen'd
+ * [[graft.functions.SignatureExpressions]] kernel), probes the broadcast
+ * hash table, and only the matching (train-doc, eval-doc, ngram) hits —
+ * a vanishingly small subset — flow into the final per-doc aggregation.
+ * At 100 TB that is one map pass plus an aggregation over hits only.
+ *
+ * Here the held-out set is carved deterministically out of the `documents`
+ * table (`doc_id % EvalModulus == 0` on base ids) so the DuckDB oracle can
+ * reproduce the whole computation value-for-value; the augmented corpus
+ * (see [[Dedup.augmentedDocs]]) guarantees contaminated train docs exist —
+ * exact and truncated copies of eval documents.
+ */
+object Contamination {
+
+  /** Contamination n-gram length — long enough that no n-gram recurs by
+    * chance (industry decontamination uses 8–13-grams). */
+  val NgramN = 8
+
+  /** Base doc_id stride carving the held-out eval set. */
+  val EvalModulus = 50
+
+  /** True for members of the held-out eval set: base documents only (the
+    * augmented +100000/+200000 copies are corpus members even when their
+    * id is a multiple of the stride). */
+  private def isEval = col("doc_id") < 100000 && col("doc_id") % EvalModulus === 0
+
+  /** Per-doc distinct n-gram hash sets over the augmented corpus. */
+  private def withNgramHashes(aug: DataFrame, n: Int): DataFrame =
+    aug
+      .filter(size(col("toks")) >= n)
+      .withColumn("shl",
+        expr(s"array_distinct(transform(word_shingles(text, $n), s -> hash64(s)))"))
+      .withColumn("nsh", size(col("shl")).cast("long"))
+
+  /** Training documents contaminated by the eval set: for each train doc
+    * sharing ≥1 distinct `n`-gram with any eval doc — the number of shared
+    * distinct n-grams, the number of eval docs hit, and the contaminated
+    * share of the doc's own n-gram set. */
+  def contaminatedDocs(docs: DataFrame, n: Int = NgramN): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val hashed = withNgramHashes(Dedup.augmentedDocs(docs), n)
+    val evalSh = hashed.filter(isEval)
+      .select(col("doc_id").as("eval_doc_id"), explode(col("shl")).as("h"))
+    val trainSh = hashed.filter(!isEval)
+      .select(col("doc_id"), col("nsh"), explode(col("shl")).as("h"))
+    trainSh.join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id"), col("nsh"))
+      .agg(
+        countDistinct(col("h")).as("n_shared_ngrams"),
+        countDistinct(col("eval_doc_id")).as("n_eval_docs"))
+      .select(
+        col("doc_id"),
+        col("n_shared_ngrams"),
+        col("n_eval_docs"),
+        round(col("n_shared_ngrams").cast("double") / col("nsh"), 4)
+          .as("contaminated_share"))
+      .orderBy(col("doc_id"))
+  }
+}

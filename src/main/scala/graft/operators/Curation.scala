@@ -104,4 +104,46 @@ object Curation {
       .groupBy(col("shard"), col("seq_index"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
       .orderBy(col("shard"), col("seq_index"))
+
+  // ── stratified mixture sampling ──────────────────────────────────────────
+
+  /** Per-language sampling rates in basis points (out of 10000) — the
+    * mixture-weight knob of a pretraining data recipe ("keep 50% of en,
+    * 10% of zh"). Integer basis points, not double rates: the keep
+    * predicate stays exact integer arithmetic on both engines. */
+  val SampleRatesBp: Map[String, Int] =
+    Map("en" -> 5000, "es" -> 3000, "fr" -> 3000, "de" -> 2000, "zh" -> 1000)
+
+  /** Deterministic stratified downsampling: keep a document iff
+    * hash64(doc_id#salt) mod 10000 < its language's basis-point rate.
+    * Unknown languages default to 0 (dropped). The hash is uniform within
+    * every stratum, so realized rates converge to the configured mixture;
+    * re-runs and late-arriving shards never reshuffle prior decisions.
+    *
+    * Scale shape: a narrow map-side filter — no shuffle, no RNG state, no
+    * driver involvement; the sampled corpus streams straight into the next
+    * stage at full scan speed. */
+  def withSampleFlag(docs: DataFrame, rates: Map[String, Int] = SampleRatesBp,
+      salt: String = "sample1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val rateCase = rates.toSeq.sortBy(_._1)
+      .map { case (l, bp) => s"WHEN '$l' THEN $bp" }
+      .mkString("CASE lang ", " ", " ELSE 0 END")
+    docs
+      .withColumn("rate_bp", expr(rateCase))
+      .withColumn("keep", splitHash(salt) % 10000 < col("rate_bp"))
+  }
+
+  /** Per-language sampling accounting: configured vs realized rate. */
+  def sampleSummary(docs: DataFrame, rates: Map[String, Int] = SampleRatesBp,
+      salt: String = "sample1"): DataFrame =
+    withSampleFlag(docs, rates, salt)
+      .groupBy(col("lang"))
+      .agg(
+        max(col("rate_bp")).as("rate_bp"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("realized_rate",
+        round(col("n_kept").cast("double") / col("n_total"), 4))
+      .orderBy(col("lang"))
 }

@@ -399,4 +399,66 @@ object Dedup {
         round(col("cos"), 6).as("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  // ── 7. incremental (snapshot) dedup ────────────────────────────────────
+
+  /** Incremental ingest dedup against a prior corpus snapshot: each
+    * arriving batch document is checked against the snapshot's content
+    * digests and labeled `duplicate` (digest already ingested) or `new`.
+    * This is the batch-mode sibling of the streaming first-seen filter
+    * ([[graft.streaming.DocStream]]); here snapshot = the base `documents`
+    * corpus and batch = the augmented additions (ids ≥ 100000), so the
+    * oracle can verify the labeling value-for-value: exact copies come
+    * back `duplicate`, truncated near-dups come back `new` (near-dup
+    * ingest control is MinHash's job, not the digest gate's).
+    *
+    * Scale shape: both sides shuffle ONLY their digest column (the join
+    * key); at 100 TB the snapshot digest table is itself a compact column
+    * (32 bytes/doc) and the hash join is the intended plan. For the common
+    * case where the arriving batch is small relative to the snapshot, use
+    * [[incrementalStatusBloom]] — the broadcast-bloom prefilter keeps the
+    * snapshot scan but spares the batch the shuffle for every
+    * bloom-negative (definitely-new) row. */
+  def incrementalStatus(docs: DataFrame): DataFrame = {
+    val aug = augmentedDocs(docs)
+    val snapshot = aug.filter(col("doc_id") < 100000)
+      .select(md5(col("text")).as("digest")).distinct()
+      .withColumn("seen", lit(1))
+    aug.filter(col("doc_id") >= 100000)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(snapshot, Seq("digest"), "left")
+      .select(col("doc_id"),
+        when(col("seen").isNotNull, "duplicate").otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bloom-prefiltered variant of [[incrementalStatus]] — identical output
+    * (bloom filters have no false negatives, so every true duplicate still
+    * reaches the exact confirm join; false positives are caught BY that
+    * join). The snapshot digests are folded into a compact bloom filter
+    * with one distributed aggregation, broadcast to the batch scan, and
+    * only bloom-positive batch rows (true dups + fpp-rate noise) enter the
+    * exact join — the bloom-negative majority is labeled `new` map-side
+    * with zero shuffle. The membership probe is a driver-broadcast sketch
+    * lookup, which no Catalyst expression expresses — the one-UDF boundary
+    * is deliberate and sits outside every hot codegen span. */
+  def incrementalStatusBloom(docs: DataFrame, expectedItems: Long = 2000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val aug = augmentedDocs(docs)
+    val snapshot = aug.filter(col("doc_id") < 100000)
+      .select(md5(col("text")).as("digest"))
+    val bloom = snapshot.stat.bloomFilter("digest", expectedItems, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((d: String) => bloomBc.value.mightContainString(d))
+    val batch = aug.filter(col("doc_id") >= 100000)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .withColumn("candidate", mightContain(col("digest")))
+    val definiteNew = batch.filter(!col("candidate"))
+      .select(col("doc_id"), lit("new").as("status"))
+    val confirmed = batch.filter(col("candidate"))
+      .join(snapshot.distinct().withColumn("seen", lit(1)), Seq("digest"), "left")
+      .select(col("doc_id"),
+        when(col("seen").isNotNull, "duplicate").otherwise("new").as("status"))
+    definiteNew.unionByName(confirmed).orderBy(col("doc_id"))
+  }
 }

@@ -142,4 +142,54 @@ object TextAnalysis {
       col("doc_id"),
       Hashing.rollingFingerprint("toks").as("fingerprint"))
   }
+
+  // ── BM25 relevance scoring ───────────────────────────────────────────────
+
+  /** Query term set for the BM25 ranking operator (any literal term list;
+    * these occur throughout the synthetic corpus). */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "window", "stream")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 ranking of the corpus against a fixed query-term set — the
+    * quality/relevance scorer used to select in-domain training data
+    * (e.g. "books-like" or "wiki-like" filtering by exemplar terms).
+    *
+    * Scale shape: the corpus statistics BM25 needs (N, avgdl, per-term
+    * document frequency) collapse to ONE row via partial aggregation —
+    * per-term df is `sum(contains)` so there is no token explode and no
+    * token shuffle — and that row is broadcast back over the corpus with a
+    * crossJoin. The per-doc score is then a narrow projection; the only
+    * full shuffle is the final global top-k (TakeOrderedAndProject — sort
+    * truncated to k rows per partition before the single-stage merge).
+    *
+    * Determinism: tf/df/dl are exact integers in doubles, the per-term sum
+    * is written in fixed left-associated term order, and the score is
+    * rounded — the DuckDB oracle reproduces it bit-for-bit. */
+  def bm25Scores(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val toks = withTokens(docs)
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
+    val statCols =
+      count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).as("sum_dl") +:
+      Bm25Terms.map(t =>
+        sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+          .cast("double").as(s"df_$t"))
+    val stats = toks.agg(statCols.head, statCols.tail: _*)
+    val scored = toks.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    val termScores = Bm25Terms.map { t =>
+      val tf = expr(s"cast(size(filter(toks, x -> x = '$t')) as double)")
+      val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
+        (col(s"df_$t") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    }
+    scored
+      .withColumn("bm25", round(termScores.reduceLeft(_ + _), 4))
+      .filter(col("bm25") > 0)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
 }

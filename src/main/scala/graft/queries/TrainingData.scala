@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Curation, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
 
 /**
  * Training-data pipeline query corpus: text analysis, dedup (exact /
@@ -37,6 +37,13 @@ object TrainingData {
       TextAnalysis.repetitionRatio(docs(s, dir))),
     "text_vocab" -> ((s, dir) =>
       TextAnalysis.vocabulary(docs(s, dir))),
+    "text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25Scores(docs(s, dir))),
+
+    // ── decontamination / PII scrubbing ───────────────────────────────────
+    "decon_overlap" -> ((s, dir) => Contamination.contaminatedDocs(docs(s, dir))),
+    "pii_scan" -> ((s, dir) => Pii.piiScan(docs(s, dir))),
+    "pii_summary" -> ((s, dir) => Pii.piiSummary(docs(s, dir))),
 
     // ── dedup ─────────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -48,11 +55,13 @@ object TrainingData {
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingNearDupsLsh(emb(s, dir))),
+    "dedup_incremental" -> ((s, dir) => Dedup.incrementalStatus(docs(s, dir))),
 
     // ── curation (post-dedup pipeline steps) ──────────────────────────────
     "cur_keeper" -> ((s, dir) => Curation.clusterKeepers(docs(s, dir))),
     "cur_split" -> ((s, dir) => Curation.splitSummary(docs(s, dir))),
     "cur_packing" -> ((s, dir) => Curation.packingSummary(docs(s, dir))),
+    "cur_sample" -> ((s, dir) => Curation.sampleSummary(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
