@@ -50,14 +50,14 @@ object Pii {
           concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0,
-          concat(lit(" call 555-"), lpad(pmod(col("doc_id"), 10000).cast("string"), 4, "0")))
+          concat(lit(" call 555-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
           .otherwise(lit("")),
         when(col("doc_id") % 11 === 0,
-          concat(lit(" host 10."), pmod(col("doc_id"), 256).cast("string"), lit(".0."),
-            pmod(col("doc_id") * 7, 256).cast("string")))
+          concat(lit(" host 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0."),
+            pmod(col("doc_id") * 7, lit(256)).cast("string")))
           .otherwise(lit("")),
         when(col("doc_id") % 13 === 0,
-          concat(lit(" id 123-45-"), lpad(pmod(col("doc_id"), 10000).cast("string"), 4, "0")))
+          concat(lit(" id 123-45-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
           .otherwise(lit(""))))
 
   private def countOf(pattern: String): Column =
