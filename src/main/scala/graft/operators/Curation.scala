@@ -126,11 +126,14 @@ object Curation {
   def withSampleFlag(docs: DataFrame, rates: Map[String, Int] = SampleRatesBp,
       salt: String = "sample1"): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    val rateCase = rates.toSeq.sortBy(_._1)
-      .map { case (l, bp) => s"WHEN '$l' THEN $bp" }
-      .mkString("CASE lang ", " ", " ELSE 0 END")
+    // typed when-chain, not string-built SQL — `rates` is a public
+    // parameter, so keys must never be spliced into a parsed statement
+    val rateCol = rates.toSeq.sortBy(_._1).reverse
+      .foldLeft(lit(0)) { case (acc, (l, bp)) =>
+        when(col("lang") === lit(l), lit(bp)).otherwise(acc)
+      }
     docs
-      .withColumn("rate_bp", expr(rateCase))
+      .withColumn("rate_bp", rateCol)
       .withColumn("keep", splitHash(salt) % 10000 < col("rate_bp"))
   }
 

@@ -449,7 +449,7 @@ object Dedup {
       .select(md5(col("text")).as("digest"))
     val bloom = snapshot.stat.bloomFilter("digest", expectedItems, fpp)
     val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((d: String) => bloomBc.value.mightContainString(d))
+    val mightContain = udf((d: String) => d != null && bloomBc.value.mightContainString(d))
     val batch = aug.filter(col("doc_id") >= 100000)
       .select(col("doc_id"), md5(col("text")).as("digest"))
       .withColumn("candidate", mightContain(col("digest")))

@@ -56,6 +56,7 @@ object TrainingData {
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(emb(s, dir))),
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingNearDupsLsh(emb(s, dir))),
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalStatus(docs(s, dir))),
+    "dedup_incremental_bloom" -> ((s, dir) => Dedup.incrementalStatusBloom(docs(s, dir))),
 
     // ── curation (post-dedup pipeline steps) ──────────────────────────────
     "cur_keeper" -> ((s, dir) => Curation.clusterKeepers(docs(s, dir))),
@@ -212,7 +213,165 @@ object TrainingData {
        |c${i}n AS (SELECT cell, cvec, ${dotD("cvec", "cvec")} AS csq FROM c$i)""".stripMargin
   }
 
+  /** The PII-planted corpus (mirrors Pii.augmentPii). */
+  private val piiCte =
+    """pii AS (
+      |  SELECT doc_id, lang,
+      |         trim(text) ||
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+      |         CASE WHEN doc_id % 7 = 0
+      |              THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END ||
+      |         CASE WHEN doc_id % 11 = 0
+      |              THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.0.' ||
+      |                   ((doc_id * 7) % 256)::VARCHAR ELSE '' END ||
+      |         CASE WHEN doc_id % 13 = 0
+      |              THEN ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+      |         AS text
+      |  FROM documents)""".stripMargin
+
+  /** Per-kind PII span counts over the planted corpus (mirrors
+    * Pii.piiScan's count columns; Spark regexp_extract_all == DuckDB's). */
+  private val piiCountsCte: String = {
+    val counts = Seq("email" -> graft.operators.Pii.EmailRe,
+      "phone" -> graft.operators.Pii.PhoneRe,
+      "ip" -> graft.operators.Pii.IpRe,
+      "ssn" -> graft.operators.Pii.SsnRe).map { case (k, re) =>
+      s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$k"
+    }.mkString(",\n       ")
+    s"""pc AS (
+       |  SELECT doc_id, text,
+       |       $counts
+       |  FROM pii)""".stripMargin
+  }
+
+  /** Redaction chain in Pii.Kinds order. DuckDB regexp_replace only
+    * substitutes the first match by default — the 'g' flag mirrors Spark's
+    * replace-all semantics. */
+  private val piiRedacted: String =
+    graft.operators.Pii.Kinds.foldLeft("text") { case (c, (_, pat, repl)) =>
+      s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+
+  /** Distinct 8-gram hash sets over aug (mirrors
+    * Contamination.withNgramHashes: word_shingles(text, 8) → hash64). */
+  private val ngram8Cte: String = {
+    val n = graft.operators.Contamination.NgramN
+    val gram = (0 until n).map(k => s"toks[(i+$k)::INT]").mkString(" || ' ' || ")
+    s"""ng AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(
+       |           list_distinct(list_transform(range(1, len(toks) - ${n - 2}),
+       |             i -> $gram)),
+       |           s -> ${h64("s")})) AS shl
+       |  FROM aug WHERE len(toks) >= $n),
+       |ngn AS (SELECT doc_id, shl, len(shl) AS nsh FROM ng)""".stripMargin
+  }
+
+  /** One BM25 term's score contribution (mirrors TextAnalysis.bm25Scores;
+    * k1/b literals written as the same arithmetic expressions Spark folds,
+    * so both engines produce bit-identical doubles). */
+  private def bm25Term(t: String): String =
+    s"""ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+       |         * (tf_$t * (1.2 + 1.0))
+       |         / (tf_$t + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (sum_dl / n_docs)))""".stripMargin
+
+  /** Snapshot-vs-batch digest labeling (mirrors Dedup.incrementalStatus;
+    * incrementalStatusBloom is output-identical by construction — blooms
+    * have no false negatives and positives are re-checked by the join —
+    * so both queries share this oracle). */
+  private val incrementalSql: String =
+    s"""WITH $baseCte, $augCte,
+       |snap AS (
+       |  SELECT DISTINCT md5(text) AS digest FROM aug WHERE doc_id < 100000),
+       |batch AS (
+       |  SELECT doc_id, md5(text) AS digest FROM aug WHERE doc_id >= 100000)
+       |SELECT b.doc_id,
+       |       CASE WHEN s.digest IS NOT NULL THEN 'duplicate' ELSE 'new' END AS status
+       |FROM batch b LEFT JOIN snap s ON b.digest = s.digest
+       |ORDER BY b.doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "pii_scan" ->
+      s"""WITH $piiCte, $piiCountsCte
+         |SELECT doc_id, n_email, n_phone, n_ip, n_ssn,
+         |       ${h64(piiRedacted)} AS redacted_fp
+         |FROM pc
+         |WHERE n_email + n_phone + n_ip + n_ssn > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "pii_summary" ->
+      s"""WITH $piiCte, $piiCountsCte,
+         |s AS (
+         |  SELECT ${Seq("email", "ip", "phone", "ssn").map(k =>
+              s"CAST(SUM(n_$k) AS BIGINT) AS s_$k, " +
+              s"CAST(SUM(CASE WHEN n_$k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d_$k")
+              .mkString(",\n         ")}
+         |  FROM pc)
+         |${Seq("email", "ip", "phone", "ssn").map(k =>
+            s"SELECT '$k' AS kind, s_$k AS n_spans, d_$k AS n_docs FROM s")
+            .mkString("\n|UNION ALL\n|").stripMargin}
+         |ORDER BY kind""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH $baseCte,
+         |t AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM base),
+         |stats AS (
+         |  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl,
+         |         ${TextAnalysis.Bm25Terms.map(t =>
+              s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::DOUBLE AS df_$t")
+              .mkString(",\n         ")}
+         |  FROM t),
+         |tf AS (
+         |  SELECT t.doc_id, t.dl, s.n_docs, s.sum_dl,
+         |         ${TextAnalysis.Bm25Terms.map(t => s"s.df_$t AS df_$t").mkString(", ")},
+         |         ${TextAnalysis.Bm25Terms.map(t =>
+              s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_$t")
+              .mkString(",\n         ")}
+         |  FROM t, stats s),
+         |scored AS (
+         |  SELECT doc_id,
+         |         ROUND(${TextAnalysis.Bm25Terms.map(bm25Term).mkString("\n         + ")}, 4) AS bm25
+         |  FROM tf)
+         |SELECT doc_id, bm25 FROM scored WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "decon_overlap" ->
+      s"""WITH $baseCte, $augCte, $ngram8Cte,
+         |ev AS (
+         |  SELECT doc_id AS eval_doc_id, unnest(shl) AS h FROM ngn
+         |  WHERE doc_id < 100000 AND doc_id % ${graft.operators.Contamination.EvalModulus} = 0),
+         |tr AS (
+         |  SELECT doc_id, nsh, unnest(shl) AS h FROM ngn
+         |  WHERE NOT (doc_id < 100000 AND doc_id % ${graft.operators.Contamination.EvalModulus} = 0))
+         |SELECT t.doc_id,
+         |       CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_ngrams,
+         |       CAST(COUNT(DISTINCT e.eval_doc_id) AS BIGINT) AS n_eval_docs,
+         |       ROUND(COUNT(DISTINCT t.h)::DOUBLE / t.nsh, 4) AS contaminated_share
+         |FROM tr t JOIN ev e ON t.h = e.h
+         |GROUP BY t.doc_id, t.nsh
+         |ORDER BY t.doc_id""".stripMargin,
+
+    "dedup_incremental" -> incrementalSql,
+    "dedup_incremental_bloom" -> incrementalSql,
+
+    "cur_sample" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |         ${Curation.SampleRatesBp.toSeq.sortBy(_._1).map { case (l, bp) =>
+              s"WHEN '$l' THEN $bp" }.mkString("CASE lang ", " ", " ELSE 0 END")} AS rate_bp
+         |  FROM documents),
+         |s AS (
+         |  SELECT lang, rate_bp,
+         |         CASE WHEN ${h64("doc_id::VARCHAR || '#sample1'")} % 10000 < rate_bp
+         |           THEN 1 ELSE 0 END AS keep
+         |  FROM r)
+         |SELECT lang, MAX(rate_bp) AS rate_bp,
+         |       CAST(COUNT(*) AS BIGINT) AS n_total,
+         |       CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |       ROUND(SUM(keep)::DOUBLE / COUNT(*), 4) AS realized_rate
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+
     "sim_kmeans_cells" ->
       s"""WITH $vecCte,
          |c0 AS (

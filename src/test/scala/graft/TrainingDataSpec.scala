@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Curation, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
 
 /** Structural invariants for the training-data pipeline operators. Exact
   * value-parity with DuckDB is enforced by the driver's oracle gate (and
@@ -267,6 +267,109 @@ class TrainingDataSpec extends AnyFunSuite {
         assert(v >= 0.0 && v <= 1.0)
       }
     }
+  }
+
+  test("pii scan finds every planted span kind on its stride and redacts all of them") {
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val scan = Pii.piiScan(docs).collect()
+    val byId = scan.map(r => r.getLong(0) -> r).toMap
+    ids.filter(_ % 5 == 0).foreach(id => assert(byId(id).getLong(1) >= 1, s"email missing on $id"))
+    ids.filter(_ % 7 == 0).foreach(id => assert(byId(id).getLong(2) >= 1, s"phone missing on $id"))
+    ids.filter(_ % 11 == 0).foreach(id => assert(byId(id).getLong(3) >= 1, s"ip missing on $id"))
+    ids.filter(_ % 13 == 0).foreach(id => assert(byId(id).getLong(4) >= 1, s"ssn missing on $id"))
+    // redaction is complete: no pattern matches survive in the redacted text
+    val remaining = Pii.augmentPii(docs)
+      .select(Pii.redacted(col("text")).as("t"))
+      .select(Pii.Kinds.map { case (k, pat, _) =>
+        sum(size(regexp_extract_all(col("t"), lit(pat), lit(0)))).as(k)
+      }: _*).first()
+    Pii.Kinds.indices.foreach(i => assert(remaining.getLong(i) === 0L))
+    // and it actually changed the text of every hit doc (fingerprint moves)
+    val moved = Pii.augmentPii(docs)
+      .select(col("doc_id"),
+        call_function("hash64", col("text")).as("raw_fp"),
+        call_function("hash64", Pii.redacted(col("text"))).as("red_fp"))
+      .filter(col("raw_fp") === col("red_fp"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scan.map(_.getLong(0)).forall(id => !moved.contains(id)))
+  }
+
+  test("pii summary doc counts match the planting strides") {
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val s = Pii.piiSummary(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val strides = Map("email" -> 5, "phone" -> 7, "ip" -> 11, "ssn" -> 13)
+    strides.foreach { case (kind, m) =>
+      val planted = ids.count(_ % m == 0).toLong
+      val (nSpans, nDocs) = s(kind)
+      assert(nDocs === planted, s"$kind docs: got $nDocs, planted $planted")
+      assert(nSpans >= nDocs)
+    }
+  }
+
+  test("decontamination flags every exact copy of an eval doc at full share") {
+    val res = Contamination.contaminatedDocs(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val longEnough = TextAnalysis.withTokens(docs)
+      .filter(size(col("toks")) >= Contamination.NgramN)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val evalCopies = longEnough.filter(id =>
+      id % Contamination.EvalModulus == 0 && id % 13 == 0)
+    assert(evalCopies.nonEmpty, "fixture must contain at least one eval-doc exact copy")
+    evalCopies.foreach { id =>
+      val hit = res.get(id + 200000)
+      assert(hit.isDefined, s"exact eval copy ${id + 200000} not flagged")
+      assert(hit.get._3 === 1.0, s"exact copy share must be 1.0, got ${hit.get._3}")
+      assert(hit.get._2 >= 1)
+    }
+    // share is a ratio; never above 1
+    res.values.foreach { case (_, _, share) => assert(share > 0.0 && share <= 1.0) }
+  }
+
+  test("bm25 ranks the all-terms document first and orders by score") {
+    import spark.implicits._
+    val synth = ((1 to 50).map(i =>
+      (i.toLong, s"filler alpha beta gamma delta w$i common words here", "en")) ++ Seq(
+      (998L, "spark appears once in this otherwise plain document body", "en"),
+      (999L, "spark join window stream spark join window stream", "en")))
+      .toDF("doc_id", "text", "lang")
+    val top = TextAnalysis.bm25Scores(synth).collect()
+    assert(top.nonEmpty && top.head.getLong(0) === 999L)
+    assert(top.map(_.getLong(0)).contains(998L))
+    val scores = top.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ > 0.0))
+  }
+
+  test("incremental dedup labels exact copies duplicate, truncations new; bloom variant identical") {
+    val st = Dedup.incrementalStatus(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st.nonEmpty)
+    st.foreach { case (id, status) =>
+      if (id >= 200000) assert(status === "duplicate", s"exact copy $id")
+      else assert(status === "new", s"truncated near-dup $id")
+    }
+    val stBloom = Dedup.incrementalStatusBloom(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stBloom === st, "bloom-prefiltered variant must be output-identical")
+  }
+
+  test("stratified sampling: realized rate tracks the configured mixture; unknown langs drop") {
+    val rows = Curation.sampleSummary(docs).collect()
+    assert(rows.map(_.getString(0)).toSet === Curation.SampleRatesBp.keySet)
+    rows.foreach { r =>
+      val (rateBp, nTotal, nKept, realized) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(rateBp === Curation.SampleRatesBp(r.getString(0)))
+      assert(nKept <= nTotal)
+      assert(math.abs(realized - rateBp / 10000.0) < 0.15,
+        s"${r.getString(0)}: realized $realized vs configured ${rateBp / 10000.0}")
+    }
+    import spark.implicits._
+    val unknown = Seq((1L, "foo bar", "xx"), (2L, "baz qux", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val u = Curation.sampleSummary(unknown).collect()
+    assert(u.length === 1 && u(0).getInt(1) === 0 && u(0).getLong(3) === 0L)
   }
 
   test("frame sampling emits FramesPerVideo frames per video row") {
