@@ -73,14 +73,14 @@ class JdbcMigrator(spark: SparkSession, url: String,
     "network VARCHAR(64), status VARCHAR(32), error_message VARCHAR(600), " +
       "datasets_processed VARCHAR(4000), writer_id VARCHAR(64)"
 
-  private def execDdl(sql: String, tolerateExisting: Boolean): Unit = {
+  private def execDdl(sql: String,
+      tolerate: java.sql.SQLException => Boolean = _ => false): Unit = {
     val conn = DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
       try st.executeUpdate(sql)
       catch {
-        case e: java.sql.SQLException
-          if tolerateExisting && isAlreadyExists(e) => ()
+        case e: java.sql.SQLException if tolerate(e) => ()
       } finally st.close()
     } finally conn.close()
   }
@@ -88,52 +88,82 @@ class JdbcMigrator(spark: SparkSession, url: String,
   private def isAlreadyExists(e: java.sql.SQLException): Boolean =
     JdbcMigrator.isAlreadyExists(e)
 
-  /** (version, name, action) — ordered; mirror of get_available_migrations. */
+  /** Full latest-state view, mirroring EraStateManager.eraStatus's complete
+    * ordering (insert_version desc, recorded_at desc, writer_id desc) as
+    * nested correlated MAXes — Derby has neither PARTITION BY windows nor
+    * row-value comparison, so each tie-break level filters within the
+    * previous level's winners. Without the extra levels, same-version ties
+    * (two writers racing an era) emit multiple rows per (network, era) and
+    * diverge from the Parquet-side latest-state view. Installed by
+    * migration 003 (replacing 002's single-level view — migrations are
+    * append-only, so the fix is a new version, not an edit: a database that
+    * recorded 002 before the tie-break existed still converges).
+    *
+    * Known limit: on a FULL tie — same insert_version, recorded_at AND
+    * writer_id, i.e. one writer appending the identical row twice — the
+    * view emits both rows, where the Parquet-side row_number picks one
+    * arbitrarily. writer_id is the unique per-writer discriminator, so a
+    * full tie means a duplicate append of the same record; consumers that
+    * must be robust to that should collapse with GROUP BY (network,
+    * era_number). */
+  private[export] val eraStatusViewDdl: String =
+    """CREATE VIEW era_status AS
+      |SELECT * FROM era_completion ec
+      |WHERE ec."insert_version" = (
+      |  SELECT MAX(e2."insert_version") FROM era_completion e2
+      |  WHERE e2."network" = ec."network"
+      |    AND e2."era_number" = ec."era_number")
+      |AND (ec."recorded_at" = (
+      |  SELECT MAX(e3."recorded_at") FROM era_completion e3
+      |  WHERE e3."network" = ec."network"
+      |    AND e3."era_number" = ec."era_number"
+      |    AND e3."insert_version" = ec."insert_version")
+      | OR (ec."recorded_at" IS NULL AND (
+      |  SELECT MAX(e3."recorded_at") FROM era_completion e3
+      |  WHERE e3."network" = ec."network"
+      |    AND e3."era_number" = ec."era_number"
+      |    AND e3."insert_version" = ec."insert_version") IS NULL))
+      |AND (ec."writer_id" = (
+      |  SELECT MAX(e4."writer_id") FROM era_completion e4
+      |  WHERE e4."network" = ec."network"
+      |    AND e4."era_number" = ec."era_number"
+      |    AND e4."insert_version" = ec."insert_version"
+      |    AND (e4."recorded_at" = ec."recorded_at"
+      |         OR (e4."recorded_at" IS NULL AND ec."recorded_at" IS NULL)))
+      | OR (ec."writer_id" IS NULL AND (
+      |  SELECT MAX(e4."writer_id") FROM era_completion e4
+      |  WHERE e4."network" = ec."network"
+      |    AND e4."era_number" = ec."era_number"
+      |    AND e4."insert_version" = ec."insert_version"
+      |    AND (e4."recorded_at" = ec."recorded_at"
+      |         OR (e4."recorded_at" IS NULL AND ec."recorded_at" IS NULL))) IS NULL))""".stripMargin
+
+  /** (version, name, action) — ordered; mirror of get_available_migrations.
+    * APPEND-ONLY: never edit an entry that has shipped — a database that
+    * already recorded the version keeps its old objects and silently
+    * diverges. Behavior changes go in a new version (003 is the example). */
   val migrations: Seq[(String, String, () => Unit)] = Seq(
     ("001", "001_initial_tables", () =>
       datasetSchemas.foreach { case (table, schema) => createFromSchema(table, schema) }),
     ("002", "002_state_tracking", () => {
       createFromSchema("era_completion", EraStateManager.jdbcLogSchema,
         Some(eraCompletionTypes))
-      // Mirrors EraStateManager.eraStatus's full ordering (insert_version
-      // desc, recorded_at desc, writer_id desc) as nested correlated MAXes
-      // — Derby has neither PARTITION BY windows nor row-value comparison,
-      // so each tie-break level filters within the previous level's
-      // winners. Without the extra levels, same-version ties (two writers
-      // racing an era) emit multiple rows per (network, era) and diverge
-      // from the Parquet-side latest-state view.
+      // 002 as originally shipped: latest insert_version only. Same-version
+      // ties are resolved by 003's replacement view.
       execDdl(
         """CREATE VIEW era_status AS
           |SELECT * FROM era_completion ec
           |WHERE ec."insert_version" = (
           |  SELECT MAX(e2."insert_version") FROM era_completion e2
           |  WHERE e2."network" = ec."network"
-          |    AND e2."era_number" = ec."era_number")
-          |AND (ec."recorded_at" = (
-          |  SELECT MAX(e3."recorded_at") FROM era_completion e3
-          |  WHERE e3."network" = ec."network"
-          |    AND e3."era_number" = ec."era_number"
-          |    AND e3."insert_version" = ec."insert_version")
-          | OR (ec."recorded_at" IS NULL AND (
-          |  SELECT MAX(e3."recorded_at") FROM era_completion e3
-          |  WHERE e3."network" = ec."network"
-          |    AND e3."era_number" = ec."era_number"
-          |    AND e3."insert_version" = ec."insert_version") IS NULL))
-          |AND (ec."writer_id" = (
-          |  SELECT MAX(e4."writer_id") FROM era_completion e4
-          |  WHERE e4."network" = ec."network"
-          |    AND e4."era_number" = ec."era_number"
-          |    AND e4."insert_version" = ec."insert_version"
-          |    AND (e4."recorded_at" = ec."recorded_at"
-          |         OR (e4."recorded_at" IS NULL AND ec."recorded_at" IS NULL)))
-          | OR (ec."writer_id" IS NULL AND (
-          |  SELECT MAX(e4."writer_id") FROM era_completion e4
-          |  WHERE e4."network" = ec."network"
-          |    AND e4."era_number" = ec."era_number"
-          |    AND e4."insert_version" = ec."insert_version"
-          |    AND (e4."recorded_at" = ec."recorded_at"
-          |         OR (e4."recorded_at" IS NULL AND ec."recorded_at" IS NULL))) IS NULL))""".stripMargin,
-        tolerateExisting = true)
+          |    AND e2."era_number" = ec."era_number")""".stripMargin,
+        tolerate = isAlreadyExists)
+    }),
+    ("003", "003_era_status_tiebreak", () => {
+      // replace whatever era_status the database carries (002's
+      // single-level view, or none on a partially bootstrapped schema)
+      execDdl("DROP VIEW era_status", tolerate = JdbcMigrator.isMissing)
+      execDdl(eraStatusViewDdl)
     }))
 
   /** Deterministic content fingerprint for the tracking row: md5 over the
@@ -142,6 +172,7 @@ class JdbcMigrator(spark: SparkSession, url: String,
     val ddl = version match {
       case "001" => datasetSchemas.map { case (n, s) => s"$n:${s.toDDL}" }.mkString(";")
       case "002" => s"era_completion:${EraStateManager.jdbcLogSchema.toDDL}"
+      case "003" => s"era_status:$eraStatusViewDdl"
       case _ => ""
     }
     java.security.MessageDigest.getInstance("MD5").digest(ddl.getBytes("UTF-8"))
@@ -208,5 +239,18 @@ object JdbcMigrator {
     val state = Option(e.getSQLState).getOrElse("")
     state == "X0Y32" || state == "X0Y68" || state == "42P07" || state == "42S01" ||
       Option(e.getMessage).exists(_.toLowerCase.contains("already exist"))
+  }
+
+  /** True for missing-object errors (the DROP-if-exists tolerance — Derby
+    * has no DROP VIEW IF EXISTS). Derby X0X05/42X05 table-or-view-not-found,
+    * SQL-standard undefined-table states 42P01 Postgres / 42S02 MySQL;
+    * message fallback excludes "already exists" by construction. */
+  private[graft] def isMissing(e: java.sql.SQLException): Boolean = {
+    val state = Option(e.getSQLState).getOrElse("")
+    state == "X0X05" || state == "42X05" || state == "42P01" || state == "42S02" ||
+      Option(e.getMessage).exists { m =>
+        val lm = m.toLowerCase
+        lm.contains("does not exist") || lm.contains("not found")
+      }
   }
 }

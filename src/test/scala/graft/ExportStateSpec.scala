@@ -101,9 +101,9 @@ class ExportStateSpec extends AnyFunSuite {
     // fresh DB → run creates 15 dataset tables + era_completion + tracking
     Cli.main(Array("--migrate", url, "run"))
     val tracking = spark.read.jdbc(url, "schema_migrations", props)
-    assert(tracking.count() === 2)
+    assert(tracking.count() === 3)
     assert(tracking.select("version").collect().map(_.getString(0)).sorted
-      === Array("001", "002"))
+      === Array("001", "002", "003"))
     graft.operators.Normalizer.datasetNames.foreach { t =>
       assert(spark.read.jdbc(url, t, props).count() === 0, s"table $t missing")
     }
@@ -111,7 +111,7 @@ class ExportStateSpec extends AnyFunSuite {
 
     // idempotent: a second run applies nothing
     Cli.main(Array("--migrate", url, "run"))
-    assert(spark.read.jdbc(url, "schema_migrations", props).count() === 2)
+    assert(spark.read.jdbc(url, "schema_migrations", props).count() === 3)
 
     // the freshly created tables accept a real export (S15 path, no manual DDL)
     val eraDir = graft.testkit.EraFixtures.ensureGenerated()
@@ -171,6 +171,41 @@ class ExportStateSpec extends AnyFunSuite {
       assert(rs.next() && rs.getLong(1) === 9L && rs.getString(2) === "completed")
       assert(rs.next() && rs.getLong(1) === 10L && rs.getString(2) === "completed")
       assert(!rs.next(), "era_status must emit exactly one row per era under ties")
+      st.close()
+    } finally conn.close()
+  }
+
+  test("migration 003 upgrades a database stuck on 002's single-level view") {
+    import graft.export.JdbcMigrator
+    val db = tmpDir("derby-upg") + "/upgdb"
+    val url = s"jdbc:derby:$db;create=true"
+    val migrator = new JdbcMigrator(spark, url)
+
+    // deployment state as of the original 002: single-level era_status
+    assert(migrator.run(target = Some("002")) === Seq("001", "002"))
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // a same-version tie: the 002 view emits BOTH rows (the divergence)
+      st.executeUpdate(
+        """INSERT INTO era_completion ("network", "era_number", "status",
+          |"insert_version", "recorded_at", "writer_id")
+          |VALUES ('gnosis', 4, 'processing', 2,
+          |TIMESTAMP('2026-01-01 00:00:00'), 'aaaa')""".stripMargin.replaceAll("\n", " "))
+      st.executeUpdate(
+        """INSERT INTO era_completion ("network", "era_number", "status",
+          |"insert_version", "recorded_at", "writer_id")
+          |VALUES ('gnosis', 4, 'completed', 2,
+          |TIMESTAMP('2026-01-01 00:00:01'), 'bbbb')""".stripMargin.replaceAll("\n", " "))
+      val before = st.executeQuery("""SELECT COUNT(*) FROM era_status""")
+      assert(before.next() && before.getLong(1) === 2L,
+        "002's view should expose the tie (that is the bug 003 fixes)")
+
+      // upgrade: only 003 is pending; it swaps in the tie-breaking view
+      assert(migrator.run() === Seq("003"))
+      val rs = st.executeQuery("""SELECT "status" FROM era_status""")
+      assert(rs.next() && rs.getString(1) === "completed")
+      assert(!rs.next(), "upgraded view must collapse the tie to one row")
       st.close()
     } finally conn.close()
   }
