@@ -69,14 +69,16 @@ object Pii {
       regexp_replace(c, lit(pat), lit(repl))
     }
 
-  /** Per-document PII scan over the planted corpus: per-kind span counts
-    * plus a portable fingerprint of the redacted text (verifying the
-    * replacement itself, not just the detection). Only documents with at
-    * least one finding are emitted — at scale that keeps the output
-    * proportional to findings, not corpus size. */
-  def piiScan(docs: DataFrame): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    augmentPii(docs)
+  /** Per-document PII scan over ALREADY-DIRTY text — the production entry
+    * point (mirrors [[Dedup]] exposing both augmented and raw-input APIs):
+    * per-kind span counts plus a portable fingerprint of the redacted text
+    * (verifying the replacement itself, not just the detection). Only
+    * documents with at least one finding are emitted — at scale that keeps
+    * the output proportional to findings, not corpus size. Expects
+    * (doc_id, text) columns. */
+  def scanRaw(dirty: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(dirty.sparkSession)
+    dirty
       .withColumn("n_email", countOf(EmailRe))
       .withColumn("n_phone", countOf(PhoneRe))
       .withColumn("n_ip", countOf(IpRe))
@@ -88,14 +90,14 @@ object Pii {
       .orderBy(col("doc_id"))
   }
 
-  /** Corpus-level scrub accounting: total spans and affected docs per kind.
-    * ONE corpus pass: all eight partial sums ride a single aggregation to
-    * one row, unpivoted to per-kind rows afterwards (`stack` over the
-    * 1-row result — free), never one scan per kind. */
-  def piiSummary(docs: DataFrame): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+  /** Corpus-level scrub accounting over ALREADY-DIRTY text: total spans and
+    * affected docs per kind. ONE corpus pass: all eight partial sums ride a
+    * single aggregation to one row, unpivoted to per-kind rows afterwards
+    * (`stack` over the 1-row result — free), never one scan per kind. */
+  def summaryRaw(dirty: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(dirty.sparkSession)
     val kinds = Seq("email", "phone", "ip", "ssn")
-    val scanned = augmentPii(docs)
+    val scanned = dirty
       .withColumn("n_email", countOf(EmailRe))
       .withColumn("n_phone", countOf(PhoneRe))
       .withColumn("n_ip", countOf(IpRe))
@@ -109,4 +111,11 @@ object Pii {
         s"stack(${kinds.size}, $stackArgs) as (kind, n_spans, n_docs)"))
       .orderBy(col("kind"))
   }
+
+  /** [[scanRaw]] over the deterministically planted corpus — the
+    * oracle-verifiable harness entry point. */
+  def piiScan(docs: DataFrame): DataFrame = scanRaw(augmentPii(docs))
+
+  /** [[summaryRaw]] over the planted corpus (oracle twin). */
+  def piiSummary(docs: DataFrame): DataFrame = summaryRaw(augmentPii(docs))
 }

@@ -294,6 +294,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(scan.map(_.getLong(0)).forall(id => !moved.contains(id)))
   }
 
+  test("pii raw-input API detects and redacts hand-written dirty text") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or call 555-0199 today"),
+      (2L, "server 192.168.1.77 rejected ssn 123-45-6789 twice: 123-45-6789"),
+      (3L, "perfectly clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val rows = Pii.scanRaw(dirty).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L)) // clean doc absent
+    val r1 = rows(0); val r2 = rows(1)
+    assert(r1.getLong(1) === 1L && r1.getLong(2) === 1L) // email + phone
+    assert(r2.getLong(3) === 1L && r2.getLong(4) === 2L) // ip + 2 ssn spans
+    val summary = Pii.summaryRaw(dirty).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(summary === Map(
+      "email" -> (1L, 1L), "phone" -> (1L, 1L), "ip" -> (1L, 1L), "ssn" -> (2L, 1L)))
+  }
+
   test("pii summary doc counts match the planting strides") {
     val ids = docs.select("doc_id").collect().map(_.getLong(0))
     val s = Pii.piiSummary(docs).collect()
