@@ -175,15 +175,7 @@ object Dedup {
     * (band index, band hash), then verify with the signature-agreement
     * estimate of Jaccard. The join shuffles on the band key only. */
   def minhashLshPairs(docs: DataFrame, estThreshold: Double = 0.5): DataFrame = {
-    val sig = minhashSignatures(docs)
-    val rows = MinhashK / MinhashBands
-    val banded = sig.select(
-        col("doc_id"), col("sig"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${MinhashBands - 1}),
-             |  b -> array_join(transform(slice(sig, b * $rows + 1, $rows),
-             |                            x -> cast(x as string)), ','))""".stripMargin))
-          .as(Seq("band", "band_key")))
+    val banded = bandedSigs(minhashSignatures(docs))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b,
@@ -460,5 +452,67 @@ object Dedup {
       .select(col("doc_id"),
         when(col("seen").isNotNull, "duplicate").otherwise("new").as("status"))
     definiteNew.unionByName(confirmed).orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, sig) → one row per (band, band_key) — the LSH bucket key a
+    * signature lands in (shared by [[minhashLshPairs]] and the incremental
+    * near-dup gate). */
+  private def bandedSigs(sig: DataFrame): DataFrame = {
+    val rows = MinhashK / MinhashBands
+    sig.select(
+      col("doc_id"), col("sig"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${MinhashBands - 1}),
+           |  b -> array_join(transform(slice(sig, b * $rows + 1, $rows),
+           |                            x -> cast(x as string)), ','))""".stripMargin))
+        .as(Seq("band", "band_key")))
+  }
+
+  /** Near-dup-aware incremental ingest: the MinHash sibling of the
+    * digest-only [[incrementalStatus]] gate. Each arriving batch document
+    * is labeled `duplicate` (content digest already in the snapshot),
+    * `near_duplicate` (an LSH band collision with a snapshot document whose
+    * signature-agreement Jaccard estimate clears `estThreshold` — e.g. a
+    * truncated or lightly edited copy the digest gate waves through), or
+    * `new`; `best_est` carries the best snapshot match's estimate (null
+    * when no banded candidate cleared the threshold, including sub-3-token
+    * documents that have no signature).
+    *
+    * Scale shape: the snapshot side is reduced to its band table (3 rows ×
+    * ~30 bytes per doc) and the join shuffles band keys only — never text,
+    * never the corpus; the estimate verify runs per banded candidate (LSH
+    * keeps that set ∝ true near-dups) and collapses to one row per batch
+    * doc before the cheap digest/status joins. Nothing is ever pairwise
+    * across the full snapshot. */
+  def incrementalNearDupStatus(docs: DataFrame,
+      estThreshold: Double = 0.5): DataFrame = {
+    val aug = augmentedDocs(docs)
+    val snapDigests = aug.filter(col("doc_id") < 100000)
+      .select(md5(col("text")).as("digest")).distinct()
+      .withColumn("seen", lit(1))
+    val sigs = minhashSignatures(docs)
+    val snapBands = bandedSigs(sigs.filter(col("doc_id") < 100000))
+      .select(col("band"), col("band_key"), col("sig").as("snap_sig"))
+    val batchBands = bandedSigs(sigs.filter(col("doc_id") >= 100000))
+    val near = batchBands.as("a")
+      .join(snapBands.as("b"), Seq("band", "band_key"))
+      .select(col("doc_id"), col("sig"), col("snap_sig"))
+      .distinct() // a pair can collide in >1 band
+      .withColumn("est",
+        expr(s"""size(filter(zip_with(sig, snap_sig, (x, y) -> x = y), v -> v))
+                 | / cast($MinhashK as double)""".stripMargin))
+      .filter(col("est") >= estThreshold)
+      .groupBy(col("doc_id"))
+      .agg(max(col("est")).as("best_est"))
+    aug.filter(col("doc_id") >= 100000)
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(snapDigests, Seq("digest"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("seen").isNotNull, "duplicate")
+          .when(col("best_est").isNotNull, "near_duplicate")
+          .otherwise("new").as("status"),
+        round(col("best_est"), 4).as("best_est"))
+      .orderBy(col("doc_id"))
   }
 }

@@ -57,6 +57,7 @@ object TrainingData {
     "dedup_embedding_lsh" -> ((s, dir) => Dedup.embeddingNearDupsLsh(emb(s, dir))),
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalStatus(docs(s, dir))),
     "dedup_incremental_bloom" -> ((s, dir) => Dedup.incrementalStatusBloom(docs(s, dir))),
+    "dedup_incremental_near" -> ((s, dir) => Dedup.incrementalNearDupStatus(docs(s, dir))),
 
     // ── curation (post-dedup pipeline steps) ──────────────────────────────
     "cur_keeper" -> ((s, dir) => Curation.clusterKeepers(docs(s, dir))),
@@ -354,6 +355,37 @@ object TrainingData {
 
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_bloom" -> incrementalSql,
+
+    "dedup_incremental_near" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte,
+         |banded AS (
+         |  SELECT doc_id, sig, b.band AS band,
+         |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+         |hits AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id, a.sig AS sig_a, b2.sig AS sig_b
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.band_key = b2.band_key
+         |  WHERE a.doc_id >= 100000 AND b2.doc_id < 100000),
+         |near AS (
+         |  SELECT doc_id,
+         |         MAX(len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE) AS best_est
+         |  FROM hits
+         |  WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5
+         |  GROUP BY doc_id),
+         |snapd AS (
+         |  SELECT DISTINCT md5(text) AS digest FROM aug WHERE doc_id < 100000),
+         |batch AS (
+         |  SELECT doc_id, md5(text) AS digest FROM aug WHERE doc_id >= 100000)
+         |SELECT b.doc_id,
+         |       CASE WHEN s.digest IS NOT NULL THEN 'duplicate'
+         |            WHEN n.doc_id IS NOT NULL THEN 'near_duplicate'
+         |            ELSE 'new' END AS status,
+         |       ROUND(n.best_est, 4) AS best_est
+         |FROM batch b
+         |LEFT JOIN snapd s ON b.digest = s.digest
+         |LEFT JOIN near n ON b.doc_id = n.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
 
     "cur_sample" ->
       s"""WITH r AS (

@@ -372,6 +372,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(stBloom === st, "bloom-prefiltered variant must be output-identical")
   }
 
+  test("incremental near-dup gate catches truncated copies the digest gate waves through") {
+    val rows = Dedup.incrementalNearDupStatus(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // digest semantics unchanged: every exact copy is still 'duplicate'
+    rows.filter(_._1 >= 200000).foreach { case (id, (status, est)) =>
+      assert(status === "duplicate", s"exact copy $id")
+      assert(est.contains(1.0), s"exact copy $id must best-match at est 1.0")
+    }
+    // the digest-only gate labels ALL truncations 'new'; the near gate must
+    // recover a meaningful share of them as near_duplicate
+    val truncs = rows.filter { case (id, _) => id >= 100000 && id < 200000 }
+    val nearCaught = truncs.count(_._2._1 == "near_duplicate")
+    assert(truncs.nonEmpty && nearCaught > 0,
+      s"no truncated copy recovered (of ${truncs.size})")
+    truncs.foreach { case (id, (status, est)) =>
+      assert(status !== "duplicate", s"truncation $id cannot digest-match")
+      if (status == "near_duplicate")
+        assert(est.exists(e => e >= 0.5 && e <= 1.0), s"$id est out of range: $est")
+      else assert(est.isEmpty || est.exists(_ < 0.5))
+    }
+    // agreement with the digest gate on everything the digest gate decides
+    val digestOnly = Dedup.incrementalStatus(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, (status, _)) =>
+      if (digestOnly(id) == "duplicate") assert(status === "duplicate")
+      else assert(status === "near_duplicate" || status === "new")
+    }
+  }
+
   test("stratified sampling: realized rate tracks the configured mixture; unknown langs drop") {
     val rows = Curation.sampleSummary(docs).collect()
     assert(rows.map(_.getString(0)).toSet === Curation.SampleRatesBp.keySet)
