@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: pin the SCALE-critical plan shapes the
+  * oracle gate cannot see. A refactor that keeps results identical but turns
+  * a broadcast star join into a shuffle join, or lets a narrow scan grow an
+  * aggregation Exchange, is a 100 TB regression even though every value
+  * still matches — these assertions fail it at test time. Plan strings are
+  * the pre-execution AQE initial plans (deterministic locally; no actions
+  * run except for operators whose CONSTRUCTION plans with collected stats,
+  * e.g. k-means centroids). */
+class PlanShapeSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  private def count(p: String, needle: String): Int =
+    p.sliding(needle.length).count(_ == needle)
+
+  test("star revenue join broadcasts every dimension — never a shuffle join") {
+    val p = plan("join_star_revenue")
+    assert(count(p, "BroadcastHashJoin") === 4, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("brute-force ANN broadcasts the query side; the corpus is never shuffled into the join") {
+    val p = plan("sim_topk_brute")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+    // the only hash Exchange is the per-query top-k window, after scoring
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+  }
+
+  test("IVF ANN joins probes to cells via broadcast; no shuffle before cell assignment") {
+    val p = plan("sim_topk_ivf")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+  }
+
+  test("bm25 broadcasts the 1-row stats and truncates the global sort to top-k") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(2000))
+    assert(p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"))
+  }
+
+  test("pii scan is a fully narrow projection — zero aggregation/join shuffles") {
+    val p = plan("pii_scan")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+    assert(count(p, "Exchange rangepartitioning") === 1) // the final orderBy only
+    // the findings predicate reaches the scan operator (DataFilters), so
+    // non-hit rows never materialize count columns above the scan
+    assert(p.contains("DataFilters: [(((("), p.take(2000))
+  }
+
+  test("exact dedup is one partial+final aggregation — a single key shuffle") {
+    val p = plan("dedup_exact")
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(count(p, "HashAggregate") === 2)
+  }
+
+  test("stratified sampling aggregates with one shuffle; the keep filter is map-side") {
+    val p = plan("cur_sample")
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(!p.contains("Join"))
+  }
+
+  test("decontamination broadcasts the eval n-gram set over the corpus probe") {
+    val p = plan("decon_overlap")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("incremental dedup joins digests only — text never reaches an Exchange") {
+    for (q <- Seq("dedup_incremental", "dedup_incremental_near")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      // every Exchange/Broadcast row ships digests/signatures, never text
+      p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+        .foreach(l => assert(!l.contains("text#"), s"$q shuffles raw text: $l"))
+    }
+  }
+
+  test("no query plans a CartesianProduct") {
+    // plan-only sweep of the whole registered surface; deliberate bounded
+    // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast
+    // side), never as a partition-pairing CartesianProduct
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+}
