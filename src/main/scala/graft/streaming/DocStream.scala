@@ -2,12 +2,22 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** One document arriving on an ingest stream — the streaming-side shape of
   * the `documents` table plus an arrival timestamp. */
 case class StreamDoc(doc_id: Long, text: String, lang: String, ts: Timestamp)
+
+/** One (LSH bucket, document) observation on the stream. */
+case class BandObs(band_key: String, doc_id: Long, sig: Seq[Long], ts: Timestamp)
+
+/** Retained signatures for one LSH bucket (newest first, bounded). */
+case class BucketState(docs: List[(Long, Seq[Long])])
+
+/** An arriving document matching an earlier-seen near-duplicate. */
+case class NearDupMatch(doc_id: Long, matched_doc_id: Long, est_jaccard: Double)
 
 /**
  * Streaming operators for a training-data INGEST pipeline — the dedup and
@@ -58,4 +68,71 @@ object DocStream {
     withSignatures(docs)
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("digest")
+
+  /** Streaming near-dup gate — the streaming sibling of
+    * [[graft.operators.Dedup.minhashLshPairs]], for duplicates the digest
+    * gate cannot see (truncated/edited copies). Custom state via
+    * `flatMapGroupsWithState` keyed by LSH band bucket: each arriving
+    * document's MinHash signature (the same codegen'd kernels as the batch
+    * path, so stream and backfill agree bit-for-bit) is banded, and within
+    * each bucket the arrival is compared against the bucket's RETAINED
+    * signatures — state is per-bucket, so comparisons stay ∝ true
+    * collisions, exactly like the batch band join, never corpus-wide.
+    *
+    * State is bounded two ways: per-bucket retention caps the signature
+    * list at `maxSigsPerBucket` (newest win — recent arrivals are the
+    * likely duplicate sources on an ingest stream), and event-time timeout
+    * drops buckets idle past `retentionMs` once the watermark passes.
+    * A pair colliding in several bands emits once per band — downstream
+    * consumers dedup on (doc_id, matched_doc_id), the same contract as the
+    * batch pairs before their `distinct`. */
+  def nearDupPairs(docs: DataFrame, estThreshold: Double = 0.5,
+      delay: String = "1 hour", retentionMs: Long = 3600000L,
+      maxSigsPerBucket: Int = 64): Dataset[NearDupMatch] = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    import docs.sparkSession.implicits._
+    val k = graft.operators.Dedup.MinhashK
+    val bands = graft.operators.Dedup.MinhashBands
+    val rows = k / bands
+    val banded = docs
+      .withColumn("text", trim(col("text")))
+      .filter(size(split(col("text"), "\\s+")) >= 3)
+      .withColumn("sig",
+        call_function("minhash_sig", call_function("word_shingles", col("text"), lit(3))))
+      .select(
+        posexplode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> concat(cast(b as string), '|',
+             |              array_join(transform(slice(sig, b * $rows + 1, $rows),
+             |                                   x -> cast(x as string)), ',')))""".stripMargin))
+          .as(Seq("band", "band_key")),
+        col("doc_id"), col("sig"), col("ts"))
+      .withWatermark("ts", delay)
+      .select(col("band_key"), col("doc_id"), col("sig"), col("ts"))
+      .as[BandObs]
+    banded
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState[BucketState, NearDupMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_, arrivals, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ordered = arrivals.toSeq.sortBy(o => (o.ts.getTime, o.doc_id))
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = Seq.newBuilder[NearDupMatch]
+            ordered.foreach { o =>
+              seen.foreach { case (id, s) =>
+                val est = s.iterator.zip(o.sig.iterator).count { case (a, b) => a == b } /
+                  k.toDouble
+                if (est >= estThreshold) out += NearDupMatch(o.doc_id, id, est)
+              }
+              seen = (o.doc_id, o.sig) :: seen
+            }
+            state.update(BucketState(seen.take(maxSigsPerBucket)))
+            state.setTimeoutTimestamp(
+              ordered.map(_.ts.getTime).max + retentionMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -120,6 +120,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toSeq === Seq(1L)) // in-window duplicate dropped
   }
 
+  test("streaming near-dup gate flags a truncated copy across batches with the batch kernel's estimate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val query = DocStream.nearDupPairs(mem.toDF())
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def doc(id: Long, text: String, min: Int) =
+      StreamDoc(id, text, "en",
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L))
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    mem.addData(
+      doc(1, base, 0),
+      doc(2, "completely different words entirely unrelated content streaming here", 1))
+    query.processAllAvailable()
+    // a lightly truncated copy arrives in a LATER batch → must hit the
+    // retained bucket state, not just intra-batch comparison
+    val trunc = base.split(" ").dropRight(1).mkString(" ")
+    mem.addData(doc(3, trunc, 2))
+    query.processAllAvailable()
+    val matches = spark.sql(
+      "SELECT DISTINCT doc_id, matched_doc_id, est_jaccard FROM neardup_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    query.stop()
+    assert(matches.length === 1, matches.mkString(", ")) // no false pairs with doc 2
+    val (docId, matchedId, est) = matches.head
+    assert(docId === 3L && matchedId === 1L && est >= 0.5)
+    // the streaming estimate equals the batch MinHash kernel's agreement
+    graft.GraftExtensions.ensureRegistered(spark)
+    val sigs = Seq(1L -> base, 3L -> trunc).toDF("doc_id", "text")
+      .select(org.apache.spark.sql.functions.call_function("minhash_sig",
+        org.apache.spark.sql.functions.call_function("word_shingles",
+          org.apache.spark.sql.functions.trim(org.apache.spark.sql.functions.col("text")),
+          org.apache.spark.sql.functions.lit(3))).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val batchEst = sigs(0).iterator.zip(sigs(1).iterator)
+      .count { case (a, b) => a == b } / graft.operators.Dedup.MinhashK.toDouble
+    assert(est === batchEst)
+  }
+
   test("windowed counts run identically on the batch events table") {
     // the same operator body over a bounded DataFrame — backfill path;
     // totals must reconcile with a plain aggregation of the same table
