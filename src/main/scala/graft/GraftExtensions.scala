@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash64Expr, HexPopcount, MinHashSigExpr, Signatures, SimHash48Expr, SortedOverlapExpr, VecDotExpr, WordShinglesExpr}
+import graft.functions.{Hash64Expr, HexPopcount, MinHashSigExpr, Signatures, SimHash48Expr, SortedOverlapExpr, VecDotExpr, WordNgramsExpr, WordShinglesExpr}
 
 /**
  * Session extensions registering graft's native Catalyst expressions, so
@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShinglesExpr].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShinglesExpr(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgramsExpr(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))
@@ -65,6 +69,8 @@ object GraftExtensions {
         (a: Seq[Long], b: Seq[Long]) => Signatures.sortedOverlapSeq(a, b))
       spark.udf.register("word_shingles",
         (s: String, n: Int) => Signatures.wordShinglesSeq(s, n))
+      spark.udf.register("word_ngrams",
+        (s: String, n: Int) => Signatures.wordNgramsSeq(s, n))
       spark.udf.register("vec_dot",
         (a: Seq[Double], b: Seq[Double]) => Signatures.vecDotSeq(a, b))
     }

@@ -212,6 +212,50 @@ object Signatures {
     val a = wordShingles(UTF8String.fromString(s), n)
     (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
   }
+
+  /** POSITIONAL word n-grams (every occurrence, document order) — the
+    * multiplicity-preserving sibling of [[wordShingles]] for passage-level
+    * repetition counting, where the same 8-gram appearing three times in a
+    * document is three occurrences, not one shingle. Same single-pass
+    * tokenizer; equals
+    * `transform(sequence(1, size(toks)-n+1), i -> concat_ws(' ', slice(toks, i, n)))`
+    * over `toks = split(trim(text), '\s+')` without the per-element re-split. */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    var i = 0
+    val len = str.length
+    var start = -1
+    while (i <= len) {
+      val ws = i == len || isWs(str.charAt(i))
+      if (!ws && start < 0) start = i
+      if (ws && start >= 0) {
+        toks += str.substring(start, i)
+        start = -1
+      }
+      i += 1
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var j = 0
+    while (j <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(j + k))
+        k += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def wordNgramsSeq(s: String, n: Int): Seq[String] = {
+    val a = wordNgrams(UTF8String.fromString(s), n)
+    (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+  }
 }
 
 /** `simhash48(array<string>) -> bigint` — native, codegen'd. */
@@ -316,6 +360,27 @@ case class WordShinglesExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): WordShinglesExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "word_shingles"
+}
+
+/** `word_ngrams(string, n) -> array<string>` — positional word n-grams
+  * (every occurrence, document order; see [[Signatures.wordNgrams]]). */
+case class WordNgramsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams requires (STRING, INT), got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def nullSafeEval(s: Any, n: Any): Any =
+    Signatures.wordNgrams(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.functions.Signatures.wordNgrams($s, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordNgramsExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "word_ngrams"
 }
 
 /** `hash64(string) -> bigint` — the portable md5-based mixer. */

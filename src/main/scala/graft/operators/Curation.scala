@@ -149,4 +149,65 @@ object Curation {
       .withColumn("realized_rate",
         round(col("n_kept").cast("double") / col("n_total"), 4))
       .orderBy(col("lang"))
+
+  // ── deterministic corpus shuffle / training shards ───────────────────────
+
+  /** Seeded global shuffle order + shard assignment for training: a trainer
+    * wants the corpus in a random-but-reproducible order, split into
+    * equal-ish shards it can stream independently. `shuffle_key =
+    * hash64(doc_id#seed)` IS the order (uniform in [0, 2^60), so sorting by
+    * it is a derangement of any insertion/source order); `shard = key mod
+    * nShards`. Changing the seed reshuffles everything; re-running never
+    * does. Narrow map-side projection — zero shuffle to ASSIGN; the
+    * physical reorder happens only where it must, inside
+    * `repartition(shard).sortWithinPartitions(shuffle_key)` when shards are
+    * written — a single bounded exchange, never a global sort. */
+  def withShuffleOrder(docs: DataFrame, nShards: Int = 16,
+      seed: String = "shuffle1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    docs
+      .withColumn("shuffle_key", splitHash(seed))
+      .withColumn("shard", (col("shuffle_key") % nShards).cast("int"))
+  }
+
+  /** Per-shard accounting over the shuffle assignment: document counts plus
+    * the key range each shard spans — the balance check (uniform hash ⇒
+    * shard sizes within sampling noise of corpus/nShards). */
+  def shuffleSummary(docs: DataFrame, nShards: Int = 16,
+      seed: String = "shuffle1"): DataFrame =
+    withShuffleOrder(docs, nShards, seed)
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("shuffle_key")).as("min_key"),
+        max(col("shuffle_key")).as("max_key"))
+      .orderBy(col("shard"))
+
+  // ── source mixture report ────────────────────────────────────────────────
+
+  /** Per-source corpus accounting — the mixture dashboard of a pretraining
+    * recipe (how much of the token budget each source contributes): document
+    * and token counts, mean document length, and each source's share of all
+    * tokens. One map-side-combined aggregation collapses the corpus to one
+    * row per source; the global-total window then runs over that tiny frame
+    * (rows ∝ distinct sources), not the corpus. */
+  def sourceMix(docs: DataFrame): DataFrame = {
+    // token count inline on the scan (same whitespace tokens as
+    // TextAnalysis.tokenCounts) — a join back to doc_id would shuffle the
+    // corpus for a column the same scan already has
+    val perSource = TextAnalysis.withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+    perSource
+      .withColumn("token_share",
+        round(col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()), 4))
+      .orderBy(col("source"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Contamination, Curation, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Curation, Dedup, Multimodal, Passages, Pii, Similarity, TextAnalysis}
 
 /**
  * Training-data pipeline query corpus: text analysis, dedup (exact /
@@ -40,6 +40,10 @@ object TrainingData {
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Scores(docs(s, dir))),
 
+    // ── repeated-passage (substring-level) dedup ──────────────────────────
+    "passage_top" -> ((s, dir) => Passages.topRepeatedPassages(docs(s, dir))),
+    "passage_doc_share" -> ((s, dir) => Passages.docRepeatedShare(docs(s, dir))),
+
     // ── decontamination / PII scrubbing ───────────────────────────────────
     "decon_overlap" -> ((s, dir) => Contamination.contaminatedDocs(docs(s, dir))),
     "pii_scan" -> ((s, dir) => Pii.piiScan(docs(s, dir))),
@@ -64,6 +68,8 @@ object TrainingData {
     "cur_split" -> ((s, dir) => Curation.splitSummary(docs(s, dir))),
     "cur_packing" -> ((s, dir) => Curation.packingSummary(docs(s, dir))),
     "cur_sample" -> ((s, dir) => Curation.sampleSummary(docs(s, dir))),
+    "cur_shuffle" -> ((s, dir) => Curation.shuffleSummary(docs(s, dir))),
+    "cur_source_mix" -> ((s, dir) => Curation.sourceMix(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -254,6 +260,18 @@ object TrainingData {
       s"regexp_replace($c, '$pat', '$repl', 'g')"
     }
 
+  /** Positional (multiplicity-preserving) word 8-grams over aug (mirrors
+    * Passages.gramStrings: word_ngrams(text, 8), one row per occurrence). */
+  private val passageGramCtes: String = {
+    val n = graft.operators.Passages.PassageN
+    s"""pg AS (
+       |  SELECT doc_id,
+       |         list_transform(range(1, len(toks) - ${n - 2}),
+       |           i -> array_to_string(toks[i::INT:(i + ${n - 1})::INT], ' ')) AS gl
+       |  FROM aug WHERE len(toks) >= $n),
+       |gr AS (SELECT doc_id, unnest(gl) AS gram FROM pg)""".stripMargin
+  }
+
   /** Distinct 8-gram hash sets over aug (mirrors
     * Contamination.withNgramHashes: word_shingles(text, 8) → hash64). */
   private val ngram8Cte: String = {
@@ -386,6 +404,50 @@ object TrainingData {
          |LEFT JOIN snapd s ON b.digest = s.digest
          |LEFT JOIN near n ON b.doc_id = n.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    "passage_top" ->
+      s"""WITH $baseCte, $augCte, $passageGramCtes
+         |SELECT gram,
+         |       CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM gr GROUP BY gram
+         |HAVING COUNT(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, gram LIMIT 20""".stripMargin,
+
+    "passage_doc_share" ->
+      s"""WITH $baseCte, $augCte, $passageGramCtes,
+         |grh AS (SELECT doc_id, ${h64("gram")} AS h FROM gr),
+         |rep AS (SELECT h FROM grh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT g.doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+         |       ROUND(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |             / COUNT(*), 4) AS repeated_share
+         |FROM grh g LEFT JOIN rep r ON g.h = r.h
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "cur_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT ${h64("doc_id::VARCHAR || '#shuffle1'")} AS skey FROM documents)
+         |SELECT (skey % 16)::INT AS shard,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       MIN(skey) AS min_key,
+         |       MAX(skey) AS max_key
+         |FROM k GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "cur_source_mix" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+         |  FROM documents),
+         |ps AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |         ROUND(AVG(n_tokens), 4) AS avg_tokens
+         |  FROM t GROUP BY source)
+         |SELECT source, n_docs, total_tokens, avg_tokens,
+         |       ROUND(total_tokens::DOUBLE / SUM(total_tokens) OVER (), 4) AS token_share
+         |FROM ps ORDER BY source""".stripMargin,
 
     "cur_sample" ->
       s"""WITH r AS (

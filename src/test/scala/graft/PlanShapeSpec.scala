@@ -87,6 +87,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("passage share shuffles gram hashes only — neither text nor gram strings reach an Exchange") {
+    val p = plan("passage_doc_share")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .foreach(l => assert(!l.contains("text#") && !l.contains("gram#"),
+        s"passage_doc_share shuffles strings: $l"))
+  }
+
+  test("corpus shuffle summary is one key shuffle; assignment itself is map-side") {
+    val p = plan("cur_shuffle")
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(!p.contains("Join"))
+  }
+
+  test("source mix aggregates once; the share window runs on the collapsed per-source frame") {
+    val p = plan("cur_source_mix")
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(!p.contains("Join"))
+    // the global-total window sits ABOVE the aggregation (tiny frame), so
+    // its SinglePartition exchange must consume the aggregate, not the scan
+    val idxWindow = p.indexOf("Window")
+    val idxAgg = p.indexOf("HashAggregate")
+    assert(idxWindow >= 0 && idxAgg >= 0 && idxWindow < idxAgg, p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

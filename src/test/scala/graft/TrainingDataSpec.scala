@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Contamination, Curation, Dedup, Multimodal, Pii, Similarity, TextAnalysis}
+import graft.operators.{Contamination, Curation, Dedup, Multimodal, Passages, Pii, Similarity, TextAnalysis}
 
 /** Structural invariants for the training-data pipeline operators. Exact
   * value-parity with DuckDB is enforced by the driver's oracle gate (and
@@ -427,5 +427,54 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(frames.count() === nVideos * Multimodal.FramesPerVideo)
     assert(frames.groupBy("media_id").count()
       .filter(col("count") =!= Multimodal.FramesPerVideo).count() === 0)
+  }
+
+  test("repeated passages: every injected copy (and its base) is 100% repeated; report is cross-document") {
+    val top = Passages.topRepeatedPassages(docs).collect()
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      assert(r.getLong(2) >= 2, s"'${r.getString(0)}' reaches only ${r.getLong(2)} docs")
+      assert(r.getLong(1) >= r.getLong(2)) // occurrences ≥ documents reached
+    }
+    val share = Passages.docRepeatedShare(docs).collect()
+    val byId = share.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // an exact copy's 8-grams ALL exist in its base document (and vice
+    // versa), so both ends must score repeated_share == 1.0
+    val copies = share.filter(_.getLong(0) >= 200000)
+    assert(copies.nonEmpty)
+    copies.foreach { r =>
+      assert(r.getDouble(3) === 1.0, s"copy ${r.getLong(0)}: ${r.getDouble(3)}")
+      assert(byId(r.getLong(0) - 200000) === 1.0)
+    }
+    // truncated near-dups' grams are a prefix subset of the base's — also 1.0
+    share.filter(r => r.getLong(0) >= 100000 && r.getLong(0) < 200000)
+      .foreach(r => assert(r.getDouble(3) === 1.0))
+  }
+
+  test("corpus shuffle: deterministic, seed-sensitive, shards consistent and balanced") {
+    def snap(seed: String) =
+      Curation.withShuffleOrder(docs, seed = seed)
+        .select(col("doc_id"), col("shuffle_key"), col("shard")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    val a = snap("shuffle1")
+    assert(snap("shuffle1") === a) // re-run identical, no RNG
+    a.values.foreach { case (key, shard) =>
+      assert(key >= 0L && shard === (key % 16).toInt)
+    }
+    val b = snap("other-seed")
+    assert(a.exists { case (id, (key, _)) => b(id)._1 != key })
+    val summary = Curation.shuffleSummary(docs).collect()
+    assert(summary.length === 16)
+    val counts = summary.map(_.getLong(1))
+    assert(counts.sum === docs.count())
+    assert(counts.max <= 3 * (counts.sum / 16), // uniform hash ⇒ no hot shard
+      s"unbalanced shards: ${counts.mkString(",")}")
+  }
+
+  test("source mix: totals match the corpus and token shares sum to one") {
+    val rows = Curation.sourceMix(docs).collect()
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.01)
   }
 }
