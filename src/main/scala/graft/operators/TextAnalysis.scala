@@ -192,4 +192,39 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Unigram language-model perplexity per document — the CCNet-style
+    * quality filter: train a unigram LM on the corpus itself (token
+    * frequencies), score each document by its average per-token negative
+    * log-likelihood; gibberish and rare-token soup score high, fluent text
+    * low. Output: (doc_id, n_tokens, avg_nll, ppl = e^avg_nll).
+    *
+    * Scale shape: the vocabulary is one word-count aggregation (map-side
+    * combined, tokens shuffle once as keys); the total-token count is a
+    * 1-row aggregate broadcast back; the scoring join of exploded tokens
+    * to the vocabulary is a plain hash equi-join on the token — the
+    * standard word-count shape end-to-end, no pairwise step anywhere.
+    *
+    * Determinism: floating sums over shuffled rows are order-sensitive, so
+    * the per-token NLL is rounded to integer MICRO-NATS
+    * (`round(-ln(p)·10⁶) :: long`) and the per-doc sum runs over integers —
+    * associative, order-free, exactly reproduced by the DuckDB mirror; the
+    * final averages divide integer sums and round. */
+  def unigramScores(docs: DataFrame): DataFrame = {
+    val toks = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    toks
+      .join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll_micro",
+        round(-log(col("cnt").cast("double") / col("total")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_micro")).as("nll_sum"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("nll_sum").cast("double") / (col("n_tokens") * 1e6), 4).as("avg_nll"),
+        round(exp(col("nll_sum").cast("double") / (col("n_tokens") * 1e6)), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -39,6 +39,8 @@ object TrainingData {
       TextAnalysis.vocabulary(docs(s, dir))),
     "text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25Scores(docs(s, dir))),
+    "text_perplexity" -> ((s, dir) =>
+      TextAnalysis.unigramScores(docs(s, dir))),
 
     // ── repeated-passage (substring-level) dedup ──────────────────────────
     "passage_top" -> ((s, dir) => Passages.topRepeatedPassages(docs(s, dir))),
@@ -404,6 +406,20 @@ object TrainingData {
          |LEFT JOIN snapd s ON b.digest = s.digest
          |LEFT JOIN near n ON b.doc_id = n.doc_id
          |ORDER BY b.doc_id""".stripMargin,
+
+    "text_perplexity" ->
+      s"""WITH $baseCte,
+         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+         |v AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+         |tot AS (SELECT SUM(cnt)::DOUBLE AS total FROM v),
+         |sc AS (
+         |  SELECT doc_id,
+         |         CAST(ROUND(-ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS nm
+         |  FROM tk JOIN v USING (tok) CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
+         |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "passage_top" ->
       s"""WITH $baseCte, $augCte, $passageGramCtes

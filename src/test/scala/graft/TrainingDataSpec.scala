@@ -471,6 +471,25 @@ class TrainingDataSpec extends AnyFunSuite {
       s"unbalanced shards: ${counts.mkString(",")}")
   }
 
+  test("unigram perplexity: rare-token soup scores above common-token text; ppl = e^avg_nll") {
+    import spark.implicits._
+    val common = (1 to 40).map(_ => "the").mkString(" ")
+    val soup = (1 to 40).map(i => s"zqx$i").mkString(" ")
+    val synth = Seq((1L, common, "en"), (2L, common, "en"), (3L, soup, "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.unigramScores(synth).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L))
+    val (n1, nll1, _) = rows(1L)
+    val (_, nll3, ppl3) = rows(3L)
+    assert(n1 === 40L)
+    assert(nll3 > nll1, s"soup $nll3 should out-score common $nll1")
+    assert(rows(1L) === rows(2L)) // identical docs, identical scores
+    assert(math.abs(ppl3 - math.exp(nll3)) / ppl3 < 0.01) // ppl tracks e^avg_nll
+    // corpus scoring emits one row per document
+    assert(TextAnalysis.unigramScores(docs).count() === docs.count())
+  }
+
   test("source mix: totals match the corpus and token shares sum to one") {
     val rows = Curation.sourceMix(docs).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
