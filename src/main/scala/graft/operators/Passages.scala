@@ -40,21 +40,24 @@ object Passages {
     * uses ~50 (Lee et al. §4) — the plan shape is identical. */
   val PassageN = 8
 
-  /** (doc_id, gram) — positional n-gram STRINGS over the augmented corpus,
-    * one row per occurrence. */
-  private def gramStrings(docs: DataFrame, n: Int): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    Dedup.augmentedDocs(docs)
+  /** (doc_id, gram) — positional n-gram STRINGS over an arbitrary
+    * (doc_id, text) corpus, one row per occurrence. */
+  private def gramStrings(corpus: DataFrame, n: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    corpus
       .select(col("doc_id"),
-        explode(call_function("word_ngrams", col("text"), lit(n))).as("gram"))
+        explode(call_function("word_ngrams", trim(col("text")), lit(n))).as("gram"))
   }
 
-  /** The boilerplate report: passages (word n-grams) occurring in ≥ 2
-    * distinct documents, ranked by document reach then total occurrences.
-    * Deterministic total order (n_docs desc, n_occ desc, gram asc). */
-  def topRepeatedPassages(docs: DataFrame, n: Int = PassageN,
+  /** The boilerplate report over an ARBITRARY (doc_id, text) corpus — the
+    * production entry point (mirrors [[Pii.scanRaw]] / [[Dedup]] exposing
+    * both raw-input and oracle-harness APIs): passages (word n-grams)
+    * occurring in ≥ 2 distinct documents, ranked by document reach then
+    * total occurrences. Deterministic total order
+    * (n_docs desc, n_occ desc, gram asc). */
+  def topRepeatedPassagesRaw(corpus: DataFrame, n: Int = PassageN,
       topK: Int = 20): DataFrame =
-    gramStrings(docs, n)
+    gramStrings(corpus, n)
       .groupBy(col("gram"))
       .agg(
         count(lit(1)).as("n_occ"),
@@ -63,13 +66,14 @@ object Passages {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram"))
       .limit(topK)
 
-  /** The per-document filter score: of a document's n-gram positions, how
-    * many are cross-document repeats (the n-gram also appears in ANOTHER
-    * document — within-document repetition is [[TextAnalysis.repetitionRatio]]'s
+  /** The per-document filter score over an ARBITRARY (doc_id, text)
+    * corpus: of a document's n-gram positions, how many are cross-document
+    * repeats (the n-gram also appears in ANOTHER document —
+    * within-document repetition is [[TextAnalysis.repetitionRatio]]'s
     * signal, not this one). Emits every document long enough to have an
     * n-gram; `repeated_share` is the curation threshold input. */
-  def docRepeatedShare(docs: DataFrame, n: Int = PassageN): DataFrame = {
-    val grams = gramStrings(docs, n)
+  def docRepeatedShareRaw(corpus: DataFrame, n: Int = PassageN): DataFrame = {
+    val grams = gramStrings(corpus, n)
       .select(col("doc_id"), call_function("hash64", col("gram")).as("h"))
     // hashes appearing in ≥2 distinct docs; 8-byte keys only past this point
     val repeated = grams
@@ -87,4 +91,15 @@ object Passages {
         round(col("n_repeated").cast("double") / col("n_grams"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** [[topRepeatedPassagesRaw]] over the deterministically duplicated
+    * corpus — the oracle-verifiable harness entry point (the injected
+    * exact/truncated copies guarantee cross-document repeats). */
+  def topRepeatedPassages(docs: DataFrame, n: Int = PassageN,
+      topK: Int = 20): DataFrame =
+    topRepeatedPassagesRaw(Dedup.augmentedDocs(docs), n, topK)
+
+  /** [[docRepeatedShareRaw]] over the duplicated corpus (oracle twin). */
+  def docRepeatedShare(docs: DataFrame, n: Int = PassageN): DataFrame =
+    docRepeatedShareRaw(Dedup.augmentedDocs(docs), n)
 }

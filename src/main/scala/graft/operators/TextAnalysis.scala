@@ -44,15 +44,27 @@ object TextAnalysis {
   val Stopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "in", "to", "is", "on", "for")
 
-  /** Quality scoring: length, stopword ratio, mean token length, alphabetic
-    * ratio, and a bounded composite score — the standard cheap pre-filter
-    * for pretraining corpora. */
-  def qualityScores(docs: DataFrame): DataFrame = {
+  /** Adds `n_tokens`, `n_stop`, and the composite `quality_score` columns —
+    * a fully narrow projection, so it runs identically on batch frames and
+    * unbounded streams (see [[graft.streaming.DocStream.qualityMonitor]]). */
+  def withQualityScore(docs: DataFrame): DataFrame = {
     val stopArr = s"array(${Stopwords.map(s => s"'$s'").mkString(",")})"
     withTokens(docs)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
         expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("long"))
+      .withColumn("quality_score",
+        round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
+            + (col("n_stop").cast("double") / col("n_tokens")) * 0.5,
+          4))
+  }
+
+  /** Quality scoring: length, stopword ratio, mean token length, alphabetic
+    * ratio, and a bounded composite score — the standard cheap pre-filter
+    * for pretraining corpora. */
+  def qualityScores(docs: DataFrame): DataFrame = {
+    withQualityScore(docs)
       .withColumn("n_alpha",
         size(regexp_extract_all(col("text"), lit("[a-z]"), lit(0))).cast("long"))
       .withColumn("tok_chars",
@@ -63,10 +75,7 @@ object TextAnalysis {
         round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
         round(col("tok_chars").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
         round(col("n_alpha").cast("double") / length(col("text")), 4).as("alpha_ratio"),
-        round(
-          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
-            + (col("n_stop").cast("double") / col("n_tokens")) * 0.5,
-          4).as("quality_score"))
+        col("quality_score"))
   }
 
   /** Marker-token sets for the n-gram/heuristic language identifier. Kept

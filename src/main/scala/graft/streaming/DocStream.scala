@@ -69,6 +69,32 @@ object DocStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Live corpus-quality/mixture monitor — the streaming sibling of
+    * [[graft.operators.Curation.sourceMix]] / the batch quality report: per
+    * (event-time window, lang) document counts, token totals, and mean
+    * quality score while the corpus is ingested, so mixture drift or a
+    * quality collapse in one source surfaces within a window delay instead
+    * of at the next batch audit.
+    *
+    * The scoring is [[graft.operators.TextAnalysis.withQualityScore]] — the
+    * SAME narrow codegen'd projection as the batch path, so monitor numbers
+    * and the batch audit agree exactly. State is the windowed aggregation's
+    * own store, bounded by the watermark (one row per window × lang). */
+  def qualityMonitor(docs: DataFrame, windowDur: String = "10 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    graft.operators.TextAnalysis.withQualityScore(docs)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("quality_score")), 4).as("avg_quality"))
+      .select(
+        col("window.start").as("window_start"),
+        col("lang"), col("n_docs"), col("total_tokens"), col("avg_quality"))
+  }
+
   /** Streaming near-dup gate — the streaming sibling of
     * [[graft.operators.Dedup.minhashLshPairs]], for duplicates the digest
     * gate cannot see (truncated/edited copies). Custom state via

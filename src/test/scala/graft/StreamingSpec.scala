@@ -160,6 +160,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(est === batchEst)
   }
 
+  test("quality monitor reports per-window per-lang mixture matching the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val query = DocStream.qualityMonitor(mem.toDF(), "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("quality_mon")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def doc(id: Long, text: String, lang: String, m: Int) =
+        StreamDoc(id, text, lang, Timestamp.valueOf(f"2024-01-01 01:$m%02d:00"))
+      val goodText = "the cat sat on the mat and the dog ran in the park"
+      mem.addData(
+        doc(1, goodText, "en", 2),
+        doc(2, "zz yy xx ww", "en", 5),
+        doc(3, "el perro grande", "es", 7))
+      query.processAllAvailable()
+      mem.addData(doc(4, goodText, "en", 45)) // watermark past the 01:00 window
+      query.processAllAvailable()
+      mem.addData(doc(5, goodText, "en", 59)) // and further, to finalize it
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT lang, n_docs, total_tokens, avg_quality FROM quality_mon " +
+        "WHERE window_start = timestamp'2024-01-01 01:00:00' ORDER BY lang")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.map(t => (t._1, t._2)).toSeq === Seq(("en", 2L), ("es", 1L)))
+      // monitor values equal the batch scorer aggregated over the same docs
+      import org.apache.spark.sql.functions.{avg, round, sum}
+      val batch = graft.operators.TextAnalysis.withQualityScore(
+        Seq((1L, goodText, "en"), (2L, "zz yy xx ww", "en")).toDF("doc_id", "text", "lang"))
+        .agg(sum($"n_tokens"), round(avg($"quality_score"), 4)).collect()(0)
+      val en = rows.find(_._1 == "en").get
+      assert(en._3 === batch.getLong(0))
+      assert(en._4 === batch.getDouble(1))
+    } finally query.stop()
+  }
+
   test("windowed counts run identically on the batch events table") {
     // the same operator body over a bounded DataFrame — backfill path;
     // totals must reconcile with a plain aggregation of the same table
