@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * BPE merge learning — tokenizer training, the step that turns a raw corpus
+ * into the merge table a byte-pair-encoding tokenizer runs: start from
+ * characters, repeatedly count adjacent symbol pairs (weighted by word
+ * frequency) and merge the most frequent pair.
+ *
+ * Scale shape: classic BPE trains on the WORD-FREQUENCY table, not the
+ * corpus — one word-count aggregation reduces 100 TB of text to a vocab of
+ * distinct words with counts, and every subsequent round runs over that
+ * (much smaller, but still distributed) table: positional bigrams via the
+ * `word_ngrams` kernel, one map-side-combined count, and a 1-row argmax
+ * collected to the driver (the only driver step — bounded by nMerges rows).
+ * The merge application is a narrow literal `replace` projection.
+ *
+ * Representation: a word's symbol sequence is a single U+0001-delimited
+ * string (`<s>l<s>o<s>w<s>` with `<s>` = the separator), so applying merge (a,b) is
+ * `replace(syms, sep+a+sep+b+sep, sep+ab+sep)` — the
+ * delimiters make cross-symbol false matches impossible, and both engines'
+ * `replace` is greedy left-to-right non-overlapping, which is exactly BPE's
+ * within-word merge order (a run "aaa" under (a,a) becomes ["aa","a"]).
+ * Words containing the delimiter itself are excluded up front.
+ */
+object Bpe {
+
+  /** Symbol delimiter — a control char that never appears in normal text;
+    * words containing it are filtered out rather than corrupting state. */
+  val Sep = "\u0001"
+
+  private def spacedSyms = trim(call_function("replace", col("syms"), lit(Sep), lit(" ")))
+
+  /** The learned merge table: (merge_rank, lhs, rhs, merged, pair_count),
+    * one row per round in learn order. Stops early if no pair remains. */
+  def learnMerges(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = TextAnalysis.withTokens(docs)
+      .select(explode(col("toks")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(Sep))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var syms = words
+      .select(concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)).as("syms"),
+        col("n"))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val best = syms
+        .select(explode(call_function("word_ngrams", spacedSyms, lit(2))).as("pair"),
+          col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((r, a, b, a + b, cnt))
+        syms = syms.select(
+          call_function("replace", col("syms"),
+            lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)).as("syms"),
+          col("n"))
+        r += 1
+      }
+    }
+    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Contamination, Curation, Dedup, Multimodal, Passages, Pii, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Curation, Dedup, Multimodal, Passages, Pii, Similarity, TextAnalysis}
 
 /**
  * Training-data pipeline query corpus: text analysis, dedup (exact /
@@ -41,6 +41,8 @@ object TrainingData {
       TextAnalysis.bm25Scores(docs(s, dir))),
     "text_perplexity" -> ((s, dir) =>
       TextAnalysis.unigramScores(docs(s, dir))),
+    "text_bpe_merges" -> ((s, dir) =>
+      Bpe.learnMerges(docs(s, dir))),
 
     // ── repeated-passage (substring-level) dedup ──────────────────────────
     "passage_top" -> ((s, dir) => Passages.topRepeatedPassages(docs(s, dir))),
@@ -262,6 +264,25 @@ object TrainingData {
       s"regexp_replace($c, '$pat', '$repl', 'g')"
     }
 
+  /** One BPE round as CTEs (mirrors one Bpe.learnMerges iteration):
+    * weighted positional symbol bigrams over `prev`, deterministic argmax
+    * (count desc, pair asc), greedy left-to-right literal merge apply. */
+  private def bpeRoundCtes(i: Int, prev: String): String =
+    s"""p$i AS (
+       |  SELECT pair, SUM(n) AS cnt FROM (
+       |    SELECT n, unnest(list_transform(range(1, len(tks)),
+       |      j -> tks[j::INT] || ' ' || tks[(j+1)::INT])) AS pair
+       |    FROM (SELECT string_split(trim(replace(syms, chr(1), ' ')), ' ') AS tks, n
+       |          FROM $prev) t)
+       |  GROUP BY pair),
+       |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+       |s$i AS (
+       |  SELECT replace(p.syms,
+       |           chr(1) || split_part(b.pair, ' ', 1) || chr(1) ||
+       |             split_part(b.pair, ' ', 2) || chr(1),
+       |           chr(1) || replace(b.pair, ' ', '') || chr(1)) AS syms, p.n
+       |  FROM $prev p, b$i b)""".stripMargin
+
   /** Positional (multiplicity-preserving) word 8-grams over aug (mirrors
     * Passages.gramStrings: word_ngrams(text, 8), one row per occurrence). */
   private val passageGramCtes: String = {
@@ -420,6 +441,30 @@ object TrainingData {
          |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
          |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_merges" ->
+      s"""WITH $baseCte,
+         |tkw AS (SELECT unnest(toks) AS word FROM base),
+         |w AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tkw
+         |  WHERE word <> '' AND strpos(word, chr(1)) = 0 GROUP BY word),
+         |s0 AS (
+         |  SELECT chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS syms, n
+         |  FROM w),
+         |${bpeRoundCtes(1, "s0")},
+         |${bpeRoundCtes(2, "s1")},
+         |${bpeRoundCtes(3, "s2")}
+         |SELECT * FROM (
+         |  SELECT 1 AS merge_rank, split_part(pair, ' ', 1) AS lhs,
+         |         split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
+         |         CAST(cnt AS BIGINT) AS pair_count FROM b1
+         |  UNION ALL
+         |  SELECT 2, split_part(pair, ' ', 1), split_part(pair, ' ', 2),
+         |         replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b2
+         |  UNION ALL
+         |  SELECT 3, split_part(pair, ' ', 1), split_part(pair, ' ', 2),
+         |         replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3)
+         |ORDER BY merge_rank""".stripMargin,
 
     "passage_top" ->
       s"""WITH $baseCte, $augCte, $passageGramCtes

@@ -490,6 +490,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(TextAnalysis.unigramScores(docs).count() === docs.count())
   }
 
+  test("bpe merge learning follows weighted pair frequency with greedy run handling") {
+    import spark.implicits._
+    // "aa" ×2, "ab" ×1: round 1 must merge (a,a) (weight 2 beats 1), after
+    // which only ("a","b") remains; round 3 finds no pair and stops early
+    val synth = Seq((1L, "aa aa ab", "en")).toDF("doc_id", "text", "lang")
+    val merges = graft.operators.Bpe.learnMerges(synth, nMerges = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(merges.toSeq === Seq((1, "a", "a", "aa", 2L), (2, "a", "b", "ab", 1L)))
+    // run semantics: "aaa" under (a,a) yields ["aa","a"], so the second
+    // round pairs "aa a", not a double-merge
+    val runs = Seq((1L, "aaa aaa", "en")).toDF("doc_id", "text", "lang")
+    val m2 = graft.operators.Bpe.learnMerges(runs, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m2.toSeq === Seq((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 2L)))
+    // corpus run: ranks are 1..n and counts never increase with rank
+    val corpus = graft.operators.Bpe.learnMerges(docs, nMerges = 3).collect()
+    assert(corpus.map(_.getInt(0)).toSeq === (1 to corpus.length))
+    assert(corpus.map(_.getLong(4)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
   test("source mix: totals match the corpus and token shares sum to one") {
     val rows = Curation.sourceMix(docs).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
