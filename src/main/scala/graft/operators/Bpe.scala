@@ -72,4 +72,40 @@ object Bpe {
     merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy(col("merge_rank"))
   }
+
+  /** Per-document tokenization accounting under the learned merge table —
+    * the encode step plus the metric tokenizer training optimizes: base
+    * symbol (character) count vs post-merge token count and the compression
+    * ratio.
+    *
+    * Scale shape: merges apply to the DISTINCT-word table (vocab-sized, not
+    * corpus-sized — applying a deep merge chain per token occurrence would
+    * redo identical work corpus-wide), then per-word counts join back to
+    * the exploded corpus on the word — the word-count join shape again.
+    * The merge list itself is the bounded driver-side learnMerges output. */
+  def tokenizeSummary(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+    val merges = learnMerges(docs, nMerges).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val tokens = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(Sep))
+    val wordSyms0 = tokens.select(col("word")).distinct()
+      .withColumn("syms",
+        concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)))
+    val applied = merges.foldLeft(wordSyms0) { case (df, (a, b)) =>
+      df.withColumn("syms", call_function("replace", col("syms"),
+        lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)))
+    }
+    val counts = applied.select(
+      col("word"),
+      length(col("word")).cast("long").as("n_chars"),
+      size(split(trim(call_function("replace", col("syms"), lit(Sep), lit(" "))),
+        " ")).cast("long").as("n_syms"))
+    tokens.join(counts, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_chars")).as("n_base_syms"), sum(col("n_syms")).as("n_bpe_syms"))
+      .withColumn("compression",
+        round(col("n_base_syms").cast("double") / col("n_bpe_syms"), 4))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -43,6 +43,8 @@ object TrainingData {
       TextAnalysis.unigramScores(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
+    "text_bpe_tokenize" -> ((s, dir) =>
+      Bpe.tokenizeSummary(docs(s, dir))),
 
     // ── repeated-passage (substring-level) dedup ──────────────────────────
     "passage_top" -> ((s, dir) => Passages.topRepeatedPassages(docs(s, dir))),
@@ -283,6 +285,31 @@ object TrainingData {
        |           chr(1) || replace(b.pair, ' ', '') || chr(1)) AS syms, p.n
        |  FROM $prev p, b$i b)""".stripMargin
 
+  /** Word-frequency table, char-level symbol strings, and three unrolled
+    * learning rounds (b1..b3 hold the learned merges) — shared by the
+    * text_bpe_* mirrors. */
+  private val bpeLearnCtes: String =
+    s"""tkw AS (SELECT unnest(toks) AS word FROM base),
+       |w AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tkw
+       |  WHERE word <> '' AND strpos(word, chr(1)) = 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS syms, n
+       |  FROM w),
+       |${bpeRoundCtes(1, "s0")},
+       |${bpeRoundCtes(2, "s1")},
+       |${bpeRoundCtes(3, "s2")}""".stripMargin
+
+  /** One merge application to the distinct-word symbol table (mirrors the
+    * tokenizeSummary fold step). */
+  private def bpeApplyCte(i: Int, prev: String): String =
+    s"""sy$i AS (
+       |  SELECT word, replace(syms,
+       |           chr(1) || split_part(b.pair, ' ', 1) || chr(1) ||
+       |             split_part(b.pair, ' ', 2) || chr(1),
+       |           chr(1) || replace(b.pair, ' ', '') || chr(1)) AS syms
+       |  FROM $prev, b$i b)""".stripMargin
+
   /** Positional (multiplicity-preserving) word 8-grams over aug (mirrors
     * Passages.gramStrings: word_ngrams(text, 8), one row per occurrence). */
   private val passageGramCtes: String = {
@@ -444,16 +471,7 @@ object TrainingData {
 
     "text_bpe_merges" ->
       s"""WITH $baseCte,
-         |tkw AS (SELECT unnest(toks) AS word FROM base),
-         |w AS (
-         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tkw
-         |  WHERE word <> '' AND strpos(word, chr(1)) = 0 GROUP BY word),
-         |s0 AS (
-         |  SELECT chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS syms, n
-         |  FROM w),
-         |${bpeRoundCtes(1, "s0")},
-         |${bpeRoundCtes(2, "s1")},
-         |${bpeRoundCtes(3, "s2")}
+         |$bpeLearnCtes
          |SELECT * FROM (
          |  SELECT 1 AS merge_rank, split_part(pair, ' ', 1) AS lhs,
          |         split_part(pair, ' ', 2) AS rhs, replace(pair, ' ', '') AS merged,
@@ -465,6 +483,30 @@ object TrainingData {
          |  SELECT 3, split_part(pair, ' ', 1), split_part(pair, ' ', 2),
          |         replace(pair, ' ', ''), CAST(cnt AS BIGINT) FROM b3)
          |ORDER BY merge_rank""".stripMargin,
+
+    "text_bpe_tokenize" ->
+      s"""WITH $baseCte,
+         |$bpeLearnCtes,
+         |tkd AS (SELECT doc_id, unnest(toks) AS word FROM base),
+         |tkf AS (
+         |  SELECT doc_id, word FROM tkd
+         |  WHERE word <> '' AND strpos(word, chr(1)) = 0),
+         |sy0 AS (
+         |  SELECT word, chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS syms
+         |  FROM (SELECT DISTINCT word FROM tkf)),
+         |${bpeApplyCte(1, "sy0")},
+         |${bpeApplyCte(2, "sy1")},
+         |${bpeApplyCte(3, "sy2")},
+         |cnt AS (
+         |  SELECT word, length(word)::BIGINT AS n_chars,
+         |         len(string_split(trim(replace(syms, chr(1), ' ')), ' '))::BIGINT AS n_syms
+         |  FROM sy3)
+         |SELECT t.doc_id,
+         |       CAST(SUM(c.n_chars) AS BIGINT) AS n_base_syms,
+         |       CAST(SUM(c.n_syms) AS BIGINT) AS n_bpe_syms,
+         |       ROUND(SUM(c.n_chars)::DOUBLE / SUM(c.n_syms), 4) AS compression
+         |FROM tkf t JOIN cnt c USING (word)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "passage_top" ->
       s"""WITH $baseCte, $augCte, $passageGramCtes

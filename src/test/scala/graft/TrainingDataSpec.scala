@@ -510,6 +510,22 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(corpus.map(_.getLong(4)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("bpe tokenization compresses and never splits beyond characters") {
+    import spark.implicits._
+    // after merges (a,a)->aa then (a,b)->ab: "aa"=1 sym, "ab"=1 sym, so the
+    // doc "aa aa ab" covers 6 chars with 3 tokens — compression 2.0
+    val synth = Seq((1L, "aa aa ab", "en")).toDF("doc_id", "text", "lang")
+    val row = graft.operators.Bpe.tokenizeSummary(synth, nMerges = 3).collect()(0)
+    assert((row.getLong(1), row.getLong(2), row.getDouble(3)) === ((6L, 3L, 2.0)))
+    // corpus-wide: every doc has 1 <= n_bpe_syms <= n_base_syms
+    val all = graft.operators.Bpe.tokenizeSummary(docs).collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 1.0)
+    }
+  }
+
   test("source mix: totals match the corpus and token shares sum to one") {
     val rows = Curation.sourceMix(docs).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
