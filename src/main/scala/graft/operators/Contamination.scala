@@ -46,10 +46,26 @@ object Contamination {
         expr(s"array_distinct(transform(word_shingles(text, $n), s -> hash64(s)))"))
       .withColumn("nsh", size(col("shl")).cast("long"))
 
+  /** Decontamination over an ARBITRARY (train, eval) corpus pair — the
+    * production entry point: `train` and `eval` each carry (doc_id, text)
+    * plus whitespace-tokenized `toks` is derived here; the eval side is
+    * broadcast (benchmarks are thousands of docs), the train corpus never
+    * shuffles. Output as [[contaminatedDocs]]. */
+  def scanRaw(train: DataFrame, eval: DataFrame, n: Int = NgramN): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(train.sparkSession)
+    val trainSh = withNgramHashes(TextAnalysis.withTokens(train), n)
+      .select(col("doc_id"), col("nsh"), explode(col("shl")).as("h"))
+    val evalSh = withNgramHashes(TextAnalysis.withTokens(eval), n)
+      .select(col("doc_id").as("eval_doc_id"), explode(col("shl")).as("h"))
+    joined(trainSh, evalSh)
+  }
+
   /** Training documents contaminated by the eval set: for each train doc
     * sharing ≥1 distinct `n`-gram with any eval doc — the number of shared
     * distinct n-grams, the number of eval docs hit, and the contaminated
-    * share of the doc's own n-gram set. */
+    * share of the doc's own n-gram set. Harness entry point: the eval set
+    * is carved out of the corpus on the deterministic stride (oracle twin
+    * of [[scanRaw]]). */
   def contaminatedDocs(docs: DataFrame, n: Int = NgramN): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val hashed = withNgramHashes(Dedup.augmentedDocs(docs), n)
@@ -57,6 +73,10 @@ object Contamination {
       .select(col("doc_id").as("eval_doc_id"), explode(col("shl")).as("h"))
     val trainSh = hashed.filter(!isEval)
       .select(col("doc_id"), col("nsh"), explode(col("shl")).as("h"))
+    joined(trainSh, evalSh)
+  }
+
+  private def joined(trainSh: DataFrame, evalSh: DataFrame): DataFrame =
     trainSh.join(broadcast(evalSh), Seq("h"))
       .groupBy(col("doc_id"), col("nsh"))
       .agg(
@@ -69,5 +89,4 @@ object Contamination {
         round(col("n_shared_ngrams").cast("double") / col("nsh"), 4)
           .as("contaminated_share"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -490,6 +490,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(TextAnalysis.unigramScores(docs).count() === docs.count())
   }
 
+  test("decontamination raw API flags a train doc embedding an eval n-gram, with explicit eval frame") {
+    import spark.implicits._
+    val benchLine = "q1 what is the capital of france answer paris obviously"
+    val evalSet = Seq((900L, benchLine, "en")).toDF("doc_id", "text", "lang")
+    val train = Seq(
+      (1L, s"some preamble then $benchLine and a trailer", "en"), // contaminated
+      (2L, "a completely unrelated training document about spark plans", "en"))
+      .toDF("doc_id", "text", "lang")
+    val hits = graft.operators.Contamination.scanRaw(train, evalSet).collect()
+    assert(hits.map(_.getLong(0)).toSeq === Seq(1L))
+    assert(hits(0).getLong(2) === 1L) // one eval doc hit
+    assert(hits(0).getLong(1) >= 1L)
+  }
+
   test("bpe merge learning follows weighted pair frequency with greedy run handling") {
     import spark.implicits._
     // "aa" ×2, "ab" ×1: round 1 must merge (a,a) (weight 2 beats 1), after
