@@ -75,11 +75,13 @@ object Passages {
   def docRepeatedShareRaw(corpus: DataFrame, n: Int = PassageN): DataFrame = {
     val grams = gramStrings(corpus, n)
       .select(col("doc_id"), call_function("hash64", col("gram")).as("h"))
-    // hashes appearing in ≥2 distinct docs; 8-byte keys only past this point
+    // hashes appearing in ≥2 distinct docs; 8-byte keys only past this
+    // point. min(doc)≠max(doc) ⟺ ≥2 distinct docs, in ONE partial-agg
+    // shuffle — countDistinct would plan a second (h, doc_id) exchange
     val repeated = grams
       .groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("dmin"), max(col("doc_id")).as("dmax"))
+      .filter(col("dmin") =!= col("dmax"))
       .select(col("h"), lit(1).as("rep"))
     grams
       .join(repeated, Seq("h"), "left")

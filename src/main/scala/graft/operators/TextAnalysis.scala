@@ -222,7 +222,9 @@ object TextAnalysis {
   def unigramScores(docs: DataFrame): DataFrame = {
     val toks = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    // == sum of vocab counts, but needs no second vocabulary aggregation —
+    // one count over the token rows collapses to the 1-row broadcast
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
     toks
       .join(vocab, Seq("tok"))
       .crossJoin(broadcast(total))

@@ -459,7 +459,7 @@ object TrainingData {
       s"""WITH $baseCte,
          |tk AS (SELECT doc_id, unnest(toks) AS tok FROM base),
          |v AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
-         |tot AS (SELECT SUM(cnt)::DOUBLE AS total FROM v),
+         |tot AS (SELECT COUNT(*)::DOUBLE AS total FROM tk),
          |sc AS (
          |  SELECT doc_id,
          |         CAST(ROUND(-ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS nm
@@ -520,7 +520,7 @@ object TrainingData {
     "passage_doc_share" ->
       s"""WITH $baseCte, $augCte, $passageGramCtes,
          |grh AS (SELECT doc_id, ${h64("gram")} AS h FROM gr),
-         |rep AS (SELECT h FROM grh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2)
+         |rep AS (SELECT h FROM grh GROUP BY h HAVING MIN(doc_id) <> MAX(doc_id))
          |SELECT g.doc_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_grams,
          |       CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
