@@ -112,6 +112,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(idxWindow >= 0 && idxAgg >= 0 && idxWindow < idxAgg, p.take(2000))
   }
 
+  test("perplexity is the word-count shape — exchanges carry tokens and counts, never text") {
+    val p = plan("text_perplexity")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"text_perplexity shuffles text: $l"))
+    // corpus-total is a 1-row broadcast, not a per-row join key
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast
