@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.export.Bucketed
+
+/** Bucketed-layout plan guarantee: a join of two tables bucketed on the
+  * join key must read co-partitioned buckets and plan WITHOUT any
+  * Exchange — the storage-side answer to the recurring-join shuffle at
+  * 100 TB. Broadcast is disabled for the assertion so the plan can't
+  * sidestep the question with a tiny-side broadcast. */
+class BucketedJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("join of two tables bucketed on the key plans zero Exchange; unbucketed twin shuffles both sides") {
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val scores = graft.operators.TextAnalysis.qualityScores(docs)
+    Bucketed.saveBucketed(docs, "docs_bkt", "doc_id", 8)
+    Bucketed.saveBucketed(scores, "scores_bkt", "doc_id", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.colocatedJoin(spark, "docs_bkt", "scores_bkt", "doc_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(joined.count() === docs.count())
+      // the same join over plain parquet pays an Exchange on both sides
+      val plain = docs.join(scores, Seq("doc_id"))
+      val pp = plain.queryExecution.executedPlan.toString
+      assert(pp.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, pp.take(2000))
+      // values identical either way
+      assert(joined.agg(sum(col("n_tokens"))).collect()(0).getLong(0) ===
+        plain.agg(sum(col("n_tokens"))).collect()(0).getLong(0))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS docs_bkt")
+      spark.sql("DROP TABLE IF EXISTS scores_bkt")
+    }
+  }
+}
