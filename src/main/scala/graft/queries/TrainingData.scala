@@ -82,6 +82,7 @@ object TrainingData {
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "sim_kmeans_cells" -> ((s, dir) => Similarity.kmeansCells(emb(s, dir))),
+    "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
 
     // ── multimodal ────────────────────────────────────────────────────────
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
@@ -591,6 +592,58 @@ object TrainingData {
          |CROSS JOIN (SELECT unnest(range(1, 65)) AS d) d
          |LEFT JOIN sizes s ON s.cell = c.cell
          |ORDER BY c.cell, dim""".stripMargin,
+
+    "sim_topk_pq" ->
+      s"""WITH $vecCte,
+         |ms AS (SELECT unnest(range(0, ${Similarity.PqM})) AS m),
+         |cb AS (
+         |  SELECT ms.m, (vn.vec_id - 100)::INT AS j,
+         |         vn.vec[(ms.m*16+1)::INT:(ms.m*16+16)::INT] AS cvec
+         |  FROM vn, ms WHERE vn.vec_id >= 100 AND vn.vec_id < ${100 + Similarity.PqK}),
+         |cbn AS (SELECT m, j, cvec, ${dotD("cvec", "cvec", 16)} AS csq FROM cb),
+         |sub AS (
+         |  SELECT vec_id, ms.m, vec[(ms.m*16+1)::INT:(ms.m*16+16)::INT] AS sub
+         |  FROM vn, ms),
+         |cscore AS (
+         |  SELECT s.vec_id, s.m, c.j, ${dotD("s.sub", "c.cvec", 16)} * 2 - c.csq AS sc
+         |  FROM sub s JOIN cbn c ON s.m = c.m),
+         |code AS (
+         |  SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, j) AS rn
+         |    FROM cscore) t WHERE rn = 1),
+         |cand AS (
+         |  SELECT vec_id,
+         |         MAX(CASE WHEN m = 0 THEN code END) AS c0,
+         |         MAX(CASE WHEN m = 1 THEN code END) AS c1,
+         |         MAX(CASE WHEN m = 2 THEN code END) AS c2,
+         |         MAX(CASE WHEN m = 3 THEN code END) AS c3
+         |  FROM code GROUP BY vec_id),
+         |dt AS (
+         |  SELECT s.vec_id AS query_id, c.m, c.j,
+         |         c.csq - ${dotD("s.sub", "c.cvec", 16)} * 2 AS dv
+         |  FROM sub s JOIN cbn c ON s.m = c.m WHERE s.vec_id < 5),
+         |qq AS (SELECT vec_id AS query_id, sq AS qsq FROM vn WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT qq.query_id, cd.vec_id,
+         |         qq.qsq + d0.dv + d1.dv + d2.dv + d3.dv AS adist
+         |  FROM qq, cand cd
+         |  JOIN dt d0 ON d0.m = 0 AND d0.j = cd.c0
+         |  JOIN dt d1 ON d1.m = 1 AND d1.j = cd.c1
+         |  JOIN dt d2 ON d2.m = 2 AND d2.j = cd.c2
+         |  JOIN dt d3 ON d3.m = 3 AND d3.j = cd.c3
+         |  WHERE d0.query_id = qq.query_id AND d1.query_id = qq.query_id
+         |    AND d2.query_id = qq.query_id AND d3.query_id = qq.query_id
+         |    AND cd.vec_id <> qq.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adist,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY adist, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |       ROUND(adist, 6) AS adist
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $baseCte, $augCte, $shCte, $sigCte, $fpairsCtes,

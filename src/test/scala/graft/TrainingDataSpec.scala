@@ -540,6 +540,29 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("pq codes are exact on the codebook sample; topk ranks by asymmetric distance") {
+    val prep = Similarity.prepared(emb)
+    // a codebook vector's nearest codeword in every subspace is itself
+    val codes = Similarity.withPqCodes(prep)
+      .filter(col("vec_id") >= 100 && col("vec_id") < 100 + Similarity.PqK).collect()
+    assert(codes.length === Similarity.PqK)
+    codes.foreach { r =>
+      val j = (r.getLong(0) - 100).toInt
+      (0 until Similarity.PqM).foreach { m =>
+        assert(r.getAs[Int](s"code_$m") === j, s"vec ${r.getLong(0)} subspace $m")
+      }
+    }
+    val rows = Similarity.pqTopK(emb).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { qr =>
+      assert(qr.map(_.getLong(1)).sorted.toSeq === (1L to 10L))
+      val dists = qr.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(dists.sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+      assert(!qr.exists(_.getLong(2) === qr.head.getLong(0))) // never self
+    }
+  }
+
   test("source mix: totals match the corpus and token shares sum to one") {
     val rows = Curation.sourceMix(docs).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
