@@ -185,6 +185,18 @@ object Similarity {
     val prep = prepared(emb)
     val cents = collectCentroids(prep)
     val v = withIvfCell(prep, cents)
+    rankTopK(
+      v.join(broadcast(ivfProbes(prep, cents, nQueries)), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
+      k)
+  }
+
+  /** (query_id, qvec, qsq, cell) — each query exploded to its `IvfProbes`
+    * nearest centroids via the literal-centroid sort (narrow). */
+  private def ivfProbes(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+      nQueries: Int): DataFrame = {
     // (−score, centroid_id) structs sort ascending = (score desc, id asc)
     val probeScored = cents.toSeq.map { case (cid, cvec, csq) =>
       struct(
@@ -192,19 +204,13 @@ object Similarity {
           sqrt(col("qsq") * lit(csq)))).as("ns"),
         lit(cid).as("cid"))
     }
-    val probes = prep.filter(col("vec_id") < nQueries)
+    prep.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
       .withColumn("cell",
         explode(transform(
           slice(sort_array(array(probeScored: _*)), 1, IvfProbes),
           s => s.getField("cid"))))
       .select(col("query_id"), col("qvec"), col("qsq"), col("cell"))
-    rankTopK(
-      v.join(broadcast(probes), Seq("cell"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("cos",
-          VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
-      k)
   }
 
   val PqM = 4        // subspaces
@@ -250,8 +256,26 @@ object Similarity {
       }
       (-array_max(array(scored: _*)).getField("nj")).as(s"code_$m")
     }
-    v.select(col("vec_id") +: col("label") +: col("vec") +: col("sq") +: codeCols: _*)
+    v.select(col("*") +: codeCols: _*)
   }
+
+  /** Per-query PQ distance table column: dt[m][j] = ‖c_{m,j}‖² − 2·q_m·c_{m,j}
+    * over a `qvec` column. */
+  private def pqDistTable(cb: Array[Array[(Seq[Double], Double)]]) =
+    array((0 until PqM).map { m =>
+      val qsub = slice(col("qvec"), m * PqSubDim + 1, PqSubDim)
+      array((0 until PqK).map { j =>
+        val (cvec, csq) = cb(m)(j)
+        lit(csq) - call_function("vec_dot", qsub, typedLit(cvec)) * 2.0
+      }: _*)
+    }: _*)
+
+  /** adist = qsq + dt[0][code_0] + … — fixed left-associated additions so
+    * the oracle's identical expression is bit-exact. */
+  private def pqAdist =
+    (0 until PqM).foldLeft(col("qsq")) { (acc, m) =>
+      acc + element_at(element_at(col("dt"), m + 1), col(s"code_$m") + 1)
+    }
 
   /** PQ ANN top-k by asymmetric distance: each query precomputes its
     * 4×8-entry distance table ONCE (broadcast with the query row), and each
@@ -264,32 +288,42 @@ object Similarity {
     val prep = prepared(emb)
     val cb = collectCodebook(prep)
     val coded = withPqCodes(prep, cb)
-    // per-query distance table: dt[m][j] = ‖c_{m,j}‖² − 2·q_m·c_{m,j}
-    val dtCol = array((0 until PqM).map { m =>
-      val qsub = slice(col("qvec"), m * PqSubDim + 1, PqSubDim)
-      array((0 until PqK).map { j =>
-        val (cvec, csq) = cb(m)(j)
-        lit(csq) - call_function("vec_dot", qsub, typedLit(cvec)) * 2.0
-      }: _*)
-    }: _*)
     val q = prep.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
-      .withColumn("dt", dtCol)
+      .withColumn("dt", pqDistTable(cb))
       .select(col("query_id"), col("qsq"), col("dt"))
-    // fixed-order chained additions (qsq + d0 + d1 + d2 + d3) — the oracle
-    // writes the identical left-associated expression
-    val adist = (0 until PqM).foldLeft(col("qsq")) { (acc, m) =>
-      acc + element_at(element_at(col("dt"), m + 1), col(s"code_$m") + 1)
-    }
+    rankByAdist(
+      coded.join(broadcast(q), col("vec_id") =!= col("query_id")), k)
+  }
+
+  private def rankByAdist(joined: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("adist"), col("vec_id"))
-    coded.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("adist", adist)
+    joined
+      .withColumn("adist", pqAdist)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("vec_id"), round(col("adist"), 6).as("adist"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF+PQ — the composed production ANN shape at 100 TB: the corpus is
+    * stored as (cell, 4 PQ codes) — the cell prunes the scan to the probed
+    * partitions, the codes make each surviving candidate a 4-lookup score.
+    * Neither stage shuffles the corpus: cell and codes are narrow literal
+    * projections, probes and distance tables are broadcast. */
+  def ivfPqTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val prep = prepared(emb)
+    val cents = collectCentroids(prep)
+    val cb = collectCodebook(prep)
+    val coded = withPqCodes(withIvfCell(prep, cents), cb)
+    val probes = ivfProbes(prep, cents, nQueries)
+      .withColumn("dt", pqDistTable(cb))
+      .select(col("query_id"), col("qsq"), col("dt"), col("cell"))
+    rankByAdist(
+      coded.join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id")), k)
   }
 
   /** ANN top-k: candidates share the query's LSH bucket; rank by exact

@@ -83,6 +83,7 @@ object TrainingData {
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "sim_kmeans_cells" -> ((s, dir) => Similarity.kmeansCells(emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
+    "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(emb(s, dir))),
 
     // ── multimodal ────────────────────────────────────────────────────────
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
@@ -635,6 +636,74 @@ object TrainingData {
          |  WHERE d0.query_id = qq.query_id AND d1.query_id = qq.query_id
          |    AND d2.query_id = qq.query_id AND d3.query_id = qq.query_id
          |    AND cd.vec_id <> qq.query_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adist,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY adist, vec_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |       ROUND(adist, 6) AS adist
+         |FROM ranked WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_ivfpq" ->
+      s"""WITH $vecCte,
+         |cents AS (
+         |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |assign AS (
+         |  SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT vn.vec_id, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM vn, cents c) t WHERE crank = 1),
+         |probes AS (
+         |  SELECT query_id, qsq, centroid_id AS cell FROM (
+         |    SELECT q.vec_id AS query_id, q.sq AS qsq, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${dotD("q.vec", "c.cvec")} / sqrt(q.sq * c.csq) DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM vn q, cents c WHERE q.vec_id < 5) t WHERE crank <= 2),
+         |ms AS (SELECT unnest(range(0, ${Similarity.PqM})) AS m),
+         |cb AS (
+         |  SELECT ms.m, (vn.vec_id - 100)::INT AS j,
+         |         vn.vec[(ms.m*16+1)::INT:(ms.m*16+16)::INT] AS cvec
+         |  FROM vn, ms WHERE vn.vec_id >= 100 AND vn.vec_id < ${100 + Similarity.PqK}),
+         |cbn AS (SELECT m, j, cvec, ${dotD("cvec", "cvec", 16)} AS csq FROM cb),
+         |sub AS (
+         |  SELECT vec_id, ms.m, vec[(ms.m*16+1)::INT:(ms.m*16+16)::INT] AS sub
+         |  FROM vn, ms),
+         |cscore AS (
+         |  SELECT s.vec_id, s.m, c.j, ${dotD("s.sub", "c.cvec", 16)} * 2 - c.csq AS sc
+         |  FROM sub s JOIN cbn c ON s.m = c.m),
+         |code AS (
+         |  SELECT vec_id, m, j AS code FROM (
+         |    SELECT vec_id, m, j,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, j) AS rn
+         |    FROM cscore) t WHERE rn = 1),
+         |cand AS (
+         |  SELECT vec_id,
+         |         MAX(CASE WHEN m = 0 THEN code END) AS c0,
+         |         MAX(CASE WHEN m = 1 THEN code END) AS c1,
+         |         MAX(CASE WHEN m = 2 THEN code END) AS c2,
+         |         MAX(CASE WHEN m = 3 THEN code END) AS c3
+         |  FROM code GROUP BY vec_id),
+         |dt AS (
+         |  SELECT s.vec_id AS query_id, c.m, c.j,
+         |         c.csq - ${dotD("s.sub", "c.cvec", 16)} * 2 AS dv
+         |  FROM sub s JOIN cbn c ON s.m = c.m WHERE s.vec_id < 5),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         p.qsq + d0.dv + d1.dv + d2.dv + d3.dv AS adist
+         |  FROM probes p
+         |  JOIN assign a ON a.cell = p.cell
+         |  JOIN cand cd ON cd.vec_id = a.vec_id
+         |  JOIN dt d0 ON d0.query_id = p.query_id AND d0.m = 0 AND d0.j = cd.c0
+         |  JOIN dt d1 ON d1.query_id = p.query_id AND d1.m = 1 AND d1.j = cd.c1
+         |  JOIN dt d2 ON d2.query_id = p.query_id AND d2.m = 2 AND d2.j = cd.c2
+         |  JOIN dt d3 ON d3.query_id = p.query_id AND d3.m = 3 AND d3.j = cd.c3
+         |  WHERE a.vec_id <> p.query_id),
          |ranked AS (
          |  SELECT query_id, vec_id, adist,
          |         ROW_NUMBER() OVER (PARTITION BY query_id

@@ -563,6 +563,24 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf+pq: candidates come only from probed cells; scores match the pure-pq table") {
+    val prep = Similarity.prepared(emb)
+    val rows = Similarity.ivfPqTopK(emb).collect()
+    assert(rows.nonEmpty)
+    // every (query, candidate, adist) must also appear in the pure-PQ scoring
+    // of the full corpus (IVF only prunes candidates, never rescores)
+    val pq = Similarity.pqTopK(emb, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(pq.contains(key), s"$key missing from full PQ scoring")
+      assert(pq(key) === r.getDouble(3), s"$key rescored differently")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { qr =>
+      assert(qr.map(_.getLong(1)).sorted.toSeq === (1L to qr.length))
+    }
+  }
+
   test("source mix: totals match the corpus and token shares sum to one") {
     val rows = Curation.sourceMix(docs).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
