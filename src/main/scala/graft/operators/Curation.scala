@@ -150,6 +150,59 @@ object Curation {
         round(col("n_kept").cast("double") / col("n_total"), 4))
       .orderBy(col("lang"))
 
+  /** Quality floor for the funnel's filter stage. */
+  val QualityFloor = 0.3
+
+  /** The curation funnel — one corpus pass reporting how many documents
+    * survive each cumulative pipeline stage: ingest → exact dedup (digest
+    * keepers) → near-dedup (LSH cluster keepers) → quality floor →
+    * stratified mixture sampling. The number every pipeline owner asks for
+    * ("where did my tokens go?"), and the proof the operators compose.
+    *
+    * Scale shape: stage predicates are all per-row flags (digest-group min
+    * via one keyed window, cluster keeper via joins against the — tiny —
+    * cluster tables, quality and sampling narrow projections); the five
+    * counts ride ONE aggregation to a single row, unpivoted with `stack`. */
+  def funnel(docs: DataFrame, qualityFloor: Double = QualityFloor,
+      rates: Map[String, Int] = SampleRatesBp, salt: String = "sample1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val aug = Dedup.augmentedDocs(docs)
+    val quality = TextAnalysis.qualityScores(
+      aug.select(col("doc_id"), col("text"), col("lang")))
+      .select(col("doc_id"), col("quality_score"))
+    val clusters = Dedup.duplicateClusters(docs)
+      .select(col("doc_id"), lit(1).as("in_cluster"))
+    val keepers = clusterKeepers(docs)
+      .select(col("keep_doc_id").as("doc_id"), lit(1).as("is_keeper"))
+    val rateCol = rates.toSeq.sortBy(_._1).reverse
+      .foldLeft(lit(0)) { case (acc, (l, bp)) =>
+        when(col("lang") === lit(l), lit(bp)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    val flagged = aug
+      .withColumn("digest", md5(col("text")))
+      .withColumn("min_id", min(col("doc_id")).over(w))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"))
+      .withColumn("s2", col("doc_id") === col("min_id"))
+      .withColumn("s3", col("s2") &&
+        (col("in_cluster").isNull || col("is_keeper").isNotNull))
+      .withColumn("s4", col("s3") && col("quality_score") >= qualityFloor)
+      .withColumn("s5", col("s4") && splitHash(salt) % 10000 < rateCol)
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    flagged
+      .agg(
+        count(lit(1)).as("n1"), cnt(col("s2")).as("n2"), cnt(col("s3")).as("n3"),
+        cnt(col("s4")).as("n4"), cnt(col("s5")).as("n5"))
+      .select(expr(
+        """stack(5,
+          |  1, 'ingest', n1, 2, 'exact_dedup', n2, 3, 'near_dedup', n3,
+          |  4, 'quality', n4, 5, 'sample', n5) as (stage_idx, stage, n_docs)"""
+          .stripMargin))
+      .orderBy(col("stage_idx"))
+  }
+
   // ── deterministic corpus shuffle / training shards ───────────────────────
 
   /** Seeded global shuffle order + shard assignment for training: a trainer

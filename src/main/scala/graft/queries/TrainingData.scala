@@ -75,6 +75,7 @@ object TrainingData {
     "cur_packing" -> ((s, dir) => Curation.packingSummary(docs(s, dir))),
     "cur_sample" -> ((s, dir) => Curation.sampleSummary(docs(s, dir))),
     "cur_shuffle" -> ((s, dir) => Curation.shuffleSummary(docs(s, dir))),
+    "cur_funnel" -> ((s, dir) => Curation.funnel(docs(s, dir))),
     "cur_source_mix" -> ((s, dir) => Curation.sourceMix(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
@@ -753,6 +754,55 @@ object TrainingData {
          |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
          |       doc_id AS keep_doc_id, quality_score AS keep_quality
          |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    "cur_funnel" ->
+      s"""WITH RECURSIVE $baseCte, $augCte, $shCte, $sigCte, $fpairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM fpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM fpairs),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a),
+         |clusters AS (
+         |  SELECT a AS doc_id, CAST(least(a, MIN(b)) AS BIGINT) AS cluster
+         |  FROM reach GROUP BY a),
+         |q AS (
+         |  SELECT doc_id,
+         |         ROUND(least(len(toks)::DOUBLE / 100.0::DOUBLE, 1.0::DOUBLE) * 0.5::DOUBLE
+         |               + (len(list_filter(toks, t -> list_contains($stopArr, t)))::DOUBLE
+         |                  / len(toks)) * 0.5::DOUBLE, 4) AS quality_score
+         |  FROM aug),
+         |ranked AS (
+         |  SELECT c.doc_id,
+         |         ROW_NUMBER() OVER (PARTITION BY c.cluster
+         |           ORDER BY q.quality_score DESC, c.doc_id) AS rn
+         |  FROM clusters c JOIN q USING (doc_id)),
+         |keepers AS (SELECT doc_id FROM ranked WHERE rn = 1),
+         |dg AS (SELECT doc_id, md5(text) AS digest, lang FROM aug),
+         |mn AS (
+         |  SELECT doc_id, lang,
+         |         MIN(doc_id) OVER (PARTITION BY digest) AS min_id
+         |  FROM dg),
+         |fl AS (
+         |  SELECT m.doc_id,
+         |         (m.doc_id = m.min_id) AS s2,
+         |         (m.doc_id = m.min_id)
+         |           AND (c.doc_id IS NULL OR k.doc_id IS NOT NULL) AS s3,
+         |         q.quality_score >= ${Curation.QualityFloor} AS qok,
+         |         ${h64("m.doc_id::VARCHAR || '#sample1'")} % 10000 <
+         |           ${Curation.SampleRatesBp.toSeq.sortBy(_._1).map { case (l, bp) =>
+                s"WHEN '$l' THEN $bp" }.mkString("CASE m.lang ", " ", " ELSE 0 END")} AS sok
+         |  FROM mn m
+         |  LEFT JOIN clusters c ON c.doc_id = m.doc_id
+         |  LEFT JOIN keepers k ON k.doc_id = m.doc_id
+         |  JOIN q ON q.doc_id = m.doc_id)
+         |SELECT 1 AS stage_idx, 'ingest' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM fl
+         |UNION ALL SELECT 2, 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM fl WHERE s2
+         |UNION ALL SELECT 3, 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM fl WHERE s3
+         |UNION ALL SELECT 4, 'quality', CAST(COUNT(*) AS BIGINT) FROM fl WHERE s3 AND qok
+         |UNION ALL SELECT 5, 'sample', CAST(COUNT(*) AS BIGINT) FROM fl WHERE s3 AND qok AND sok
+         |ORDER BY stage_idx""".stripMargin,
 
     "cur_split" ->
       s"""WITH $baseCte,

@@ -581,6 +581,20 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("curation funnel: monotone stage survivors anchored to the dedup operators") {
+    val rows = Curation.funnel(docs).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2)).toSeq === Seq(
+      (1, "ingest"), (2, "exact_dedup"), (3, "near_dedup"), (4, "quality"), (5, "sample")))
+    val counts = rows.map(_._3)
+    assert(counts.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)),
+      s"funnel not monotone: ${counts.mkString(",")}")
+    // anchors: stage 1 = augmented corpus size; stage 2 = exact-dedup groups
+    assert(counts(0) === Dedup.augmentedDocs(docs).count())
+    assert(counts(1) === Dedup.exact(docs).count())
+    assert(counts(4) > 0L && counts(4) < counts(0))
+  }
+
   test("source mix: totals match the corpus and token shares sum to one") {
     val rows = Curation.sourceMix(docs).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
