@@ -68,6 +68,7 @@ object Cli {
       }
       else if (flags.contains("--migrate")) migrate(opts, pos)
       else if (flags.contains("--remote")) remote(opts, pos, flags)
+      else if (pos.headOption.contains("query")) query(pos)
       else if (pos.length >= 2) local(opts, pos, flags)
       else printHelp()
     } finally if (preexisting.isEmpty) SparkSession.getActiveSession.foreach(_.stop())
@@ -158,6 +159,26 @@ object Cli {
       case other =>
         System.err.println(s"unknown command: $other"); printHelp(); sys.exit(2)
     }
+  }
+
+  /** `graft query <name> <dataDir> [out]` — run any registered analytics /
+    * training-data query against a parquet data directory; print (no out),
+    * or write through the sink layer (format by extension). `graft query
+    * list` enumerates the surface. */
+  private def query(pos: Array[String]): Unit = {
+    val name = requireArg(pos, 1, "query name (or 'list')")
+    if (name == "list") {
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
+    val fn = SparkEntry.queries.getOrElse(name,
+      fail(s"unknown query: $name (try: graft query list)"))
+    val dataDir = requireArg(pos, 2, "data directory")
+    val df = fn(session(), dataDir)
+    if (pos.length > 3) {
+      val c = Sinks.write(df, pos(3))
+      println(s"$name: $c records")
+    } else df.show(50, false)
   }
 
   // ── remote incremental ETL (§3.2 shape) ─────────────────────────────────
@@ -274,6 +295,7 @@ object Cli {
       |  graft <era_path_or_glob> all-blocks <out> [--separate]
       |  graft <era_path_or_glob> all-blocks --export-jdbc <jdbc-url>
       |  graft <era_path_or_glob> <dataset> <out|--export-jdbc <url>> [--parity]
+      |  graft query <name|list> <data_dir> [out]
       |  graft --optimize [--state-dir D]
       |  graft --migrate <jdbc-url> <status|run|list> [version]
       |  graft --remote <base_url> <network> <era_range> [cmd] [out]

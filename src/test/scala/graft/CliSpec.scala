@@ -70,4 +70,20 @@ class CliSpec extends AnyFunSuite {
     assert(out.contains("attestations:"))
     assert(Files.exists(Paths.get(s"$dir/att.csv")))
   }
+
+  test("query verb lists the surface, prints a result, and writes through the sink layer") {
+    val listed = captureOut { Cli.main(Array("query", "list")) }
+    assert(listed.linesIterator.contains("dedup_exact"))
+    assert(listed.linesIterator.contains("cur_funnel"))
+    val shown = captureOut {
+      Cli.main(Array("query", "cur_source_mix", "/root/testdata/sf0.001"))
+    }
+    assert(shown.contains("token_share"))
+    val dir = Files.createTempDirectory("cli-q").toString
+    val out = captureOut {
+      Cli.main(Array("query", "text_quality", "/root/testdata/sf0.001", s"$dir/q.csv"))
+    }
+    assert(out.contains("text_quality: 500 records"))
+    assert(Files.exists(Paths.get(s"$dir/q.csv")))
+  }
 }
