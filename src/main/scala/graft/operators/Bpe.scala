@@ -39,38 +39,44 @@ object Bpe {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val spark = docs.sparkSession
     import spark.implicits._
+    // the corpus-to-vocab reduction happens ONCE: without the persist,
+    // every round's 1-row collect would replay tokenize → explode →
+    // word-count from the raw corpus (nMerges+1 full passes at 100 TB)
     val words = TextAnalysis.withTokens(docs)
       .select(explode(col("toks")).as("word"))
       .filter(col("word") =!= "" && !col("word").contains(Sep))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    var syms = words
-      .select(concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)).as("syms"),
-        col("n"))
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= nMerges && !exhausted) {
-      val best = syms
-        .select(explode(call_function("word_ngrams", spacedSyms, lit(2))).as("pair"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var syms = words
+        .select(concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)).as("syms"),
           col("n"))
-        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val Array(a, b) = pair.split(" ", 2)
-        merges += ((r, a, b, a + b, cnt))
-        syms = syms.select(
-          call_function("replace", col("syms"),
-            lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)).as("syms"),
-          col("n"))
-        r += 1
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= nMerges && !exhausted) {
+        val best = syms
+          .select(explode(call_function("word_ngrams", spacedSyms, lit(2))).as("pair"),
+            col("n"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          val cnt = best(0).getLong(1)
+          val Array(a, b) = pair.split(" ", 2)
+          merges += ((r, a, b, a + b, cnt))
+          syms = syms.select(
+            call_function("replace", col("syms"),
+              lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)).as("syms"),
+            col("n"))
+          r += 1
+        }
       }
-    }
-    merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-      .orderBy(col("merge_rank"))
+      merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy(col("merge_rank"))
+    } finally words.unpersist(blocking = false)
   }
 
   /** Per-document tokenization accounting under the learned merge table —

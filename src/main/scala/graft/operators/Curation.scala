@@ -35,11 +35,17 @@ object Curation {
     * connected components with quality scores and keep the member with the
     * best (rounded) quality, doc-id tie-break. Output: one row per cluster
     * with the keeper and the member count — the keep/drop decision list. */
-  def clusterKeepers(docs: DataFrame): DataFrame = {
-    val clusters = Dedup.duplicateClusters(docs) // (doc_id, cluster)
-    val quality = TextAnalysis.qualityScores(
-      Dedup.augmentedDocs(docs).select(col("doc_id"), col("text"), col("lang")))
-      .select(col("doc_id"), col("quality_score"))
+  def clusterKeepers(docs: DataFrame): DataFrame =
+    clusterKeepersFrom(
+      Dedup.duplicateClusters(docs),
+      TextAnalysis.qualityScores(
+        Dedup.augmentedDocs(docs).select(col("doc_id"), col("text"), col("lang")))
+        .select(col("doc_id"), col("quality_score")))
+
+  /** [[clusterKeepers]] over ALREADY-BUILT cluster and quality frames — so
+    * a caller that needs clusters, quality, AND keepers (the funnel) pays
+    * for the expensive connected-components derivation once. */
+  def clusterKeepersFrom(clusters: DataFrame, quality: DataFrame): DataFrame = {
     clusters.join(quality, Seq("doc_id"))
       .groupBy(col("cluster"))
       .agg(
@@ -123,17 +129,20 @@ object Curation {
     * Scale shape: a narrow map-side filter — no shuffle, no RNG state, no
     * driver involvement; the sampled corpus streams straight into the next
     * stage at full scan speed. */
-  def withSampleFlag(docs: DataFrame, rates: Map[String, Int] = SampleRatesBp,
-      salt: String = "sample1"): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    // typed when-chain, not string-built SQL — `rates` is a public
-    // parameter, so keys must never be spliced into a parsed statement
-    val rateCol = rates.toSeq.sortBy(_._1).reverse
+  /** Basis-point rate for the row's language, as a typed when-chain — NOT
+    * string-built SQL: `rates` is a public parameter, so keys must never be
+    * spliced into a parsed statement. Unknown languages rate 0 (dropped). */
+  private def rateCol(rates: Map[String, Int]): Column =
+    rates.toSeq.sortBy(_._1).reverse
       .foldLeft(lit(0)) { case (acc, (l, bp)) =>
         when(col("lang") === lit(l), lit(bp)).otherwise(acc)
       }
+
+  def withSampleFlag(docs: DataFrame, rates: Map[String, Int] = SampleRatesBp,
+      salt: String = "sample1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     docs
-      .withColumn("rate_bp", rateCol)
+      .withColumn("rate_bp", rateCol(rates))
       .withColumn("keep", splitHash(salt) % 10000 < col("rate_bp"))
   }
 
@@ -170,14 +179,11 @@ object Curation {
     val quality = TextAnalysis.qualityScores(
       aug.select(col("doc_id"), col("text"), col("lang")))
       .select(col("doc_id"), col("quality_score"))
-    val clusters = Dedup.duplicateClusters(docs)
-      .select(col("doc_id"), lit(1).as("in_cluster"))
-    val keepers = clusterKeepers(docs)
+    // connected components once; keepers derive from the same frame
+    val clusterFrame = Dedup.duplicateClusters(docs)
+    val clusters = clusterFrame.select(col("doc_id"), lit(1).as("in_cluster"))
+    val keepers = clusterKeepersFrom(clusterFrame, quality)
       .select(col("keep_doc_id").as("doc_id"), lit(1).as("is_keeper"))
-    val rateCol = rates.toSeq.sortBy(_._1).reverse
-      .foldLeft(lit(0)) { case (acc, (l, bp)) =>
-        when(col("lang") === lit(l), lit(bp)).otherwise(acc)
-      }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
     val flagged = aug
       .withColumn("digest", md5(col("text")))
@@ -189,7 +195,7 @@ object Curation {
       .withColumn("s3", col("s2") &&
         (col("in_cluster").isNull || col("is_keeper").isNotNull))
       .withColumn("s4", col("s3") && col("quality_score") >= qualityFloor)
-      .withColumn("s5", col("s4") && splitHash(salt) % 10000 < rateCol)
+      .withColumn("s5", col("s4") && splitHash(salt) % 10000 < rateCol(rates))
     def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
     flagged
       .agg(

@@ -282,11 +282,11 @@ object TrainingData {
        |  GROUP BY pair),
        |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
        |s$i AS (
-       |  SELECT replace(p.syms,
+       |  SELECT COALESCE(replace(p.syms,
        |           chr(1) || split_part(b.pair, ' ', 1) || chr(1) ||
        |             split_part(b.pair, ' ', 2) || chr(1),
-       |           chr(1) || replace(b.pair, ' ', '') || chr(1)) AS syms, p.n
-       |  FROM $prev p, b$i b)""".stripMargin
+       |           chr(1) || replace(b.pair, ' ', '') || chr(1)), p.syms) AS syms, p.n
+       |  FROM $prev p LEFT JOIN b$i b ON TRUE)""".stripMargin
 
   /** Word-frequency table, char-level symbol strings, and three unrolled
     * learning rounds (b1..b3 hold the learned merges) — shared by the
@@ -304,14 +304,16 @@ object TrainingData {
        |${bpeRoundCtes(3, "s2")}""".stripMargin
 
   /** One merge application to the distinct-word symbol table (mirrors the
-    * tokenizeSummary fold step). */
+    * tokenizeSummary fold step). LEFT JOIN + COALESCE so an empty b$i
+    * (merge learning exhausted early) leaves the symbols unchanged —
+    * exactly like the Spark fold over only the learned merges. */
   private def bpeApplyCte(i: Int, prev: String): String =
     s"""sy$i AS (
-       |  SELECT word, replace(syms,
+       |  SELECT word, COALESCE(replace(p.syms,
        |           chr(1) || split_part(b.pair, ' ', 1) || chr(1) ||
        |             split_part(b.pair, ' ', 2) || chr(1),
-       |           chr(1) || replace(b.pair, ' ', '') || chr(1)) AS syms
-       |  FROM $prev, b$i b)""".stripMargin
+       |           chr(1) || replace(b.pair, ' ', '') || chr(1)), p.syms) AS syms
+       |  FROM $prev p LEFT JOIN b$i b ON TRUE)""".stripMargin
 
   /** Positional (multiplicity-preserving) word 8-grams over aug (mirrors
     * Passages.gramStrings: word_ngrams(text, 8), one row per occurrence). */
