@@ -91,7 +91,11 @@ object TextAnalysis {
   /** Language ID: score = marker-token hits per language, prediction =
     * argmax with alphabetical tie-break; output is the (actual, predicted)
     * confusion matrix. */
-  def langIdConfusion(docs: DataFrame): DataFrame = {
+  /** Adds `pred_lang` (marker-scored language prediction, deterministic
+    * alphabetical tie-break) — the per-document tagging entry point a
+    * pipeline runs when ingested documents carry no language label; a
+    * fully narrow projection, so it streams as-is. */
+  def withPredictedLang(docs: DataFrame): DataFrame = {
     val scored = LangMarkers.foldLeft(withTokens(docs)) { case (df, (code, markers)) =>
       val arr = s"array(${markers.map(m => s"'$m'").mkString(",")})"
       df.withColumn(s"s_$code",
@@ -103,8 +107,11 @@ object TextAnalysis {
     val predLadder = LangMarkers.reverse.foldLeft(lit("und")) { case (els, (code, _)) =>
       when(col(s"s_$code") === best, lit(code)).otherwise(els)
     }
-    scored
-      .withColumn("pred_lang", predLadder)
+    scored.withColumn("pred_lang", predLadder)
+  }
+
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    withPredictedLang(docs)
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("pred_lang"))

