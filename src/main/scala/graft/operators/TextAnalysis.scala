@@ -24,7 +24,10 @@ object TextAnalysis {
     * trim + split on whitespace runs — the portable baseline tokenizer. */
   def withTokens(docs: DataFrame): DataFrame =
     docs
-      .withColumn("text", trim(col("text")))
+      // null-safe: a null text would otherwise poison every downstream
+      // count (size(split(null)) = -1); empty string is the sane identity
+      // and matches what the oracle corpus (which has no nulls) computes
+      .withColumn("text", coalesce(trim(col("text")), lit("")))
       .withColumn("toks", split(col("text"), "\\s+"))
 
   /** BPE-ish regex token pattern: letter runs, digit runs, single other
@@ -74,7 +77,10 @@ object TextAnalysis {
         col("n_tokens"),
         round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
         round(col("tok_chars").cast("double") / col("n_tokens"), 4).as("avg_token_len"),
-        round(col("n_alpha").cast("double") / length(col("text")), 4).as("alpha_ratio"),
+        // greatest(len, 1): identity for non-empty text, and an empty
+        // (or null→"") document scores 0 instead of dividing by zero
+        round(col("n_alpha").cast("double") / greatest(length(col("text")), lit(1)), 4)
+          .as("alpha_ratio"),
         col("quality_score"))
   }
 

@@ -854,7 +854,7 @@ object TrainingData {
          |SELECT doc_id, n_tokens,
          |       ROUND(n_stop::DOUBLE / n_tokens, 4) AS stop_ratio,
          |       ROUND(tok_chars::DOUBLE / n_tokens, 4) AS avg_token_len,
-         |       ROUND(n_alpha::DOUBLE / n_chars, 4) AS alpha_ratio,
+         |       ROUND(n_alpha::DOUBLE / greatest(n_chars, 1), 4) AS alpha_ratio,
          |       ROUND(least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.5
          |             + (n_stop::DOUBLE / n_tokens) * 0.5, 4) AS quality_score
          |FROM q ORDER BY doc_id""".stripMargin,

@@ -610,6 +610,18 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
   }
 
+  test("null text is tolerated by the raw production entry points") {
+    import spark.implicits._
+    val dirty = Seq((1L, null.asInstanceOf[String], "en"), (2L, "a real doc", "en"))
+      .toDF("doc_id", "text", "lang")
+    val q = TextAnalysis.qualityScores(dirty).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q(1L) === 1L && q(2L) === 3L) // null → "" → one empty token, never -1
+    assert(Pii.scanRaw(dirty.select(col("doc_id"), col("text"))).count() === 0)
+    assert(TextAnalysis.withPredictedLang(dirty).count() === 2)
+    assert(graft.operators.Passages.docRepeatedShareRaw(dirty).count() === 0)
+  }
+
   test("source mix: totals match the corpus and token shares sum to one") {
     val rows = Curation.sourceMix(docs).collect()
     assert(rows.map(_.getLong(1)).sum === docs.count())
