@@ -454,6 +454,40 @@ object Dedup {
     definiteNew.unionByName(confirmed).orderBy(col("doc_id"))
   }
 
+  /** Content-addressed corpus-version diff — the audit a pipeline runs
+    * between two corpus snapshots ("what changed since the last training
+    * set?"): digests present only in v2 are `added`, only in v1 `removed`,
+    * in both `common`. Content-level semantics: a document deleted from v2
+    * whose exact copy survives still counts `common` — its CONTENT is
+    * still in the corpus. Each side collapses to distinct 32-byte digests
+    * before the full-outer join, so the shuffle is digest-only regardless
+    * of corpus size. Expects a `text` column on both inputs. */
+  def snapshotDiffRaw(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val d1 = v1.select(md5(col("text")).as("digest")).distinct()
+      .withColumn("in1", lit(1))
+    val d2 = v2.select(md5(col("text")).as("digest")).distinct()
+      .withColumn("in2", lit(1))
+    d1.join(d2, Seq("digest"), "full_outer")
+      .select(
+        when(col("in1").isNull, "added")
+          .when(col("in2").isNull, "removed")
+          .otherwise("common").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_digests"))
+      .orderBy(col("status"))
+  }
+
+  /** [[snapshotDiffRaw]] harness twin: v1 = the base corpus, v2 = the
+    * augmented corpus minus a deterministic removal stride (base ids
+    * divisible by 17) — guaranteeing all three statuses exist for the
+    * oracle to verify. */
+  def snapshotDiff(docs: DataFrame): DataFrame = {
+    val v1 = augmentedDocs(docs).filter(col("doc_id") < 100000)
+    val v2 = augmentedDocs(docs)
+      .filter(!(col("doc_id") < 100000 && col("doc_id") % 17 === 0))
+    snapshotDiffRaw(v1, v2)
+  }
+
   /** (doc_id, sig) → one row per (band, band_key) — the LSH bucket key a
     * signature lands in (shared by [[minhashLshPairs]] and the incremental
     * near-dup gate). */

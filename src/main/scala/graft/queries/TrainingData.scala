@@ -68,6 +68,7 @@ object TrainingData {
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalStatus(docs(s, dir))),
     "dedup_incremental_bloom" -> ((s, dir) => Dedup.incrementalStatusBloom(docs(s, dir))),
     "dedup_incremental_near" -> ((s, dir) => Dedup.incrementalNearDupStatus(docs(s, dir))),
+    "dedup_snapshot_diff" -> ((s, dir) => Dedup.snapshotDiff(docs(s, dir))),
 
     // ── curation (post-dedup pipeline steps) ──────────────────────────────
     "cur_keeper" -> ((s, dir) => Curation.clusterKeepers(docs(s, dir))),
@@ -428,6 +429,18 @@ object TrainingData {
 
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_bloom" -> incrementalSql,
+
+    "dedup_snapshot_diff" ->
+      s"""WITH $baseCte, $augCte,
+         |v1 AS (SELECT DISTINCT md5(text) AS digest FROM aug WHERE doc_id < 100000),
+         |v2 AS (SELECT DISTINCT md5(text) AS digest FROM aug
+         |       WHERE NOT (doc_id < 100000 AND doc_id % 17 = 0))
+         |SELECT CASE WHEN v1.digest IS NULL THEN 'added'
+         |            WHEN v2.digest IS NULL THEN 'removed'
+         |            ELSE 'common' END AS status,
+         |       CAST(COUNT(*) AS BIGINT) AS n_digests
+         |FROM v1 FULL OUTER JOIN v2 ON v1.digest = v2.digest
+         |GROUP BY 1 ORDER BY status""".stripMargin,
 
     "dedup_incremental_near" ->
       s"""WITH $baseCte, $augCte, $shCte, $sigCte,

@@ -610,6 +610,21 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
   }
 
+  test("snapshot diff is content-addressed: a removed doc with a surviving copy stays common") {
+    import spark.implicits._
+    val v1 = Seq((1L, "kept doc"), (2L, "removed doc"), (3L, "dup doc")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "kept doc"), (4L, "dup doc"), (5L, "brand new doc")).toDF("doc_id", "text")
+    val byStatus = Dedup.snapshotDiffRaw(v1, v2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "dup doc" was removed as id 3 but re-added as id 4 — same content,
+    // so it is common; only "removed doc"'s content left the corpus
+    assert(byStatus === Map("added" -> 1L, "removed" -> 1L, "common" -> 2L))
+    // harness twin surfaces all three statuses on the corpus
+    val h = Dedup.snapshotDiff(docs).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(h.keySet === Set("added", "removed", "common"))
+    assert(h.values.forall(_ > 0L))
+  }
+
   test("null text is tolerated by the raw production entry points") {
     import spark.implicits._
     val dirty = Seq((1L, null.asInstanceOf[String], "en"), (2L, "a real doc", "en"))
