@@ -328,7 +328,8 @@ object Similarity {
 
   /** ANN top-k: candidates share the query's LSH bucket; rank by exact
     * cosine within the bucket. Recall is partial by design — that is the
-    * ANN contract; raise `planes` resolution or multi-probe for more. */
+    * ANN contract; raise `planes` resolution or use
+    * [[lshMultiProbeTopK]] for more. */
   def lshTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val v = withBucket(prepared(emb))
     val q = v.filter(col("vec_id") < nQueries)
@@ -337,6 +338,30 @@ object Similarity {
     rankTopK(
       v.join(broadcast(q),
           col("bucket") === col("qbucket") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
+      k)
+  }
+
+  /** Multi-probe LSH — the recall knob: each query also probes every
+    * bucket at Hamming distance 1 from its own (a near neighbor that
+    * lands on the wrong side of ONE hyperplane is recovered). Probe count
+    * is planes+1 per query, so query cost grows linearly while recall
+    * approaches the next-doubling of `planes` — the standard trade
+    * (Lv et al., multi-probe LSH). Same plan shape as [[lshTopK]]: the
+    * corpus never shuffles; only the broadcast probe set grows. */
+  def lshMultiProbeTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val v = withBucket(prepared(emb))
+    val probes = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"),
+        col("sq").as("qsq"), col("bucket").as("qbucket"))
+      .withColumn("bucket", explode(array(
+        col("qbucket") +:
+          (0 until LshPlanes).map(p => col("qbucket").bitwiseXOR(lit(1 << p))): _*)))
+      .drop("qbucket")
+    rankTopK(
+      v.join(broadcast(probes), Seq("bucket"))
+        .filter(col("vec_id") =!= col("query_id"))
         .withColumn("cos",
           VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
       k)

@@ -82,6 +82,7 @@ object TrainingData {
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
+    "sim_topk_lsh_mp" -> ((s, dir) => Similarity.lshMultiProbeTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
     "sim_kmeans_cells" -> ((s, dir) => Similarity.kmeansCells(emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
@@ -269,6 +270,22 @@ object TrainingData {
     graft.operators.Pii.Kinds.foldLeft("text") { case (c, (_, pat, repl)) =>
       s"regexp_replace($c, '$pat', '$repl', 'g')"
     }
+
+  /** Signed-hyperplane LSH buckets for every vector + the query rows
+    * (mirrors Similarity.withBucket; shared by the single- and
+    * multi-probe mirrors). */
+  private val lshBucketCtes: String =
+    s"""planes AS (
+       |  SELECT p.p AS p, list_transform(range(0, 64),
+       |    d -> ((${h64("'hp' || p.p || '_' || d")} % 2001) - 1000)::DOUBLE / 1000.0::DOUBLE) AS w
+       |  FROM (SELECT unnest(range(0, 6)) AS p) p),
+       |vb AS (
+       |  SELECT vn.vec_id, vn.vec, vn.sq,
+       |         SUM(CASE WHEN ${dotD("vn.vec", "planes.w")} > 0.0::DOUBLE
+       |               THEN (1 << planes.p::INT) ELSE 0 END) AS bucket
+       |  FROM vn, planes GROUP BY vn.vec_id, vn.vec, vn.sq),
+       |q AS (SELECT vec_id AS query_id, vec AS qvec, sq AS qsq, bucket AS qbucket
+       |      FROM vb WHERE vec_id < 5)""".stripMargin
 
   /** One BPE round as CTEs (mirrors one Bpe.learnMerges iteration):
     * weighted positional symbol bigrams over `prev`, deterministic argmax
@@ -1047,22 +1064,28 @@ object TrainingData {
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_lsh" ->
-      s"""WITH $vecCte,
-         |planes AS (
-         |  SELECT p.p AS p, list_transform(range(0, 64),
-         |    d -> ((${h64("'hp' || p.p || '_' || d")} % 2001) - 1000)::DOUBLE / 1000.0::DOUBLE) AS w
-         |  FROM (SELECT unnest(range(0, 6)) AS p) p),
-         |vb AS (
-         |  SELECT vn.vec_id, vn.vec, vn.sq,
-         |         SUM(CASE WHEN ${dotD("vn.vec", "planes.w")} > 0.0::DOUBLE
-         |               THEN (1 << planes.p::INT) ELSE 0 END) AS bucket
-         |  FROM vn, planes GROUP BY vn.vec_id, vn.vec, vn.sq),
-         |q AS (SELECT vec_id AS query_id, vec AS qvec, sq AS qsq, bucket AS qbucket
-         |      FROM vb WHERE vec_id < 5),
+      s"""WITH $vecCte, $lshBucketCtes,
          |scored AS (
          |  SELECT q.query_id, vb.vec_id,
          |         ${dotD("vb.vec", "q.qvec")} / sqrt(vb.sq * q.qsq) AS cos
          |  FROM vb, q WHERE vb.bucket = q.qbucket AND vb.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_topk_lsh_mp" ->
+      s"""WITH $vecCte, $lshBucketCtes,
+         |probes AS (
+         |  SELECT query_id, qvec, qsq,
+         |         unnest([qbucket, xor(qbucket, 1), xor(qbucket, 2), xor(qbucket, 4),
+         |                 xor(qbucket, 8), xor(qbucket, 16), xor(qbucket, 32)]) AS bucket
+         |  FROM q),
+         |scored AS (
+         |  SELECT p.query_id, vb.vec_id,
+         |         ${dotD("vb.vec", "p.qvec")} / sqrt(vb.sq * p.qsq) AS cos
+         |  FROM vb, probes p WHERE vb.bucket = p.bucket AND vb.vec_id <> p.query_id),
          |r AS (SELECT query_id, vec_id, cos,
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
          |      FROM scored)

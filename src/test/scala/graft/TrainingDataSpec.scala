@@ -610,6 +610,16 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
   }
 
+  test("multi-probe lsh recall is a superset of single-probe at identical scores") {
+    val single = Similarity.lshTopK(emb, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val multi = Similarity.lshMultiProbeTopK(emb, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(single.keySet.subsetOf(multi.keySet))
+    assert(multi.size > single.size, "1-bit probes recovered no extra candidates")
+    single.foreach { case (k, cos) => assert(multi(k) === cos) } // never rescored
+  }
+
   test("snapshot diff is content-addressed: a removed doc with a surviving copy stays common") {
     import spark.implicits._
     val v1 = Seq((1L, "kept doc"), (2L, "removed doc"), (3L, "dup doc")).toDF("doc_id", "text")
