@@ -343,6 +343,37 @@ object Similarity {
       k)
   }
 
+  val RpDims = 16
+
+  /** Deterministic ±1 random-projection matrix (sparse JL / Achlioptas
+    * signs): r(j,d) = ±1 by the parity of the portable hash64("rp<j>_<d>"),
+    * so the DuckDB oracle regenerates the identical matrix — same
+    * convention as [[hyperplanes]]. */
+  def rpMatrix(out: Int = RpDims, dims: Int = 64): Seq[Seq[Double]] =
+    (0 until out).map { j =>
+      (0 until dims).map { d =>
+        if (graft.functions.Signatures.hash64String(s"rp${j}_$d") % 2 == 0) 1.0 else -1.0
+      }
+    }
+
+  /** Johnson–Lindenstrauss random projection 64 → [[RpDims]] dims: a fully
+    * narrow literal-matrix projection (16 `vec_dot`s per row, codegen'd, no
+    * shuffle) that preserves pairwise angles within the JL bound — the
+    * cheap pre-step before ANN or clustering when the full embedding width
+    * is memory-bound at 100 TB (4× smaller vectors here). Output: one row
+    * per (vec_id, dim) with the projected coordinate. */
+  def rpProject(emb: DataFrame): DataFrame = {
+    val prep = prepared(emb)
+    val m = rpMatrix()
+    val proj = array(m.map(r =>
+      call_function("vec_dot", col("vec"), typedLit(r)) / sqrt(lit(RpDims.toDouble))): _*)
+    prep
+      .select(col("vec_id"), posexplode(proj).as(Seq("dim", "proj_val")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("proj_val"), 6).as("proj_val"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   /** Multi-probe LSH — the recall knob: each query also probes every
     * bucket at Hamming distance 1 from its own (a near neighbor that
     * lands on the wrong side of ONE hyperplane is recovered). Probe count

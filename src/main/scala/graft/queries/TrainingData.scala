@@ -87,6 +87,7 @@ object TrainingData {
     "sim_kmeans_cells" -> ((s, dir) => Similarity.kmeansCells(emb(s, dir))),
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(emb(s, dir))),
+    "sim_rp_project" -> ((s, dir) => Similarity.rpProject(emb(s, dir))),
 
     // ── multimodal ────────────────────────────────────────────────────────
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
@@ -1074,6 +1075,17 @@ object TrainingData {
          |      FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_rp_project" ->
+      s"""WITH $vecCte,
+         |rp AS (
+         |  SELECT j.j AS j, list_transform(range(0, 64),
+         |    d -> (CASE WHEN (${h64("'rp' || j.j || '_' || d")} % 2) = 0
+         |            THEN 1.0 ELSE -1.0 END)::DOUBLE) AS w
+         |  FROM (SELECT unnest(range(0, ${Similarity.RpDims})) AS j) j)
+         |SELECT vn.vec_id, CAST(rp.j AS BIGINT) AS dim,
+         |       ROUND(${dotD("vn.vec", "rp.w")} / sqrt(${Similarity.RpDims}.0), 6) AS proj_val
+         |FROM vn, rp ORDER BY vec_id, dim""".stripMargin,
 
     "sim_topk_lsh_mp" ->
       s"""WITH $vecCte, $lshBucketCtes,

@@ -610,6 +610,24 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
   }
 
+  test("random projection preserves the injected near-identical pairs' cosine") {
+    val proj = Similarity.rpProject(Dedup.augmentedEmbeddings(emb)
+      .select(col("vec_id"), lit("x").as("label"), col("vec").cast("array<float>").as("embedding")))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val nearIds = proj.keys.filter(id => id >= 100000 && proj.contains(id - 100000))
+    assert(nearIds.nonEmpty)
+    nearIds.foreach { id =>
+      val c = cos(proj(id), proj(id - 100000))
+      assert(c > 0.8, s"projected cosine of near-identical pair $id: $c")
+    }
+  }
+
   test("multi-probe lsh recall is a superset of single-probe at identical scores") {
     val single = Similarity.lshTopK(emb, k = Int.MaxValue).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
