@@ -209,6 +209,33 @@ object Curation {
       .orderBy(col("stage_idx"))
   }
 
+  // ── temperature (α) mixture sampling ─────────────────────────────────────
+
+  /** Temperature-sampling rates in basis points: language l keeps
+    * `min(1, T·w_l/n_l)` of its documents, where `w_l = √n_l / Σ√n` (the
+    * α=0.5 temperature reweighting multilingual pretraining uses to damp
+    * head languages and boost the tail) and `T = targetShare·N` is the
+    * token budget. Computed on the driver from the tiny per-language count
+    * table, with the √-sum folded in sorted-language order so the doubles
+    * — and the floor to integer basis points — are engine-exact. */
+  def temperatureRatesBp(docs: DataFrame, targetShare: Double = 0.5): Map[String, Int] = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val totN = counts.map(_._2).sum.toDouble
+    val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    counts.map { case (l, n) =>
+      l -> math.min(10000.0,
+        math.floor(((totN * targetShare * math.sqrt(n.toDouble) / sumW) / n.toDouble)
+          * 10000.0)).toInt
+    }.toMap
+  }
+
+  /** [[sampleSummary]] under the temperature-derived mixture — configured
+    * (α-damped) vs realized rate per language. */
+  def temperatureSampleSummary(docs: DataFrame, targetShare: Double = 0.5,
+      salt: String = "temp1"): DataFrame =
+    sampleSummary(docs, temperatureRatesBp(docs, targetShare), salt)
+
   // ── deterministic corpus shuffle / training shards ───────────────────────
 
   /** Seeded global shuffle order + shard assignment for training: a trainer

@@ -77,6 +77,7 @@ object TrainingData {
     "cur_sample" -> ((s, dir) => Curation.sampleSummary(docs(s, dir))),
     "cur_shuffle" -> ((s, dir) => Curation.shuffleSummary(docs(s, dir))),
     "cur_funnel" -> ((s, dir) => Curation.funnel(docs(s, dir))),
+    "cur_temperature" -> ((s, dir) => Curation.temperatureSampleSummary(docs(s, dir))),
     "cur_source_mix" -> ((s, dir) => Curation.sourceMix(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
@@ -787,6 +788,30 @@ object TrainingData {
          |SELECT cluster, CAST(n_members AS BIGINT) AS n_members,
          |       doc_id AS keep_doc_id, quality_score AS keep_quality
          |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
+
+    "cur_temperature" ->
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+         |tot AS (
+         |  SELECT SUM(n)::DOUBLE AS totn,
+         |         ${fold("list(sqrt(n::DOUBLE) ORDER BY lang)", "0.0::DOUBLE",
+                "(x, y) -> x + y")} AS sumw
+         |  FROM c),
+         |r AS (
+         |  SELECT c.lang,
+         |         CAST(least(10000.0,
+         |           floor(((t.totn * 0.5 * sqrt(c.n::DOUBLE) / t.sumw) / c.n::DOUBLE)
+         |                 * 10000.0)) AS INT) AS rate_bp
+         |  FROM c, tot t),
+         |s AS (
+         |  SELECT d.lang, r.rate_bp,
+         |         CASE WHEN ${h64("d.doc_id::VARCHAR || '#temp1'")} % 10000 < r.rate_bp
+         |           THEN 1 ELSE 0 END AS keep
+         |  FROM documents d JOIN r ON d.lang = r.lang)
+         |SELECT lang, MAX(rate_bp) AS rate_bp,
+         |       CAST(COUNT(*) AS BIGINT) AS n_total,
+         |       CAST(SUM(keep) AS BIGINT) AS n_kept,
+         |       ROUND(SUM(keep)::DOUBLE / COUNT(*), 4) AS realized_rate
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
 
     "cur_funnel" ->
       s"""WITH RECURSIVE $baseCte, $augCte, $shCte, $sigCte, $fpairsCtes,

@@ -610,6 +610,22 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
   }
 
+  test("temperature sampling damps head languages and boosts the tail toward the target share") {
+    val rates = Curation.temperatureRatesBp(docs)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (head, tail) = (counts.maxBy(_._2)._1, counts.minBy(_._2)._1)
+    assert(rates(head) < rates(tail),
+      s"head $head ${rates(head)}bp should sample below tail $tail ${rates(tail)}bp")
+    val rows = Curation.temperatureSampleSummary(docs).collect()
+    val kept = rows.map(_.getLong(3)).sum.toDouble
+    val total = rows.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(kept / total - 0.5) < 0.1, s"realized share ${kept / total} vs target 0.5")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) - r.getInt(1) / 10000.0) < 0.15)
+    }
+  }
+
   test("random projection preserves the injected near-identical pairs' cosine") {
     val proj = Similarity.rpProject(Dedup.augmentedEmbeddings(emb)
       .select(col("vec_id"), lit("x").as("label"), col("vec").cast("array<float>").as("embedding")))
