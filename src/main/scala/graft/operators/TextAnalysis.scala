@@ -251,4 +251,40 @@ object TextAnalysis {
         round(exp(col("nll_sum").cast("double") / (col("n_tokens") * 1e6)), 4).as("ppl"))
       .orderBy(col("doc_id"))
   }
+
+  /** Bigram-LM perplexity — the context-aware upgrade of
+    * [[unigramScores]]: each bigram position scores
+    * −ln p(w₂|w₁) = −ln(c(w₁w₂)/c(w₁·)), so text whose word ORDER is
+    * corpus-typical scores low even when its vocabulary is common (the
+    * failure mode a unigram LM cannot see: shuffled-word salad scores
+    * fluent under unigrams, high-perplexity here).
+    *
+    * Scale shape: positional bigrams from the single-pass `word_ngrams`
+    * kernel; bigram and prefix counts are two word-count aggregations; the
+    * scoring joins are hash equi-joins on the bigram/prefix strings.
+    * Integer micro-nat NLLs keep the per-doc sum order-free (see
+    * [[unigramScores]]). Documents under 2 tokens have no bigram and are
+    * absent by contract. */
+  def bigramScores(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val bi = withTokens(docs)
+      .select(col("doc_id"),
+        explode(call_function("word_ngrams", col("text"), lit(2))).as("bg"))
+    val bgCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val prefCounts = bi.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cw1"))
+    bi
+      .join(bgCounts, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(prefCounts, Seq("w1"))
+      .withColumn("nll_micro",
+        round(-log(col("cbg").cast("double") / col("cw1")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_sum"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        round(col("nll_sum").cast("double") / (col("n_bigrams") * 1e6), 4).as("avg_nll"),
+        round(exp(col("nll_sum").cast("double") / (col("n_bigrams") * 1e6)), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
 }

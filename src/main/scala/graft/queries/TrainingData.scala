@@ -41,6 +41,8 @@ object TrainingData {
       TextAnalysis.bm25Scores(docs(s, dir))),
     "text_perplexity" -> ((s, dir) =>
       TextAnalysis.unigramScores(docs(s, dir))),
+    "text_perplexity2" -> ((s, dir) =>
+      TextAnalysis.bigramScores(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -502,6 +504,25 @@ object TrainingData {
          |         CAST(ROUND(-ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS nm
          |  FROM tk JOIN v USING (tok) CROSS JOIN tot)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
+         |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity2" ->
+      s"""WITH $baseCte,
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i::INT] || ' ' || toks[(i+1)::INT])) AS bg
+         |  FROM base WHERE len(toks) >= 2),
+         |cb AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY bg),
+         |cw AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cw1 FROM bg GROUP BY 1),
+         |sc AS (
+         |  SELECT b.doc_id,
+         |         CAST(ROUND(-ln(cb.cbg::DOUBLE / cw.cw1) * 1000000) AS BIGINT) AS nm
+         |  FROM bg b
+         |  JOIN cb ON b.bg = cb.bg
+         |  JOIN cw ON split_part(b.bg, ' ', 1) = cw.w1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
          |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,

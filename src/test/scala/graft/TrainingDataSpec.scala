@@ -610,6 +610,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
   }
 
+  test("bigram perplexity penalizes shuffled word order that unigrams cannot see") {
+    import spark.implicits._
+    val fluent = "the cat sat on the mat " * 5
+    val salad = "mat the on sat the cat " * 5 // same unigram counts, novel order
+    val synth = Seq((1L, fluent.trim, "en"), (2L, fluent.trim, "en"), (3L, salad.trim, "en"))
+      .toDF("doc_id", "text", "lang")
+    val uni = TextAnalysis.unigramScores(synth).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val bi = TextAnalysis.bigramScores(synth).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(1L) - uni(3L)) < 0.05, "unigram LM sees identical vocabulary")
+    assert(bi(3L) > bi(1L) + 0.2, s"bigram must penalize salad: ${bi(3L)} vs ${bi(1L)}")
+    // docs under 2 tokens are absent by contract
+    val tiny = Seq((9L, "one", "en")).toDF("doc_id", "text", "lang")
+    assert(TextAnalysis.bigramScores(tiny).count() === 0)
+  }
+
   test("temperature sampling damps head languages and boosts the tail toward the target share") {
     val rates = Curation.temperatureRatesBp(docs)
     val counts = docs.groupBy("lang").count().collect()
