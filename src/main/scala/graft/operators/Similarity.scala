@@ -374,6 +374,39 @@ object Similarity {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** Two-stage retrieve-rerank ANN in projected space: stage 1 scores
+    * candidates by cosine over the 16-dim JL projection (4× cheaper per
+    * pair; scale-free, so the unscaled dot suffices) and keeps a
+    * `shortlist` per query; stage 2 reranks only the shortlist by exact
+    * 64-dim cosine. The modern retrieval stack's coarse→exact shape —
+    * cheap score over everything, exact score over almost nothing. Plan:
+    * projections are narrow literal-matrix work; queries broadcast; the
+    * two windows shuffle (query, score, id) triples only. */
+  def rpRerankTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5,
+      shortlist: Int = 100): DataFrame = {
+    val prep = prepared(emb)
+    val m = rpMatrix()
+    val projArr = array(m.map(r => call_function("vec_dot", col("vec"), typedLit(r))): _*)
+    val v = prep
+      .withColumn("pvec", projArr)
+      .withColumn("psq", call_function("vec_dot", col("pvec"), col("pvec")))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"),
+        col("pvec").as("qpvec"), col("psq").as("qpsq"))
+    val wCoarse = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("pcos").desc, col("vec_id"))
+    rankTopK(
+      v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("pcos",
+          call_function("vec_dot", col("pvec"), col("qpvec")) /
+            sqrt(col("psq") * col("qpsq")))
+        .withColumn("prank", row_number().over(wCoarse))
+        .filter(col("prank") <= shortlist)
+        .withColumn("cos",
+          VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
+      k)
+  }
+
   /** Multi-probe LSH — the recall knob: each query also probes every
     * bucket at Hamming distance 1 from its own (a near neighbor that
     * lands on the wrong side of ONE hyperplane is recovered). Probe count

@@ -91,6 +91,7 @@ object TrainingData {
     "sim_topk_pq" -> ((s, dir) => Similarity.pqTopK(emb(s, dir))),
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(emb(s, dir))),
     "sim_rp_project" -> ((s, dir) => Similarity.rpProject(emb(s, dir))),
+    "sim_topk_rp" -> ((s, dir) => Similarity.rpRerankTopK(emb(s, dir))),
 
     // ── multimodal ────────────────────────────────────────────────────────
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
@@ -274,6 +275,14 @@ object TrainingData {
     graft.operators.Pii.Kinds.foldLeft("text") { case (c, (_, pat, repl)) =>
       s"regexp_replace($c, '$pat', '$repl', 'g')"
     }
+
+  /** Deterministic ±1 JL projection matrix (mirrors Similarity.rpMatrix). */
+  private val rpCte: String =
+    s"""rp AS (
+       |  SELECT j.j AS j, list_transform(range(0, 64),
+       |    d -> (CASE WHEN (${h64("'rp' || j.j || '_' || d")} % 2) = 0
+       |            THEN 1.0 ELSE -1.0 END)::DOUBLE) AS w
+       |  FROM (SELECT unnest(range(0, ${graft.operators.Similarity.RpDims})) AS j) j)""".stripMargin
 
   /** Signed-hyperplane LSH buckets for every vector + the query rows
     * (mirrors Similarity.withBucket; shared by the single- and
@@ -1123,15 +1132,40 @@ object TrainingData {
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "sim_rp_project" ->
-      s"""WITH $vecCte,
-         |rp AS (
-         |  SELECT j.j AS j, list_transform(range(0, 64),
-         |    d -> (CASE WHEN (${h64("'rp' || j.j || '_' || d")} % 2) = 0
-         |            THEN 1.0 ELSE -1.0 END)::DOUBLE) AS w
-         |  FROM (SELECT unnest(range(0, ${Similarity.RpDims})) AS j) j)
+      s"""WITH $vecCte, $rpCte
          |SELECT vn.vec_id, CAST(rp.j AS BIGINT) AS dim,
          |       ROUND(${dotD("vn.vec", "rp.w")} / sqrt(${Similarity.RpDims}.0), 6) AS proj_val
          |FROM vn, rp ORDER BY vec_id, dim""".stripMargin,
+
+    "sim_topk_rp" ->
+      s"""WITH $vecCte, $rpCte,
+         |pv AS (
+         |  SELECT vn.vec_id, vn.vec, vn.sq,
+         |         list(${dotD("vn.vec", "rp.w")} ORDER BY rp.j) AS pvec
+         |  FROM vn, rp GROUP BY vn.vec_id, vn.vec, vn.sq),
+         |pvn AS (
+         |  SELECT vec_id, vec, sq, pvec,
+         |         ${dotD("pvec", "pvec", Similarity.RpDims)} AS psq
+         |  FROM pv),
+         |q AS (
+         |  SELECT vec_id AS query_id, vec AS qvec, sq AS qsq,
+         |         pvec AS qpvec, psq AS qpsq
+         |  FROM pvn WHERE vec_id < 5),
+         |coarse AS (
+         |  SELECT q.query_id, v.vec_id, v.vec, v.sq, q.qvec, q.qsq,
+         |         ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${dotD("v.pvec", "q.qpvec", Similarity.RpDims)}
+         |                    / sqrt(v.psq * q.qpsq) DESC, v.vec_id) AS prank
+         |  FROM pvn v, q WHERE v.vec_id <> q.query_id),
+         |rer AS (
+         |  SELECT query_id, vec_id,
+         |         ${dotD("vec", "qvec")} / sqrt(sq * qsq) AS cos
+         |  FROM coarse WHERE prank <= 100),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM rer)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "sim_topk_lsh_mp" ->
       s"""WITH $vecCte, $lshBucketCtes,

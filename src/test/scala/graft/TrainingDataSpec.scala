@@ -643,6 +643,33 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("rp retrieve-rerank keeps true near-duplicates at rank 1; noise recall stays bounded") {
+    // the corpus is near-orthogonal random vectors — exact top-10 ranks are
+    // noise-ordered, the adversarial case for ANY coarse stage. The load-
+    // bearing property is that STRONG similarity survives projection: the
+    // injected near-identical copy (cos ≈ 0.999) must come back at rank 1.
+    val augmented = Dedup.augmentedEmbeddings(emb)
+      .select(col("vec_id"), lit("x").as("label"),
+        col("vec").cast("array<float>").as("embedding"))
+    val rr = Similarity.rpRerankTopK(augmented).collect()
+    val rank1 = rr.filter(_.getLong(1) === 1L)
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val withCopy = rank1.keys.filter(_ % 11 == 0)
+    assert(withCopy.nonEmpty)
+    withCopy.foreach { q =>
+      val (hit, cos) = rank1(q)
+      assert(hit === q + 100000, s"query $q: near-copy not at rank 1 (got $hit)")
+      assert(cos > 0.99)
+    }
+    // and on the raw corpus, noise-ranked recall still clears a floor
+    val exact = Similarity.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rrRaw = Similarity.rpRerankTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(rrRaw).size.toDouble / exact.size
+    assert(recall >= 0.4, s"coarse-stage noise recall collapsed: $recall")
+  }
+
   test("random projection preserves the injected near-identical pairs' cosine") {
     val proj = Similarity.rpProject(Dedup.augmentedEmbeddings(emb)
       .select(col("vec_id"), lit("x").as("label"), col("vec").cast("array<float>").as("embedding")))
