@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+ * MOSS algorithm): from each document's positional k-gram hash sequence,
+ * keep the MINIMUM hash of every w-length window. The guarantee MinHash
+ * does not give: any shared substring of at least w+k−1 words contributes
+ * at least one IDENTICAL selected fingerprint to both documents, so local
+ * overlap (quotes, plagiarized passages, shared boilerplate runs) is
+ * detected positionally, with a fingerprint density of ~2/(w+1) instead of
+ * every position.
+ *
+ * Scale shape: selection is a narrow per-row projection (the k-gram
+ * hashes come from the single-pass `word_ngrams` kernel; the window
+ * minima are array ops over that column — the hash column is referenced,
+ * never recomputed per element); the pair stage blocks on the shared
+ * fingerprint VALUE, so the self-join shuffles (fingerprint, doc_id)
+ * pairs and only documents sharing a selected fingerprint ever meet —
+ * the same no-O(n²) contract as the rest of the dedup suite.
+ */
+object Winnow {
+
+  /** k-gram length in words and winnowing window width. Guarantee
+    * threshold: shared runs of ≥ w+k−1 = 8 words are always caught —
+    * aligned with [[Passages.PassageN]]. */
+  val K = 5
+  val W = 4
+
+  /** Per-document winnowed fingerprint sets over the augmented corpus:
+    * (doc_id, n_grams, fps). */
+  private def withFingerprints(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    Dedup.augmentedDocs(docs)
+      .withColumn("hl",
+        expr(s"transform(word_ngrams(text, $K), g -> hash64(g))"))
+      .filter(size(col("hl")) >= W)
+      .select(col("doc_id"), size(col("hl")).cast("long").as("n_grams"),
+        expr(s"array_distinct(transform(sequence(1, size(hl) - ${W - 1}), " +
+          s"i -> array_min(slice(hl, i, $W))))").as("fps"))
+  }
+
+  /** Fingerprint accounting per document: positions, selected fingerprint
+    * count, and the selection density (→ ~2/(w+1) on long documents). */
+  def fingerprintSummary(docs: DataFrame): DataFrame =
+    withFingerprints(docs)
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        round(size(col("fps")).cast("double") / col("n_grams"), 4).as("density"))
+      .orderBy(col("doc_id"))
+
+  /** Document pairs sharing ≥ `minShared` winnowed fingerprints — the
+    * local-overlap report. Blocked on the fingerprint value (8-byte
+    * hashes), counts via one groupBy per pair. */
+  def overlapPairs(docs: DataFrame, minShared: Int = 3): DataFrame = {
+    val fp = withFingerprints(docs)
+      .select(col("doc_id"), explode(col("fps")).as("f"))
+    fp.as("a").join(fp.as("b"),
+        col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

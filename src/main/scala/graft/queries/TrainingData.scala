@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Contamination, Curation, Dedup, Multimodal, Passages, Pii, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Contamination, Curation, Dedup, Multimodal, Passages, Pii, Similarity, TextAnalysis, Winnow}
 
 /**
  * Training-data pipeline query corpus: text analysis, dedup (exact /
@@ -71,6 +71,8 @@ object TrainingData {
     "dedup_incremental_bloom" -> ((s, dir) => Dedup.incrementalStatusBloom(docs(s, dir))),
     "dedup_incremental_near" -> ((s, dir) => Dedup.incrementalNearDupStatus(docs(s, dir))),
     "dedup_snapshot_diff" -> ((s, dir) => Dedup.snapshotDiff(docs(s, dir))),
+    "dedup_winnow" -> ((s, dir) => Winnow.fingerprintSummary(docs(s, dir))),
+    "dedup_winnow_pairs" -> ((s, dir) => Winnow.overlapPairs(docs(s, dir))),
 
     // ── curation (post-dedup pipeline steps) ──────────────────────────────
     "cur_keeper" -> ((s, dir) => Curation.clusterKeepers(docs(s, dir))),
@@ -276,6 +278,25 @@ object TrainingData {
       s"regexp_replace($c, '$pat', '$repl', 'g')"
     }
 
+  /** Winnowed fingerprint sets over aug (mirrors Winnow.withFingerprints:
+    * positional 5-gram hashes → distinct 4-window minima). */
+  private val winnowCtes: String = {
+    val k = graft.operators.Winnow.K
+    val w = graft.operators.Winnow.W
+    s"""wn AS (
+       |  SELECT doc_id,
+       |         list_transform(
+       |           list_transform(range(1, len(toks) - ${k - 2}),
+       |             i -> array_to_string(toks[i::INT:(i + ${k - 1})::INT], ' ')),
+       |           g -> ${h64("g")}) AS hl
+       |  FROM aug),
+       |fpd AS (
+       |  SELECT doc_id, len(hl) AS ng,
+       |         list_distinct(list_transform(range(1, len(hl) - ${w - 2}),
+       |           i -> list_min(hl[i::INT:(i + ${w - 1})::INT]))) AS fps
+       |  FROM wn WHERE len(hl) >= $w)""".stripMargin
+  }
+
   /** Deterministic ±1 JL projection matrix (mirrors Similarity.rpMatrix). */
   private val rpCte: String =
     s"""rp AS (
@@ -459,6 +480,22 @@ object TrainingData {
 
     "dedup_incremental" -> incrementalSql,
     "dedup_incremental_bloom" -> incrementalSql,
+
+    "dedup_winnow" ->
+      s"""WITH $baseCte, $augCte, $winnowCtes
+         |SELECT doc_id, CAST(ng AS BIGINT) AS n_grams,
+         |       CAST(len(fps) AS BIGINT) AS n_fps,
+         |       ROUND(len(fps)::DOUBLE / ng, 4) AS density
+         |FROM fpd ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH $baseCte, $augCte, $winnowCtes,
+         |ex AS (SELECT doc_id, unnest(fps) AS f FROM fpd)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_snapshot_diff" ->
       s"""WITH $baseCte, $augCte,

@@ -698,6 +698,36 @@ class TrainingDataSpec extends AnyFunSuite {
     single.foreach { case (k, cos) => assert(multi(k) === cos) } // never rescored
   }
 
+  test("winnowing guarantees shared runs are caught and density approaches 2/(w+1)") {
+    import spark.implicits._
+    // two docs sharing an 8-word run (= W+K-1) must share ≥1 fingerprint
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val synth = Seq(
+      (1L, s"one two three $shared four five six", "en"),
+      (2L, s"$shared completely different tail words here now", "en"),
+      (3L, "nothing in common with the others at all whatsoever truly", "en"))
+      .toDF("doc_id", "text", "lang")
+    val pairs = graft.operators.Winnow.overlapPairs(synth, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"guaranteed shared run not detected: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // corpus: injected exact copies share ALL fingerprints; density sane
+    val fp = graft.operators.Winnow.fingerprintSummary(docs).collect()
+    assert(fp.nonEmpty)
+    fp.filter(_.getLong(1) > 100).foreach { r =>
+      val d = r.getDouble(3)
+      assert(d > 0.1 && d < 0.9, s"doc ${r.getLong(0)} density $d")
+    }
+    val corpusPairs = graft.operators.Winnow.overlapPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val copyIds = docs.filter(col("doc_id") % 13 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    val nFps = fp.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    copyIds.filter(id => nFps.getOrElse(id, 0L) >= 3L).foreach { id =>
+      assert(corpusPairs.contains((id, id + 200000)), s"exact copy pair $id missing")
+    }
+  }
+
   test("snapshot diff is content-addressed: a removed doc with a surviving copy stays common") {
     import spark.implicits._
     val v1 = Seq((1L, "kept doc"), (2L, "removed doc"), (3L, "dup doc")).toDF("doc_id", "text")
