@@ -52,16 +52,25 @@ object Winnow {
       .orderBy(col("doc_id"))
 
   /** Document pairs sharing ≥ `minShared` winnowed fingerprints — the
-    * local-overlap report. Blocked on the fingerprint value (8-byte
-    * hashes), counts via one groupBy per pair. */
+    * local-overlap report, with ASYMMETRIC containment on both sides:
+    * `contain_a = n_shared/|fp_a|` ≈ how much of A's content appears in B
+    * (near 1.0 when A is a quote/subset of a larger B — the signal
+    * symmetric Jaccard dilutes away). Blocked on the fingerprint value
+    * (8-byte hashes), counts via one groupBy per pair; the per-doc
+    * fingerprint counts ride the exploded rows, no extra join. */
   def overlapPairs(docs: DataFrame, minShared: Int = 3): DataFrame = {
     val fp = withFingerprints(docs)
-      .select(col("doc_id"), explode(col("fps")).as("f"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("nf"),
+        explode(col("fps")).as("f"))
     fp.as("a").join(fp.as("b"),
         col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("a.nf")).as("nfa"), max(col("b.nf")).as("nfb"))
       .filter(col("n_shared") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("nfa"), 4).as("contain_a"),
+        round(col("n_shared").cast("double") / col("nfb"), 4).as("contain_b"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 }

@@ -490,11 +490,16 @@ object TrainingData {
 
     "dedup_winnow_pairs" ->
       s"""WITH $baseCte, $augCte, $winnowCtes,
-         |ex AS (SELECT doc_id, unnest(fps) AS f FROM fpd)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(COUNT(*) AS BIGINT) AS n_shared
-         |FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+         |ex AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS f FROM fpd)
+         |SELECT doc_a, doc_b, n_shared,
+         |       ROUND(n_shared::DOUBLE / nfa, 4) AS contain_a,
+         |       ROUND(n_shared::DOUBLE / nfb, 4) AS contain_b
+         |FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |         MAX(a.nf) AS nfa, MAX(b.nf) AS nfb
+         |  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 3) t
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_snapshot_diff" ->

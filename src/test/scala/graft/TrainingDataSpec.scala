@@ -726,6 +726,12 @@ class TrainingDataSpec extends AnyFunSuite {
     copyIds.filter(id => nFps.getOrElse(id, 0L) >= 3L).foreach { id =>
       assert(corpusPairs.contains((id, id + 200000)), s"exact copy pair $id missing")
     }
+    // exact copies contain each other fully: both containments 1.0
+    val full = graft.operators.Winnow.overlapPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(3), r.getDouble(4))).toMap
+    copyIds.filter(id => nFps.getOrElse(id, 0L) >= 3L).headOption.foreach { id =>
+      assert(full((id, id + 200000)) === ((1.0, 1.0)))
+    }
   }
 
   test("snapshot diff is content-addressed: a removed doc with a surviving copy stays common") {
