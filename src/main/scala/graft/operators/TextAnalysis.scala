@@ -252,6 +252,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** K-minimum-values distinct-count sketch over the corpus vocabulary —
+    * the mergeable cardinality estimator a 1000-executor pipeline uses
+    * when exact `COUNT(DISTINCT)` over billions of tokens is too
+    * expensive: each partition keeps its k smallest hashes, sketches merge
+    * by union+truncate, and the estimate is `(k−1)·2⁶⁰ / h₍ₖ₎` (hash64 is
+    * uniform on [0, 2⁶⁰)). Hand-rolled on the portable hash — unlike
+    * engine HLL sketches — so the DuckDB oracle reproduces the estimate
+    * bit-for-bit, and the query reports it NEXT TO the exact count, making
+    * the error measurable. Plan: one distinct-token aggregation, then
+    * `TakeOrdered(k)` — the k-row sketch is the only thing the driver
+    * sees. */
+  def vocabKmv(docs: DataFrame, k: Int = 256): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val toksD = withTokens(docs)
+      .select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val sketch = toksD
+      .select(call_function("hash64", col("tok")).as("h"))
+      .orderBy(col("h")).limit(k)
+      .agg(max(col("h")).cast("double").as("hk"), count(lit(1)).as("n"))
+    val exact = toksD.agg(count(lit(1)).as("n_exact"))
+    val est = when(col("n") < k, col("n").cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) / col("hk"))
+    sketch.crossJoin(exact)
+      .select(
+        lit(k).as("k"), col("n_exact"),
+        round(est, 4).as("kmv_est"),
+        round(abs(est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4).as("rel_err"))
+  }
+
   /** Bigram-LM perplexity — the context-aware upgrade of
     * [[unigramScores]]: each bigram position scores
     * −ln p(w₂|w₁) = −ln(c(w₁w₂)/c(w₁·)), so text whose word ORDER is

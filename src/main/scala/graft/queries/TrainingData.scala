@@ -43,6 +43,8 @@ object TrainingData {
       TextAnalysis.unigramScores(docs(s, dir))),
     "text_perplexity2" -> ((s, dir) =>
       TextAnalysis.bigramScores(docs(s, dir))),
+    "text_vocab_kmv" -> ((s, dir) =>
+      TextAnalysis.vocabKmv(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -558,6 +560,24 @@ object TrainingData {
          |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
          |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_vocab_kmv" ->
+      s"""WITH $baseCte,
+         |tkd AS (
+         |  SELECT DISTINCT tok FROM (SELECT unnest(toks) AS tok FROM base) t
+         |  WHERE tok <> ''),
+         |hs AS (SELECT ${h64("tok")} AS h FROM tkd),
+         |kk AS (
+         |  SELECT MAX(h)::DOUBLE AS hk, COUNT(*) AS n
+         |  FROM (SELECT h FROM hs ORDER BY h LIMIT 256) s),
+         |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM tkd)
+         |SELECT 256 AS k, ex.n_exact,
+         |       ROUND(CASE WHEN kk.n < 256 THEN kk.n::DOUBLE
+         |                  ELSE 255.0 * 1152921504606846976.0 / kk.hk END, 4) AS kmv_est,
+         |       ROUND(abs((CASE WHEN kk.n < 256 THEN kk.n::DOUBLE
+         |                       ELSE 255.0 * 1152921504606846976.0 / kk.hk END)
+         |                 - ex.n_exact::DOUBLE) / ex.n_exact::DOUBLE, 4) AS rel_err
+         |FROM kk, ex""".stripMargin,
 
     "text_perplexity2" ->
       s"""WITH $baseCte,

@@ -610,6 +610,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
   }
 
+  test("kmv sketch estimates vocabulary within sketch error; small vocab is exact") {
+    import spark.implicits._
+    // corpus vocab (31 tokens at this sf) sits below k → exact passthrough
+    val row = TextAnalysis.vocabKmv(docs).collect()(0)
+    assert(row.getDouble(2) === row.getLong(1).toDouble && row.getDouble(3) === 0.0)
+    // true sketch path: 5000 distinct synthetic tokens ≫ k = 256
+    val wide = (0 until 10).map { d =>
+      (d.toLong, (0 until 500).map(i => s"tok_${d}_$i").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val w = TextAnalysis.vocabKmv(wide).collect()(0)
+    val (exact, est, err) = (w.getLong(1), w.getDouble(2), w.getDouble(3))
+    assert(exact === 5000L)
+    // KMV standard error ~1/sqrt(k-1) ≈ 6.3% at k=256; allow 4 sigma
+    assert(err < 0.25, s"estimate $est vs exact $exact: err $err")
+    val tiny = Seq((1L, "a b c a b", "en")).toDF("doc_id", "text", "lang")
+    val t = TextAnalysis.vocabKmv(tiny).collect()(0)
+    assert(t.getLong(1) === 3L && t.getDouble(2) === 3.0 && t.getDouble(3) === 0.0)
+  }
+
   test("bigram perplexity penalizes shuffled word order that unigrams cannot see") {
     import spark.implicits._
     val fluent = "the cat sat on the mat " * 5
