@@ -252,6 +252,28 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature-hashing (hashing-trick) document vectorizer: token t
+    * contributes ±1 (sign from an independent hash bit) to dimension
+    * `hash64(t) mod dims` — the classic fixed-width text embedding that
+    * needs NO vocabulary table, so it streams and shards trivially at any
+    * corpus size. Values are signed integer counts — exactly portable, no
+    * float normalization — and the output is sparse (absent (doc, dim)
+    * rows are zeros). One (doc_id, dim) aggregation; tokens never carry
+    * past the map-side partial sum. */
+  def featureHash(docs: DataFrame, dims: Int = 16): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"),
+        pmod(call_function("hash64", col("tok")), lit(dims.toLong)).as("dim"))
+      .agg(sum(
+        when(pmod(call_function("hash64", concat(lit("s#"), col("tok"))), lit(2L)) === 0,
+          1L).otherwise(-1L)).as("val"))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"), col("val"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
   /** K-minimum-values distinct-count sketch over the corpus vocabulary —
     * the mergeable cardinality estimator a 1000-executor pipeline uses
     * when exact `COUNT(DISTINCT)` over billions of tokens is too

@@ -45,6 +45,8 @@ object TrainingData {
       TextAnalysis.bigramScores(docs(s, dir))),
     "text_vocab_kmv" -> ((s, dir) =>
       TextAnalysis.vocabKmv(docs(s, dir))),
+    "text_feature_hash" -> ((s, dir) =>
+      TextAnalysis.featureHash(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -560,6 +562,16 @@ object TrainingData {
          |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
          |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_feature_hash" ->
+      s"""WITH $baseCte,
+         |f AS (
+         |  SELECT doc_id, ${h64("tok")} % 16 AS dim,
+         |         CASE WHEN ${h64("'s#' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) t
+         |  WHERE tok <> '')
+         |SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(sgn) AS BIGINT) AS val
+         |FROM f GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin,
 
     "text_vocab_kmv" ->
       s"""WITH $baseCte,

@@ -610,6 +610,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
   }
 
+  test("feature hashing embeds identical texts identically and respects token multiplicity") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "alpha beta alpha", "en"),
+      (2L, "alpha beta alpha", "en"),   // identical text → identical vector
+      (3L, "alpha beta", "en"))         // one fewer alpha
+    .toDF("doc_id", "text", "lang")
+    val vecs = TextAnalysis.featureHash(synth).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+    assert(vecs(1L) === vecs(2L))
+    assert(vecs(1L) !== vecs(3L)) // multiplicity matters
+    // each doc's total |val| mass is bounded by its token count
+    val counts = Map(1L -> 3, 2L -> 3, 3L -> 2)
+    vecs.foreach { case (id, v) =>
+      assert(v.values.map(math.abs).sum <= counts(id))
+      v.keys.foreach(d => assert(d >= 0 && d < 16))
+    }
+    assert(TextAnalysis.featureHash(docs).groupBy("doc_id").count().count() === docs.count())
+  }
+
   test("kmv sketch estimates vocabulary within sketch error; small vocab is exact") {
     import spark.implicits._
     // corpus vocab (31 tokens at this sf) sits below k → exact passthrough
