@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash64Expr, HexPopcount, MinHashSigExpr, Signatures, SimHash48Expr, SortedOverlapExpr, VecDotExpr, WordNgramsExpr, WordShinglesExpr}
+import graft.functions.{Hash64Expr, HexPopcount, MinHashSigExpr, Signatures, SimHash48Expr, SortedOverlapExpr, VecDotExpr, WinnowMinExpr, WordNgramsExpr, WordShinglesExpr}
 
 /**
  * Session extensions registering graft's native Catalyst expressions, so
@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgramsExpr].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgramsExpr(exprs(0), exprs(1))))
     e.injectFunction((
+      FunctionIdentifier("winnow_min"),
+      new ExpressionInfo(classOf[WinnowMinExpr].getName, "winnow_min"),
+      (exprs: Seq[Expression]) => WinnowMinExpr(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))
@@ -71,6 +75,8 @@ object GraftExtensions {
         (s: String, n: Int) => Signatures.wordShinglesSeq(s, n))
       spark.udf.register("word_ngrams",
         (s: String, n: Int) => Signatures.wordNgramsSeq(s, n))
+      spark.udf.register("winnow_min",
+        (hs: Seq[Long], w: Int) => Signatures.winnowMinSeq(hs, w))
       spark.udf.register("vec_dot",
         (a: Seq[Double], b: Seq[Double]) => Signatures.vecDotSeq(a, b))
     }

@@ -256,6 +256,37 @@ object Signatures {
     val a = wordNgrams(UTF8String.fromString(s), n)
     (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
   }
+
+  /** DISTINCT sliding-window minima (winnowing selection): for each of the
+    * n−w+1 windows of `hs`, its minimum, deduplicated in first-occurrence
+    * order. Monotonic-deque algorithm — O(n) total, no per-window slice
+    * allocation (the `array_min(slice(...))` SQL form is O(n·w) plus an
+    * allocation per position). Returns empty for n < w. */
+  def winnowMin(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    if (w <= 0 || n < w) return new GenericArrayData(Array.empty[Any])
+    val deque = new java.util.ArrayDeque[Int]() // indices, values increasing
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) {
+      val v = hs.getLong(i)
+      while (!deque.isEmpty && hs.getLong(deque.peekLast()) >= v) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) seen.add(hs.getLong(deque.peekFirst()))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next().longValue(); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  def winnowMinSeq(hs: Seq[Long], w: Int): Seq[Long] = {
+    val a = winnowMin(new GenericArrayData(hs.toArray[Any]), w)
+    (0 until a.numElements()).map(a.getLong)
+  }
 }
 
 /** `simhash48(array<string>) -> bigint` — native, codegen'd. */
@@ -381,6 +412,27 @@ case class WordNgramsExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): WordNgramsExpr =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "word_ngrams"
+}
+
+/** `winnow_min(array<bigint>, w) -> array<bigint>` — distinct sliding-window
+  * minima (winnowing fingerprint selection; see [[Signatures.winnowMin]]). */
+case class WinnowMinExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"winnow_min requires (ARRAY<BIGINT>, INT), got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def nullSafeEval(hs: Any, w: Any): Any =
+    Signatures.winnowMin(hs.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (hs, w) => s"graft.functions.Signatures.winnowMin($hs, $w)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WinnowMinExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "winnow_min"
 }
 
 /** `hash64(string) -> bigint` — the portable md5-based mixer. */

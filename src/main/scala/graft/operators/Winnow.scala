@@ -37,9 +37,11 @@ object Winnow {
       .withColumn("hl",
         expr(s"transform(word_ngrams(text, $K), g -> hash64(g))"))
       .filter(size(col("hl")) >= W)
+      // winnow_min: single-pass monotonic-deque kernel — the
+      // array_min(slice(...)) SQL form is O(n·w) with a per-window
+      // allocation and was the corpus sweep's slowest projection
       .select(col("doc_id"), size(col("hl")).cast("long").as("n_grams"),
-        expr(s"array_distinct(transform(sequence(1, size(hl) - ${W - 1}), " +
-          s"i -> array_min(slice(hl, i, $W))))").as("fps"))
+        call_function("winnow_min", col("hl"), lit(W)).as("fps"))
   }
 
   /** Fingerprint accounting per document: positions, selected fingerprint
