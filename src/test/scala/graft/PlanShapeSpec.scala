@@ -121,6 +121,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p.take(2000))
   }
 
+  test("winnow pairs shuffle fingerprints and ids only — never text or gram arrays") {
+    val p = plan("dedup_winnow_pairs")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .foreach(l => assert(!l.contains("text#") && !l.contains("hl#"),
+        s"dedup_winnow_pairs shuffles heavy columns: $l"))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast
