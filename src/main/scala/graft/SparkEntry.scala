@@ -23,10 +23,12 @@ object SparkEntry {
       graft.queries.TrainingData.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the era_* pipeline queries (they
-    * read era files, not the TPC-H tables) → driver rows-only check; their
-    * value-level correctness is pinned by the RPC-fixture differential
-    * specs. */
+    * the same parquet tables. The era_* queries read era files — a format
+    * DuckDB cannot decode — so their oracle SQL runs over the normalized
+    * fixture tables [[graft.queries.EraOracle.export]] writes during Verify
+    * (decode correctness itself stays pinned by the RPC-fixture differential
+    * specs; the SQL re-computes the analytics above the decoded values). */
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracleSql ++ graft.queries.TrainingData.oracleSql
+    graft.queries.Relational.oracleSql ++ graft.queries.TrainingData.oracleSql ++
+      graft.queries.EraOracle.oracleSql
 }

@@ -25,6 +25,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // era-oracle fixture-table export: the era_* oracle SQL reads these
+    // parquet files (absolute paths) — must exist before the driver's DuckDB
+    // pass. Guarded so an export failure cannot zero the generic surface.
+    try graft.queries.EraOracle.export(spark)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] era-oracle export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

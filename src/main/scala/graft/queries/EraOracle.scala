@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.Normalizer
+import graft.testkit.EraFixtures
+
+/**
+ * DuckDB-oracle support for the era-domain analytics
+ * (docs/CLICKHOUSE.md:340-920 ports in [[EraQueries]]).
+ *
+ * The era queries read era files — a format DuckDB cannot decode — so the
+ * driver's hash gate historically recorded them rows-only. This module closes
+ * that gap: [[export]] writes the decoded normalized tables (the 15 child
+ * tables plus raw-record/meta/wide projections) to parquet under a stable
+ * absolute path, and [[oracleSql]] re-expresses every era query as DuckDB SQL
+ * over those parquet files via DuckDB `read_parquet` globs on absolute paths.
+ *
+ * Verification split (deliberate): DECODE correctness (era bytes → table
+ * values) stays anchored to the RPC-fixture differential and augmented-golden
+ * specs; the hash gate added here independently re-computes the ANALYTICS
+ * (aggregations / joins / windows / set ops) on top of the decoded values.
+ * The 15 `era_<table>` passthrough entries and `era_wide_blocks` are
+ * round-trip parity checks only (oracle reads the same export), kept because
+ * they pin schema + serialization through an independent parquet reader.
+ */
+object EraOracle {
+
+  /** Absolute export directory, resolved once per JVM. Lives under the
+    * build's target dir; overridable for tests via -Dgraft.era.oracle.dir.
+    * Absolute so the driver's DuckDB process resolves it regardless of cwd. */
+  lazy val dir: String = new java.io.File(
+    sys.props.getOrElse("graft.era.oracle.dir", "target/era-oracle")).getAbsolutePath
+
+  /** DuckDB table expression for one exported table. */
+  private def t(name: String): String = s"read_parquet('$dir/$name/*.parquet')"
+
+  /** All exported table names: the 15 normalized tables plus the raw-record
+    * scan (`records`), the block fork/size metadata the normalized `blocks`
+    * projection drops (`block_meta`), and the wide single-file shape. */
+  val exportedTables: Seq[String] =
+    Normalizer.datasetNames ++ Seq("records", "block_meta", "wide_blocks")
+
+  /** Write every exported table as single-file parquet under [[dir]].
+    * Fixture-era scale (a few thousand rows total) — coalesce(1) keeps the
+    * DuckDB glob trivial; production exports go through [[graft.export.Sinks]]
+    * with real partitioning. */
+  def export(spark: SparkSession): Unit = {
+    val blocks = EraQueries.blocks(spark)
+    def write(name: String)(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+    Normalizer.allDatasets(blocks).foreach { case (n, df) => write(n)(df) }
+    write("records")(
+      spark.read.format("era").load(EraFixtures.ensureGenerated())
+        .select("slot", "record_type"))
+    write("block_meta")(blocks.toDF().select(
+      "slot", "era_number", "version", "compressed_size", "decompressed_size"))
+    write("wide_blocks")(Normalizer.wideBlocks(blocks))
+  }
+
+  /** One DuckDB statement per era query, mirroring the Spark plans in
+    * [[EraQueries]] column-for-column (same aliases, same ORDER BY, BIGINT
+    * casts where Spark produces LongType — DuckDB COUNT/SUM otherwise widen
+    * to HUGEINT and fail the driver's schema compare). */
+  def oracleSql: Map[String, String] = {
+    val passthrough: Map[String, String] =
+      (Normalizer.datasetNames.map(n => s"era_$n" -> t(n)) :+
+        ("era_wide_blocks" -> t("wide_blocks")))
+        .map { case (q, tbl) => q -> s"SELECT * FROM $tbl ORDER BY slot" }
+        .toMap
+
+    passthrough ++ Map(
+      "era_stats" ->
+        s"""SELECT record_type, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(CASE WHEN record_type = 'block' THEN slot END) AS min_slot,
+           MAX(CASE WHEN record_type = 'block' THEN slot END) AS max_slot
+           FROM ${t("records")} GROUP BY record_type ORDER BY record_type""",
+      "era_point_lookup" ->
+        s"""SELECT * FROM ${t("blocks")} WHERE slot = 98300""",
+      "era_inclusion_delay" ->
+        s"""SELECT committee_index,
+           ROUND(AVG(slot - attestation_slot), 4) AS avg_inclusion_delay,
+           CAST(COUNT(*) AS BIGINT) AS n_attestations
+           FROM ${t("attestations")}
+           GROUP BY committee_index ORDER BY committee_index""",
+      // the Spark plan stitches per-era windows with a broadcast boundary
+      // frame (scale shape); over sorted non-overlapping eras that equals the
+      // plain global lag, which is the natural single-node oracle form
+      "era_slot_gaps" ->
+        s"""SELECT slot, LAG(slot) OVER (ORDER BY slot) AS prev_slot,
+           slot - COALESCE(LAG(slot) OVER (ORDER BY slot), slot) AS gap
+           FROM ${t("block_meta")} ORDER BY slot""",
+      "era_fork_summary" ->
+        s"""SELECT version, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(compressed_size) AS BIGINT) AS total_compressed,
+           CAST(SUM(decompressed_size) AS BIGINT) AS total_decompressed,
+           MIN(slot) AS min_slot, MAX(slot) AS max_slot
+           FROM ${t("block_meta")} GROUP BY version ORDER BY version""",
+      "era_block_tx_join" ->
+        s"""WITH tx AS (SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_tx
+             FROM ${t("transactions")} GROUP BY slot)
+           SELECT b.slot, b.proposer_index, b.version,
+             p.block_number, p.gas_used, COALESCE(tx.n_tx, 0) AS n_tx
+           FROM ${t("blocks")} b
+           JOIN ${t("execution_payloads")} p ON b.slot = p.slot
+           LEFT JOIN tx ON b.slot = tx.slot
+           ORDER BY b.slot""",
+      "era_requests_reconciliation" ->
+        s"""WITH d AS (SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_deposit_req
+             FROM ${t("deposit_requests")} GROUP BY slot),
+           w AS (SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_withdrawal_req
+             FROM ${t("withdrawal_requests")} GROUP BY slot),
+           c AS (SELECT slot, CAST(COUNT(*) AS BIGINT) AS n_consolidation_req
+             FROM ${t("consolidation_requests")} GROUP BY slot),
+           s AS (SELECT slot FROM d UNION SELECT slot FROM w UNION SELECT slot FROM c)
+           SELECT s.slot, COALESCE(d.n_deposit_req, 0) AS n_deposit_req,
+             COALESCE(w.n_withdrawal_req, 0) AS n_withdrawal_req,
+             COALESCE(c.n_consolidation_req, 0) AS n_consolidation_req
+           FROM s LEFT JOIN d USING (slot) LEFT JOIN w USING (slot)
+             LEFT JOIN c USING (slot)
+           ORDER BY s.slot""",
+      "era_slashed_validator_search" ->
+        s"""SELECT slot, slashing_index,
+           list_contains(CAST(att_1_attesting_indices AS BIGINT[]), 0) AS has_validator_0,
+           CAST(len(CAST(att_1_attesting_indices AS BIGINT[])) AS BIGINT) AS n1
+           FROM ${t("attester_slashings")} ORDER BY slot, slashing_index""",
+      "era_daily_activity" ->
+        s"""SELECT DATE_TRUNC('day', timestamp_utc) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(COUNT(DISTINCT proposer_index) AS BIGINT) AS n_proposers
+           FROM ${t("blocks")} GROUP BY 1 ORDER BY day""",
+      "era_proposer_stats" ->
+        s"""SELECT proposer_index, CAST(COUNT(*) AS BIGINT) AS blocks_proposed,
+           MIN(timestamp_utc) AS first_block, MAX(timestamp_utc) AS last_block
+           FROM ${t("blocks")} GROUP BY proposer_index
+           ORDER BY blocks_proposed DESC, proposer_index LIMIT 20""",
+      "era_tx_fee_recipients" ->
+        s"""WITH g AS (SELECT fee_recipient, CAST(COUNT(*) AS BIGINT) AS transactions,
+             ROUND(AVG(gas_limit), 2) AS avg_gas_limit,
+             ROUND(AVG(gas_used), 2) AS avg_gas_used
+             FROM ${t("transactions")} GROUP BY fee_recipient),
+           tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tx FROM ${t("transactions")})
+           SELECT fee_recipient, transactions, avg_gas_limit, avg_gas_used,
+             ROUND(transactions * 100.0 / total_tx, 4) AS percentage
+           FROM g CROSS JOIN tot
+           ORDER BY transactions DESC, fee_recipient LIMIT 20""",
+      "era_withdrawal_comparison" ->
+        s"""SELECT * FROM (
+           SELECT DATE_TRUNC('day', timestamp_utc) AS day,
+             CAST(COUNT(*) AS BIGINT) AS withdrawal_count,
+             CAST(SUM(amount) AS BIGINT) AS total_withdrawn_gwei,
+             CAST(COUNT(DISTINCT validator_index) AS BIGINT) AS unique_validators,
+             'traditional_withdrawals' AS withdrawal_type
+           FROM ${t("withdrawals")} GROUP BY 1
+           UNION ALL
+           SELECT DATE_TRUNC('day', timestamp_utc) AS day,
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(amount) AS BIGINT),
+             CAST(COUNT(DISTINCT validator_pubkey) AS BIGINT),
+             'withdrawal_requests'
+           FROM ${t("withdrawal_requests")} GROUP BY 1)
+           ORDER BY day, withdrawal_type""",
+      "era_deposit_comparison" ->
+        s"""SELECT * FROM (
+           SELECT CAST(COUNT(*) AS BIGINT) AS deposit_count,
+             CAST(SUM(amount) AS BIGINT) AS total_deposited_gwei,
+             CAST(COUNT(DISTINCT pubkey) AS BIGINT) AS unique_validators,
+             'traditional_deposits' AS deposit_type
+           FROM ${t("deposits")}
+           UNION ALL
+           SELECT CAST(COUNT(*) AS BIGINT), CAST(SUM(amount) AS BIGINT),
+             CAST(COUNT(DISTINCT pubkey) AS BIGINT), 'deposit_requests'
+           FROM ${t("deposit_requests")})
+           ORDER BY deposit_type""",
+      "era_attestation_participation" ->
+        s"""SELECT committee_index, CAST(COUNT(*) AS BIGINT) AS attestations,
+           CAST(COUNT(DISTINCT attestation_slot) AS BIGINT) AS slots_attested,
+           CAST(COUNT(DISTINCT slot) AS BIGINT) AS inclusion_slots,
+           ROUND(AVG(slot - attestation_slot), 4) AS avg_inclusion_delay
+           FROM ${t("attestations")}
+           GROUP BY committee_index ORDER BY attestations DESC, committee_index""",
+      "era_exits_monthly" ->
+        s"""SELECT DATE_TRUNC('month', timestamp_utc) AS month,
+           CAST(COUNT(*) AS BIGINT) AS exit_count,
+           CAST(COUNT(DISTINCT validator_index) AS BIGINT) AS unique_validators
+           FROM ${t("voluntary_exits")} GROUP BY 1 ORDER BY month""",
+      "era_sync_participation" ->
+        s"""SELECT DATE_TRUNC('hour', timestamp_utc) AS hour,
+           ROUND(AVG(participating_validators), 2) AS avg_participation,
+           MIN(participating_validators) AS min_participation,
+           MAX(participating_validators) AS max_participation,
+           CAST(COUNT(*) AS BIGINT) AS total_sync_aggregates
+           FROM ${t("sync_aggregates")} GROUP BY 1 ORDER BY hour""",
+      "era_sync_efficiency" ->
+        s"""SELECT DATE_TRUNC('day', timestamp_utc) AS day,
+           ROUND(AVG(participating_validators), 2) AS avg_participation,
+           ROUND(COALESCE(STDDEV_POP(participating_validators), 0.0), 4)
+             AS participation_stddev,
+           CAST(COUNT(*) AS BIGINT) AS sync_count
+           FROM ${t("sync_aggregates")} GROUP BY 1 ORDER BY day""",
+      "era_slashing_classified" ->
+        s"""SELECT slot, slashing_index, att_1_committee_index,
+           att_1_validator_count, att_2_validator_count, total_slashed_validators,
+           CASE WHEN att_1_target_epoch = att_2_target_epoch THEN 'Double Vote'
+             WHEN att_1_source_epoch < att_2_source_epoch
+               AND att_1_target_epoch > att_2_target_epoch THEN 'Surround Vote'
+             ELSE 'Other' END AS slashing_type
+           FROM ${t("attester_slashings")} ORDER BY slot, slashing_index""",
+      "era_top_slashings" ->
+        s"""SELECT slot, total_slashed_validators, att_1_validator_count,
+           att_2_validator_count
+           FROM ${t("attester_slashings")}
+           ORDER BY total_slashed_validators DESC, slot LIMIT 20""",
+      "era_slashing_monthly" ->
+        s"""SELECT DATE_TRUNC('month', timestamp_utc) AS month,
+           CAST(COUNT(*) AS BIGINT) AS slashing_events,
+           CAST(SUM(total_slashed_validators) AS BIGINT) AS total_validators_slashed,
+           ROUND(AVG(total_slashed_validators), 4) AS avg_validators_per_slashing
+           FROM ${t("attester_slashings")} GROUP BY 1 ORDER BY month""",
+      "era_bls_top_validators" ->
+        s"""SELECT validator_index, CAST(COUNT(*) AS BIGINT) AS change_count,
+           STRING_AGG(to_execution_address, ',' ORDER BY to_execution_address)
+             AS execution_addresses
+           FROM ${t("bls_changes")} GROUP BY validator_index
+           ORDER BY change_count DESC, validator_index""",
+      "era_blob_patterns" ->
+        s"""WITH hourly AS (SELECT DATE_TRUNC('hour', timestamp_utc) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS total_commitments,
+             CAST(COUNT(DISTINCT slot) AS BIGINT) AS blocks_with_blobs
+             FROM ${t("blob_commitments")} GROUP BY 1),
+           a AS (SELECT ROUND(AVG(total_commitments), 4) AS avg_hourly_commitments
+             FROM hourly)
+           SELECT hour, total_commitments, blocks_with_blobs, avg_hourly_commitments
+           FROM hourly CROSS JOIN a ORDER BY hour""",
+      "era_blob_top_blocks" ->
+        s"""SELECT slot, CAST(COUNT(*) AS BIGINT) AS commitment_count
+           FROM ${t("blob_commitments")} GROUP BY slot
+           ORDER BY commitment_count DESC, slot LIMIT 20""")
+  }
+}
