@@ -62,9 +62,6 @@ object Bench {
       val sec = best(3) { n = graft.operators.Normalizer.decodeBlocks(f).count() }
       fork -> (n / sec)
     }
-    val forkJson = perFork
-      .map { case (f, bps) => s""""$f":$bps""" }.mkString("{", ",", "}")
-
     // full 15-table extract + parquet sink for the corpus — the "per-era
     // wall clock for the full 15-table extract" target from BASELINE.md
     val etlOut = java.nio.file.Files.createTempDirectory("graft-bench-etl").toString
@@ -79,18 +76,40 @@ object Bench {
       name -> (try best(2) { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of stdout (~2k chars): the
+    // r6 line with all 125 full-precision per-query entries was 4.4k and got
+    // cut mid-stream (BENCH_r06 `parsed: null`). Keep the final JSON line
+    // compact — 3-decimal seconds, only the slowest queries inline, the rest
+    // summarized — and write the complete full-precision map to a file whose
+    // path the line carries.
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    def r1(d: Double): Double = math.rint(d * 10) / 10
+    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullPath = new java.io.File("target/bench_queries_full.json").getAbsolutePath
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullQs)
+    val topN = 30
+    val sorted = results.toSeq.sortBy(-_._2)
+    val top = sorted.take(topN)
+    val rest = sorted.drop(topN)
+    val qs = top.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val forkJsonCompact = perFork
+      .map { case (f, bps) => s""""$f":${r1(bps)}""" }.mkString("{", ",", "}")
     // failed queries keep their -1 sentinel in `queries` but must not
     // subtract from the headline total
     val total = results.values.filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"""" +
-        s""","era_blocks":$decoded,"era_decode_sec":$decodeSec""" +
-        s""","blocks_per_sec":${decoded / decodeSec}""" +
-        s""","attestation_rows":$attRows,"attestation_rows_per_sec":${attRows / explodeSec}""" +
-        s""","blocks_per_sec_by_fork":$forkJson""" +
-        s""","etl_15table_sec":$etlSec,"etl_blocks_per_sec":${decoded / etlSec}}""")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"""" +
+        s""","n_queries":${results.size},"queries":$qs""" +
+        s""","queries_omitted":${rest.size}""" +
+        s""","queries_omitted_sec":${r3(rest.map(_._2).filter(_ >= 0).sum)}""" +
+        s""","full_queries_json":"$fullPath"""" +
+        s""","era_blocks":$decoded,"era_decode_sec":${r3(decodeSec)}""" +
+        s""","blocks_per_sec":${r1(decoded / decodeSec)}""" +
+        s""","attestation_rows":$attRows,"attestation_rows_per_sec":${r1(attRows / explodeSec)}""" +
+        s""","blocks_per_sec_by_fork":$forkJsonCompact""" +
+        s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(decoded / etlSec)}}""")
     spark.stop()
   }
 }
