@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional name filter (dev iteration only — the driver passes 2 args)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +21,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -28,10 +33,11 @@ object Verify {
     // era-oracle fixture-table export: the era_* oracle SQL reads these
     // parquet files (absolute paths) — must exist before the driver's DuckDB
     // pass. Guarded so an export failure cannot zero the generic surface.
-    try graft.queries.EraOracle.export(spark)
-    catch { case e: Throwable =>
-      System.err.println(s"[verify] era-oracle export failed: ${e.getMessage}")
-    }
+    if (only.isEmpty || only.exists(_.startsWith("era_")))
+      try graft.queries.EraOracle.export(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] era-oracle export failed: ${e.getMessage}")
+      }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -133,13 +133,31 @@ object Similarity {
     * value-for-value. Empty cells keep their previous centroid. At real
     * scale this trains on a bounded sample (standard IVF practice) and
     * the full corpus is assigned once at the end. */
-  def kmeansCentroids(emb: DataFrame, iters: Int = 2): Array[(Long, Seq[Double], Double)] = {
+  /** Hard bound on the members a k-means update step aggregates per cell.
+    * `collect_list` materializes one cell's full sampled membership in a
+    * single array, so without this cap a hot cell (skewed corpus — most
+    * vectors near one centroid) would OOM its executor. Selection is a
+    * deterministic hash-rank sample (portable hash64 of the vec_id,
+    * vec_id tie-break), so both engines pick the identical members and
+    * the trained centroids stay value-verifiable. */
+  val MaxMembersPerCell = 256
+
+  def kmeansCentroids(emb: DataFrame, iters: Int = 2,
+      maxMembersPerCell: Int = MaxMembersPerCell): Array[(Long, Seq[Double], Double)] = {
     val prep = prepared(emb)
     var cents = collectCentroids(prep)
     require(cents.nonEmpty, "IVF centroid set is empty")
     val dims = cents.head._2.size
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(call_function("hash64", col("vec_id").cast("string")), col("vec_id"))
     (1 to iters).foreach { _ =>
       val means = withIvfCell(prep, cents)
+        // bounded deterministic sample BEFORE the membership collect — the
+        // row_number window and the groupBy hash on the same cell key, so
+        // the filter adds no extra Exchange
+        .withColumn("srn", row_number().over(wCell))
+        .filter(col("srn") <= maxMembersPerCell)
         .groupBy(col("cell"))
         .agg(expr("sort_array(collect_list(struct(vec_id, vec)))").as("ms"))
         .select(col("cell"), expr(
@@ -405,6 +423,37 @@ object Similarity {
         .withColumn("cos",
           VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
       k)
+  }
+
+  /** Recall@k report — the measuring query behind the ANN recall knobs:
+    * for each ANN variant, the fraction of the exact [[bruteForceTopK]]
+    * top-k it returns over the same query set. One small aggregate (6
+    * methods × nQueries·k candidate rows); the exact top-k is broadcast.
+    * This turns the recall/probe trade-offs (SCALING.md ANN notes) into a
+    * measured, regression-gated number instead of prose: at 100 TB you
+    * run exactly this report on a held-out query sample to tune
+    * planes/probes before committing to a bucket layout. */
+  def recallReport(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val brute = bruteForceTopK(emb, k, nQueries)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ivf" -> ivfTopK(emb, k, nQueries),
+      "ivfpq" -> ivfPqTopK(emb, k, nQueries),
+      "lsh" -> lshTopK(emb, k, nQueries),
+      "lsh_mp" -> lshMultiProbeTopK(emb, k, nQueries),
+      "pq" -> pqTopK(emb, k, nQueries),
+      "rp_rerank" -> rpRerankTopK(emb, k, nQueries))
+    val cand = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    cand
+      .join(broadcast(brute), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+      .withColumn("recall_at_10",
+        round(col("n_hits") / lit((k * nQueries).toDouble), 4))
+      .orderBy(col("method"))
   }
 
   /** Multi-probe LSH — the recall knob: each query also probes every

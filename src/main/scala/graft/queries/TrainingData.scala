@@ -98,6 +98,7 @@ object TrainingData {
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(emb(s, dir))),
     "sim_rp_project" -> ((s, dir) => Similarity.rpProject(emb(s, dir))),
     "sim_topk_rp" -> ((s, dir) => Similarity.rpRerankTopK(emb(s, dir))),
+    "sim_recall" -> ((s, dir) => Similarity.recallReport(emb(s, dir))),
 
     // ── multimodal ────────────────────────────────────────────────────────
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
@@ -231,7 +232,14 @@ object TrainingData {
        |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
        |                      c.cell) AS rn
        |    FROM vn, $prevC c) t WHERE rn = 1),
-       |m$i AS (SELECT cell, list(vec ORDER BY vec_id) AS ms FROM a$i GROUP BY cell),
+       |sm$i AS (
+       |  SELECT vec_id, vec, cell FROM (
+       |    SELECT vec_id, vec, cell,
+       |           ROW_NUMBER() OVER (PARTITION BY cell
+       |             ORDER BY ${h64("vec_id::VARCHAR")}, vec_id) AS srn
+       |    FROM a$i) t
+       |  WHERE srn <= ${graft.operators.Similarity.MaxMembersPerCell}),
+       |m$i AS (SELECT cell, list(vec ORDER BY vec_id) AS ms FROM sm$i GROUP BY cell),
        |c$i AS (
        |  SELECT p.cell,
        |         CASE WHEN m$i.cell IS NULL THEN p.cvec
@@ -327,19 +335,23 @@ object TrainingData {
 
   /** One BPE round as CTEs (mirrors one Bpe.learnMerges iteration):
     * weighted positional symbol bigrams over `prev`, deterministic argmax
-    * (count desc, pair asc), greedy left-to-right literal merge apply. */
+    * (count desc, pair asc), greedy left-to-right literal merge apply.
+    * Boundaries are doubled chr(1)s and the merge pattern consumes only the
+    * inner half of each — see the Bpe.scala class doc: this is what makes
+    * one non-overlapping replace merge ADJACENT occurrences too ('banana'
+    * under (a,n) → [b,an,an,a]). */
   private def bpeRoundCtes(i: Int, prev: String): String =
     s"""p$i AS (
        |  SELECT pair, SUM(n) AS cnt FROM (
        |    SELECT n, unnest(list_transform(range(1, len(tks)),
        |      j -> tks[j::INT] || ' ' || tks[(j+1)::INT])) AS pair
-       |    FROM (SELECT string_split(trim(replace(syms, chr(1), ' ')), ' ') AS tks, n
+       |    FROM (SELECT string_split(trim(replace(syms, chr(1) || chr(1), ' ')), ' ') AS tks, n
        |          FROM $prev) t)
        |  GROUP BY pair),
        |b$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
        |s$i AS (
        |  SELECT COALESCE(replace(p.syms,
-       |           chr(1) || split_part(b.pair, ' ', 1) || chr(1) ||
+       |           chr(1) || split_part(b.pair, ' ', 1) || chr(1) || chr(1) ||
        |             split_part(b.pair, ' ', 2) || chr(1),
        |           chr(1) || replace(b.pair, ' ', '') || chr(1)), p.syms) AS syms, p.n
        |  FROM $prev p LEFT JOIN b$i b ON TRUE)""".stripMargin
@@ -353,7 +365,8 @@ object TrainingData {
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tkw
        |  WHERE word <> '' AND strpos(word, chr(1)) = 0 GROUP BY word),
        |s0 AS (
-       |  SELECT chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS syms, n
+       |  SELECT chr(1) || chr(1) ||
+       |         regexp_replace(word, '(.)', '\\1' || chr(1) || chr(1), 'g') AS syms, n
        |  FROM w),
        |${bpeRoundCtes(1, "s0")},
        |${bpeRoundCtes(2, "s1")},
@@ -366,7 +379,7 @@ object TrainingData {
   private def bpeApplyCte(i: Int, prev: String): String =
     s"""sy$i AS (
        |  SELECT word, COALESCE(replace(p.syms,
-       |           chr(1) || split_part(b.pair, ' ', 1) || chr(1) ||
+       |           chr(1) || split_part(b.pair, ' ', 1) || chr(1) || chr(1) ||
        |             split_part(b.pair, ' ', 2) || chr(1),
        |           chr(1) || replace(b.pair, ' ', '') || chr(1)), p.syms) AS syms
        |  FROM $prev p LEFT JOIN b$i b ON TRUE)""".stripMargin
@@ -421,7 +434,7 @@ object TrainingData {
        |FROM batch b LEFT JOIN snap s ON b.digest = s.digest
        |ORDER BY b.doc_id""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val baseOracleSql: Map[String, String] = Map(
     "pii_scan" ->
       s"""WITH $piiCte, $piiCountsCte
          |SELECT doc_id, n_email, n_phone, n_ip, n_ssn,
@@ -494,7 +507,14 @@ object TrainingData {
 
     "dedup_winnow_pairs" ->
       s"""WITH $baseCte, $augCte, $winnowCtes,
-         |ex AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS f FROM fpd)
+         |exf AS (SELECT doc_id, len(fps) AS nf, unnest(fps) AS f FROM fpd),
+         |tot AS (SELECT COUNT(*) AS n_docs_total FROM fpd),
+         |freq AS (SELECT f, COUNT(*) AS fp_docs FROM exf GROUP BY f),
+         |ex AS (
+         |  SELECT exf.doc_id, exf.nf, exf.f
+         |  FROM exf JOIN freq USING (f), tot
+         |  WHERE freq.fp_docs <=
+         |    greatest(2, ceil(${graft.operators.Winnow.MaxFpDocFrac} * tot.n_docs_total)))
          |SELECT doc_a, doc_b, n_shared,
          |       ROUND(n_shared::DOUBLE / nfa, 4) AS contain_a,
          |       ROUND(n_shared::DOUBLE / nfb, 4) AS contain_b
@@ -551,7 +571,8 @@ object TrainingData {
 
     "text_perplexity" ->
       s"""WITH $baseCte,
-         |tk AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+         |tk AS (SELECT doc_id, tok FROM
+         |         (SELECT doc_id, unnest(toks) AS tok FROM base) WHERE tok <> ''),
          |v AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
          |tot AS (SELECT COUNT(*)::DOUBLE AS total FROM tk),
          |sc AS (
@@ -633,14 +654,15 @@ object TrainingData {
          |  SELECT doc_id, word FROM tkd
          |  WHERE word <> '' AND strpos(word, chr(1)) = 0),
          |sy0 AS (
-         |  SELECT word, chr(1) || regexp_replace(word, '(.)', '\\1' || chr(1), 'g') AS syms
+         |  SELECT word, chr(1) || chr(1) ||
+         |         regexp_replace(word, '(.)', '\\1' || chr(1) || chr(1), 'g') AS syms
          |  FROM (SELECT DISTINCT word FROM tkf)),
          |${bpeApplyCte(1, "sy0")},
          |${bpeApplyCte(2, "sy1")},
          |${bpeApplyCte(3, "sy2")},
          |cnt AS (
          |  SELECT word, length(word)::BIGINT AS n_chars,
-         |         len(string_split(trim(replace(syms, chr(1), ' ')), ' '))::BIGINT AS n_syms
+         |         len(string_split(trim(replace(syms, chr(1) || chr(1), ' ')), ' '))::BIGINT AS n_syms
          |  FROM sy3)
          |SELECT t.doc_id,
          |       CAST(SUM(c.n_chars) AS BIGINT) AS n_base_syms,
@@ -1314,4 +1336,31 @@ object TrainingData {
          |FROM m2, (SELECT unnest(range(0, 8)) AS i) f
          |ORDER BY media_id, frame_idx""".stripMargin
   )
+
+  /** recall@10 mirror (Similarity.recallReport): composes the per-method
+    * top-k mirrors verbatim as derived tables — any divergence in a method's
+    * mirror shows up here too, so the recall number is verified against the
+    * exact same SQL the per-method gates use. 50.0 = k·nQueries = 10·5. */
+  private def recallOracleSql: String = {
+    val methods = Seq("ivf" -> "sim_topk_ivf", "ivfpq" -> "sim_topk_ivfpq",
+      "lsh" -> "sim_topk_lsh", "lsh_mp" -> "sim_topk_lsh_mp",
+      "pq" -> "sim_topk_pq", "rp_rerank" -> "sim_topk_rp")
+    val union = methods.map { case (m, q) =>
+      s"SELECT '$m' AS method, query_id, vec_id FROM (\n${baseOracleSql(q)}\n)"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH brute AS (SELECT query_id, vec_id, 1 AS hit FROM (
+       |${baseOracleSql("sim_topk_brute")}
+       |)),
+       |cand AS (
+       |$union
+       |)
+       |SELECT method, CAST(COUNT(*) AS BIGINT) AS n_returned,
+       |       CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hits,
+       |       ROUND(COALESCE(SUM(hit), 0) / 50.0, 4) AS recall_at_10
+       |FROM cand LEFT JOIN brute USING (query_id, vec_id)
+       |GROUP BY method ORDER BY method""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] =
+    baseOracleSql + ("sim_recall" -> recallOracleSql)
 }

@@ -43,6 +43,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
   }
 
+  test("recall report broadcasts the exact top-k; every ANN branch stays broadcast-joined") {
+    val p = plan("sim_recall")
+    // the brute-force reference set and all per-method probe/query sides are
+    // broadcast — a SortMergeJoin anywhere means a corpus shuffle crept in
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("bm25 broadcasts the 1-row stats and truncates the global sort to top-k") {
     val p = plan("text_bm25")
     assert(p.contains("TakeOrderedAndProject(limit=20"), p.take(2000))
