@@ -18,12 +18,20 @@ import org.apache.spark.sql.functions._
  * The merge application is a narrow literal `replace` projection.
  *
  * Representation: a word's symbol sequence is a single U+0001-delimited
- * string (`<s>l<s>o<s>w<s>` with `<s>` = the separator), so applying merge (a,b) is
- * `replace(syms, sep+a+sep+b+sep, sep+ab+sep)` — the
- * delimiters make cross-symbol false matches impossible, and both engines'
- * `replace` is greedy left-to-right non-overlapping, which is exactly BPE's
- * within-word merge order (a run "aaa" under (a,a) becomes ["aa","a"]).
- * Words containing the delimiter itself are excluded up front.
+ * string with every boundary DOUBLED (`<s><s>l<s><s>o<s><s>w<s><s>` with
+ * `<s>` = the separator); applying merge (a,b) is
+ * `replace(syms, sep+a+sep+sep+b+sep, sep+ab+sep)` — the pattern consumes
+ * only the INNER half of each doubled boundary, so adjacent occurrences
+ * never share matched characters and one greedy left-to-right
+ * non-overlapping `replace` (both engines' semantics) merges every
+ * occurrence in canonical BPE leftmost order: 'banana' under (a,n) becomes
+ * [b,an,an,a], 'aaaaa' under (a,a) becomes [aa,aa,a]. (With single
+ * boundaries the second of two adjacent occurrences shares its leading
+ * delimiter with the first match and is skipped — 'banana' came out
+ * [b,an,a,n,a].) Single-pass is canonical because merging (a,b) can never
+ * create a NEW (a,b) occurrence: the merged token ab equals neither a
+ * (b is non-empty) nor b (a is non-empty). Words containing the delimiter
+ * itself are excluded up front.
  */
 object Bpe {
 
@@ -31,11 +39,30 @@ object Bpe {
     * words containing it are filtered out rather than corrupting state. */
   val Sep = "\u0001"
 
-  private def spacedSyms = trim(call_function("replace", col("syms"), lit(Sep), lit(" ")))
+  /** Merge rounds between lineage-truncating localCheckpoints. */
+  val CheckpointEvery = 16
+
+  private def spacedSyms =
+    trim(call_function("replace", col("syms"), lit(Sep + Sep), lit(" ")))
+
+  /** Char-level doubled-boundary symbol string for a word column. */
+  private def charSyms(word: org.apache.spark.sql.Column) =
+    concat(lit(Sep + Sep), regexp_replace(word, "(.)", "$1" + Sep + Sep))
+
+  /** One merge application: consume the inner half of each boundary so
+    * adjacent occurrences merge in the same pass (see class doc). */
+  private def applyMerge(syms: org.apache.spark.sql.Column, a: String, b: String) =
+    call_function("replace", syms,
+      lit(Sep + a + Sep + Sep + b + Sep), lit(Sep + (a + b) + Sep))
 
   /** The learned merge table: (merge_rank, lhs, rhs, merged, pair_count),
     * one row per round in learn order. Stops early if no pair remains. */
-  def learnMerges(docs: DataFrame, nMerges: Int = 3): DataFrame = {
+  def learnMerges(docs: DataFrame, nMerges: Int = 3): DataFrame =
+    learnMergesAndSyms(docs, nMerges)._1
+
+  /** [[learnMerges]] plus the final word-symbol table — exposed so tests
+    * can assert the checkpoint cadence keeps its plan depth constant. */
+  private[graft] def learnMergesAndSyms(docs: DataFrame, nMerges: Int = 3): (DataFrame, DataFrame) = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val spark = docs.sparkSession
     import spark.implicits._
@@ -48,9 +75,7 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var syms = words
-        .select(concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)).as("syms"),
-          col("n"))
+      var syms = words.select(charSyms(col("word")).as("syms"), col("n"))
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
       var r = 1
       var exhausted = false
@@ -67,15 +92,20 @@ object Bpe {
           val cnt = best(0).getLong(1)
           val Array(a, b) = pair.split(" ", 2)
           merges += ((r, a, b, a + b, cnt))
-          syms = syms.select(
-            call_function("replace", col("syms"),
-              lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)).as("syms"),
-            col("n"))
+          syms = syms.select(applyMerge(col("syms"), a, b).as("syms"), col("n"))
+          // `syms` rebinds through the loop, so the plan lineage grows one
+          // projection per round — fine at demo nMerges, an analyzer blowup
+          // at a realistic 30k-merge vocab (and in production the standard
+          // split applies: Spark reduces corpus → word counts once, the
+          // tokenizer trains off-cluster on that table). localCheckpoint
+          // every 16 rounds caps plan depth at a constant; the table is
+          // vocab-sized, so the materialization is cheap.
+          if (r % CheckpointEvery == 0) syms = syms.localCheckpoint()
           r += 1
         }
       }
-      merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
-        .orderBy(col("merge_rank"))
+      (merges.result().toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+        .orderBy(col("merge_rank")), syms)
     } finally words.unpersist(blocking = false)
   }
 
@@ -96,16 +126,14 @@ object Bpe {
       .select(col("doc_id"), explode(col("toks")).as("word"))
       .filter(col("word") =!= "" && !col("word").contains(Sep))
     val wordSyms0 = tokens.select(col("word")).distinct()
-      .withColumn("syms",
-        concat(lit(Sep), regexp_replace(col("word"), "(.)", "$1" + Sep)))
+      .withColumn("syms", charSyms(col("word")))
     val applied = merges.foldLeft(wordSyms0) { case (df, (a, b)) =>
-      df.withColumn("syms", call_function("replace", col("syms"),
-        lit(Sep + a + Sep + b + Sep), lit(Sep + a + b + Sep)))
+      df.withColumn("syms", applyMerge(col("syms"), a, b))
     }
     val counts = applied.select(
       col("word"),
       length(col("word")).cast("long").as("n_chars"),
-      size(split(trim(call_function("replace", col("syms"), lit(Sep), lit(" "))),
+      size(split(trim(call_function("replace", col("syms"), lit(Sep + Sep), lit(" "))),
         " ")).cast("long").as("n_syms"))
     tokens.join(counts, Seq("word"))
       .groupBy(col("doc_id"))

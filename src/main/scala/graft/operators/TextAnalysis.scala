@@ -233,7 +233,11 @@ object TextAnalysis {
     * associative, order-free, exactly reproduced by the DuckDB mirror; the
     * final averages divide integer sums and round. */
   def unigramScores(docs: DataFrame): DataFrame = {
+    // filter '' (split of an empty/whitespace-only text) so the unigram
+    // vocabulary matches the featureHash/vocabKmv token semantics — an
+    // empty document contributes nothing, not a zero-width token
     val toks = withTokens(docs).select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     // == sum of vocab counts, but needs no second vocabulary aggregation —
     // one count over the token rows collapses to the 1-row broadcast

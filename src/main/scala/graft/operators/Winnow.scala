@@ -44,8 +44,21 @@ object Winnow {
         call_function("winnow_min", col("hl"), lit(W)).as("fps"))
   }
 
+  /** Fraction of documents a fingerprint may appear in before the pair
+    * stage drops it (with a floor of 2 docs so tiny corpora still pair).
+    * A fingerprint present in a large share of the corpus is boilerplate —
+    * site chrome, license headers — and carries no discriminative signal,
+    * exactly like a stop-gram; worse, it makes its bucket quadratic in the
+    * pair join (every doc meets every doc). Same fix class as the minhash
+    * path's banding: cap the blocking key's posting-list size. */
+  val MaxFpDocFrac = 0.05
+
   /** Fingerprint accounting per document: positions, selected fingerprint
-    * count, and the selection density (→ ~2/(w+1) on long documents). */
+    * count, and the selection density. Note `density` is computed over
+    * DISTINCT selected fingerprint values per document (winnow_min
+    * deduplicates), so on documents with internal repetition it reads
+    * BELOW the paper's positional ~2/(w+1) selection density — it is a
+    * lower bound on it, not the same metric. */
   def fingerprintSummary(docs: DataFrame): DataFrame =
     withFingerprints(docs)
       .select(col("doc_id"), col("n_grams"),
@@ -61,9 +74,21 @@ object Winnow {
     * (8-byte hashes), counts via one groupBy per pair; the per-doc
     * fingerprint counts ride the exploded rows, no extra join. */
   def overlapPairs(docs: DataFrame, minShared: Int = 3): DataFrame = {
-    val fp = withFingerprints(docs)
+    val wf = withFingerprints(docs)
+    val all = wf
       .select(col("doc_id"), size(col("fps")).cast("long").as("nf"),
         explode(col("fps")).as("f"))
+    // frequency cap: a fingerprint in > max(2, ceil(frac·N)) documents is
+    // corpus boilerplate — drop it BEFORE the self-join so no bucket goes
+    // quadratic. The freq join shuffles on the same 8-byte key as the pair
+    // join (co-partitioned); the 1-row total is broadcast.
+    val total = wf.agg(count(lit(1)).as("n_docs_total"))
+    val freq = all.groupBy(col("f")).agg(count(lit(1)).as("fp_docs"))
+    val fp = all.join(freq, Seq("f"))
+      .crossJoin(broadcast(total))
+      .filter(col("fp_docs") <=
+        greatest(lit(2L), ceil(lit(MaxFpDocFrac) * col("n_docs_total"))))
+      .select(col("doc_id"), col("nf"), col("f"))
     fp.as("a").join(fp.as("b"),
         col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -524,6 +524,40 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(corpus.map(_.getLong(4)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("bpe merges adjacent occurrences of the learned pair (banana/abab)") {
+    import spark.implicits._
+    // 'banana' under (a,n): both adjacent occurrences must merge in one
+    // round → [b,an,an,a] = 4 symbols. (The old single-boundary encoding
+    // skipped the second occurrence — [b,an,a,n,a] = 5.) Pair counts in
+    // "banana": an×2, na×2, ba×1 → argmax tie-break picks "a n".
+    val banana = Seq((1L, "banana", "en")).toDF("doc_id", "text", "lang")
+    val m = graft.operators.Bpe.learnMerges(banana, nMerges = 1).collect()
+    assert((m(0).getString(1), m(0).getString(2)) === (("a", "n")))
+    val row = graft.operators.Bpe.tokenizeSummary(banana, nMerges = 1).collect()(0)
+    assert((row.getLong(1), row.getLong(2)) === ((6L, 4L)))
+    // 'abab' under (a,b) → [ab,ab] = 2 symbols, and round 2 can then learn
+    // (ab,ab) — the leftover un-merged pair can no longer resurface as a
+    // duplicate (a,b) rule in a later round
+    val abab = Seq((1L, "abab", "en")).toDF("doc_id", "text", "lang")
+    val m2 = graft.operators.Bpe.learnMerges(abab, nMerges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(m2.toSeq === Seq(("a", "b"), ("ab", "ab")))
+    val row2 = graft.operators.Bpe.tokenizeSummary(abab, nMerges = 1).collect()(0)
+    assert((row2.getLong(1), row2.getLong(2)) === ((4L, 2L)))
+  }
+
+  test("bpe merge-round lineage stays constant-depth past the checkpoint cadence") {
+    // 32 rounds = 2 × CheckpointEvery: without the periodic localCheckpoint
+    // the final symbol table's plan would chain 32 replace projections (one
+    // per round, linear in nMerges); with it, at most one checkpoint window
+    // of projections sits above a materialized scan, independent of nMerges.
+    val (merges, syms) = graft.operators.Bpe.learnMergesAndSyms(docs, nMerges = 32)
+    assert(merges.count() === 32L) // the corpus supports all 32 rounds
+    val planLines = syms.queryExecution.analyzed.treeString.linesIterator.size
+    assert(planLines <= 3 * graft.operators.Bpe.CheckpointEvery,
+      s"plan depth $planLines suggests lineage is growing with nMerges")
+  }
+
   test("bpe tokenization compresses and never splits beyond characters") {
     import spark.implicits._
     // after merges (a,a)->aa then (a,b)->ab: "aa"=1 sym, "ab"=1 sym, so the
@@ -538,6 +572,27 @@ class TrainingDataSpec extends AnyFunSuite {
       assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
       assert(r.getDouble(3) >= 1.0)
     }
+  }
+
+  test("kmeans update bounds per-cell membership with a deterministic sample") {
+    import spark.implicits._
+    // determinism: two runs with the same cap pick the same hash-rank
+    // sample and train identical centroids
+    val c1 = Similarity.kmeansCentroids(emb, iters = 1, maxMembersPerCell = 4)
+    val c2 = Similarity.kmeansCentroids(emb, iters = 1, maxMembersPerCell = 4)
+    assert(c1.map(t => (t._1, t._2)).toSeq === c2.map(t => (t._1, t._2)).toSeq)
+    // the cap is actually enforced: a 4-member sample must train different
+    // centroids than the default 256-member sample (cells hold ~500 here)
+    val cDefault = Similarity.kmeansCentroids(emb, iters = 1)
+    assert(c1.map(_._2).toSeq !== cDefault.map(_._2).toSeq)
+    // hot cell: every vector in ONE cell (identical corpus) — the update
+    // still aggregates only maxMembersPerCell members instead of one
+    // array holding the whole corpus
+    val hot = (0L until 600L).map(i => (i, "x", Array.fill(64)(0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val cHot = Similarity.kmeansCentroids(hot, iters = 1, maxMembersPerCell = 8)
+    assert(cHot.length === 16)
+    assert(cHot.forall(_._2.forall(v => !v.isNaN)))
   }
 
   test("pq codes are exact on the codebook sample; topk ranks by asymmetric distance") {
@@ -772,6 +827,30 @@ class TrainingDataSpec extends AnyFunSuite {
     copyIds.filter(id => nFps.getOrElse(id, 0L) >= 3L).headOption.foreach { id =>
       assert(full((id, id + 200000)) === ((1.0, 1.0)))
     }
+  }
+
+  test("winnow frequency cap: universal boilerplate must not blow up the pair count") {
+    import spark.implicits._
+    // every doc opens with the same 16-word boilerplate (site chrome) —
+    // enough grams to clear minShared on its own, so WITHOUT the frequency
+    // cap every one of the n·(n−1)/2 doc pairs would surface. Unique tails
+    // share nothing. Ids avoid the %7/%13 harness-augmentation residues so
+    // no synthetic copies join the corpus.
+    val boiler = "this website and all of its content are provided under " +
+      "the standard terms of service"
+    val ids = (1 to 60).filter(i => i % 7 != 0 && i % 13 != 0).take(30)
+    val boilerDocs = ids.map(i =>
+      (i.toLong, s"$boiler unique$i tail$i alpha$i beta$i gamma$i delta$i", "en"))
+    // one genuine duplicated passage between exactly two docs — must survive
+    val passage = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen astronauts watch from orbit tonight"
+    val withDup = boilerDocs ++ Seq(
+      (61L, s"$passage plus some closing words here", "en"),
+      (62L, s"opening words first $passage", "en"))
+    val pairs = graft.operators.Winnow.overlapPairs(withDup.toDF("doc_id", "text", "lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((61L, 62L)),
+      s"boilerplate fingerprints leaked into the pair join: ${pairs.size} pairs")
   }
 
   test("snapshot diff is content-addressed: a removed doc with a surviving copy stays common") {
