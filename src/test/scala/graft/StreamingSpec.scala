@@ -160,6 +160,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(est === batchEst)
   }
 
+  test("near-dup bucket state is evicted once the watermark passes retention") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    // tight knobs so eviction is observable: 1-minute watermark delay,
+    // 5-minute bucket retention
+    val query = DocStream.nearDupPairs(mem.toDF(), delay = "1 minute",
+        retentionMs = 5 * 60000L)
+      .writeStream.format("memory").queryName("neardup_evict")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def doc(id: Long, text: String, min: Int) =
+      StreamDoc(id, text, "en",
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L))
+    def stateRows: Long = query.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.head.numRowsTotal).getOrElse(-1L)
+    mem.addData(
+      doc(1, "alpha beta gamma delta epsilon", 0),
+      doc(2, "one two three four five six", 0))
+    query.processAllAvailable()
+    val afterFirst = stateRows
+    assert(afterFirst > 0, "expected bucket state after the first batch")
+    // jump event time far past retention: the watermark (119 min) passes
+    // every t=0 bucket's 5-minute timeout, so the next trigger removes them
+    mem.addData(doc(3, "seven eight nine ten eleven twelve", 120))
+    query.processAllAvailable()
+    mem.addData(doc(4, "thirteen fourteen fifteen sixteen seventeen", 121))
+    query.processAllAvailable()
+    val afterEvict = stateRows
+    query.stop()
+    // docs 3+4 add their own buckets; without eviction state would be the
+    // t=0 buckets PLUS those — bounded means the old buckets are gone
+    assert(afterEvict <= afterFirst,
+      s"state grew $afterFirst -> $afterEvict: timed-out buckets not removed")
+    assert(afterEvict < afterFirst + 6,
+      s"no eviction observed: $afterFirst -> $afterEvict")
+  }
+
   test("quality monitor reports per-window per-lang mixture matching the batch scorer") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
