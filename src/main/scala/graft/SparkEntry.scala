@@ -25,7 +25,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The era_* queries read era files — a format
     * DuckDB cannot decode — so their oracle SQL runs over the normalized
-    * fixture tables [[graft.queries.EraOracle.export]] writes during Verify
+    * fixture tables [[graft.queries.EraOracle.exportTables]] writes during Verify
     * (decode correctness itself stays pinned by the RPC-fixture differential
     * specs; the SQL re-computes the analytics above the decoded values). */
   def oracleSql: Map[String, String] =

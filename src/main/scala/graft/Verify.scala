@@ -34,7 +34,7 @@ object Verify {
     // parquet files (absolute paths) — must exist before the driver's DuckDB
     // pass. Guarded so an export failure cannot zero the generic surface.
     if (only.isEmpty || only.exists(_.startsWith("era_")))
-      try graft.queries.EraOracle.export(spark)
+      try graft.queries.EraOracle.exportTables(spark)
       catch { case e: Throwable =>
         System.err.println(s"[verify] era-oracle export failed: ${e.getMessage}")
       }

@@ -11,7 +11,7 @@ import graft.testkit.EraFixtures
  *
  * The era queries read era files — a format DuckDB cannot decode — so the
  * driver's hash gate historically recorded them rows-only. This module closes
- * that gap: [[export]] writes the decoded normalized tables (the 15 child
+ * that gap: [[exportTables]] writes the decoded normalized tables (the 15 child
  * tables plus raw-record/meta/wide projections) to parquet under a stable
  * absolute path, and [[oracleSql]] re-expresses every era query as DuckDB SQL
  * over those parquet files via DuckDB `read_parquet` globs on absolute paths.
@@ -45,7 +45,7 @@ object EraOracle {
     * Fixture-era scale (a few thousand rows total) — coalesce(1) keeps the
     * DuckDB glob trivial; production exports go through [[graft.export.Sinks]]
     * with real partitioning. */
-  def export(spark: SparkSession): Unit = {
+  def exportTables(spark: SparkSession): Unit = {
     val blocks = EraQueries.blocks(spark)
     def write(name: String)(df: org.apache.spark.sql.DataFrame): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
