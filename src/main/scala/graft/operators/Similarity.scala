@@ -425,9 +425,40 @@ object Similarity {
       k)
   }
 
+  /** Scalar-quantized (SQ8) ANN top-k — the third compression point on the
+    * memory-scale ladder (full f64 → SQ8 int8 → PQ codes): every vector
+    * stores one f64 scale plus 64 small-int codes (8× smaller at rest than
+    * the double vector, 8× more precise than PQ's 4 codes), with
+    * per-vector symmetric quantization code[d] = ⌊vec[d]/scale + ½⌋,
+    * scale = max|vec|/127. Approximate cosine rescales the integer dot:
+    * (scale_a·scale_q)·Σ code_a·code_q / √(sq_a·sq_q) — true norms kept,
+    * so only the dot is approximate. Same plan shape as brute force
+    * (queries broadcast, corpus never shuffles, one top-k window); the
+    * quantization itself is a narrow projection. All arithmetic is
+    * fixed-order IEEE doubles (floor/abs/max — no rounding modes), so the
+    * DuckDB oracle reproduces the codes and scores bit-for-bit. */
+  def sq8TopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
+    val prep = prepared(emb)
+    val v = prep
+      .withColumn("scale", expr(
+        "greatest(aggregate(vec, cast(0 as double), (m, x) -> greatest(m, abs(x))), 1e-12) / cast(127 as double)"))
+      .withColumn("code", expr(
+        // Spark floor(double) yields BIGINT; vec_dot wants array<double>
+        "transform(vec, x -> cast(floor(x / scale + cast(0.5 as double)) as double))"))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+        col("scale").as("qscale"), col("sq").as("qsq"))
+    rankTopK(
+      v.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          (col("scale") * col("qscale")) * VectorMath.dot("code", "qcode") /
+            sqrt(col("sq") * col("qsq"))),
+      k)
+  }
+
   /** Recall@k report — the measuring query behind the ANN recall knobs:
     * for each ANN variant, the fraction of the exact [[bruteForceTopK]]
-    * top-k it returns over the same query set. One small aggregate (6
+    * top-k it returns over the same query set. One small aggregate (7
     * methods × nQueries·k candidate rows); the exact top-k is broadcast.
     * This turns the recall/probe trade-offs (SCALING.md ANN notes) into a
     * measured, regression-gated number instead of prose: at 100 TB you
@@ -442,7 +473,8 @@ object Similarity {
       "lsh" -> lshTopK(emb, k, nQueries),
       "lsh_mp" -> lshMultiProbeTopK(emb, k, nQueries),
       "pq" -> pqTopK(emb, k, nQueries),
-      "rp_rerank" -> rpRerankTopK(emb, k, nQueries))
+      "rp_rerank" -> rpRerankTopK(emb, k, nQueries),
+      "sq8" -> sq8TopK(emb, k, nQueries))
     val cand = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("vec_id"))
     }.reduce(_ unionByName _)

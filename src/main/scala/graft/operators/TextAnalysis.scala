@@ -309,6 +309,61 @@ object TextAnalysis {
           col("n_exact").cast("double"), 4).as("rel_err"))
   }
 
+  /** Count-Min sketch geometry: [[CmsDepth]] independent hash rows ×
+    * [[CmsWidth]] buckets. ~2 KiB of longs summarizes any token stream. */
+  val CmsDepth = 4
+  val CmsWidth = 512
+
+  /** Count-Min-sketch heavy hitters: build a depth×width counter sketch
+    * over the token stream, then report the top-k tokens with their exact
+    * count, the sketch estimate (min over rows — classic CMS point query),
+    * and the overestimate, so the sketch's error contract is measured
+    * against truth, not assumed.
+    *
+    * Scale shape: the sketch is a FIXED-SIZE (≤ depth·width rows),
+    * MERGEABLE summary — per-partition sketches add cell-wise (the groupBy
+    * partial aggregation IS the merge), so at 100 TB each executor reduces
+    * its split to 2048 counters and only those merge; streaming ingest
+    * merges batch sketches the same way (tested associativity). The exact
+    * top-k here is the word-count plan shape and exists to verify the
+    * estimates; a production deployment at scale keeps only the sketch +
+    * a candidate set. Hash rows use the portable hash64 so the DuckDB
+    * oracle rebuilds the identical sketch. */
+  def heavyHitters(docs: DataFrame, k: Int = 20): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val toks = withTokens(docs)
+      .select(explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(k)
+    val probed = top.select(col("tok"), col("exact_cnt"),
+      explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("row_i"))
+      .withColumn("bucket", cmsBucket(col("row_i"), col("tok")))
+    probed
+      .join(broadcast(cmsSketch(toks)), Seq("row_i", "bucket"))
+      .groupBy(col("tok"), col("exact_cnt"))
+      .agg(min(col("cell_cnt")).as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overestimate"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  /** The (row_i, bucket, cell_cnt) sketch table for a token-row frame —
+    * exposed so tests can assert mergeability (sketch(a ∪ b) =
+    * cell-wise sketch(a) + sketch(b)). */
+  private[graft] def cmsSketch(toks: DataFrame): DataFrame =
+    toks
+      .select(col("tok"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("row_i"))
+      .withColumn("bucket", cmsBucket(col("row_i"), col("tok")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cell_cnt"))
+
+  /** Row-seeded portable bucket hash: hash64("<row>#<tok>") mod width. */
+  private def cmsBucket(rowI: org.apache.spark.sql.Column,
+      tok: org.apache.spark.sql.Column) =
+    pmod(call_function("hash64",
+      concat(rowI.cast("string"), lit("#"), tok)), lit(CmsWidth.toLong))
+
   /** Bigram-LM perplexity — the context-aware upgrade of
     * [[unigramScores]]: each bigram position scores
     * −ln p(w₂|w₁) = −ln(c(w₁w₂)/c(w₁·)), so text whose word ORDER is

@@ -47,6 +47,8 @@ object TrainingData {
       TextAnalysis.vocabKmv(docs(s, dir))),
     "text_feature_hash" -> ((s, dir) =>
       TextAnalysis.featureHash(docs(s, dir))),
+    "text_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -98,6 +100,7 @@ object TrainingData {
     "sim_topk_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(emb(s, dir))),
     "sim_rp_project" -> ((s, dir) => Similarity.rpProject(emb(s, dir))),
     "sim_topk_rp" -> ((s, dir) => Similarity.rpRerankTopK(emb(s, dir))),
+    "sim_topk_sq8" -> ((s, dir) => Similarity.sq8TopK(emb(s, dir))),
     "sim_recall" -> ((s, dir) => Similarity.recallReport(emb(s, dir))),
 
     // ── multimodal ────────────────────────────────────────────────────────
@@ -630,6 +633,28 @@ object TrainingData {
          |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
          |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_heavy_hitters" ->
+      s"""WITH $baseCte,
+         |tk AS (SELECT tok FROM (SELECT unnest(toks) AS tok FROM base) WHERE tok <> ''),
+         |top AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM tk
+         |  GROUP BY tok ORDER BY exact_cnt DESC, tok LIMIT 20),
+         |cells AS (
+         |  SELECT row_i, bucket, CAST(COUNT(*) AS BIGINT) AS cell_cnt FROM (
+         |    SELECT r.i AS row_i,
+         |           ${h64("r.i::VARCHAR || '#' || tk.tok")} % ${TextAnalysis.CmsWidth} AS bucket
+         |    FROM tk, (SELECT unnest(range(0, ${TextAnalysis.CmsDepth})) AS i) r)
+         |  GROUP BY row_i, bucket),
+         |probe AS (
+         |  SELECT top.tok, top.exact_cnt, r.i AS row_i,
+         |         ${h64("r.i::VARCHAR || '#' || top.tok")} % ${TextAnalysis.CmsWidth} AS bucket
+         |  FROM top, (SELECT unnest(range(0, ${TextAnalysis.CmsDepth})) AS i) r)
+         |SELECT p.tok, p.exact_cnt, MIN(c.cell_cnt) AS cms_est,
+         |       MIN(c.cell_cnt) - p.exact_cnt AS overestimate
+         |FROM probe p JOIN cells c USING (row_i, bucket)
+         |GROUP BY p.tok, p.exact_cnt
+         |ORDER BY p.exact_cnt DESC, p.tok""".stripMargin,
 
     "text_bpe_merges" ->
       s"""WITH $baseCte,
@@ -1263,6 +1288,31 @@ object TrainingData {
          |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_topk_sq8" ->
+      s"""WITH $vecCte,
+         |s8 AS (
+         |  SELECT vec_id, sq, vec,
+         |         greatest(${fold("list_transform(vec, x -> abs(x))",
+                   "0.0::DOUBLE", "(m, x) -> greatest(m, x)")}, 1e-12)
+         |           / CAST(127 AS DOUBLE) AS scale
+         |  FROM vn),
+         |c8 AS (
+         |  SELECT vec_id, sq, scale,
+         |         list_transform(vec, x -> floor(x / scale + CAST(0.5 AS DOUBLE))) AS code
+         |  FROM s8),
+         |q AS (SELECT vec_id AS query_id, code AS qcode, scale AS qscale, sq AS qsq
+         |      FROM c8 WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |         (c.scale * q.qscale) * ${dotD("c.code", "q.qcode")}
+         |           / sqrt(c.sq * q.qsq) AS cos
+         |  FROM c8 c, q WHERE c.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "sim_topk_lsh_mp" ->
       s"""WITH $vecCte, $lshBucketCtes,
          |probes AS (
@@ -1344,7 +1394,8 @@ object TrainingData {
   private def recallOracleSql: String = {
     val methods = Seq("ivf" -> "sim_topk_ivf", "ivfpq" -> "sim_topk_ivfpq",
       "lsh" -> "sim_topk_lsh", "lsh_mp" -> "sim_topk_lsh_mp",
-      "pq" -> "sim_topk_pq", "rp_rerank" -> "sim_topk_rp")
+      "pq" -> "sim_topk_pq", "rp_rerank" -> "sim_topk_rp",
+      "sq8" -> "sim_topk_sq8")
     val union = methods.map { case (m, q) =>
       s"SELECT '$m' AS method, query_id, vec_id FROM (\n${baseOracleSql(q)}\n)"
     }.mkString("\nUNION ALL\n")

@@ -524,6 +524,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(corpus.map(_.getLong(4)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("count-min heavy hitters: estimates dominate truth and sketches merge cell-wise") {
+    val report = graft.operators.TextAnalysis.heavyHitters(docs).collect()
+    assert(report.length === 20)
+    // CMS never underestimates (counters only collide upward)
+    report.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"${r.getString(0)}: est ${r.getLong(2)} < exact ${r.getLong(1)}")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+    }
+    // mergeability — the property that makes the sketch a per-partition /
+    // per-batch summary at scale: sketch(a ∪ b) = sketch(a) + sketch(b)
+    def toks(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.withTokens(d)
+        .select(explode(col("toks")).as("tok")).filter(col("tok") =!= "")
+    def cells(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextAnalysis.cmsSketch(toks(d)).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = cells(docs.filter(col("doc_id") % 2 === 0))
+    val b = cells(docs.filter(col("doc_id") % 2 =!= 0))
+    val merged = (a.keySet ++ b.keySet)
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged === cells(docs))
+  }
+
   test("bpe merges adjacent occurrences of the learned pair (banana/abab)") {
     import spark.implicits._
     // 'banana' under (a,n): both adjacent occurrences must merge in one
@@ -593,6 +617,16 @@ class TrainingDataSpec extends AnyFunSuite {
     val cHot = Similarity.kmeansCentroids(hot, iters = 1, maxMembersPerCell = 8)
     assert(cHot.length === 16)
     assert(cHot.forall(_._2.forall(v => !v.isNaN)))
+  }
+
+  test("sq8 quantized ranking reproduces the exact top-10 on this corpus") {
+    // int8 scalar quantization perturbs cosines by ~1/254 per element —
+    // far below this corpus's neighbor gaps, so recall@10 is exactly 1.0
+    // (the measured sim_recall number; pinned here as a regression gate,
+    // and the contrast with PQ's 4-code recall is the compression ladder)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pairs(Similarity.sq8TopK(emb)) === pairs(Similarity.bruteForceTopK(emb)))
   }
 
   test("pq codes are exact on the codebook sample; topk ranks by asymmetric distance") {
