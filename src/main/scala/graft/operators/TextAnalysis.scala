@@ -84,6 +84,60 @@ object TextAnalysis {
         col("quality_score"))
   }
 
+  /** Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to this
+    * corpus's scale — the reference rule set filters 50..100k words; the
+    * synthetic docs run shorter, so the floor is 10). Each rule is a named
+    * boolean so downstream ablation can measure per-rule kill rates. */
+  val GopherMinWords = 10
+  val GopherMaxWords = 100000
+  val GopherMinMeanLen = 3.0
+  val GopherMaxMeanLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaRatio = 0.8
+  val GopherMinStopHits = 2
+
+  /** Rule-based document filter in the Gopher style: per-document word
+    * count, mean word length, symbol-to-word ratio, alphabetic-word ratio,
+    * and stop-word hits, each thresholded into a named rule flag plus the
+    * conjunctive `keep`. The per-rule booleans are the point — corpus
+    * curation tunes and ablates rules individually, and the summary of
+    * kill rates per rule is one aggregation over this frame.
+    *
+    * Scale shape: one fully narrow projection (token stats are per-row
+    * lambdas over the split column) — no shuffle at any corpus size until
+    * a consumer aggregates. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val stopArr = s"array(${Stopwords.map(s => s"'$s'").mkString(",")})"
+    withTokens(docs)
+      .withColumn("words", expr("filter(toks, t -> t <> '')"))
+      .withColumn("n_words", size(col("words")).cast("long"))
+      .withColumn("mean_word_len",
+        round(expr("aggregate(words, 0, (acc, t) -> acc + length(t))").cast("double") /
+          greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("symbol_ratio",
+        round(size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0)))
+          .cast("double") / greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("alpha_word_ratio",
+        round(expr("size(filter(words, t -> t rlike '[a-z]'))").cast("double") /
+          greatest(col("n_words"), lit(1L)), 4))
+      .withColumn("n_stop",
+        expr(s"size(filter(words, t -> array_contains($stopArr, t)))").cast("long"))
+      .select(
+        col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_word_ratio"), col("n_stop"),
+        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+          .as("r_words"),
+        (col("mean_word_len") >= GopherMinMeanLen &&
+          col("mean_word_len") <= GopherMaxMeanLen).as("r_mean_len"),
+        (col("symbol_ratio") <= GopherMaxSymbolRatio).as("r_symbol"),
+        (col("alpha_word_ratio") >= GopherMinAlphaRatio).as("r_alpha"),
+        (col("n_stop") >= GopherMinStopHits).as("r_stop"))
+      .withColumn("keep",
+        col("r_words") && col("r_mean_len") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Marker-token sets for the n-gram/heuristic language identifier. Kept
     * deliberately tiny — the operator contract is the scoring + argmax
     * machinery; swap real profiles in production. */

@@ -49,6 +49,8 @@ object TrainingData {
       TextAnalysis.featureHash(docs(s, dir))),
     "text_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(docs(s, dir))),
+    "text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -633,6 +635,39 @@ object TrainingData {
          |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
          |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_gopher" ->
+      s"""WITH $baseCte,
+         |g AS (
+         |  SELECT doc_id,
+         |         list_filter(toks, t -> t <> '') AS words,
+         |         len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
+         |  FROM base),
+         |g2 AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         |         ROUND(${fold("list_transform(words, t -> strlen(t))", "0::BIGINT", "(x, y) -> x + y")}::DOUBLE
+         |           / greatest(len(words), 1), 4) AS mean_word_len,
+         |         ROUND(n_sym::DOUBLE / greatest(len(words), 1), 4) AS symbol_ratio,
+         |         ROUND(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+         |           / greatest(len(words), 1), 4) AS alpha_word_ratio,
+         |         CAST(len(list_filter(words, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop
+         |  FROM g)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio, n_stop,
+         |       (n_words >= ${TextAnalysis.GopherMinWords}
+         |          AND n_words <= ${TextAnalysis.GopherMaxWords}) AS r_words,
+         |       (mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+         |          AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}) AS r_mean_len,
+         |       (symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}) AS r_symbol,
+         |       (alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}) AS r_alpha,
+         |       (n_stop >= ${TextAnalysis.GopherMinStopHits}) AS r_stop,
+         |       (n_words >= ${TextAnalysis.GopherMinWords}
+         |          AND n_words <= ${TextAnalysis.GopherMaxWords}
+         |          AND mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+         |          AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}
+         |          AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+         |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
+         |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
+         |FROM g2 ORDER BY doc_id""".stripMargin,
 
     "text_heavy_hitters" ->
       s"""WITH $baseCte,

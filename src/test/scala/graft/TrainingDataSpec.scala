@@ -524,6 +524,36 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(corpus.map(_.getLong(4)).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("gopher rules: each rule kills its designed failure mode independently") {
+    import spark.implicits._
+    val good = "the quick brown fox is running in the park and the dog is on a mat today yes"
+    val synth = Seq(
+      (1L, good, "en"),                                      // passes all
+      (2L, "too few words here", "en"),                      // r_words
+      (3L, ("pseudopseudohypoparathyroidism " * 12) + "the of and in is on a to for word", "en"), // r_mean_len
+      (4L, good + " " + ("@#% $!& *^~ " * 6), "en"),         // r_symbol
+      (5L, good + " " + ("12345 67890 " * 20), "en"),        // r_alpha
+      (6L, "words without any stop hits: alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = graft.operators.TextAnalysis.gopherRules(synth).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(rows(1L).fieldIndex("keep")))
+    def failsOnly(id: Long, rule: String): Unit = {
+      val r = rows(id)
+      assert(!r.getBoolean(r.fieldIndex(rule)), s"doc $id should fail $rule")
+      assert(!r.getBoolean(r.fieldIndex("keep")))
+    }
+    failsOnly(2L, "r_words")
+    failsOnly(3L, "r_mean_len")
+    failsOnly(4L, "r_symbol")
+    failsOnly(5L, "r_alpha")
+    failsOnly(6L, "r_stop")
+    // corpus sanity: the rule set discriminates, not degenerate
+    val corpus = graft.operators.TextAnalysis.gopherRules(docs).collect()
+    val kept = corpus.count(r => r.getBoolean(r.fieldIndex("keep")))
+    assert(kept > 0 && kept < corpus.length)
+  }
+
   test("count-min heavy hitters: estimates dominate truth and sketches merge cell-wise") {
     val report = graft.operators.TextAnalysis.heavyHitters(docs).collect()
     assert(report.length === 20)
