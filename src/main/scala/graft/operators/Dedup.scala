@@ -392,6 +392,50 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // ── 6b. SemDeDup (semantic dedup via k-means cells) ────────────────────
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * by clustering embeddings into k-means cells and dropping, within each
+    * cell, every member that has a near-duplicate (cosine ≥ threshold) of
+    * LOWER centroid similarity — i.e. of each semantic-duplicate pair the
+    * paper keeps the member farthest from the centroid (the more "extreme",
+    * diversity-preserving representative) and drops the inlier. Ties on
+    * centrality break by vec_id (lower id wins).
+    *
+    * The rule here is the single-pass pairwise form: x is dropped iff some
+    * same-cell y with cos(x,y) ≥ τ ranks below x on (cent_cos, vec_id).
+    * For transitively-closed duplicate cliques this keeps exactly the
+    * paper's one representative; across a non-transitive chain it is
+    * slightly more aggressive (both ends of the chain can survive, the
+    * middle drops) — deterministic either way, which is what the value
+    * gate needs.
+    *
+    * Scale shape: cell is the blocking key — the only Exchange carries
+    * (vec, sq, cell, cent_cos), never corpus text, and pair work is bounded
+    * per cell (at 100 TB: k ∝ corpus size / target cell size keeps cells
+    * ~constant; the paper runs k = 50k for LAION). Assignment itself is the
+    * narrow literal-centroid argmax ([[Similarity.withIvfCellScore]]). */
+  def semDedup(emb: DataFrame, threshold: Double = 0.96): DataFrame = {
+    import graft.functions.VectorMath
+    graft.GraftExtensions.ensureRegistered(emb.sparkSession)
+    val v = Similarity.withIvfCellScore(
+      augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec")))
+    val dropped = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id") &&
+          (VectorMath.dot("a.vec", "b.vec") /
+            sqrt(col("a.sq") * col("b.sq")) >= threshold) &&
+          (col("b.cent_cos") < col("a.cent_cos") ||
+            (col("b.cent_cos") === col("a.cent_cos") &&
+              col("b.vec_id") < col("a.vec_id"))),
+        "left_semi")
+      .select(col("vec_id"), lit(1).as("is_dropped"))
+    v.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        round(col("cent_cos"), 6).as("cent_cos"),
+        col("is_dropped").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   // ── 7. incremental (snapshot) dedup ────────────────────────────────────
 
   /** Incremental ingest dedup against a prior corpus snapshot: each

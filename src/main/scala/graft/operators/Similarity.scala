@@ -121,6 +121,26 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
   }
 
+  /** Cell assignment PLUS the winning score: same literal-centroid argmax
+    * as [[withIvfCell]], but the struct max is computed once and both
+    * fields are kept — `cell` (assigned centroid) and `cent_cos` (cosine
+    * to it). The centrality score is what SemDeDup's keeper rule ranks on
+    * ([[Dedup.semDedup]]). Still a fully narrow projection. */
+  def withIvfCellScore(v: DataFrame): DataFrame = {
+    val cents = collectCentroids(v)
+    require(cents.nonEmpty, "IVF centroid set is empty")
+    val negScored = cents.toSeq.map { case (cid, cvec, csq) =>
+      struct(
+        (call_function("vec_dot", col("vec"), typedLit(cvec)) /
+          sqrt(col("sq") * lit(csq))).as("s"),
+        lit(-cid).as("ncid"))
+    }
+    v.withColumn("best", array_max(array(negScored: _*)))
+      .withColumn("cell", -col("best").getField("ncid"))
+      .withColumn("cent_cos", col("best").getField("s"))
+      .select(col("vec_id"), col("vec"), col("sq"), col("cell"), col("cent_cos"))
+  }
+
   /** Lloyd's k-means refinement of the IVF centroid set (spherical:
     * assignment by cosine, update = per-cell member mean). Each iteration
     * is one narrow assignment pass over the corpus (the literal-centroid

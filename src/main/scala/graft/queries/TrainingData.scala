@@ -79,6 +79,7 @@ object TrainingData {
     "dedup_incremental_bloom" -> ((s, dir) => Dedup.incrementalStatusBloom(docs(s, dir))),
     "dedup_incremental_near" -> ((s, dir) => Dedup.incrementalNearDupStatus(docs(s, dir))),
     "dedup_snapshot_diff" -> ((s, dir) => Dedup.snapshotDiff(docs(s, dir))),
+    "dedup_semdedup" -> ((s, dir) => Dedup.semDedup(emb(s, dir))),
     "dedup_winnow" -> ((s, dir) => Winnow.fingerprintSummary(docs(s, dir))),
     "dedup_winnow_pairs" -> ((s, dir) => Winnow.overlapPairs(docs(s, dir))),
 
@@ -1261,6 +1262,38 @@ object TrainingData {
          |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) >= 0.995
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "dedup_semdedup" ->
+      s"""WITH ve AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+         |vaug AS (
+         |  SELECT vec_id, label, vec FROM ve
+         |  UNION ALL
+         |  SELECT vec_id + 100000, label,
+         |         list_concat([vec[1] + 0.05::DOUBLE], vec[2:len(vec)])
+         |  FROM ve WHERE vec_id % 11 = 0),
+         |vs AS (SELECT vec_id, vec, ${dotD("vec", "vec")} AS sq FROM vaug),
+         |cents AS (
+         |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
+         |  FROM vs WHERE vec_id >= 100 AND vec_id < 116),
+         |assign AS (
+         |  SELECT vec_id, vec, sq, centroid_id AS cell, cs AS cent_cos FROM (
+         |    SELECT vs.vec_id, vs.vec, vs.sq, c.centroid_id,
+         |           ${dotD("vs.vec", "c.cvec")} / sqrt(vs.sq * c.csq) AS cs,
+         |           ROW_NUMBER() OVER (PARTITION BY vs.vec_id
+         |             ORDER BY ${dotD("vs.vec", "c.cvec")} / sqrt(vs.sq * c.csq) DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM vs, cents c) t WHERE crank = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  WHERE ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) >= 0.96
+         |    AND (b.cent_cos < a.cent_cos
+         |         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))
+         |SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell,
+         |       ROUND(a.cent_cos, 6) AS cent_cos, (d.vec_id IS NULL) AS kept
+         |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "sim_topk_brute" ->
       s"""WITH $vecCte,

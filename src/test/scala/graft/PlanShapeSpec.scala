@@ -137,6 +137,16 @@ class PlanShapeSpec extends AnyFunSuite {
         s"dedup_winnow_pairs shuffles heavy columns: $l"))
   }
 
+  test("semdedup pairs join inside the cell — assignment itself never shuffles") {
+    val p = plan("dedup_semdedup")
+    // the pair join keys on cell (+ the keeper predicate as residual); the
+    // literal-centroid assignment is a narrow projection, so every Exchange
+    // in the plan sits AFTER the cell column exists and none is a cartesian
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("cell"), p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

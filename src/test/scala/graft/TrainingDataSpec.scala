@@ -129,6 +129,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(pairs.length === nInjected)
   }
 
+  test("semdedup drops exactly one member of each injected near-dup pair") {
+    val rows = Dedup.semDedup(emb).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val injected = emb.filter(col("vec_id") % 11 === 0)
+      .collect().map(_.getLong(0))
+    assert(injected.nonEmpty)
+    injected.foreach { origId =>
+      val orig = rows(origId)
+      val copy = rows(origId + 100000)
+      // same cell (the +0.05 perturbation cannot flip the argmax here),
+      // and exactly one of the pair survives — the LESS central one
+      assert(orig.getLong(1) === copy.getLong(1), s"pair $origId split cells")
+      val keptFlags = Seq(orig, copy).map(r => r.getBoolean(r.fieldIndex("kept")))
+      assert(keptFlags.count(identity) === 1, s"pair $origId kept=$keptFlags")
+      val survivor = if (keptFlags.head) orig else copy
+      val dropped = if (keptFlags.head) copy else orig
+      assert(survivor.getDouble(2) <= dropped.getDouble(2),
+        s"pair $origId kept the more central member")
+    }
+    // the non-duplicated bulk of the corpus survives
+    val kept = rows.values.count(r => r.getBoolean(r.fieldIndex("kept")))
+    assert(kept >= rows.size - 2 * injected.length && kept < rows.size)
+  }
+
   test("brute-force top-k is ranked and self-free") {
     val rows = Similarity.bruteForceTopK(emb, k = 10, nQueries = 3).collect()
     assert(rows.length === 30)
