@@ -138,6 +138,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Multinomial Naive-Bayes quality classifier — the fastText-style
+    * "train a filter on pseudo-labels, score the whole corpus" step every
+    * CCNet-descended pipeline runs. Here the pseudo-labels come from the
+    * Gopher rule set ([[gopherRules]]' conjunctive `keep`); in production
+    * they come from a curated seed (wiki = keep, raw crawl = toss) — the
+    * training and scoring machinery is identical.
+    *
+    * Model: Laplace-smoothed per-class token likelihoods
+    * p(t|c) = (cnt(t,c)+1) / (tot_c + V) plus class priors. All scores are
+    * integer micro-nat NLLs (the [[unigramScores]] trick), so the per-doc
+    * sums are associative/order-free and the DuckDB mirror reproduces them
+    * bit-for-bit. `pred` keeps the doc iff the keep-class NLL is ≤ the
+    * toss-class NLL.
+    *
+    * Scale shape: training = ONE (tok) aggregation over the token rows
+    * (the model table is vocab-sized); scoring = the same hash join the
+    * perplexity kernels use; stats and priors are 1-row broadcasts. No
+    * Exchange ever carries text. */
+  def nbQuality(docs: DataFrame): DataFrame = {
+    val labels = gopherRules(docs).select(col("doc_id"), col("keep"))
+    val toks = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(labels, Seq("doc_id"))
+    val model = toks.groupBy(col("tok")).agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("cnt_keep"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("cnt_toss"))
+    val stats = model.agg(
+      sum("cnt_keep").as("tot_keep"), sum("cnt_toss").as("tot_toss"),
+      count(lit(1)).as("v"))
+    val priors = labels.agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+      count(lit(1)).as("n_docs"))
+    toks.join(model, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("nk_micro",
+        round(-log((col("cnt_keep") + 1).cast("double") /
+          (col("tot_keep") + col("v")).cast("double")) * 1e6).cast("long"))
+      .withColumn("nt_micro",
+        round(-log((col("cnt_toss") + 1).cast("double") /
+          (col("tot_toss") + col("v")).cast("double")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum("nk_micro").as("sk"), sum("nt_micro").as("st"))
+      .join(labels, Seq("doc_id"))
+      .crossJoin(broadcast(priors))
+      .select(
+        col("doc_id"), col("keep").as("label"),
+        (col("sk") + round(-log(col("n_keep").cast("double") /
+          col("n_docs").cast("double")) * 1e6).cast("long")).as("nll_keep"),
+        (col("st") + round(-log((col("n_docs") - col("n_keep")).cast("double") /
+          col("n_docs").cast("double")) * 1e6).cast("long")).as("nll_toss"))
+      .withColumn("pred", col("nll_keep") <= col("nll_toss"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Marker-token sets for the n-gram/heuristic language identifier. Kept
     * deliberately tiny — the operator contract is the scoring + argmax
     * machinery; swap real profiles in production. */

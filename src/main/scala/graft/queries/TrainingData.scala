@@ -51,6 +51,8 @@ object TrainingData {
       TextAnalysis.heavyHitters(docs(s, dir))),
     "text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir))),
+    "text_nb_quality" -> ((s, dir) =>
+      TextAnalysis.nbQuality(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -669,6 +671,69 @@ object TrainingData {
          |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
          |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
          |FROM g2 ORDER BY doc_id""".stripMargin,
+
+    "text_nb_quality" ->
+      s"""WITH $baseCte,
+         |g AS (
+         |  SELECT doc_id,
+         |         list_filter(toks, t -> t <> '') AS words,
+         |         len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
+         |  FROM base),
+         |g2 AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         |         ROUND(${fold("list_transform(words, t -> strlen(t))", "0::BIGINT", "(x, y) -> x + y")}::DOUBLE
+         |           / greatest(len(words), 1), 4) AS mean_word_len,
+         |         ROUND(n_sym::DOUBLE / greatest(len(words), 1), 4) AS symbol_ratio,
+         |         ROUND(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+         |           / greatest(len(words), 1), 4) AS alpha_word_ratio,
+         |         CAST(len(list_filter(words, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop
+         |  FROM g),
+         |lab AS (
+         |  SELECT doc_id,
+         |         (n_words >= ${TextAnalysis.GopherMinWords}
+         |          AND n_words <= ${TextAnalysis.GopherMaxWords}
+         |          AND mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+         |          AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}
+         |          AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+         |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
+         |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
+         |  FROM g2),
+         |tk AS (SELECT doc_id, tok FROM
+         |         (SELECT doc_id, unnest(toks) AS tok FROM base) WHERE tok <> ''),
+         |tl AS (SELECT tk.doc_id, tk.tok, lab.keep FROM tk JOIN lab USING (doc_id)),
+         |m AS (
+         |  SELECT tok,
+         |         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS cnt_keep,
+         |         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS cnt_toss
+         |  FROM tl GROUP BY tok),
+         |st AS (
+         |  SELECT CAST(SUM(cnt_keep) AS BIGINT) AS tot_keep,
+         |         CAST(SUM(cnt_toss) AS BIGINT) AS tot_toss,
+         |         CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM m),
+         |pr AS (
+         |  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM lab),
+         |sc AS (
+         |  SELECT tl.doc_id,
+         |         CAST(ROUND(-ln((m.cnt_keep + 1)::DOUBLE / (st.tot_keep + st.v)::DOUBLE)
+         |           * 1000000) AS BIGINT) AS nk,
+         |         CAST(ROUND(-ln((m.cnt_toss + 1)::DOUBLE / (st.tot_toss + st.v)::DOUBLE)
+         |           * 1000000) AS BIGINT) AS nt
+         |  FROM tl JOIN m USING (tok) CROSS JOIN st),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(nk) AS BIGINT) AS sk, CAST(SUM(nt) AS BIGINT) AS st2
+         |  FROM sc GROUP BY doc_id),
+         |fin AS (
+         |  SELECT a.doc_id, lab.keep AS label,
+         |         CAST(a.sk + ROUND(-ln(pr.n_keep::DOUBLE / pr.n_docs::DOUBLE)
+         |           * 1000000) AS BIGINT) AS nll_keep,
+         |         CAST(a.st2 + ROUND(-ln((pr.n_docs - pr.n_keep)::DOUBLE / pr.n_docs::DOUBLE)
+         |           * 1000000) AS BIGINT) AS nll_toss
+         |  FROM agg a JOIN lab USING (doc_id) CROSS JOIN pr)
+         |SELECT doc_id, label, nll_keep, nll_toss, (nll_keep <= nll_toss) AS pred
+         |FROM fin ORDER BY doc_id""".stripMargin,
 
     "text_heavy_hitters" ->
       s"""WITH $baseCte,

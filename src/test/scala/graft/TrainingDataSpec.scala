@@ -578,6 +578,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept > 0 && kept < corpus.length)
   }
 
+  test("naive-bayes quality classifier learns the gopher signal") {
+    val rows = graft.operators.TextAnalysis.nbQuality(docs).collect()
+    assert(rows.length === docs.count())
+    // pred is derived from the integer scores, exactly
+    rows.foreach { r =>
+      assert(r.getBoolean(r.fieldIndex("pred")) ===
+        (r.getLong(r.fieldIndex("nll_keep")) <= r.getLong(r.fieldIndex("nll_toss"))))
+    }
+    // non-degenerate: both classes appear in the predictions, and the
+    // classifier substantially agrees with the labels it trained on
+    val preds = rows.map(r => r.getBoolean(r.fieldIndex("pred")))
+    assert(preds.exists(identity) && preds.exists(!_))
+    val agree = rows.count(r =>
+      r.getBoolean(r.fieldIndex("label")) == r.getBoolean(r.fieldIndex("pred")))
+    assert(agree.toDouble / rows.length > 0.75, s"agreement $agree/${rows.length}")
+  }
+
   test("count-min heavy hitters: estimates dominate truth and sketches merge cell-wise") {
     val report = graft.operators.TextAnalysis.heavyHitters(docs).collect()
     assert(report.length === 20)
