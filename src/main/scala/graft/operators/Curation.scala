@@ -278,6 +278,66 @@ object Curation {
     * tokens. One map-side-combined aggregation collapses the corpus to one
     * row per source; the global-total window then runs over that tiny frame
     * (rows ∝ distinct sources), not the corpus. */
+  /** Train/val split-leakage audit: the check a pipeline runs before
+    * training — are any val documents near-duplicates of train documents?
+    * Rides the MinHash-LSH pair list ([[Dedup.minhashLshPairs]]) and maps
+    * each endpoint to its split; a (train, val) row with n_pairs > 0 IS
+    * the leak. Reported as the full split×split pair matrix so the
+    * same-split mass is visible context for the cross-split tail.
+    *
+    * Scale shape: the split is a pure hash of doc_id ([[withSplit]]'s
+    * formula), so endpoint assignment is a narrow projection ON the pair
+    * list — no join back to the corpus. Cost is the banded LSH join the
+    * dedup path already pays; the matrix is a k²-row aggregation. */
+  def splitLeakage(docs: DataFrame, valPermille: Int = 100,
+      salt: String = "split1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    def splitOf(c: Column): Column =
+      when(call_function("hash64",
+        concat(c.cast("string"), lit("#" + salt))) % 1000 < valPermille, "val")
+        .otherwise("train")
+    Dedup.minhashLshPairs(docs)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(col("est_jaccard")), 4).as("avg_est_jaccard"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  /** RefinedWeb-style per-source document cap: within each source, rank
+    * documents by (quality desc, doc_id) and keep at most `cap` — the
+    * standard guard against one domain (a crawler trap, a mirror farm)
+    * dominating the training mixture. Reported per source: total docs,
+    * kept docs, whether the cap actually bit, and the quality of the last
+    * document over the line (the per-source admission bar).
+    *
+    * Scale shape: one window keyed on source (the only Exchange — carries
+    * (source, quality, doc_id), never text). A pathologically hot source
+    * skews its partition; the production mitigation is the two-pass form —
+    * per-source counts first (tiny), then a quality-threshold filter for
+    * the capped sources only — which trades the full sort for a second
+    * scan. At this cap the exact window is the honest shape. */
+  def sourceCapSummary(docs: DataFrame, cap: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("quality_score").desc, col("doc_id"))
+    TextAnalysis.withQualityScore(docs)
+      .select(col("source"), col("doc_id"), col("quality_score"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("kept", col("rk") <= cap)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("quality_score"))).as("bar"))
+      .select(
+        col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") > cap.toLong).as("cap_hit"),
+        round(col("bar"), 4).as("min_kept_quality"))
+      .orderBy(col("source"))
+  }
+
   def sourceMix(docs: DataFrame): DataFrame = {
     // token count inline on the scan (same whitespace tokens as
     // TextAnalysis.tokenCounts) — a join back to doc_id would shuffle the

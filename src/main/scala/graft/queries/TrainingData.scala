@@ -94,6 +94,8 @@ object TrainingData {
     "cur_funnel" -> ((s, dir) => Curation.funnel(docs(s, dir))),
     "cur_temperature" -> ((s, dir) => Curation.temperatureSampleSummary(docs(s, dir))),
     "cur_source_mix" -> ((s, dir) => Curation.sourceMix(docs(s, dir))),
+    "cur_source_cap" -> ((s, dir) => Curation.sourceCapSummary(docs(s, dir))),
+    "cur_split_leakage" -> ((s, dir) => Curation.splitLeakage(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -840,6 +842,56 @@ object TrainingData {
          |SELECT source, n_docs, total_tokens, avg_tokens,
          |       ROUND(total_tokens::DOUBLE / SUM(total_tokens) OVER (), 4) AS token_share
          |FROM ps ORDER BY source""".stripMargin,
+
+    "cur_source_cap" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+         |         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |             t -> list_contains($stopArr, t))) AS n_stop
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source,
+         |         ROUND(least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.5
+         |               + (n_stop::DOUBLE / n_tokens) * 0.5, 4) AS quality_score
+         |  FROM q),
+         |r AS (
+         |  SELECT source, doc_id, quality_score,
+         |         ROW_NUMBER() OVER (PARTITION BY source
+         |           ORDER BY quality_score DESC, doc_id) AS rk
+         |  FROM s)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN rk <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       (COUNT(*) > 15) AS cap_hit,
+         |       ROUND(MIN(CASE WHEN rk <= 15 THEN quality_score END), 4) AS min_kept_quality
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "cur_split_leakage" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte,
+         |banded AS (
+         |  SELECT doc_id, sig, b.band AS band,
+         |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |         a.sig AS sig_a, b2.sig AS sig_b
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+         |pj AS (
+         |  SELECT doc_a, doc_b,
+         |         ROUND(len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE, 4) AS est_jaccard
+         |  FROM pairs
+         |  WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5),
+         |sp AS (
+         |  SELECT est_jaccard,
+         |         CASE WHEN ${h64("doc_a::VARCHAR || '#split1'")} % 1000 < 100
+         |           THEN 'val' ELSE 'train' END AS split_a,
+         |         CASE WHEN ${h64("doc_b::VARCHAR || '#split1'")} % 1000 < 100
+         |           THEN 'val' ELSE 'train' END AS split_b
+         |  FROM pj)
+         |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       ROUND(AVG(est_jaccard), 4) AS avg_est_jaccard
+         |FROM sp GROUP BY split_a, split_b ORDER BY split_a, split_b""".stripMargin,
 
     "cur_sample" ->
       s"""WITH r AS (

@@ -991,4 +991,32 @@ class TrainingDataSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.01)
   }
+
+  test("source cap keeps exactly min(cap, n_docs) per source and the bar is the kept minimum") {
+    val capped = Curation.sourceCapSummary(docs, cap = 5).collect()
+    capped.foreach { r =>
+      assert(r.getLong(2) === math.min(5L, r.getLong(1)))
+      assert(r.getBoolean(3) === (r.getLong(1) > 5L))
+    }
+    // a cap larger than any source never bites and keeps everything
+    val uncapped = Curation.sourceCapSummary(docs, cap = 1000000).collect()
+    uncapped.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1))
+      assert(!r.getBoolean(3))
+    }
+    // the admission bar for a bitten source is at least as strict as the
+    // uncapped one (dropping docs can only raise the minimum kept quality)
+    val unc = uncapped.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    capped.filter(_.getBoolean(3)).foreach { r =>
+      assert(r.getDouble(4) >= unc(r.getString(0)))
+    }
+  }
+
+  test("split leakage surfaces cross-split near-dup pairs and conserves the pair total") {
+    val m = Curation.splitLeakage(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cross = m.getOrElse(("train", "val"), 0L) + m.getOrElse(("val", "train"), 0L)
+    assert(cross > 0, s"no cross-split pairs in $m")
+    assert(m.values.sum === Dedup.minhashLshPairs(docs).count())
+  }
 }
