@@ -214,6 +214,46 @@ object Similarity {
       .orderBy(col("cell"), col("dim"))
   }
 
+  /** Greedy k-center (farthest-point-first) coreset selection — the
+    * diversity-pruning primitive behind D4-style data curation: pick the
+    * vector farthest (cosine distance) from everything selected so far,
+    * k times, starting from vec_id 0. The selected exemplars maximize
+    * coverage; the radius column is the corpus' min-distance maximum at
+    * each selection (the cover radius the next center closes).
+    *
+    * Scale shape: k sequential narrow passes — each round scores the
+    * corpus against the (literal) selected centers and takes ONE row via
+    * TakeOrdered; nothing shuffles, the driver holds only k vectors. That
+    * k-pass structure IS the greedy algorithm's data-access pattern at any
+    * scale (each round must see the full corpus once). min over centers is
+    * exact regardless of evaluation order, so the unrolled DuckDB mirror
+    * reproduces every selection bit-for-bit. */
+  def kcenterSelect(emb: DataFrame, k: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = prepared(emb).select(col("vec_id"), col("vec"), col("sq"))
+    val seed = v.filter(col("vec_id") === 0).collect().head
+    var centers = Vector[(Long, Seq[Double], Double, Option[Double])](
+      (0L, seed.getSeq[Double](1), seed.getDouble(2), None))
+    for (_ <- 1 until k) {
+      val distCol = centers.map { case (_, cvec, csq, _) =>
+        lit(1.0) - call_function("vec_dot", col("vec"), typedLit(cvec)) /
+          sqrt(col("sq") * lit(csq))
+      }.reduce(least(_, _))
+      val next = v.withColumn("dist", distCol)
+        .orderBy(col("dist").desc, col("vec_id")).limit(1)
+        .collect().head
+      centers = centers :+ ((next.getLong(0), next.getSeq[Double](1),
+        next.getDouble(2), Some(next.getDouble(3))))
+    }
+    centers.zipWithIndex.map { case ((id, _, _, radius), r) =>
+      (r.toLong, id, radius.map(d =>
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toDF("round", "center_id", "radius")
+      .select(col("round"), col("center_id"), col("radius").cast("double"))
+      .orderBy(col("round"))
+  }
+
   /** IVF ANN top-k: probe the query's `IvfProbes` nearest centroids, rank
     * candidates from those cells by exact cosine. Probe selection uses the
     * same literal-centroid projection (sort 16 structs per query row, take

@@ -96,6 +96,7 @@ object TrainingData {
     "cur_source_mix" -> ((s, dir) => Curation.sourceMix(docs(s, dir))),
     "cur_source_cap" -> ((s, dir) => Curation.sourceCapSummary(docs(s, dir))),
     "cur_split_leakage" -> ((s, dir) => Curation.splitLeakage(docs(s, dir))),
+    "cur_kcenter" -> ((s, dir) => Similarity.kcenterSelect(emb(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -1572,6 +1573,42 @@ object TrainingData {
          |ORDER BY media_id, frame_idx""".stripMargin
   )
 
+  /** One greedy k-center round for the `cur_kcenter` mirror: s{r} picks the
+    * farthest-point center out of d{r} (max min-distance, vec_id
+    * tie-break); d{r+1} folds the new center into every vector's
+    * min-distance. min is exact in any order, so the unrolled chain equals
+    * the Spark driver loop bit-for-bit. */
+  private def kcenterRoundCtes(r: Int): String =
+    s"""s$r AS (
+       |  SELECT vec_id, vec, sq, dist FROM (
+       |    SELECT d.vec_id, vn.vec, vn.sq, d.dist,
+       |           ROW_NUMBER() OVER (ORDER BY d.dist DESC, d.vec_id) AS rn
+       |    FROM d$r d JOIN vn USING (vec_id)) t WHERE rn = 1),
+       |d${r + 1} AS (
+       |  SELECT d.vec_id,
+       |         least(d.dist,
+       |               1 - ${dotD("vn.vec", "s.vec")} / sqrt(vn.sq * s.sq)) AS dist
+       |  FROM d$r d JOIN vn USING (vec_id) CROSS JOIN s$r s)""".stripMargin
+
+  private def kcenterOracleSql(k: Int = 8): String = {
+    val rounds = (1 until k).map(kcenterRoundCtes).mkString(",\n")
+    val sel = (1 until k).map { r =>
+      s"UNION ALL SELECT $r::BIGINT, s$r.vec_id, ROUND(s$r.dist, 6) FROM s$r"
+    }.mkString("\n")
+    s"""WITH $vecCte,
+       |s0 AS (SELECT vec_id, vec, sq FROM vn WHERE vec_id = 0),
+       |d1 AS (
+       |  SELECT vn.vec_id,
+       |         1 - ${dotD("vn.vec", "s.vec")} / sqrt(vn.sq * s.sq) AS dist
+       |  FROM vn CROSS JOIN s0 s),
+       |$rounds
+       |SELECT round, center_id, radius FROM (
+       |SELECT 0::BIGINT AS round, (SELECT vec_id FROM s0) AS center_id,
+       |       NULL::DOUBLE AS radius
+       |$sel
+       |) ORDER BY round""".stripMargin
+  }
+
   /** recall@10 mirror (Similarity.recallReport): composes the per-method
     * top-k mirrors verbatim as derived tables — any divergence in a method's
     * mirror shows up here too, so the recall number is verified against the
@@ -1598,5 +1635,7 @@ object TrainingData {
   }
 
   val oracleSql: Map[String, String] =
-    baseOracleSql + ("sim_recall" -> recallOracleSql)
+    baseOracleSql +
+      ("sim_recall" -> recallOracleSql) +
+      ("cur_kcenter" -> kcenterOracleSql())
 }

@@ -153,6 +153,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept >= rows.size - 2 * injected.length && kept < rows.size)
   }
 
+  test("greedy k-center: distinct centers, non-increasing radii, correct first pick") {
+    val rows = Similarity.kcenterSelect(emb, k = 6).collect()
+    assert(rows.length === 6)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length === ids.length)
+    assert(rows.head.getLong(1) === 0L && rows.head.isNullAt(2))
+    val radii = rows.tail.map(_.getDouble(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radii not non-increasing: ${radii.toSeq}")
+    // round 1 must pick the vector with max cosine distance from vec 0
+    val vs = Similarity.prepared(emb)
+      .select(col("vec_id"), col("vec"), col("sq")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val (_, v0, sq0) = vs.find(_._1 == 0L).get
+    val far = vs.map { case (id, v, sq) =>
+      (1.0 - v.zip(v0).map { case (a, b) => a * b }.sum / math.sqrt(sq * sq0), id)
+    }.maxBy { case (d, id) => (d, -id) }
+    assert(rows(1).getLong(1) === far._2)
+  }
+
   test("brute-force top-k is ranked and self-free") {
     val rows = Similarity.bruteForceTopK(emb, k = 10, nQueries = 3).collect()
     assert(rows.length === 30)
