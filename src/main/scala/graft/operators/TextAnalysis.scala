@@ -105,8 +105,10 @@ object TextAnalysis {
     *
     * Scale shape: one fully narrow projection (token stats are per-row
     * lambdas over the split column) — no shuffle at any corpus size until
-    * a consumer aggregates. */
-  def gopherRules(docs: DataFrame): DataFrame = {
+    * a consumer aggregates. Report ordering lives in [[gopherRules]];
+    * pipeline consumers ([[nbQuality]]) use this unsorted form so no Sort
+    * Exchange sits under their joins. */
+  def gopherFlags(docs: DataFrame): DataFrame = {
     val stopArr = s"array(${Stopwords.map(s => s"'$s'").mkString(",")})"
     withTokens(docs)
       .withColumn("words", expr("filter(toks, t -> t <> '')"))
@@ -135,8 +137,11 @@ object TextAnalysis {
       .withColumn("keep",
         col("r_words") && col("r_mean_len") && col("r_symbol") &&
           col("r_alpha") && col("r_stop"))
-      .orderBy(col("doc_id"))
   }
+
+  /** The Gopher rule report, doc-ordered (the `text_gopher` query). */
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherFlags(docs).orderBy(col("doc_id"))
 
   /** Multinomial Naive-Bayes quality classifier — the fastText-style
     * "train a filter on pseudo-labels, score the whole corpus" step every
@@ -157,7 +162,7 @@ object TextAnalysis {
     * perplexity kernels use; stats and priors are 1-row broadcasts. No
     * Exchange ever carries text. */
   def nbQuality(docs: DataFrame): DataFrame = {
-    val labels = gopherRules(docs).select(col("doc_id"), col("keep"))
+    val labels = gopherFlags(docs).select(col("doc_id"), col("keep"))
     val toks = withTokens(docs)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .filter(col("tok") =!= "")

@@ -137,6 +137,22 @@ class PlanShapeSpec extends AnyFunSuite {
         s"dedup_winnow_pairs shuffles heavy columns: $l"))
   }
 
+  test("naive-bayes classifier: model and stats broadcast, text never in an Exchange") {
+    val p = plan("text_nb_quality")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"text_nb_quality shuffles text: $l"))
+    // the 1-row stats/priors ride IdentityBroadcastMode
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p.take(2000))
+  }
+
+  test("source cap: the ranking window shuffles (source, quality, id) only — never text") {
+    val p = plan("cur_source_cap")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"cur_source_cap shuffles text: $l"))
+  }
+
   test("semdedup pairs join inside the cell — assignment itself never shuffles") {
     val p = plan("dedup_semdedup")
     // the pair join keys on cell (+ the keeper predicate as residual); the
