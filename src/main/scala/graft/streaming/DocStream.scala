@@ -112,6 +112,45 @@ object DocStream {
     * A pair colliding in several bands emits once per band — downstream
     * consumers dedup on (doc_id, matched_doc_id), the same contract as the
     * batch pairs before their `distinct`. */
+  /** Source/language-mix drift monitor: per event-time window, the total
+    * variation distance between the window's language distribution and the
+    * reference mix the pipeline was tuned for — the alarm that fires when
+    * the crawl mix shifts (a domain goes dark, a spam source floods in)
+    * before the shifted data reaches training.
+    *
+    * Single streaming aggregation: the reference mix's languages are KNOWN,
+    * so per-language counts are conditional sums inside one windowed agg —
+    * no chained aggregation, watermark/append compatible. Languages outside
+    * the reference mix count toward drift in full (their reference share is
+    * zero). TV distance = ½·Σ|observed − reference|, flagged at
+    * `tolerance`. */
+  def mixDriftMonitor(docs: DataFrame, refShares: Map[String, Double],
+      windowDur: String = "10 minutes", delay: String = "10 minutes",
+      tolerance: Double = 0.2): DataFrame = {
+    require(refShares.nonEmpty, "reference mix is empty")
+    val langs = refShares.keys.toSeq.sorted
+    val perLang = langs.map(l =>
+      sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"n_$l"))
+    val aggCols = count(lit(1)).as("n_docs") +: perLang
+    val windowed = docs
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val absDevs = langs.map { l =>
+      abs(col(s"n_$l").cast("double") / col("n_docs") - lit(refShares(l)))
+    }
+    val otherShare = // mass on languages the reference mix doesn't know
+      lit(1.0) - langs.map(l => col(s"n_$l")).reduce(_ + _).cast("double") / col("n_docs")
+    windowed
+      .withColumn("tv_dist",
+        round((absDevs.reduce(_ + _) + otherShare) * 0.5, 4))
+      .select(
+        (Seq(col("window.start").as("window_start"), col("n_docs")) ++
+          langs.map(l => col(s"n_$l")) :+
+          col("tv_dist") :+
+          (col("tv_dist") > tolerance).as("drifted")): _*)
+  }
+
   def nearDupPairs(docs: DataFrame, estThreshold: Double = 0.5,
       delay: String = "1 hour", retentionMs: Long = 3600000L,
       maxSigsPerBucket: Int = 64): Dataset[NearDupMatch] = {

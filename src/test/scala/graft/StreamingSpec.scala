@@ -244,4 +244,33 @@ class StreamingSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(windowedTotal === df.count())
   }
+
+  test("mix-drift monitor flags the skewed window and passes the on-mix window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val ref = Map("en" -> 0.5, "de" -> 0.5)
+    val query = DocStream.mixDriftMonitor(mem.toDF(), ref, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("mix_drift")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def doc(id: Long, lang: String, h: Int, m: Int) =
+      StreamDoc(id, s"doc $id", lang, Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"))
+    // hour 1: exactly the reference mix; hour 2: all-French flood
+    mem.addData(doc(1, "en", 1, 0), doc(2, "de", 1, 10),
+      doc(3, "en", 1, 20), doc(4, "de", 1, 30))
+    query.processAllAvailable()
+    mem.addData(doc(5, "fr", 2, 0), doc(6, "fr", 2, 10), doc(7, "fr", 2, 20))
+    query.processAllAvailable()
+    mem.addData(doc(8, "en", 5, 0)) // advance the watermark so both windows close
+    query.processAllAvailable()
+    val rows = spark.sql(
+      "SELECT window_start, n_docs, tv_dist, drifted FROM mix_drift ORDER BY window_start")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    query.stop()
+    val hour1 = rows.find(_._1 == Timestamp.valueOf("2024-01-01 01:00:00")).get
+    val hour2 = rows.find(_._1 == Timestamp.valueOf("2024-01-01 02:00:00")).get
+    assert(hour1._2 === 4L && hour1._3 === 0.0 && !hour1._4)
+    // all mass on an unknown language: TV = ½(0.5 + 0.5 + 1.0) = 1.0
+    assert(hour2._2 === 3L && hour2._3 === 1.0 && hour2._4)
+  }
 }
