@@ -455,6 +455,32 @@ object Dedup {
     * [[incrementalStatusBloom]] — the broadcast-bloom prefilter keeps the
     * snapshot scan but spares the batch the shuffle for every
     * bloom-negative (definitely-new) row. */
+  /** Persist a corpus snapshot's digest table BUCKETED by digest — the
+    * at-rest layout that makes every future ingest gate free of
+    * snapshot-side shuffle. One distinct + bucket-write shuffle now; every
+    * [[incrementalStatusBucketed]] after reads co-partitioned buckets. */
+  def saveSnapshotDigests(docs: DataFrame, table: String,
+      nBuckets: Int = 32): Unit =
+    graft.export.Bucketed.saveBucketed(
+      docs.select(md5(col("text")).as("digest")).distinct(),
+      table, "digest", nBuckets)
+
+  /** The digest ingest gate against a bucketed snapshot table
+    * ([[saveSnapshotDigests]]): same labeling as [[incrementalStatus]],
+    * but the snapshot side — the 100 TB side — plans with ZERO Exchange
+    * (its `HashPartitioning(digest, n)` comes from the bucket layout);
+    * only the small arriving batch shuffles, into the snapshot's bucket
+    * count. `BucketedJoinSpec` pins the one-Exchange plan. */
+  def incrementalStatusBucketed(batch: DataFrame, snapshotTable: String): DataFrame = {
+    val snapshot = batch.sparkSession.table(snapshotTable)
+      .withColumn("seen", lit(1))
+    batch.select(col("doc_id"), md5(col("text")).as("digest"))
+      .join(snapshot, Seq("digest"), "left")
+      .select(col("doc_id"),
+        when(col("seen").isNotNull, "duplicate").otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   def incrementalStatus(docs: DataFrame): DataFrame = {
     val aug = augmentedDocs(docs)
     val snapshot = aug.filter(col("doc_id") < 100000)

@@ -40,4 +40,32 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS scores_bkt")
     }
   }
+
+  test("digest-bucketed snapshot: the ingest gate shuffles only the arriving batch") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val aug = Dedup.augmentedDocs(docs)
+    Dedup.saveSnapshotDigests(aug.filter(col("doc_id") < 100000), "snap_digests", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batch = aug.filter(col("doc_id") >= 100000)
+      val gated = Dedup.incrementalStatusBucketed(batch, "snap_digests")
+      val p = gated.queryExecution.executedPlan.toString
+      // one hash Exchange (the batch side + the final sort's range exchange
+      // are all that's allowed); the snapshot side reads its buckets
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+        s"snapshot side shuffled:\n${p.take(3000)}")
+      // labeling identical to the self-contained operator
+      val viaBucketed = gated.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val viaPlain = Dedup.incrementalStatus(docs)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(viaBucketed === viaPlain)
+      assert(viaBucketed.valuesIterator.contains("duplicate") &&
+        viaBucketed.valuesIterator.contains("new"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS snap_digests")
+    }
+  }
 }
