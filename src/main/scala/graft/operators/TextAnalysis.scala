@@ -143,6 +143,24 @@ object TextAnalysis {
   def gopherRules(docs: DataFrame): DataFrame =
     gopherFlags(docs).orderBy(col("doc_id"))
 
+  /** Per-rule ablation summary over [[gopherFlags]]: how many documents
+    * each rule kills on its own, plus the conjunctive keep rate — the
+    * one-row report a curation run reads before tuning thresholds. One
+    * aggregation over the narrow rule projection. */
+  def gopherSummary(docs: DataFrame): DataFrame = {
+    def kills(rule: String) = sum(when(!col(rule), 1L).otherwise(0L))
+    gopherFlags(docs).agg(
+      count(lit(1)).as("n_docs"),
+      kills("r_words").as("kill_words"),
+      kills("r_mean_len").as("kill_mean_len"),
+      kills("r_symbol").as("kill_symbol"),
+      kills("r_alpha").as("kill_alpha"),
+      kills("r_stop").as("kill_stop"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("keep_rate",
+        round(col("n_kept").cast("double") / col("n_docs"), 4))
+  }
+
   /** Multinomial Naive-Bayes quality classifier — the fastText-style
     * "train a filter on pseudo-labels, score the whole corpus" step every
     * CCNet-descended pipeline runs. Here the pseudo-labels come from the

@@ -53,6 +53,8 @@ object TrainingData {
       TextAnalysis.gopherRules(docs(s, dir))),
     "text_nb_quality" -> ((s, dir) =>
       TextAnalysis.nbQuality(docs(s, dir))),
+    "text_gopher_summary" -> ((s, dir) =>
+      TextAnalysis.gopherSummary(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -674,6 +676,44 @@ object TrainingData {
          |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
          |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
          |FROM g2 ORDER BY doc_id""".stripMargin,
+
+    "text_gopher_summary" ->
+      s"""WITH $baseCte,
+         |g AS (
+         |  SELECT doc_id,
+         |         list_filter(toks, t -> t <> '') AS words,
+         |         len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
+         |  FROM base),
+         |g2 AS (
+         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         |         ROUND(${fold("list_transform(words, t -> strlen(t))", "0::BIGINT", "(x, y) -> x + y")}::DOUBLE
+         |           / greatest(len(words), 1), 4) AS mean_word_len,
+         |         ROUND(n_sym::DOUBLE / greatest(len(words), 1), 4) AS symbol_ratio,
+         |         ROUND(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+         |           / greatest(len(words), 1), 4) AS alpha_word_ratio,
+         |         CAST(len(list_filter(words, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop
+         |  FROM g),
+         |fl AS (
+         |  SELECT (n_words >= ${TextAnalysis.GopherMinWords}
+         |            AND n_words <= ${TextAnalysis.GopherMaxWords}) AS r_words,
+         |         (mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+         |            AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}) AS r_mean_len,
+         |         (symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}) AS r_symbol,
+         |         (alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}) AS r_alpha,
+         |         (n_stop >= ${TextAnalysis.GopherMinStopHits}) AS r_stop
+         |  FROM g2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN NOT r_words THEN 1 ELSE 0 END) AS BIGINT) AS kill_words,
+         |       CAST(SUM(CASE WHEN NOT r_mean_len THEN 1 ELSE 0 END) AS BIGINT) AS kill_mean_len,
+         |       CAST(SUM(CASE WHEN NOT r_symbol THEN 1 ELSE 0 END) AS BIGINT) AS kill_symbol,
+         |       CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS kill_alpha,
+         |       CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS kill_stop,
+         |       CAST(SUM(CASE WHEN r_words AND r_mean_len AND r_symbol
+         |                       AND r_alpha AND r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       ROUND(SUM(CASE WHEN r_words AND r_mean_len AND r_symbol
+         |                        AND r_alpha AND r_stop THEN 1 ELSE 0 END)::DOUBLE
+         |             / COUNT(*), 4) AS keep_rate
+         |FROM fl""".stripMargin,
 
     "text_nb_quality" ->
       s"""WITH $baseCte,
