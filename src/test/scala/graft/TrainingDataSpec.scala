@@ -153,6 +153,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept >= rows.size - 2 * injected.length && kept < rows.size)
   }
 
+  test("semdedup worst case: an all-identical corpus collapses to one representative") {
+    import spark.implicits._
+    // every vector identical — the entire corpus lands in one cell with
+    // tied centrality, so the keeper rule must fall through to the vec_id
+    // tie-break and keep exactly one row (no quadratic survivor set)
+    val vec = Array.fill(64)(1.0f)
+    val ident = (0L until 120L).map(i => (i, vec, 0)).toDF("vec_id", "embedding", "label")
+    val rows = Dedup.semDedup(ident).collect()
+    val kept = rows.filter(r => r.getBoolean(r.fieldIndex("kept")))
+    assert(kept.length === 1)
+    // the survivor is the LEAST-central member — here the first augmented
+    // perturbed copy (cent_cos < 1.0), beating every exact original
+    // (cent_cos = 1.0) per the keep-the-extreme rule; ties then fall to
+    // the lowest vec_id among the copies
+    assert(kept.head.getLong(0) === 100000L)
+    assert(kept.head.getDouble(2) < 1.0)
+    assert(rows.filter(_.getLong(0) < 100000L).forall(_.getDouble(2) === 1.0))
+    assert(rows.map(_.getLong(1)).distinct.length === 1) // one cell
+  }
+
   test("greedy k-center: distinct centers, non-increasing radii, correct first pick") {
     val rows = Similarity.kcenterSelect(emb, k = 6).collect()
     assert(rows.length === 6)
