@@ -112,6 +112,47 @@ object DocStream {
     * A pair colliding in several bands emits once per band — downstream
     * consumers dedup on (doc_id, matched_doc_id), the same contract as the
     * batch pairs before their `distinct`. */
+  /** `foreachBatch` ingest gate against a PERSISTENT digest snapshot — the
+    * state-outlives-the-query sibling of [[dedupExact]]: each micro-batch
+    * is labeled `duplicate`/`new` against the snapshot parquet and the
+    * fresh digests are appended back, so a NEW query (fresh checkpoint,
+    * post-restart, or a different job entirely) still sees everything ever
+    * ingested. [[dedupExact]]'s state dies with its checkpoint; this is
+    * how batch backfills and the stream share one dedup frontier.
+    *
+    * Labeling uses semi/anti joins (set semantics), so replayed appends
+    * from an at-least-once batch retry cannot multiply rows or flip
+    * labels; output-side exactly-once needs a transactional sink and is
+    * out of scope. Intra-batch copies: first occurrence (lowest doc_id)
+    * is `new`, the rest `duplicate`. At 100 TB the snapshot is the
+    * digest-bucketed table ([[graft.operators.Dedup.saveSnapshotDigests]])
+    * and the join shuffles only each micro-batch.
+    *
+    * Usage: `stream.writeStream.foreachBatch(DocStream.snapshotGate(snapDir, outDir) _)`. */
+  def snapshotGate(snapshotDir: String, outDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val d = batch.withColumn("digest", md5(col("text")))
+    val snap =
+      if (new java.io.File(snapshotDir).exists) spark.read.parquet(snapshotDir)
+      else d.select(col("digest")).limit(0)
+    val dup = d.join(snap, Seq("digest"), "left_semi")
+      .withColumn("status", lit("duplicate"))
+    val fresh = d.join(snap, Seq("digest"), "left_anti")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("digest")).orderBy(col("doc_id"))))
+    val freshNew = fresh.filter(col("rn") === 1).drop("rn")
+      .withColumn("status", lit("new"))
+    val freshDup = fresh.filter(col("rn") > 1).drop("rn")
+      .withColumn("status", lit("duplicate"))
+    dup.unionByName(freshNew).unionByName(freshDup)
+      .select(col("doc_id"), col("digest"), col("status"))
+      .write.mode("append").parquet(outDir)
+    freshNew.select(col("digest"))
+      .write.mode("append").parquet(snapshotDir)
+  }
+
   /** Source/language-mix drift monitor: per event-time window, the total
     * variation distance between the window's language distribution and the
     * reference mix the pipeline was tuned for — the alarm that fires when

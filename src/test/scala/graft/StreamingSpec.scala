@@ -245,6 +245,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(windowedTotal === df.count())
   }
 
+  test("snapshot-backed gate remembers digests across a QUERY restart with a fresh checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("snapgate").toString
+    val (snapDir, outDir) = (s"$root/snap", s"$root/out")
+    def doc(id: Long, text: String) =
+      StreamDoc(id, text, "en", Timestamp.valueOf("2024-01-01 00:00:00"))
+    // query 1: two distinct docs
+    val mem1 = MemoryStream[StreamDoc]
+    val q1 = mem1.toDF().writeStream
+      .foreachBatch(DocStream.snapshotGate(snapDir, outDir) _)
+      .option("checkpointLocation", s"$root/cp1")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem1.addData(doc(1, "alpha beta"), doc(2, "gamma delta"))
+    q1.processAllAvailable(); q1.stop()
+    // query 2: NEW stream, NEW checkpoint — engine state is gone, the
+    // parquet snapshot is the only memory; a copy must still be caught,
+    // and an intra-batch pair must split new/duplicate
+    val mem2 = MemoryStream[StreamDoc]
+    val q2 = mem2.toDF().writeStream
+      .foreachBatch(DocStream.snapshotGate(snapDir, outDir) _)
+      .option("checkpointLocation", s"$root/cp2")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    mem2.addData(doc(3, "alpha beta"), doc(4, "epsilon"), doc(5, "epsilon"))
+    q2.processAllAvailable(); q2.stop()
+    val status = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("status"))).toMap
+    assert(status === Map(1L -> "new", 2L -> "new", 3L -> "duplicate",
+      4L -> "new", 5L -> "duplicate"))
+  }
+
   test("mix-drift monitor flags the skewed window and passes the on-mix window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
