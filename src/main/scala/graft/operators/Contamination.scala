@@ -76,6 +76,47 @@ object Contamination {
     joined(trainSh, evalSh)
   }
 
+  /** Span-level contamination report — the surgical-removal upgrade of
+    * [[contaminatedDocs]]: instead of a per-doc verdict, the WHERE of each
+    * hit. For every contaminated train doc: how many n-gram positions
+    * matched the eval set, the first/last contaminated word index, and the
+    * number of maximal contiguous spans (hits whose word ranges touch or
+    * overlap merge into one span) — enough for a cleaner to cut the
+    * benchmark text out of the document instead of dropping it (the
+    * modern pipeline's choice for long documents with one embedded
+    * benchmark quote).
+    *
+    * Same scale shape as the scan: eval hash set broadcast, positional
+    * grams narrow ([[graft.functions.SignatureExpressions]] `word_ngrams`
+    * kernel), only hit positions reach the aggregation. */
+  def contaminationSpans(docs: DataFrame, n: Int = NgramN): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val aug = Dedup.augmentedDocs(docs)
+    val evalSh = withNgramHashes(aug.filter(isEval), n)
+      .select(explode(col("shl")).as("h")).distinct()
+    val trainPos = aug.filter(!isEval).filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(call_function("word_ngrams", trim(col("text")), lit(n))))
+      .select(col("doc_id"), col("pos"),
+        call_function("hash64", col("col")).as("h"))
+    trainPos.join(broadcast(evalSh), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_hit_positions"),
+        min(col("pos")).cast("long").as("first_word"),
+        (max(col("pos")) + n - 1).cast("long").as("last_word"),
+        sort_array(collect_set(col("pos"))).as("ps"))
+      .withColumn("n_spans",
+        expr(s"""if(size(ps) < 2, 1,
+                |  1 + size(filter(
+                |    transform(sequence(1, size(ps) - 1),
+                |      k -> element_at(ps, k + 1) - element_at(ps, k)),
+                |    d -> d > $n)))""".stripMargin).cast("long"))
+      .select(col("doc_id"), col("n_hit_positions"), col("first_word"),
+        col("last_word"), col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   private def joined(trainSh: DataFrame, evalSh: DataFrame): DataFrame =
     trainSh.join(broadcast(evalSh), Seq("h"))
       .groupBy(col("doc_id"), col("nsh"))

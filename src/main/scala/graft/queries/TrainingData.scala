@@ -66,6 +66,7 @@ object TrainingData {
 
     // ── decontamination / PII scrubbing ───────────────────────────────────
     "decon_overlap" -> ((s, dir) => Contamination.contaminatedDocs(docs(s, dir))),
+    "decon_spans" -> ((s, dir) => Contamination.contaminationSpans(docs(s, dir))),
     "pii_scan" -> ((s, dir) => Pii.piiScan(docs(s, dir))),
     "pii_summary" -> ((s, dir) => Pii.piiSummary(docs(s, dir))),
 
@@ -1420,6 +1421,37 @@ object TrainingData {
          |FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) >= 0.995
          |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "decon_spans" -> {
+      val n = graft.operators.Contamination.NgramN
+      s"""WITH $baseCte, $augCte, $ngram8Cte,
+         |ev AS (
+         |  SELECT DISTINCT unnest(shl) AS h FROM ngn
+         |  WHERE doc_id < 100000 AND doc_id % ${graft.operators.Contamination.EvalModulus} = 0),
+         |pgx AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(toks) - ${n - 2}),
+         |           i -> {'pos': i - 1,
+         |                 'gram': array_to_string(toks[i::INT:(i + ${n - 1})::INT], ' ')})) AS pg
+         |  FROM aug
+         |  WHERE len(toks) >= $n
+         |    AND NOT (doc_id < 100000 AND doc_id % ${graft.operators.Contamination.EvalModulus} = 0)),
+         |px AS (SELECT doc_id, pg.pos AS pos, ${h64("pg.gram")} AS h FROM pgx),
+         |j AS (SELECT px.doc_id, px.pos FROM px JOIN ev ON px.h = ev.h),
+         |g AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_positions,
+         |         CAST(MIN(pos) AS BIGINT) AS first_word,
+         |         CAST(MAX(pos) + ${n - 1} AS BIGINT) AS last_word,
+         |         list_sort(list(pos)) AS ps
+         |  FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_hit_positions, first_word, last_word,
+         |       CAST(CASE WHEN len(ps) < 2 THEN 1
+         |         ELSE 1 + len(list_filter(
+         |           list_transform(range(1, len(ps)),
+         |             k -> ps[(k + 1)::INT] - ps[k::INT]),
+         |           d -> d > $n)) END AS BIGINT) AS n_spans
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_semdedup" ->
       s"""WITH ve AS (

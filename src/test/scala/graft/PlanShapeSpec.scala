@@ -163,6 +163,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("cell"), p.take(2000))
   }
 
+  test("split leakage rides the band join — text and token arrays stay out of every Exchange") {
+    val p = plan("cur_split_leakage")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach { l =>
+        assert(!l.contains("text#") && !l.contains("toks#"),
+          s"cur_split_leakage shuffles corpus content: $l")
+      }
+  }
+
+  test("gopher summary is a narrow rule projection into one aggregation") {
+    val p = plan("text_gopher_summary")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(2000))
+    // global 1-row agg: partial + final over a single-partition exchange
+    assert(count(p, "HashAggregate") === 2, p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

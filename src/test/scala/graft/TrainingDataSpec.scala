@@ -568,6 +568,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(hits(0).getLong(1) >= 1L)
   }
 
+  test("contamination spans merge touching hits and split separated quotes") {
+    import spark.implicits._
+    val quote = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-gram
+    val junk10 = (1 to 10).map(i => s"j$i").mkString(" ")
+    val junk20 = (1 to 20).map(i => s"k$i").mkString(" ")
+    val synth = Seq(
+      (0L, quote, "en"), // eval member (id < 100000, id % 50 == 0)
+      (1L, s"$junk10 $quote $junk20 $quote tail", "en"), // two separated quotes
+      (2L, "nothing shared here at all beyond eight words total", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rows = graft.operators.Contamination.contaminationSpans(synth).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!rows.contains(2L))
+    val d1 = rows(1L)
+    assert(d1.getLong(1) === 2L) // two hit positions
+    assert(d1.getLong(2) === 10L) // first quote starts after 10 junk words
+    assert(d1.getLong(3) === 10L + 8 + 20 + 8 - 1) // last word of second quote
+    assert(d1.getLong(4) === 2L) // separated by > n words → two spans
+    // the augmented exact copy of the eval doc (id 200000) is one full span
+    val copy = rows(200000L)
+    assert(copy.getLong(4) === 1L && copy.getLong(2) === 0L)
+  }
+
   test("bpe merge learning follows weighted pair frequency with greedy run handling") {
     import spark.implicits._
     // "aa" ×2, "ab" ×1: round 1 must merge (a,a) (weight 2 beats 1), after
