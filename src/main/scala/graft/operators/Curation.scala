@@ -278,6 +278,39 @@ object Curation {
     * tokens. One map-side-combined aggregation collapses the corpus to one
     * row per source; the global-total window then runs over that tiny frame
     * (rows ∝ distinct sources), not the corpus. */
+  /** Sliding-window document chunking — the splitting counterpart of
+    * [[packSequences]] (packing concatenates short docs; chunking splits
+    * long ones): fixed `size`-token windows every `stride` tokens
+    * (overlap = size − stride keeps context across boundaries), the shape
+    * every embedding/pretraining pipeline runs before a fixed context
+    * window. Each chunk carries its own content digest, so chunk-level
+    * dedup (the finer-grained sibling of document dedup) composes
+    * directly with the digest gates.
+    *
+    * Scale shape: fully narrow — chunk starts are a `sequence` posexplode
+    * per row, the window slice and digest are per-row lambdas; no shuffle
+    * until a consumer aggregates. */
+  def chunkDocs(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= chunkSize, "need 0 < stride <= chunkSize")
+    TextAnalysis.withTokens(docs)
+      .withColumn("words", expr("filter(toks, t -> t <> '')"))
+      .withColumn("n_words", size(col("words")))
+      .filter(col("n_words") > 0)
+      .withColumn("n_chunks",
+        expr(s"cast(greatest(ceil((n_words - $chunkSize) / cast($stride as double)), 0) as int) + 1"))
+      .select(col("doc_id"), col("words"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("pos", "i")))
+      .withColumn("start_word", (col("i") * stride).cast("long"))
+      .withColumn("chunk_toks", expr(s"slice(words, start_word + 1, $chunkSize)"))
+      .select(
+        col("doc_id"),
+        col("i").cast("long").as("chunk_idx"),
+        col("start_word"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"),
+        md5(array_join(col("chunk_toks"), " ")).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** Train/val split-leakage audit: the check a pipeline runs before
     * training — are any val documents near-duplicates of train documents?
     * Rides the MinHash-LSH pair list ([[Dedup.minhashLshPairs]]) and maps

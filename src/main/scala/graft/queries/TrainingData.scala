@@ -100,6 +100,7 @@ object TrainingData {
     "cur_source_cap" -> ((s, dir) => Curation.sourceCapSummary(docs(s, dir))),
     "cur_split_leakage" -> ((s, dir) => Curation.splitLeakage(docs(s, dir))),
     "cur_kcenter" -> ((s, dir) => Similarity.kcenterSelect(emb(s, dir))),
+    "cur_chunks" -> ((s, dir) => Curation.chunkDocs(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -907,6 +908,28 @@ object TrainingData {
          |       (COUNT(*) > 15) AS cap_hit,
          |       ROUND(MIN(CASE WHEN rk <= 15 THEN quality_score END), 4) AS min_kept_quality
          |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
+    "cur_chunks" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+         |                     t -> t <> '') AS words
+         |  FROM documents),
+         |w2 AS (
+         |  SELECT doc_id, words, len(words) AS n_words,
+         |         CAST(greatest(ceil((len(words) - 64) / 48.0), 0) AS INT) + 1 AS n_chunks
+         |  FROM w WHERE len(words) > 0),
+         |c AS (
+         |  SELECT doc_id, words, unnest(range(0, n_chunks)) AS i FROM w2),
+         |c2 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |         CAST(i * 48 AS BIGINT) AS start_word,
+         |         words[(i * 48 + 1)::INT:(i * 48 + 64)::INT] AS chunk_toks
+         |  FROM c)
+         |SELECT doc_id, chunk_idx, start_word,
+         |       CAST(len(chunk_toks) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(chunk_toks, ' ')) AS chunk_digest
+         |FROM c2 ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "cur_split_leakage" ->
       s"""WITH $baseCte, $augCte, $shCte, $sigCte,

@@ -568,6 +568,38 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(hits(0).getLong(1) >= 1L)
   }
 
+  test("chunking: window/stride arithmetic, short-doc passthrough, digest-equal shared windows") {
+    import spark.implicits._
+    val hundred = (0 until 100).map(i => s"w$i").mkString(" ")
+    val synth = Seq(
+      (1L, hundred, "en"),
+      (2L, "only five words in here", "en"),
+      (3L, hundred, "en")) // identical to doc 1 → identical chunk digests
+      .toDF("doc_id", "text", "lang")
+    val rows = graft.operators.Curation.chunkDocs(synth).collect()
+    val d1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    // 100 words, size 64, stride 48 → chunks at 0 (64 toks) and 48 (52 toks)
+    assert(d1.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((0L, 0L, 64L), (1L, 48L, 52L)))
+    val d2 = rows.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getLong(1), r.getLong(3))).toSeq === Seq((0L, 5L)))
+    // chunk-level dedup composes: identical windows hash identically
+    val d3 = rows.filter(_.getLong(0) == 3L).sortBy(_.getLong(1))
+    assert(d1.map(_.getString(4)).toSeq === d3.map(_.getString(4)).toSeq)
+    // corpus sanity: chunking is lossless on coverage — every doc's last
+    // chunk reaches its final word
+    val corpus = graft.operators.Curation.chunkDocs(docs).collect()
+    val nWords = graft.operators.TextAnalysis.withTokens(docs)
+      .select(col("doc_id"),
+        expr("size(filter(toks, t -> t <> ''))").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    corpus.groupBy(_.getLong(0)).foreach { case (id, chunks) =>
+      val last = chunks.maxBy(_.getLong(1))
+      assert(last.getLong(2) + last.getLong(3) === nWords(id),
+        s"doc $id last chunk does not reach the final word")
+    }
+  }
+
   test("contamination spans merge touching hits and split separated quotes") {
     import spark.implicits._
     val quote = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-gram
