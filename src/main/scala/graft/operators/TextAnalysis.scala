@@ -388,6 +388,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Jelinek–Mercer interpolated bigram/unigram LM perplexity — the
+    * smoothing step between [[bigramScores]] (raw conditional, infinite
+    * surprise on unseen bigrams) and a production KenLM: per bigram
+    * position, p = λ·p(w₂|w₁) + (1−λ)·p(w₂), so novel word pairs back off
+    * to the unigram prior instead of dominating the score. Same integer
+    * micro-nat NLL trick as the siblings; 1−λ is computed ONCE host-side
+    * and the same double literal feeds both engines (0.7 + 0.3 of a
+    * float-naive mirror would diverge in the last bit).
+    *
+    * Scale shape: the perplexity join shape twice over (bigram table +
+    * prefix table + unigram table, all word-count-sized) plus the 1-row
+    * total broadcast; no text in any Exchange. */
+  def interpolatedScores(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val oneMinus = 1.0 - lambda
+    val bi = withTokens(docs)
+      .select(col("doc_id"),
+        explode(call_function("word_ngrams", col("text"), lit(2))).as("bg"))
+    val bgCounts = bi.groupBy(col("bg")).agg(count(lit(1)).as("cbg"))
+    val prefCounts = bi.select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cw1"))
+    val toks = withTokens(docs)
+      .select(explode(col("toks")).as("tok")).filter(col("tok") =!= "")
+    val uniCounts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("tok", "w2")
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    bi
+      .join(bgCounts, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(prefCounts, Seq("w1"))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uniCounts, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll_micro",
+        round(-log(
+          lit(lambda) * (col("cbg").cast("double") / col("cw1")) +
+            lit(oneMinus) * (col("cu").cast("double") / col("total"))) * 1e6)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_micro")).as("nll_sum"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        round(col("nll_sum").cast("double") / (col("n_bigrams") * 1e6), 4).as("avg_nll"),
+        round(exp(col("nll_sum").cast("double") / (col("n_bigrams") * 1e6)), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Feature-hashing (hashing-trick) document vectorizer: token t
     * contributes ±1 (sign from an independent hash bit) to dimension
     * `hash64(t) mod dims` — the classic fixed-width text embedding that

@@ -55,6 +55,8 @@ object TrainingData {
       TextAnalysis.nbQuality(docs(s, dir))),
     "text_gopher_summary" -> ((s, dir) =>
       TextAnalysis.gopherSummary(docs(s, dir))),
+    "text_perplexity_interp" -> ((s, dir) =>
+      TextAnalysis.interpolatedScores(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -678,6 +680,35 @@ object TrainingData {
          |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
          |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
          |FROM g2 ORDER BY doc_id""".stripMargin,
+
+    "text_perplexity_interp" -> {
+      val lambda = 0.7
+      val oneMinus = 1.0 - lambda
+      s"""WITH $baseCte,
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i::INT] || ' ' || toks[(i+1)::INT])) AS bg
+         |  FROM base WHERE len(toks) >= 2),
+         |cb AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY bg),
+         |cw AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cw1 FROM bg GROUP BY 1),
+         |tk AS (SELECT tok FROM (SELECT unnest(toks) AS tok FROM base) WHERE tok <> ''),
+         |cu AS (SELECT tok AS w2, COUNT(*) AS cu FROM tk GROUP BY 1),
+         |tot AS (SELECT COUNT(*)::DOUBLE AS total FROM tk),
+         |sc AS (
+         |  SELECT b.doc_id,
+         |         CAST(ROUND(-ln($lambda * (cb.cbg::DOUBLE / cw.cw1)
+         |                        + $oneMinus * (cu.cu::DOUBLE / tot.total))
+         |           * 1000000) AS BIGINT) AS nm
+         |  FROM bg b
+         |  JOIN cb ON b.bg = cb.bg
+         |  JOIN cw ON split_part(b.bg, ' ', 1) = cw.w1
+         |  JOIN cu ON split_part(b.bg, ' ', -1) = cu.w2
+         |  CROSS JOIN tot)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
+         |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "text_gopher_summary" ->
       s"""WITH $baseCte,
