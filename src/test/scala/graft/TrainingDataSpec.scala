@@ -568,6 +568,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(hits(0).getLong(1) >= 1L)
   }
 
+  test("interpolated LM: λ=1 degenerates to the raw bigram model; smoothing lowers surprise spread") {
+    // λ·p_bi + 0·p_uni = p_bi exactly in IEEE arithmetic, so the λ=1
+    // scores must be bit-identical to bigramScores
+    val raw = graft.operators.TextAnalysis.bigramScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val atOne = graft.operators.TextAnalysis.interpolatedScores(docs, lambda = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(atOne === raw)
+    // at λ=0.7 every doc still gets a finite positive perplexity
+    val interp = graft.operators.TextAnalysis.interpolatedScores(docs).collect()
+    assert(interp.length === raw.size)
+    interp.foreach(r => assert(r.getDouble(3) > 0 && !r.getDouble(3).isInfinite))
+  }
+
   test("chunking: window/stride arithmetic, short-doc passthrough, digest-equal shared windows") {
     import spark.implicits._
     val hundred = (0 until 100).map(i => s"w$i").mkString(" ")
