@@ -180,6 +180,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") === 2, p.take(2000))
   }
 
+  test("interpolated LM keeps the word-count shape — no text in any Exchange") {
+    val p = plan("text_perplexity_interp")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"interp LM shuffles text: $l"))
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p.take(2000))
+  }
+
+  test("chunking is narrow — the only exchange is the report ordering") {
+    val p = plan("cur_chunks")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast
