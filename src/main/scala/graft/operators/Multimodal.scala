@@ -131,4 +131,21 @@ object Multimodal {
             .stripMargin)).as(Seq("frame_idx", "frame_md5")))
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"), col("frame_md5"))
       .orderBy(col("media_id"), col("frame_idx"))
+
+  /** Cross-video duplicate-frame detection: frames whose sampled content
+    * digest recurs — re-encoded/re-uploaded copies of the same clip, the
+    * video-side analogue of document exact dedup. Deduping on frame
+    * digests instead of whole-file digests catches copies that differ in
+    * container metadata. One digest-keyed aggregation over the sampled
+    * frames (the per-frame digest is the narrow [[frameSamples]]
+    * projection; whole payloads never shuffle). */
+  def frameDuplicates(docs: DataFrame): DataFrame =
+    frameSamples(docs)
+      .groupBy(col("frame_md5"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("media_id")).as("n_media"),
+        min(col("media_id")).as("first_media_id"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("frame_md5"))
 }

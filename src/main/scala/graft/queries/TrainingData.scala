@@ -120,7 +120,8 @@ object TrainingData {
     // ── multimodal ────────────────────────────────────────────────────────
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.featuresFlat(docs(s, dir))),
-    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSamples(docs(s, dir)))
+    "mm_frame_sample" -> ((s, dir) => Multimodal.frameSamples(docs(s, dir))),
+    "mm_frame_dedup" -> ((s, dir) => Multimodal.frameDuplicates(docs(s, dir)))
   )
 
   // ────────────────────────────────────────────────────────────────────────
@@ -1696,7 +1697,20 @@ object TrainingData {
          |SELECT media_id, CAST(f.i AS BIGINT) AS frame_idx,
          |       md5(substr(payload, (f.i * (n // 8) + 1)::INT, 16)) AS frame_md5
          |FROM m2, (SELECT unnest(range(0, 8)) AS i) f
-         |ORDER BY media_id, frame_idx""".stripMargin
+         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "mm_frame_dedup" ->
+      s"""WITH $mediaCte,
+         |m2 AS (SELECT media_id, payload, strlen(payload) AS n FROM m WHERE kind = 'video'),
+         |fr AS (
+         |  SELECT media_id,
+         |         md5(substr(payload, (f.i * (n // 8) + 1)::INT, 16)) AS frame_md5
+         |  FROM m2, (SELECT unnest(range(0, 8)) AS i) f)
+         |SELECT frame_md5, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |       CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+         |       MIN(media_id) AS first_media_id
+         |FROM fr GROUP BY frame_md5 HAVING COUNT(*) > 1
+         |ORDER BY frame_md5""".stripMargin
   )
 
   /** One greedy k-center round for the `cur_kcenter` mirror: s{r} picks the

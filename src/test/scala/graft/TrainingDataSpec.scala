@@ -493,6 +493,21 @@ class TrainingDataSpec extends AnyFunSuite {
       .filter(col("count") =!= Multimodal.FramesPerVideo).count() === 0)
   }
 
+  test("frame dedup reports exactly the recurring sampled digests") {
+    val frames = Multimodal.frameSamples(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val expected = frames.groupBy(_._2).filter(_._2.length > 1)
+    val dups = Multimodal.frameDuplicates(docs).collect()
+    assert(dups.nonEmpty)
+    assert(dups.length === expected.size)
+    dups.foreach { r =>
+      val hits = expected(r.getString(0))
+      assert(r.getLong(1) === hits.length.toLong)
+      assert(r.getLong(2) === hits.map(_._1).distinct.length.toLong)
+      assert(r.getLong(3) === hits.map(_._1).min)
+    }
+  }
+
   test("repeated passages: every injected copy (and its base) is 100% repeated; report is cross-document") {
     val top = Passages.topRepeatedPassages(docs).collect()
     assert(top.nonEmpty)
