@@ -388,6 +388,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Zipf-law fit over the token frequency spectrum — the corpus-health
+    * diagnostic: least-squares slope of ln(count) vs ln(rank) for the top
+    * `topN` tokens. Natural text sits near slope −1; a spam-flooded or
+    * template-heavy corpus bends away from it, so the single number is a
+    * cheap drift check between snapshots.
+    *
+    * Determinism: the top-N spectrum is a TakeOrdered (never a full-vocab
+    * sort), collected into ONE sorted array, and every regression sum is
+    * an ordered fold over that array — bit-identical in Spark and the
+    * DuckDB mirror, like the dot-product kernels. */
+  def zipfFit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val toks = withTokens(docs)
+      .select(explode(col("toks")).as("tok")).filter(col("tok") =!= "")
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topN)
+    def foldSum(term: String) =
+      s"""aggregate(transform(sequence(1, size(pts)), i -> $term),
+         |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin
+    top
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("nc"), col("tok").as("tok"))))
+        .as("pts"))
+      .select(
+        size(col("pts")).cast("double").as("n"),
+        expr(foldSum("ln(cast(i as double))")).as("sx"),
+        expr(foldSum("ln(cast(-element_at(pts, i).nc as double))")).as("sy"),
+        expr(foldSum("ln(cast(i as double)) * ln(cast(i as double))")).as("sxx"),
+        expr(foldSum("ln(cast(i as double)) * ln(cast(-element_at(pts, i).nc as double))"))
+          .as("sxy"))
+      .select(
+        col("n").cast("long").as("n_fit"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 4).as("slope"),
+        round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx")) / col("n"), 4)
+          .as("intercept"))
+  }
+
   /** Jelinek–Mercer interpolated bigram/unigram LM perplexity — the
     * smoothing step between [[bigramScores]] (raw conditional, infinite
     * surprise on unseen bigrams) and a production KenLM: per bigram

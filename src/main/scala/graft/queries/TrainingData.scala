@@ -57,6 +57,8 @@ object TrainingData {
       TextAnalysis.gopherSummary(docs(s, dir))),
     "text_perplexity_interp" -> ((s, dir) =>
       TextAnalysis.interpolatedScores(docs(s, dir))),
+    "text_zipf" -> ((s, dir) =>
+      TextAnalysis.zipfFit(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
       Bpe.learnMerges(docs(s, dir))),
     "text_bpe_tokenize" -> ((s, dir) =>
@@ -681,6 +683,30 @@ object TrainingData {
          |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
          |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
          |FROM g2 ORDER BY doc_id""".stripMargin,
+
+    "text_zipf" -> {
+      def fsum(term: String) =
+        fold(s"list_transform(range(1, len(pts) + 1), i -> $term)",
+          "0.0::DOUBLE", "(a, x) -> a + x")
+      s"""WITH $baseCte,
+         |tk AS (SELECT tok FROM (SELECT unnest(toks) AS tok FROM base) WHERE tok <> ''),
+         |v AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+         |top AS (SELECT tok, cnt FROM v ORDER BY cnt DESC, tok LIMIT 100),
+         |p AS (SELECT list(struct_pack(nc := -cnt, tok := tok) ORDER BY -cnt, tok) AS pts
+         |      FROM top),
+         |s AS (
+         |  SELECT len(pts)::DOUBLE AS n,
+         |         ${fsum("ln(i::DOUBLE)")} AS sx,
+         |         ${fsum("ln((-pts[i::INT].nc)::DOUBLE)")} AS sy,
+         |         ${fsum("ln(i::DOUBLE) * ln(i::DOUBLE)")} AS sxx,
+         |         ${fsum("ln(i::DOUBLE) * ln((-pts[i::INT].nc)::DOUBLE)")} AS sxy
+         |  FROM p)
+         |SELECT CAST(n AS BIGINT) AS n_fit,
+         |       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS slope,
+         |       ROUND((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
+         |         AS intercept
+         |FROM s""".stripMargin
+    },
 
     "text_perplexity_interp" -> {
       val lambda = 0.7

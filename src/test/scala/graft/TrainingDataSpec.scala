@@ -583,6 +583,21 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(hits(0).getLong(1) >= 1L)
   }
 
+  test("zipf fit recovers slope -1 on an exactly zipfian corpus") {
+    import spark.implicits._
+    // token tk appears round(2520/k) times (2520 divisible by 1..9) —
+    // ln(cnt) = ln(2520) − ln(rank), an exact slope −1 line
+    val words = (1 to 9).flatMap(k => Seq.fill(2520 / k)(f"t$k%02d"))
+    val synth = Seq((1L, words.mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    val fit = graft.operators.TextAnalysis.zipfFit(synth).collect().head
+    assert(fit.getLong(0) === 9L)
+    assert(math.abs(fit.getDouble(1) - (-1.0)) < 1e-9, s"slope ${fit.getDouble(1)}")
+    assert(math.abs(fit.getDouble(2) - math.log(2520.0)) < 1e-3)
+    // the flat word-salad corpus must sit far from natural text's −1
+    val corpus = graft.operators.TextAnalysis.zipfFit(docs).collect().head
+    assert(corpus.getDouble(1) > -0.5)
+  }
+
   test("interpolated LM: λ=1 degenerates to the raw bigram model; smoothing lowers surprise spread") {
     // λ·p_bi + 0·p_uni = p_bi exactly in IEEE arithmetic, so the λ=1
     // scores must be bit-identical to bigramScores
