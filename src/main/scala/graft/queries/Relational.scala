@@ -52,6 +52,19 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    // A: ROLLUP subtotals — the hierarchy (flag, status) → (flag) → ()
+    // in ONE pass: Spark expands grouping sets after the map-side partial
+    // aggregation, so the detail and every subtotal level share a single
+    // shuffle instead of one aggregation per level.
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
     // A: count(DISTINCT x) (CLICKHOUSE.md:389,456).
     "agg_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -419,6 +432,12 @@ object Relational {
          CAST(COUNT(*) AS BIGINT) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "agg_distinct" ->
       """SELECT l_returnflag,
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,

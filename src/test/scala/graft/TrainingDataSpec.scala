@@ -644,6 +644,35 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk invariants hold across random word counts and window configs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val synth = (1L to 50L).map { id =>
+      val n = 1 + rnd.nextInt(300)
+      (id, (0 until n).map(i => s"w$i").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val lens = synth.select(col("doc_id"),
+        expr("size(filter(split(text, '\\\\s+'), t -> t <> ''))").cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((size, stride) <- Seq((64, 48), (32, 32), (128, 64))) {
+      val chunks = graft.operators.Curation.chunkDocs(synth, size, stride)
+        .collect().groupBy(_.getLong(0))
+      assert(chunks.keySet === lens.keySet)
+      chunks.foreach { case (id, cs) =>
+        val sorted = cs.sortBy(_.getLong(1))
+        // starts advance by exactly stride; first at 0
+        assert(sorted.map(_.getLong(2)).toSeq ===
+          sorted.indices.map(_.toLong * stride))
+        // every chunk is full except possibly the last; the last reaches
+        // the final word, and with stride < size never starts past the end
+        sorted.init.foreach(r => assert(r.getLong(3) === size.toLong))
+        val last = sorted.last
+        assert(last.getLong(2) + last.getLong(3) === lens(id))
+        assert(last.getLong(3) >= 1)
+      }
+    }
+  }
+
   test("contamination spans merge touching hits and split separated quotes") {
     import spark.implicits._
     val quote = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-gram
