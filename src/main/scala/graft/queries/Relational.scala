@@ -52,6 +52,32 @@ object Relational {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    // J: interval/range join in its SCALABLE form — a big-big interval
+    // join can't broadcast and must not plan a nested loop; bin both
+    // sides to the month, equi-join on the bin (one hash shuffle), apply
+    // the interval predicate as a residual. A window spanning k months
+    // explodes to k bin rows (k ≤ 2 here); a fact row has exactly one
+    // bin, so no dedup step is needed.
+    "join_range_binned" -> ((s, dir) => {
+      val wins = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 1500 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          col("o_orderdate").as("win_start"),
+          (col("o_orderdate") + expr("interval 30 days")).as("win_end"))
+      val winBins = wins.withColumn("bin",
+        explode(expr(
+          "sequence(date_trunc('month', win_start), date_trunc('month', win_end), interval 1 month)")))
+      t(s, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_quantity"))
+        .withColumn("bin", date_trunc("month", col("l_shipdate")))
+        .join(winBins, Seq("bin"))
+        .filter(col("l_shipdate") >= col("win_start") &&
+          col("l_shipdate") < col("win_end"))
+        .groupBy(col("win_id"), col("win_start"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("win_id"))
+    }),
     // A: ROLLUP subtotals — the hierarchy (flag, status) → (flag) → ()
     // in ONE pass: Spark expands grouping sets after the map-side partial
     // aggregation, so the detail and every subtotal level share a single
@@ -432,6 +458,17 @@ object Relational {
          CAST(COUNT(*) AS BIGINT) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "join_range_binned" ->
+      """WITH w AS (
+         SELECT o_orderkey AS win_id, o_orderdate AS win_start,
+                o_orderdate + INTERVAL 30 DAY AS win_end
+         FROM orders WHERE o_orderkey % 1500 = 0)
+         SELECT w.win_id, w.win_start,
+                CAST(COUNT(*) AS BIGINT) AS n_items,
+                ROUND(SUM(l.l_quantity), 2) AS sum_qty
+         FROM lineitem l
+         JOIN w ON l.l_shipdate >= w.win_start AND l.l_shipdate < w.win_end
+         GROUP BY w.win_id, w.win_start ORDER BY w.win_id""",
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          ROUND(SUM(l_quantity), 2) AS sum_qty,
