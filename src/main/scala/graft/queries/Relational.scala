@@ -171,6 +171,28 @@ object Relational {
         .select(col("user_id"), col("event_id"), col("prev_event_id"))
         .orderBy(col("user_id"), col("event_id"))
     }),
+    // W: batch sessionization — the lag + running-sum idiom (the batch
+    // twin of the streaming flatMapGroupsWithState sessionizer): a new
+    // session starts where the gap to the previous event exceeds 30 min;
+    // the session id is the running count of session starts. Both windows
+    // share ONE (user_id) shuffle and sort. Summary grain: one row per
+    // session with its span and event count.
+    "win_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("is_start",
+          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          expr("(max(us) - min(us)) div 1000000").as("duration_s"))
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
     // W2: global analytic avg(x) OVER () (CLICKHOUSE.md:529,755). Inherently a
     // single-partition window at any scale — the reference query is global;
     // computed via a scalar cross-join-free windowed aggregate on a tiny
@@ -514,6 +536,26 @@ object Relational {
       """SELECT user_id, event_id,
          LAG(event_id, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id
          FROM events ORDER BY user_id, event_id""",
+    "win_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts), 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+           FROM events),
+         st AS (
+           SELECT user_id, event_id, us,
+             CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS is_start
+           FROM g),
+         sq AS (
+           SELECT user_id, us,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM st)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s
+         FROM sq GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
     "win_global_avg" ->
       """WITH byprio AS (
            SELECT o_orderpriority, AVG(o_totalprice) AS prio_avg_raw
