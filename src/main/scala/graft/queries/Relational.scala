@@ -78,6 +78,22 @@ object Relational {
           round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("win_id"))
     }),
+    // A: pivot (long → wide reshape) with an EXPLICIT value list — open-
+    // ended pivots need a pre-pass to discover values (a collect); pinning
+    // the columns keeps it one aggregation pass, and each pivot cell is a
+    // conditional partial aggregate (exactly the mirror's CASE form).
+    "agg_pivot" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id") % 100)
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("(user_id % 100)", "user_bucket")
+        .select(col("user_bucket").cast("long").as("user_bucket"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"))
+        .orderBy(col("user_bucket"))
+    }),
     // A: ROLLUP subtotals — the hierarchy (flag, status) → (flag) → ()
     // in ONE pass: Spark expands grouping sets after the map-side partial
     // aggregation, so the detail and every subtotal level share a single
@@ -491,6 +507,12 @@ object Relational {
          FROM lineitem l
          JOIN w ON l.l_shipdate >= w.win_start AND l.l_shipdate < w.win_end
          GROUP BY w.win_id, w.win_start ORDER BY w.win_id""",
+    "agg_pivot" ->
+      """SELECT user_id % 100 AS user_bucket,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+         FROM events GROUP BY user_id % 100 ORDER BY user_bucket""",
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          ROUND(SUM(l_quantity), 2) AS sum_qty,
