@@ -214,6 +214,42 @@ object Similarity {
       .orderBy(col("cell"), col("dim"))
   }
 
+  /** Document similarity search WITHOUT an external embedding model: each
+    * document becomes a dense `dims`-wide signed-count vector via the
+    * feature-hashing trick ([[TextAnalysis.featureHash]]'s kernel, pivoted
+    * dense with one conditional aggregation), then cosine top-k exactly as
+    * the embedding path — the bridge between the text pipeline and the
+    * ANN machinery when no model has run yet (hash vectors ≈ bag-of-words
+    * similarity; swap in real embeddings without changing the query).
+    *
+    * Scale shape: one (doc_id) aggregation builds vectors; queries
+    * broadcast; the corpus never shuffles into the join — identical to
+    * [[bruteForceTopK]]. Zero-norm documents (hash-cancelled) are
+    * excluded on both sides. */
+  def hashedDocTopK(docs: DataFrame, k: Int = 10, nQueries: Int = 3,
+      dims: Int = 16): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val cells = (0 until dims).map(d =>
+      sum(when(col("dim") === d, col("val")).otherwise(0L)).cast("double"))
+    val v = TextAnalysis.featureHash(docs, dims)
+      .groupBy(col("doc_id"))
+      .agg(array(cells: _*).as("vec"))
+      .withColumn("sq", VectorMath.normSq("vec"))
+      .filter(col("sq") > 0.0)
+    val q = v.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
+    v.join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .withColumn("cos",
+        VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Greedy k-center (farthest-point-first) coreset selection — the
     * diversity-pruning primitive behind D4-style data curation: pick the
     * vector farthest (cosine distance) from everything selected so far,

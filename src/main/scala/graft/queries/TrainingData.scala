@@ -108,6 +108,7 @@ object TrainingData {
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    "sim_doc_topk" -> ((s, dir) => Similarity.hashedDocTopK(docs(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_lsh_mp" -> ((s, dir) => Similarity.lshMultiProbeTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -1565,6 +1566,33 @@ object TrainingData {
          |       ROUND(a.cent_cos, 6) AS cent_cos, (d.vec_id IS NULL) AS kept
          |FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    "sim_doc_topk" -> {
+      val cells = (0 until 16)
+        .map(d => s"SUM(CASE WHEN dim = $d THEN val ELSE 0 END)")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH $baseCte,
+         |f AS (
+         |  SELECT doc_id, ${h64("tok")} % 16 AS dim,
+         |         CASE WHEN ${h64("'s#' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) t
+         |  WHERE tok <> ''),
+         |fh AS (SELECT doc_id, dim, SUM(sgn) AS val FROM f GROUP BY 1, 2),
+         |dense AS (SELECT doc_id, $cells AS vec FROM fh GROUP BY doc_id),
+         |vv AS (
+         |  SELECT doc_id, vec, ${dotD("vec", "vec", 16)} AS sq FROM dense
+         |  WHERE ${dotD("vec", "vec", 16)} > 0.0),
+         |q AS (SELECT doc_id AS query_id, vec AS qvec, sq AS qsq FROM vv WHERE doc_id < 3),
+         |scored AS (
+         |  SELECT q.query_id, vv.doc_id,
+         |         ${dotD("vv.vec", "q.qvec", 16)} / sqrt(vv.sq * q.qsq) AS cos
+         |  FROM vv, q WHERE vv.doc_id <> q.query_id),
+         |r AS (SELECT query_id, doc_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
 
     "sim_topk_brute" ->
       s"""WITH $vecCte,

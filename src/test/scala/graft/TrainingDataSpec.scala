@@ -173,6 +173,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length === 1) // one cell
   }
 
+  test("hashed-doc similarity ranks an exact copy first with cosine 1") {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "alpha beta gamma delta epsilon my unique words here", "en"),
+      (1L, "totally different content about spark catalyst plans", "en"),
+      (2L, "third query document with its own vocabulary set", "en")) ++
+      (3L to 9L).map(i => (i, s"filler doc $i with words number$i extra padding", "en")) :+
+      (10L, "alpha beta gamma delta epsilon my unique words here", "en") // copy of 0
+    val rows = Similarity.hashedDocTopK(base.toDF("doc_id", "text", "lang"))
+      .collect()
+    val q0 = rows.filter(_.getLong(0) == 0L).sortBy(_.getLong(1))
+    assert(q0.head.getLong(2) === 10L && q0.head.getDouble(3) === 1.0)
+    // ranked descending, self never returned
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+      assert(!rs.exists(_.getLong(2) == q))
+    }
+  }
+
   test("greedy k-center: distinct centers, non-increasing radii, correct first pick") {
     val rows = Similarity.kcenterSelect(emb, k = 6).collect()
     assert(rows.length === 6)
