@@ -117,6 +117,52 @@ object Contamination {
       .orderBy(col("doc_id"))
   }
 
+  /** Fuzzy (MinHash-LSH) decontamination — the paraphrase-tolerant sibling
+    * of the exact n-gram scan: a training document is flagged when its
+    * MinHash signature collides with an eval document in an LSH band AND
+    * the signature-agreement Jaccard estimate clears `estThreshold`. This
+    * catches lightly edited / truncated benchmark copies whose long n-grams
+    * no longer match verbatim (the PaLM/Llama-style "fuzzy dedup against
+    * eval" check), at the price of n-gram-level precision — run both.
+    *
+    * Scale shape: signatures are the narrow codegen'd
+    * [[graft.functions.SignatureExpressions]] kernel; the eval side
+    * collapses to its band table (bands × ~30 B per benchmark doc —
+    * thousands of docs, so broadcast); the corpus probes it map-side and
+    * only banded candidates reach the estimate verify + per-doc
+    * aggregation. The corpus never shuffles its text or signatures. */
+  def fuzzyScanRaw(train: DataFrame, eval: DataFrame,
+      estThreshold: Double = 0.5): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(train.sparkSession)
+    val trainBands = Dedup.bandedSigs(Dedup.sigsOf(TextAnalysis.withTokens(train)))
+    val evalBands = Dedup.bandedSigs(Dedup.sigsOf(TextAnalysis.withTokens(eval)))
+      .select(col("band"), col("band_key"), col("doc_id").as("eval_doc_id"),
+        col("sig").as("eval_sig"))
+    trainBands
+      .join(broadcast(evalBands), Seq("band", "band_key"))
+      .select(col("doc_id"), col("eval_doc_id"), col("sig"), col("eval_sig"))
+      .distinct() // a (train, eval) pair can collide in >1 band
+      .withColumn("est_jaccard",
+        expr(s"""size(filter(zip_with(sig, eval_sig, (x, y) -> x = y), v -> v))
+                 | / cast(${Dedup.MinhashK} as double)""".stripMargin))
+      .filter(col("est_jaccard") >= estThreshold)
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("eval_doc_id")).as("n_eval_hits"),
+        round(max(col("est_jaccard")), 4).as("best_est_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[fuzzyScanRaw]] harness twin on the deterministic eval carve: the
+    * augmented corpus's truncated (+100000) copies of eval-stride docs are
+    * exactly the "edited benchmark copy" the fuzzy scan exists to catch
+    * (and the exact scan under-reports). */
+  def fuzzyContaminatedDocs(docs: DataFrame,
+      estThreshold: Double = 0.5): DataFrame = {
+    val aug = Dedup.augmentedDocs(docs)
+    fuzzyScanRaw(aug.filter(!isEval), aug.filter(isEval), estThreshold)
+  }
+
   private def joined(trainSh: DataFrame, evalSh: DataFrame): DataFrame =
     trainSh.join(broadcast(evalSh), Seq("h"))
       .groupBy(col("doc_id"), col("nsh"))

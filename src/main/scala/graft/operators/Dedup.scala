@@ -154,9 +154,15 @@ object Dedup {
     * codegen kernel [[graft.functions.Signatures.minhashSig]] — identical
     * values to the SQL/oracle formulation, ~20× cheaper than the
     * interpreted higher-order-function fold. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    augmentedDocs(docs)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    sigsOf(augmentedDocs(docs))
+
+  /** [[minhashSignatures]] over an ARBITRARY corpus already carrying
+    * (doc_id, text, toks) — the production entry point (no augmentation);
+    * shared with the fuzzy decontamination scan. */
+  private[operators] def sigsOf(corpus: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    corpus
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", shingles("text"))
       .select(
@@ -561,7 +567,7 @@ object Dedup {
   /** (doc_id, sig) → one row per (band, band_key) — the LSH bucket key a
     * signature lands in (shared by [[minhashLshPairs]] and the incremental
     * near-dup gate). */
-  private def bandedSigs(sig: DataFrame): DataFrame = {
+  private[operators] def bandedSigs(sig: DataFrame): DataFrame = {
     val rows = MinhashK / MinhashBands
     sig.select(
       col("doc_id"), col("sig"),

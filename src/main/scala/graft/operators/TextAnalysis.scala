@@ -593,6 +593,76 @@ object TextAnalysis {
     * Integer micro-nat NLLs keep the per-doc sum order-free (see
     * [[unigramScores]]). Documents under 2 tokens have no bigram and are
     * absent by contract. */
+  /** TF-IDF top terms per document — the classic sparse lexical document
+    * representation (and the model-free ranking signal BM25 refines). Per
+    * (doc, token): tf = in-doc occurrences, df = documents containing the
+    * token, idf = ln((N+1)/(df+1)) in integer MICRO-NATS (one rounding of
+    * the one transcendental, so tf·idf stays exact-integer and the DuckDB
+    * mirror is bit-identical — the [[unigramScores]] trick). Emits each
+    * doc's `topK` terms by score, ties broken by token.
+    *
+    * Scale shape: the word-count shape end to end — (doc, tok) partial-agg
+    * shuffle, vocabulary-sized df aggregation, tf⋈df on the token key
+    * (counts only, never text), corpus-wide N broadcast as a 1-row stats
+    * frame, and one doc-keyed window for the top-k. No step carries more
+    * than (id, token, count) rows. */
+  def tfidfTop(docs: DataFrame, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
+    tf.join(df, Seq("tok"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_micro",
+        round(log((col("n_docs") + 1).cast("double") /
+          (col("df") + 1).cast("double")) * 1e6).cast("long"))
+      .withColumn("tfidf_micro", col("tf") * col("idf_micro"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf_micro").desc, col("tok"))))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"), col("tok"),
+        col("tf"), col("df"), col("tfidf_micro"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Calibration report for the [[nbQuality]] classifier — the
+    * threshold-picking table a pipeline builds before acting on a learned
+    * quality score: documents are ranked by the NB margin
+    * (nll_toss − nll_keep, higher = more keep-ish), cut into score
+    * deciles, and each decile reports its Gopher-label keep rate and
+    * prediction agreement. A monotone keep_rate column = a usable score;
+    * the decile where it crosses the target retention IS the threshold.
+    *
+    * Scale shape: rides the [[nbQuality]] plan (word-count shaped), then
+    * one global rank. The ntile is a total-order window — acceptable here
+    * because the ranked frame is one row per DOCUMENT with two longs (the
+    * corpus text never reaches it); at extreme scale swap in a
+    * quantile-summary cut of the margin, which changes no downstream
+    * column. */
+  def nbCalibration(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    nbQuality(docs)
+      .withColumn("margin", col("nll_toss") - col("nll_keep"))
+      .withColumn("decile", ntile(buckets).over(
+        Window.orderBy(col("margin").desc, col("doc_id"))).cast("long"))
+      .groupBy(col("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_label_keep"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_keep"),
+        round(avg(col("margin")), 2).as("avg_margin"))
+      .withColumn("keep_rate",
+        round(col("n_label_keep").cast("double") / col("n_docs"), 4))
+      .select(col("decile"), col("n_docs"), col("n_label_keep"),
+        col("n_pred_keep"), col("keep_rate"), col("avg_margin"))
+      .orderBy(col("decile"))
+  }
+
   def bigramScores(docs: DataFrame): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val bi = withTokens(docs)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bpe, Contamination, Curation, Dedup, Multimodal, Passages, Pii, Similarity, TextAnalysis, Winnow}
+import graft.operators.{Bpe, Cleaning, Contamination, Curation, Dedup, Multimodal, Passages, Pii, Similarity, TextAnalysis, Winnow}
 
 /**
  * Training-data pipeline query corpus: text analysis, dedup (exact /
@@ -124,7 +124,13 @@ object TrainingData {
     "mm_decode_meta" -> ((s, dir) => Multimodal.metaSummary(docs(s, dir))),
     "mm_features" -> ((s, dir) => Multimodal.featuresFlat(docs(s, dir))),
     "mm_frame_sample" -> ((s, dir) => Multimodal.frameSamples(docs(s, dir))),
-    "mm_frame_dedup" -> ((s, dir) => Multimodal.frameDuplicates(docs(s, dir)))
+    "mm_frame_dedup" -> ((s, dir) => Multimodal.frameDuplicates(docs(s, dir))),
+
+    // ── corpus cleaning / fuzzy decontamination / lexical features ────────
+    "clean_boilerplate" -> ((s, dir) => Cleaning.boilerplateRewrite(docs(s, dir))),
+    "decon_fuzzy" -> ((s, dir) => Contamination.fuzzyContaminatedDocs(docs(s, dir))),
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(docs(s, dir))),
+    "text_nb_calibration" -> ((s, dir) => TextAnalysis.nbCalibration(docs(s, dir)))
   )
 
   // ────────────────────────────────────────────────────────────────────────
@@ -174,6 +180,71 @@ object TrainingData {
        |  SELECT doc_id, list_transform(range(0, 12),
        |    i -> list_min(list_transform(sh, s -> ${h64("s || '#' || i")}))) AS sig
        |  FROM sh)""".stripMargin
+
+  /** Shared NB-classifier CTE chain (Gopher pseudo-labels -> token
+    * likelihoods -> per-doc integer micro-nat NLLs), ending in `fin`
+    * (doc_id, label, nll_keep, nll_toss). Used by text_nb_quality and
+    * text_nb_calibration. */
+  private def nbCtes: String =
+    s"""$baseCte,
+       |g AS (
+       |  SELECT doc_id,
+       |         list_filter(toks, t -> t <> '') AS words,
+       |         len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
+       |  FROM base),
+       |g2 AS (
+       |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+       |         ROUND(${fold("list_transform(words, t -> strlen(t))", "0::BIGINT", "(x, y) -> x + y")}::DOUBLE
+       |           / greatest(len(words), 1), 4) AS mean_word_len,
+       |         ROUND(n_sym::DOUBLE / greatest(len(words), 1), 4) AS symbol_ratio,
+       |         ROUND(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+       |           / greatest(len(words), 1), 4) AS alpha_word_ratio,
+       |         CAST(len(list_filter(words, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop
+       |  FROM g),
+       |lab AS (
+       |  SELECT doc_id,
+       |         (n_words >= ${TextAnalysis.GopherMinWords}
+       |          AND n_words <= ${TextAnalysis.GopherMaxWords}
+       |          AND mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+       |          AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}
+       |          AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+       |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
+       |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
+       |  FROM g2),
+       |tk AS (SELECT doc_id, tok FROM
+       |         (SELECT doc_id, unnest(toks) AS tok FROM base) WHERE tok <> ''),
+       |tl AS (SELECT tk.doc_id, tk.tok, lab.keep FROM tk JOIN lab USING (doc_id)),
+       |m AS (
+       |  SELECT tok,
+       |         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS cnt_keep,
+       |         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS cnt_toss
+       |  FROM tl GROUP BY tok),
+       |st AS (
+       |  SELECT CAST(SUM(cnt_keep) AS BIGINT) AS tot_keep,
+       |         CAST(SUM(cnt_toss) AS BIGINT) AS tot_toss,
+       |         CAST(COUNT(*) AS BIGINT) AS v
+       |  FROM m),
+       |pr AS (
+       |  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |         CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM lab),
+       |sc AS (
+       |  SELECT tl.doc_id,
+       |         CAST(ROUND(-ln((m.cnt_keep + 1)::DOUBLE / (st.tot_keep + st.v)::DOUBLE)
+       |           * 1000000) AS BIGINT) AS nk,
+       |         CAST(ROUND(-ln((m.cnt_toss + 1)::DOUBLE / (st.tot_toss + st.v)::DOUBLE)
+       |           * 1000000) AS BIGINT) AS nt
+       |  FROM tl JOIN m USING (tok) CROSS JOIN st),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(nk) AS BIGINT) AS sk, CAST(SUM(nt) AS BIGINT) AS st2
+       |  FROM sc GROUP BY doc_id),
+       |fin AS (
+       |  SELECT a.doc_id, lab.keep AS label,
+       |         CAST(a.sk + ROUND(-ln(pr.n_keep::DOUBLE / pr.n_docs::DOUBLE)
+       |           * 1000000) AS BIGINT) AS nll_keep,
+       |         CAST(a.st2 + ROUND(-ln((pr.n_docs - pr.n_keep)::DOUBLE / pr.n_docs::DOUBLE)
+       |           * 1000000) AS BIGINT) AS nll_toss
+       |  FROM agg a JOIN lab USING (doc_id) CROSS JOIN pr)""".stripMargin
 
   /** Ordered double dot product of two DOUBLE[] exprs, init 0.0 (mirrors
     * VectorMath.dotSql). */
@@ -777,67 +848,24 @@ object TrainingData {
          |FROM fl""".stripMargin,
 
     "text_nb_quality" ->
-      s"""WITH $baseCte,
-         |g AS (
-         |  SELECT doc_id,
-         |         list_filter(toks, t -> t <> '') AS words,
-         |         len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
-         |  FROM base),
-         |g2 AS (
-         |  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
-         |         ROUND(${fold("list_transform(words, t -> strlen(t))", "0::BIGINT", "(x, y) -> x + y")}::DOUBLE
-         |           / greatest(len(words), 1), 4) AS mean_word_len,
-         |         ROUND(n_sym::DOUBLE / greatest(len(words), 1), 4) AS symbol_ratio,
-         |         ROUND(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE
-         |           / greatest(len(words), 1), 4) AS alpha_word_ratio,
-         |         CAST(len(list_filter(words, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop
-         |  FROM g),
-         |lab AS (
-         |  SELECT doc_id,
-         |         (n_words >= ${TextAnalysis.GopherMinWords}
-         |          AND n_words <= ${TextAnalysis.GopherMaxWords}
-         |          AND mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
-         |          AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}
-         |          AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
-         |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
-         |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
-         |  FROM g2),
-         |tk AS (SELECT doc_id, tok FROM
-         |         (SELECT doc_id, unnest(toks) AS tok FROM base) WHERE tok <> ''),
-         |tl AS (SELECT tk.doc_id, tk.tok, lab.keep FROM tk JOIN lab USING (doc_id)),
-         |m AS (
-         |  SELECT tok,
-         |         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS cnt_keep,
-         |         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS cnt_toss
-         |  FROM tl GROUP BY tok),
-         |st AS (
-         |  SELECT CAST(SUM(cnt_keep) AS BIGINT) AS tot_keep,
-         |         CAST(SUM(cnt_toss) AS BIGINT) AS tot_toss,
-         |         CAST(COUNT(*) AS BIGINT) AS v
-         |  FROM m),
-         |pr AS (
-         |  SELECT CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-         |         CAST(COUNT(*) AS BIGINT) AS n_docs
-         |  FROM lab),
-         |sc AS (
-         |  SELECT tl.doc_id,
-         |         CAST(ROUND(-ln((m.cnt_keep + 1)::DOUBLE / (st.tot_keep + st.v)::DOUBLE)
-         |           * 1000000) AS BIGINT) AS nk,
-         |         CAST(ROUND(-ln((m.cnt_toss + 1)::DOUBLE / (st.tot_toss + st.v)::DOUBLE)
-         |           * 1000000) AS BIGINT) AS nt
-         |  FROM tl JOIN m USING (tok) CROSS JOIN st),
-         |agg AS (
-         |  SELECT doc_id, CAST(SUM(nk) AS BIGINT) AS sk, CAST(SUM(nt) AS BIGINT) AS st2
-         |  FROM sc GROUP BY doc_id),
-         |fin AS (
-         |  SELECT a.doc_id, lab.keep AS label,
-         |         CAST(a.sk + ROUND(-ln(pr.n_keep::DOUBLE / pr.n_docs::DOUBLE)
-         |           * 1000000) AS BIGINT) AS nll_keep,
-         |         CAST(a.st2 + ROUND(-ln((pr.n_docs - pr.n_keep)::DOUBLE / pr.n_docs::DOUBLE)
-         |           * 1000000) AS BIGINT) AS nll_toss
-         |  FROM agg a JOIN lab USING (doc_id) CROSS JOIN pr)
+      s"""WITH $nbCtes
          |SELECT doc_id, label, nll_keep, nll_toss, (nll_keep <= nll_toss) AS pred
          |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "text_nb_calibration" ->
+      s"""WITH $nbCtes,
+         |dec AS (
+         |  SELECT doc_id, label, (nll_keep <= nll_toss) AS pred,
+         |         nll_toss - nll_keep AS margin,
+         |         ntile(10) OVER (ORDER BY nll_toss - nll_keep DESC, doc_id) AS decile
+         |  FROM fin)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_label_keep,
+         |       CAST(SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_keep,
+         |       ROUND(SUM(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4) AS keep_rate,
+         |       ROUND(AVG(margin), 2) AS avg_margin
+         |FROM dec GROUP BY decile ORDER BY decile""".stripMargin,
 
     "text_heavy_hitters" ->
       s"""WITH $baseCte,
@@ -1764,7 +1792,80 @@ object TrainingData {
          |       CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
          |       MIN(media_id) AS first_media_id
          |FROM fr GROUP BY frame_md5 HAVING COUNT(*) > 1
-         |ORDER BY frame_md5""".stripMargin
+         |ORDER BY frame_md5""".stripMargin,
+
+    "clean_boilerplate" ->
+      s"""WITH $baseCte, $augCte,
+         |w AS (
+         |  SELECT doc_id, list_filter(toks, t -> t <> '') AS words FROM aug
+         |  WHERE len(list_filter(toks, t -> t <> '')) > 0),
+         |ci AS (
+         |  SELECT doc_id, words,
+         |         unnest(range(0, CAST(ceil(len(words) / 8.0) AS INT))) AS i
+         |  FROM w),
+         |cd AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |         words[(i*8+1)::INT:(i*8+8)::INT] AS chunk_toks,
+         |         md5(array_to_string(words[(i*8+1)::INT:(i*8+8)::INT], ' ')) AS digest
+         |  FROM ci),
+         |bad AS (
+         |  SELECT digest FROM cd GROUP BY digest
+         |  HAVING COUNT(DISTINCT doc_id) >= ${graft.operators.Cleaning.MinDocs}),
+         |mk AS (SELECT cd.*, cd.digest IN (SELECT digest FROM bad) AS boiler FROM cd)
+         |SELECT doc_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |       CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |       CAST(SUM(CASE WHEN boiler THEN 0 ELSE len(chunk_toks) END) AS BIGINT) AS clean_n_words,
+         |       md5(coalesce(string_agg(array_to_string(chunk_toks, ' '), ' '
+         |                               ORDER BY chunk_idx)
+         |                      FILTER (WHERE NOT boiler), '')) AS clean_digest
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "decon_fuzzy" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte,
+         |banded AS (
+         |  SELECT doc_id, sig, b.band AS band,
+         |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+         |ev AS (
+         |  SELECT band, band_key, doc_id AS eval_doc_id, sig AS eval_sig FROM banded
+         |  WHERE doc_id < 100000 AND doc_id % 50 = 0),
+         |tr AS (
+         |  SELECT band, band_key, doc_id, sig FROM banded
+         |  WHERE NOT (doc_id < 100000 AND doc_id % 50 = 0)),
+         |pairs AS (
+         |  SELECT DISTINCT tr.doc_id, ev.eval_doc_id, tr.sig, ev.eval_sig
+         |  FROM tr JOIN ev USING (band, band_key)),
+         |est AS (
+         |  SELECT doc_id, eval_doc_id,
+         |         len(list_filter(range(1, 13), i -> sig[i::INT] = eval_sig[i::INT])) / 12.0::DOUBLE AS est
+         |  FROM pairs)
+         |SELECT doc_id,
+         |       CAST(COUNT(DISTINCT eval_doc_id) AS BIGINT) AS n_eval_hits,
+         |       ROUND(MAX(est), 4) AS best_est_jaccard
+         |FROM est WHERE est >= 0.5
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH $baseCte,
+         |tk AS (SELECT doc_id, tok FROM
+         |         (SELECT doc_id, unnest(toks) AS tok FROM base) WHERE tok <> ''),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         |         CAST(ROUND(ln((n.n_docs + 1)::DOUBLE / (df.df + 1)::DOUBLE)
+         |           * 1000000) AS BIGINT) AS idf_micro
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+         |rk AS (
+         |  SELECT doc_id, tok, tf, df,
+         |         CAST(tf * idf_micro AS BIGINT) AS tfidf_micro,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY tf * idf_micro DESC, tok) AS rk
+         |  FROM sc)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, tfidf_micro
+         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 
   /** One greedy k-center round for the `cur_kcenter` mirror: s{r} picks the

@@ -208,6 +208,47 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("boilerplate rewrite: digest counting shuffles digests, the bad set broadcasts back") {
+    val p = plan("clean_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the chunk-frequency aggregation keys on digest and must not drag the
+    // chunk token arrays (or raw text) through its Exchange — only the
+    // doc-keyed REBUILD may carry chunk content (the output is the corpus)
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning(digest"))
+      .foreach(l => assert(!l.contains("chunk_toks#") && !l.contains("text#"),
+        s"digest count shuffles chunk content: $l"))
+  }
+
+  test("fuzzy decontamination broadcasts the eval band table; the corpus never shuffles text") {
+    val p = plan("decon_fuzzy")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .foreach(l => assert(!l.contains("text#") && !l.contains("toks#"),
+        s"decon_fuzzy ships corpus content: $l"))
+  }
+
+  test("tf-idf is the word-count shape — text never reaches an Exchange") {
+    val p = plan("text_tfidf")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"text_tfidf shuffles text: $l"))
+    // corpus doc count is a 1-row broadcast
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p.take(2000))
+  }
+
+  test("nb calibration: the ntile runs on the collapsed per-doc frame, after the NLL aggregation") {
+    val p = plan("text_nb_calibration")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"nb calibration shuffles text: $l"))
+    // the global-rank window consumes the per-doc NLL frame (two longs per
+    // doc), not the token stream: Window sits above the doc-level aggregate
+    val idxWindow = p.indexOf("Window")
+    assert(idxWindow >= 0 && p.substring(idxWindow).contains("HashAggregate"), p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

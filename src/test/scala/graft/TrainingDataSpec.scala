@@ -1207,4 +1207,76 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cross > 0, s"no cross-split pairs in $m")
     assert(m.values.sum === Dedup.minhashLshPairs(docs).count())
   }
+
+  test("boilerplate rewrite cuts exactly the shared chunks and rebuilds the remainder in order") {
+    import spark.implicits._
+    // three docs: A and B share an aligned 8-word banner chunk; C is clean.
+    val banner = (1 to 8).map(i => s"cookie$i").mkString(" ")
+    val aTail = (1 to 8).map(i => s"atail$i").mkString(" ")
+    val bTail = (1 to 5).map(i => s"btail$i").mkString(" ") // short last chunk
+    val synth = Seq(
+      (1L, s"$banner $aTail", "en"),
+      (2L, s"$banner $bTail", "en"),
+      (3L, (1 to 16).map(i => s"c$i").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.Cleaning.rewriteRaw(synth).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(out(1L) === ((2L, 1L, 8L,
+      java.security.MessageDigest.getInstance("MD5").digest(aTail.getBytes)
+        .map("%02x".format(_)).mkString)))
+    assert(out(2L)._1 === 2L && out(2L)._2 === 1L && out(2L)._3 === 5L)
+    assert(out(3L)._2 === 0L, "clean doc lost a chunk")
+    // a doc that is ALL boilerplate rewrites to the empty text
+    val dup = Seq((1L, banner, "en"), (2L, banner, "en")).toDF("doc_id", "text", "lang")
+    val gone = graft.operators.Cleaning.rewriteRaw(dup).collect()
+    gone.foreach { r =>
+      assert(r.getLong(3) === 0L)
+      assert(r.getString(4) === "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    }
+  }
+
+  test("fuzzy decontamination catches the exact AND truncated eval copies the id carve plants") {
+    val hits = Contamination.fuzzyContaminatedDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // eval docs: base ids %50==0. Their +200000 exact copies (ids %13==0 too)
+    // and +100000 truncated copies (ids %7==0 too) sit in the train side.
+    val evalIds = docs.filter(col("doc_id") % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactCopies = evalIds.filter(_ % 13 == 0).map(_ + 200000)
+    val nearCopies = evalIds.filter(_ % 7 == 0).map(_ + 100000)
+    exactCopies.foreach { id =>
+      assert(hits.get(id).contains(1.0), s"exact eval copy $id not flagged at 1.0")
+    }
+    nearCopies.foreach { id =>
+      assert(hits.contains(id) && hits(id) >= 0.5, s"truncated eval copy $id not flagged")
+    }
+  }
+
+  test("tf-idf zeroes ubiquitous tokens and ranks a doc's rare tokens first") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "shared shared rare1 rare1 rare1 solo", "en"),
+      (2L, "shared rare2 filler", "en"),
+      (3L, "shared filler filler", "en")
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.tfidfTop(synth, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> (r.getLong(1), r.getLong(5))).toMap
+    // 'shared' is in every doc: idf = ln(4/4) = 0 -> score exactly 0
+    assert(rows((1L, "shared"))._2 === 0L)
+    // doc 1's top term is the tripled rare1, not the higher-df shared
+    assert(rows((1L, "rare1"))._1 === 1L)
+    assert(rows((1L, "rare1"))._2 > rows((1L, "solo"))._2)
+  }
+
+  test("nb calibration deciles partition the corpus and score-order tracks the label") {
+    val rows = TextAnalysis.nbCalibration(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    // the top margin decile must be at least as keep-heavy as the bottom —
+    // a flat or inverted calibration means the score carries no signal
+    val byDecile = rows.map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(byDecile(1L) > byDecile(10L),
+      s"calibration flat/inverted: top=${byDecile(1L)} bottom=${byDecile(10L)}")
+  }
 }
