@@ -142,4 +142,48 @@ object Bpe {
         round(col("n_base_syms").cast("double") / col("n_bpe_syms"), 4))
       .orderBy(col("doc_id"))
   }
+
+  /** Tokenizer generalization check — learn the merges on the TRAIN split
+    * only, tokenize everything, and report compression per split. A
+    * held-out compression well below train means the merge table memorized
+    * its corpus (too many merges / corpus too small) — the tokenizer
+    * sibling of a train/val loss gap, run before freezing a vocab.
+    *
+    * Same scale shape as [[tokenizeSummary]]: learning sees the vocab-sized
+    * word table (of the train split), application is vocab-sized + the
+    * word-count join; the split is a narrow doc_id hash
+    * ([[graft.operators.Curation.withSplit]]'s formula — no RNG, no join). */
+  def tokenizeEval(docs: DataFrame, nMerges: Int = 3, valPermille: Int = 100,
+      salt: String = "split1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    def isVal(c: org.apache.spark.sql.Column) =
+      call_function("hash64", concat(c.cast("string"), lit("#" + salt))) % 1000 <
+        valPermille
+    val merges = learnMerges(docs.filter(!isVal(col("doc_id"))), nMerges)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    val tokens = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("word"))
+      .filter(col("word") =!= "" && !col("word").contains(Sep))
+      .withColumn("split",
+        when(isVal(col("doc_id")), "heldout").otherwise("train"))
+    val wordSyms0 = tokens.select(col("word")).distinct()
+      .withColumn("syms", charSyms(col("word")))
+    val applied = merges.foldLeft(wordSyms0) { case (df, (a, b)) =>
+      df.withColumn("syms", applyMerge(col("syms"), a, b))
+    }
+    val counts = applied.select(
+      col("word"),
+      length(col("word")).cast("long").as("n_chars"),
+      size(split(trim(call_function("replace", col("syms"), lit(Sep + Sep), lit(" "))),
+        " ")).cast("long").as("n_syms"))
+    tokens.join(counts, Seq("word"))
+      .groupBy(col("split"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_chars")).as("n_base_syms"),
+        sum(col("n_syms")).as("n_bpe_syms"),
+        round(sum(col("n_chars")).cast("double") / sum(col("n_syms")), 4)
+          .as("compression"))
+      .orderBy(col("split"))
+  }
 }

@@ -236,6 +236,109 @@ object Curation {
       salt: String = "temp1"): DataFrame =
     sampleSummary(docs, temperatureRatesBp(docs, targetShare), salt)
 
+  /** Per-source repeat factors (EPOCHS) for a token-budget data mix — the
+    * table a pretraining run is actually configured from (the LLaMA-style
+    * "sampling prop. / epochs" table): given a token budget of
+    * `budgetMultiplier` × the corpus and √-damped target shares (small
+    * sources up-weighted, the [[temperatureRatesBp]] damping applied to
+    * SOURCES by token mass), how many times does each source repeat?
+    * Computed on the driver from the tiny per-source token-count table
+    * with sorted-order folds (bit-reproducible); returned in micro-epochs
+    * so all downstream arithmetic is exact-integer. */
+  def epochsRatesMicro(docs: DataFrame,
+      budgetMultiplier: Double = 2.0): Map[String, Long] = {
+    val counts = TextAnalysis.withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val tot = counts.map(_._2).sum.toDouble
+    val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
+    counts.map { case (src, n) =>
+      src -> math.floor(
+        (tot * budgetMultiplier * (math.sqrt(n.toDouble) / sumW) / n.toDouble)
+          * 1e6).toLong
+    }.toMap
+  }
+
+  /** [[epochsRatesMicro]] APPLIED: every document repeats floor(epochs)
+    * times plus one more with probability frac(epochs), decided by a
+    * deterministic per-doc hash (stochastic rounding without RNG — the
+    * realized token count converges to the budget while each doc's count
+    * is reproducible). Narrow map-side arithmetic on the corpus; the
+    * summary is one per-source aggregation.
+    *
+    * Output per source: the micro-epoch rate, doc/token mass, emitted doc
+    * count, and the realized epochs — the number a mixing audit compares
+    * against the plan. */
+  def epochsSummary(docs: DataFrame, budgetMultiplier: Double = 2.0,
+      salt: String = "epoch1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val rates = epochsRatesMicro(docs, budgetMultiplier)
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (src, m)) => when(col("source") === src, lit(m)).otherwise(acc)
+    }
+    TextAnalysis.withTokens(docs)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("epochs_micro", rateCol)
+      .withColumn("n_emit",
+        expr("epochs_micro div 1000000L") +
+          when(call_function("hash64",
+            concat(col("doc_id").cast("string"), lit("#" + salt))) % 1000000L <
+            col("epochs_micro") % 1000000L, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        max(col("epochs_micro")).as("epochs_micro"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_emit")).as("n_emitted"),
+        round(sum(col("n_emit")).cast("double") / count(lit(1)), 4)
+          .as("realized_epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** DSIR-style importance selection (Xie et al. 2023, simplified to the
+    * unigram bag-of-words form): score every corpus document by the
+    * log-likelihood RATIO between a target-domain language model and the
+    * raw-corpus model, and keep the most target-like. The target here is
+    * the deterministic id carve ([[graft.operators.Contamination]]'s
+    * stride — standing in for "a small trusted domain sample"), both
+    * models are Laplace-smoothed unigrams over the shared vocabulary, and
+    * every per-token log is rounded once to integer micro-nats so the
+    * per-doc sum is order-free and engine-exact (the
+    * [[graft.operators.TextAnalysis.nbQuality]] arithmetic).
+    *
+    * Scale shape: two vocab-sized count aggregations (target counts ride
+    * the same shuffle as raw counts — one conditional sum), a 1-row stats
+    * broadcast, the word-count join back to the token stream, one per-doc
+    * aggregation, and a TakeOrdered top-k. Text never reaches an
+    * Exchange. */
+  def dsirSelect(docs: DataFrame, topK: Int = 50): DataFrame = {
+    val isTarget = col("doc_id") % 50 === 0
+    val toks = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("is_target", isTarget)
+    val model = toks.groupBy(col("tok")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("cnt_t"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("cnt_r"))
+    val stats = model.agg(
+      sum("cnt_t").as("tot_t"), sum("cnt_r").as("tot_r"),
+      count(lit(1)).as("v"))
+    def nllMicro(cnt: Column, tot: Column): Column =
+      round(-log((cnt + 1).cast("double") / (tot + col("v")).cast("double")) * 1e6)
+        .cast("long")
+    toks.filter(!col("is_target"))
+      .join(model, Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w_micro",
+        nllMicro(col("cnt_r"), col("tot_r")) - nllMicro(col("cnt_t"), col("tot_t")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_micro")).as("weight_micro"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // ── deterministic corpus shuffle / training shards ───────────────────────
 
   /** Seeded global shuffle order + shard assignment for training: a trainer

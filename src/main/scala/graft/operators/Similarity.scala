@@ -121,6 +121,99 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
   }
 
+  /** Chunk-level retrieval — the RAG shape: documents are split into
+    * fixed-width token chunks, each chunk gets its own (hashed) vector,
+    * and a query retrieves the top-k CHUNKS (passage granularity) rather
+    * than whole documents. Queries here are the first `nQueries` full-doc
+    * vectors; swapping both sides to real embeddings changes no plan
+    * shape. Chunks of the query's own document are excluded.
+    *
+    * Scale shape: chunking + vectorization are the narrow
+    * [[graft.operators.Curation.chunkDocs]] / feature-hash kernels (one
+    * (chunk, dim) aggregation); queries broadcast; the only Exchange is
+    * the per-query top-k window — the corpus of chunk vectors never
+    * shuffles into the join. Chunk ids pack (doc_id, chunk_idx) into one
+    * long (chunks per doc bounded ≪ 1000 here). */
+  def chunkTopK(docs: DataFrame, k: Int = 10, nQueries: Int = 3,
+      dims: Int = 16, chunkWords: Int = 32): DataFrame = {
+    val chunks = TextAnalysis.withTokens(docs)
+      .withColumn("words", expr("filter(toks, t -> t <> '')"))
+      .withColumn("n_words", size(col("words")))
+      .filter(col("n_words") > 0)
+      .withColumn("n_chunks",
+        expr(s"cast(ceil(n_words / cast($chunkWords as double)) as int)"))
+      .select(col("doc_id"), col("words"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("pos", "i")))
+      .select(
+        (col("doc_id") * 1000 + col("i")).as("doc_id"),
+        array_join(expr(s"slice(words, i * $chunkWords + 1, $chunkWords)"), " ")
+          .as("text"))
+    val v = hashedDense(chunks, dims)
+      .withColumn("owner_doc", expr("doc_id div 1000"))
+    val q = hashedDense(docs, dims)
+      .filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("doc_id"))
+    v.join(broadcast(q), col("owner_doc") =!= col("query_id"))
+      .withColumn("cos",
+        VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("owner_doc").as("doc_id"), expr("doc_id % 1000").as("chunk_idx"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive embedding training — for every
+    * vector, the most similar vector with a DIFFERENT label inside its
+    * IVF cell (the "hardest negative in the batch" an InfoNCE loss wants).
+    * Cell blocking keeps the pair space ∝ cell size, exactly like
+    * [[graft.operators.Dedup.semDedup]]'s pair stage; at real scale the
+    * cell is the partition key and each mining task is cell-local. */
+  def hardNegatives(emb: DataFrame): DataFrame = {
+    val v = withIvfCell(prepared(emb))
+    val a = v.as("a")
+    val b = v.as("b")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a.vec_id")).orderBy(col("cos").desc, col("b.vec_id"))
+    a.join(b,
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .withColumn("cos",
+        call_function("vec_dot", col("a.vec"), col("b.vec")) /
+          sqrt(col("a.sq") * col("b.sq")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
+        col("a.cell").as("cell"), col("b.vec_id").as("neg_id"),
+        col("b.label").as("neg_label"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF index-health report: per-cell population, corpus share, and
+    * balance factor (n · k / N — 1.0 = perfectly even). The list-length
+    * histogram an ANN deployment watches: a hot cell means its probes do
+    * disproportionate work (the p99-latency driver), an empty cell means
+    * wasted centroid budget — both say "retrain the centroids". Assignment
+    * is the same narrow literal-centroid argmax as the query path; the
+    * report is one cell-keyed aggregation (16-ish rows) plus windows on
+    * the collapsed frame. */
+  def ivfCellStats(emb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    withIvfCell(prepared(emb))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("share",
+        round(col("n_vecs").cast("double") / sum(col("n_vecs")).over(w), 6))
+      .withColumn("balance",
+        round(col("n_vecs").cast("double") * count(lit(1)).over(w) /
+          sum(col("n_vecs")).over(w), 4))
+      .orderBy(col("cell"))
+  }
+
   /** Cell assignment PLUS the winning score: same literal-centroid argmax
     * as [[withIvfCell]], but the struct max is computed once and both
     * fields are kept — `cell` (assigned centroid) and `cent_cos` (cosine
@@ -226,16 +319,23 @@ object Similarity {
     * broadcast; the corpus never shuffles into the join — identical to
     * [[bruteForceTopK]]. Zero-norm documents (hash-cancelled) are
     * excluded on both sides. */
-  def hashedDocTopK(docs: DataFrame, k: Int = 10, nQueries: Int = 3,
-      dims: Int = 16): DataFrame = {
-    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+  /** (doc_id, vec, sq): dense signed-count hash vectors over any
+    * (doc_id, text) frame — the model-free text→vector bridge shared by
+    * [[hashedDocTopK]] and [[chunkTopK]]. */
+  private def hashedDense(df: DataFrame, dims: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(df.sparkSession)
     val cells = (0 until dims).map(d =>
       sum(when(col("dim") === d, col("val")).otherwise(0L)).cast("double"))
-    val v = TextAnalysis.featureHash(docs, dims)
+    TextAnalysis.featureHash(df, dims)
       .groupBy(col("doc_id"))
       .agg(array(cells: _*).as("vec"))
       .withColumn("sq", VectorMath.normSq("vec"))
       .filter(col("sq") > 0.0)
+  }
+
+  def hashedDocTopK(docs: DataFrame, k: Int = 10, nQueries: Int = 3,
+      dims: Int = 16): DataFrame = {
+    val v = hashedDense(docs, dims)
     val q = v.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
     val w = org.apache.spark.sql.expressions.Window

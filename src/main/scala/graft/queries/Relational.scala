@@ -107,6 +107,37 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     }),
+    // A: full-cube margins — the BI cross-tab ROLLUP cannot express (the
+    // (null, status) column margins). One shuffle of map-side partials,
+    // each input row expanded to its 4 grouping sets pre-aggregation.
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+    // Hot-key diagnosis: the report that decides whether a join/agg key
+    // needs salting (feeds agg_salted_skew's remedy). Collapse to per-key
+    // counts (one shuffle), then rank the collapsed frame — top keys with
+    // corpus share and ratio-to-average; everything after the first
+    // aggregation is key-cardinality-sized, and the global sort is a
+    // TakeOrdered top-10, never a full sort.
+    "diag_skew" -> ((s, dir) => {
+      val w = Window.partitionBy()
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rows"))
+        .withColumn("share",
+          round(col("n_rows").cast("double") / sum(col("n_rows")).over(w), 6))
+        .withColumn("ratio_to_avg",
+          round(col("n_rows").cast("double") * count(lit(1)).over(w) /
+            sum(col("n_rows")).over(w), 4))
+        .orderBy(col("n_rows").desc, col("o_custkey"))
+        .limit(10)
+    }),
     // A: count(DISTINCT x) (CLICKHOUSE.md:389,456).
     "agg_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -256,6 +287,31 @@ object Relational {
         .withColumn("rolling_value", round(sum(col("value")).over(w), 4))
         .select(col("user_id"), col("event_id"), col("rolling_value"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+    // W: rolling z-score anomaly detection — per (event_type, day) volume
+    // scored against its own trailing 7-day window (the ops-monitoring /
+    // crawl-health query). Mean/variance come from exact integer frame
+    // sums (n, n², count) so both engines run identical double arithmetic
+    // — never the engine's own streaming stddev, whose rounding differs.
+    "win_zscore_anomaly" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cnt_w", count(col("n")).over(w))
+        .withColumn("sum_w", sum(col("n")).over(w))
+        .withColumn("sum2_w", sum(col("n") * col("n")).over(w))
+        .filter(col("cnt_w") >= 3)
+        .withColumn("mean_w", col("sum_w").cast("double") / col("cnt_w"))
+        .withColumn("var_w",
+          (col("sum2_w").cast("double") -
+            col("sum_w").cast("double") * col("sum_w") / col("cnt_w")) / col("cnt_w"))
+        .filter(col("var_w") > 0)
+        .withColumn("z", round((col("n") - col("mean_w")) / sqrt(col("var_w")), 4))
+        .select(col("event_type"), col("day"), col("n"),
+          round(col("mean_w"), 4).as("mean_w"), col("z"))
+        .orderBy(col("event_type"), col("day"))
     }),
     // W: ranking family — dense_rank + ntile over order value per segment.
     "win_ranking" -> ((s, dir) => {
@@ -519,6 +575,44 @@ object Relational {
          CAST(COUNT(*) AS BIGINT) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "win_zscore_anomaly" ->
+      """WITH d AS (
+           SELECT event_type, DATE_TRUNC('day', ts) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, day, n,
+                  COUNT(n) OVER win AS cnt_w,
+                  SUM(n) OVER win AS sum_w,
+                  SUM(n * n) OVER win AS sum2_w
+           FROM d
+           WINDOW win AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+         f AS (
+           SELECT event_type, day, n,
+                  sum_w::DOUBLE / cnt_w AS mean_w,
+                  (sum2_w::DOUBLE - sum_w::DOUBLE * sum_w / cnt_w) / cnt_w AS var_w
+           FROM w WHERE cnt_w >= 3)
+         SELECT event_type, day, n, ROUND(mean_w, 4) AS mean_w,
+                ROUND((n - mean_w) / sqrt(var_w), 4) AS z
+         FROM f WHERE var_w > 0 ORDER BY event_type, day""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "diag_skew" ->
+      """WITH c AS (
+           SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM orders GROUP BY o_custkey),
+         s AS (
+           SELECT o_custkey, n_rows,
+                  ROUND(n_rows::DOUBLE / SUM(n_rows) OVER (), 6) AS share,
+                  ROUND(n_rows::DOUBLE * COUNT(*) OVER () / SUM(n_rows) OVER (), 4) AS ratio_to_avg
+           FROM c)
+         SELECT o_custkey, n_rows, share, ratio_to_avg FROM s
+         ORDER BY n_rows DESC, o_custkey LIMIT 10""",
     "agg_distinct" ->
       """SELECT l_returnflag,
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,

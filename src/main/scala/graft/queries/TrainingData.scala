@@ -130,7 +130,13 @@ object TrainingData {
     "clean_boilerplate" -> ((s, dir) => Cleaning.boilerplateRewrite(docs(s, dir))),
     "decon_fuzzy" -> ((s, dir) => Contamination.fuzzyContaminatedDocs(docs(s, dir))),
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(docs(s, dir))),
-    "text_nb_calibration" -> ((s, dir) => TextAnalysis.nbCalibration(docs(s, dir)))
+    "text_nb_calibration" -> ((s, dir) => TextAnalysis.nbCalibration(docs(s, dir))),
+    "cur_epochs" -> ((s, dir) => Curation.epochsSummary(docs(s, dir))),
+    "sim_ivf_stats" -> ((s, dir) => Similarity.ivfCellStats(emb(s, dir))),
+    "sim_chunk_topk" -> ((s, dir) => Similarity.chunkTopK(docs(s, dir))),
+    "sim_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
+    "text_bpe_eval" -> ((s, dir) => Bpe.tokenizeEval(docs(s, dir))),
+    "cur_dsir" -> ((s, dir) => Curation.dsirSelect(docs(s, dir)))
   )
 
   // ────────────────────────────────────────────────────────────────────────
@@ -451,8 +457,12 @@ object TrainingData {
   /** Word-frequency table, char-level symbol strings, and three unrolled
     * learning rounds (b1..b3 hold the learned merges) — shared by the
     * text_bpe_* mirrors. */
-  private val bpeLearnCtes: String =
-    s"""tkw AS (SELECT unnest(toks) AS word FROM base),
+  private val bpeLearnCtes: String = bpeLearnCtesWhere("")
+
+  /** [[bpeLearnCtes]] with a doc-level WHERE on the learning corpus (e.g.
+    * the train-split predicate for text_bpe_eval). */
+  private def bpeLearnCtesWhere(where: String): String =
+    s"""tkw AS (SELECT unnest(toks) AS word FROM base $where),
        |w AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM tkw
        |  WHERE word <> '' AND strpos(word, chr(1)) = 0 GROUP BY word),
@@ -928,6 +938,65 @@ object TrainingData {
          |       ROUND(SUM(c.n_chars)::DOUBLE / SUM(c.n_syms), 4) AS compression
          |FROM tkf t JOIN cnt c USING (word)
          |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_eval" ->
+      s"""WITH $baseCte,
+         |${bpeLearnCtesWhere(
+             s"WHERE NOT (${h64("doc_id::VARCHAR || '#split1'")} % 1000 < 100)")},
+         |tkd AS (SELECT doc_id, unnest(toks) AS word FROM base),
+         |tkf AS (
+         |  SELECT doc_id, word,
+         |         CASE WHEN ${h64("doc_id::VARCHAR || '#split1'")} % 1000 < 100
+         |           THEN 'heldout' ELSE 'train' END AS split
+         |  FROM tkd
+         |  WHERE word <> '' AND strpos(word, chr(1)) = 0),
+         |sy0 AS (
+         |  SELECT word, chr(1) || chr(1) ||
+         |         regexp_replace(word, '(.)', '\\1' || chr(1) || chr(1), 'g') AS syms
+         |  FROM (SELECT DISTINCT word FROM tkf)),
+         |${bpeApplyCte(1, "sy0")},
+         |${bpeApplyCte(2, "sy1")},
+         |${bpeApplyCte(3, "sy2")},
+         |cnt AS (
+         |  SELECT word, length(word)::BIGINT AS n_chars,
+         |         len(string_split(trim(replace(syms, chr(1) || chr(1), ' ')), ' '))::BIGINT AS n_syms
+         |  FROM sy3)
+         |SELECT t.split,
+         |       CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_docs,
+         |       CAST(SUM(c.n_chars) AS BIGINT) AS n_base_syms,
+         |       CAST(SUM(c.n_syms) AS BIGINT) AS n_bpe_syms,
+         |       ROUND(SUM(c.n_chars)::DOUBLE / SUM(c.n_syms), 4) AS compression
+         |FROM tkf t JOIN cnt c USING (word)
+         |GROUP BY t.split ORDER BY split""".stripMargin,
+
+    "cur_dsir" ->
+      s"""WITH $baseCte,
+         |tk AS (
+         |  SELECT doc_id, tok, (doc_id % 50 = 0) AS is_target
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) t
+         |  WHERE tok <> ''),
+         |m AS (
+         |  SELECT tok,
+         |         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+         |         CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
+         |  FROM tk GROUP BY tok),
+         |st AS (
+         |  SELECT CAST(SUM(cnt_t) AS BIGINT) AS tot_t,
+         |         CAST(SUM(cnt_r) AS BIGINT) AS tot_r,
+         |         CAST(COUNT(*) AS BIGINT) AS v
+         |  FROM m),
+         |sc AS (
+         |  SELECT tk.doc_id,
+         |         CAST(ROUND(-ln((m.cnt_r + 1)::DOUBLE / (st.tot_r + st.v)::DOUBLE)
+         |           * 1000000) AS BIGINT)
+         |       - CAST(ROUND(-ln((m.cnt_t + 1)::DOUBLE / (st.tot_t + st.v)::DOUBLE)
+         |           * 1000000) AS BIGINT) AS w
+         |  FROM tk JOIN m USING (tok) CROSS JOIN st
+         |  WHERE NOT tk.is_target)
+         |SELECT doc_id, CAST(SUM(w) AS BIGINT) AS weight_micro,
+         |       CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |FROM sc GROUP BY doc_id
+         |ORDER BY weight_micro DESC, doc_id LIMIT 50""".stripMargin,
 
     "passage_top" ->
       s"""WITH $baseCte, $augCte, $passageGramCtes
@@ -1865,7 +1934,124 @@ object TrainingData {
          |                            ORDER BY tf * idf_micro DESC, tok) AS rk
          |  FROM sc)
          |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, tf, df, tfidf_micro
-         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+         |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "cur_epochs" ->
+      s"""WITH c AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY source),
+         |tot AS (
+         |  SELECT SUM(tokens)::DOUBLE AS tott,
+         |         ${fold("list(sqrt(tokens::DOUBLE) ORDER BY source)", "0.0::DOUBLE",
+                "(x, y) -> x + y")} AS sumw
+         |  FROM c),
+         |r AS (
+         |  SELECT c.source,
+         |         CAST(floor((t.tott * 2.0 * (sqrt(c.tokens::DOUBLE) / t.sumw)
+         |                     / c.tokens::DOUBLE) * 1000000) AS BIGINT) AS epochs_micro
+         |  FROM c, tot t),
+         |e AS (
+         |  SELECT d.source, r.epochs_micro,
+         |         len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_toks,
+         |         (r.epochs_micro // 1000000) +
+         |           CASE WHEN ${h64("d.doc_id::VARCHAR || '#epoch1'")} % 1000000
+         |                     < r.epochs_micro % 1000000
+         |             THEN 1 ELSE 0 END AS n_emit
+         |  FROM documents d JOIN r ON d.source = r.source)
+         |SELECT source, MAX(epochs_micro) AS epochs_micro,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |       CAST(SUM(n_emit) AS BIGINT) AS n_emitted,
+         |       ROUND(SUM(n_emit)::DOUBLE / COUNT(*), 4) AS realized_epochs
+         |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    "sim_ivf_stats" ->
+      s"""WITH $vecCte,
+         |cents AS (
+         |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |assign AS (
+         |  SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT vn.vec_id, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM vn, cents c) t WHERE crank = 1),
+         |a AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY cell)
+         |SELECT cell, n_vecs,
+         |       ROUND(n_vecs::DOUBLE / SUM(n_vecs) OVER (), 6) AS share,
+         |       ROUND(n_vecs::DOUBLE * COUNT(*) OVER () / SUM(n_vecs) OVER (), 4) AS balance
+         |FROM a ORDER BY cell""".stripMargin,
+
+    "sim_chunk_topk" -> {
+      val cells = (0 until 16)
+        .map(d => s"SUM(CASE WHEN dim = $d THEN val ELSE 0 END)")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      s"""WITH $baseCte,
+         |wd AS (
+         |  SELECT doc_id, list_filter(toks, t -> t <> '') AS words FROM base
+         |  WHERE len(list_filter(toks, t -> t <> '')) > 0),
+         |ci AS (
+         |  SELECT doc_id, words,
+         |         unnest(range(0, CAST(ceil(len(words) / 32.0) AS INT))) AS i
+         |  FROM wd),
+         |cf AS (
+         |  SELECT cid, ${h64("tok")} % 16 AS dim,
+         |         CASE WHEN ${h64("'s#' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT doc_id * 1000 + i AS cid,
+         |               unnest(words[(i*32+1)::INT:(i*32+32)::INT]) AS tok
+         |        FROM ci) t
+         |  WHERE tok <> ''),
+         |cfh AS (SELECT cid, dim, SUM(sgn) AS val FROM cf GROUP BY 1, 2),
+         |cdense AS (SELECT cid, $cells AS vec FROM cfh GROUP BY cid),
+         |cv AS (
+         |  SELECT cid, vec, ${dotD("vec", "vec", 16)} AS sq FROM cdense
+         |  WHERE ${dotD("vec", "vec", 16)} > 0.0),
+         |qf AS (
+         |  SELECT doc_id, ${h64("tok")} % 16 AS dim,
+         |         CASE WHEN ${h64("'s#' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) t
+         |  WHERE tok <> ''),
+         |qfh AS (SELECT doc_id, dim, SUM(sgn) AS val FROM qf GROUP BY 1, 2),
+         |qdense AS (SELECT doc_id, $cells AS vec FROM qfh GROUP BY doc_id),
+         |q AS (
+         |  SELECT doc_id AS query_id, vec AS qvec, ${dotD("vec", "vec", 16)} AS qsq
+         |  FROM qdense WHERE doc_id < 3 AND ${dotD("vec", "vec", 16)} > 0.0),
+         |scored AS (
+         |  SELECT q.query_id, cv.cid,
+         |         ${dotD("cv.vec", "q.qvec", 16)} / sqrt(cv.sq * q.qsq) AS cos
+         |  FROM cv, q WHERE cv.cid // 1000 <> q.query_id),
+         |r AS (SELECT query_id, cid, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cid) AS rank
+         |      FROM scored)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank,
+         |       cid // 1000 AS doc_id, cid % 1000 AS chunk_idx, ROUND(cos, 6) AS cos
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+
+    "sim_hard_negatives" ->
+      s"""WITH $vecCte,
+         |cents AS (
+         |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |assign AS (
+         |  SELECT vec_id, label, vec, sq, centroid_id AS cell FROM (
+         |    SELECT vn.vec_id, vn.label, vn.vec, vn.sq, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM vn, cents c) t WHERE crank = 1),
+         |p AS (
+         |  SELECT a.vec_id, a.label, a.cell, b.vec_id AS neg_id, b.label AS neg_label,
+         |         ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id AND a.label <> b.label),
+         |r AS (SELECT vec_id, label, cell, neg_id, neg_label, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rk
+         |      FROM p)
+         |SELECT vec_id, label, cell, neg_id, neg_label, ROUND(cos, 6) AS cos
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
   )
 
   /** One greedy k-center round for the `cur_kcenter` mirror: s{r} picks the

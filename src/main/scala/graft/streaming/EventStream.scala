@@ -40,6 +40,39 @@ object EventStream {
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming volume-anomaly monitor — the stream twin of the batch
+    * `win_zscore_anomaly` query: per (event-time window, event_type)
+    * volumes z-scored against a REFERENCE profile (mean/std per type,
+    * fit offline by the batch query over history and passed in as
+    * config, exactly like [[graft.streaming.DocStream.mixDriftMonitor]]'s
+    * reference shares). An event type absent from the reference profile
+    * is itself anomalous (a never-seen traffic class). Watermarked
+    * tumbling windows — append-safe, state bounded by live windows ×
+    * types; the reference is a literal CASE chain, so the whole monitor
+    * is one windowed aggregation plus narrow arithmetic. */
+  def volumeAnomalyMonitor(events: DataFrame,
+      ref: Map[String, (Double, Double)], windowLen: String = "1 hour",
+      lateness: String = "10 minutes", zThreshold: Double = 3.0): DataFrame = {
+    require(ref.nonEmpty, "reference volume profile is empty")
+    require(ref.values.forall(_._2 > 0), "reference stddev must be positive")
+    def lookup(f: ((Double, Double)) => Double) =
+      ref.toSeq.sortBy(_._1).foldLeft(lit(null).cast("double")) {
+        case (acc, (t, ms)) => when(col("event_type") === t, lit(f(ms))).otherwise(acc)
+      }
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("ref_mean", lookup(_._1))
+      .withColumn("ref_std", lookup(_._2))
+      .withColumn("z",
+        round((col("n_events") - col("ref_mean")) / col("ref_std"), 4))
+      .withColumn("anomalous",
+        col("ref_mean").isNull || abs(col("z")) > zThreshold)
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("z"), col("anomalous"))
+  }
+
   /** Event-time sessionization with a gap timeout: a user's session closes
     * after `gapMinutes` without events (or on watermark timeout), emitting
     * one [[UserSession]] row. Custom state via flatMapGroupsWithState —

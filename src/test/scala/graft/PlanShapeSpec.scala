@@ -249,6 +249,68 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(idxWindow >= 0 && p.substring(idxWindow).contains("HashAggregate"), p.take(2000))
   }
 
+  test("cube expands grouping sets before ONE aggregation shuffle") {
+    val p = plan("agg_cube")
+    assert(p.contains("Expand"), p.take(2000))
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(!p.contains("Join"))
+  }
+
+  test("skew diagnosis collapses to per-key counts first; windows rank the collapsed frame") {
+    val p = plan("diag_skew")
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(!p.contains("Join"))
+    // the global-total window consumes the aggregate, not the scan
+    val idxWindow = p.indexOf("Window")
+    val idxAgg = p.indexOf("HashAggregate")
+    assert(idxWindow >= 0 && idxAgg >= 0 && idxWindow < idxAgg, p.take(2000))
+  }
+
+  test("epochs application is map-side arithmetic into one source-keyed aggregation") {
+    val p = plan("cur_epochs")
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("ivf cell stats: assignment is narrow — the only hash shuffle is the cell aggregation") {
+    val p = plan("sim_ivf_stats")
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("chunk retrieval broadcasts queries; chunk vectors never shuffle into the join") {
+    val p = plan("sim_chunk_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"chunk retrieval shuffles text: $l"))
+  }
+
+  test("hard negatives join inside the cell — keyed join, never a nested loop") {
+    val p = plan("sim_hard_negatives")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(p.contains("cell"), p.take(2000))
+  }
+
+  test("rolling z-score: one day-bucket aggregation, then windows on the collapsed frame") {
+    val p = plan("win_zscore_anomaly")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(count(p, "Exchange hashpartitioning") === 2, p.take(2000)) // day agg + per-type window
+    val idxWindow = p.indexOf("Window")
+    val idxAgg = p.indexOf("HashAggregate")
+    assert(idxWindow >= 0 && idxAgg >= 0 && idxWindow < idxAgg, p.take(2000))
+  }
+
+  test("dsir: word-count shape with a broadcast stats row and a truncated top-k") {
+    val p = plan("cur_dsir")
+    assert(!p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"cur_dsir shuffles text: $l"))
+    assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

@@ -276,6 +276,42 @@ class StreamingSpec extends AnyFunSuite {
       4L -> "new", 5L -> "duplicate"))
   }
 
+  test("volume anomaly monitor passes normal windows, flags floods and unknown types") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // reference profile: clicks run 3±1 per hour
+    val ref = Map("click" -> (3.0, 1.0))
+    val query = EventStream.volumeAnomalyMonitor(mem.toDF(), ref, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("vol_anomaly")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def ev(id: Long, typ: String, h: Int, m: Int) =
+      Event(1L, id, typ, Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00"), 1.0)
+    // hour 1: 3 clicks (on-profile); hour 2: 10 clicks (flood) + a type
+    // the profile has never seen
+    mem.addData(ev(1, "click", 1, 0), ev(2, "click", 1, 10), ev(3, "click", 1, 20))
+    query.processAllAvailable()
+    mem.addData((1 to 10).map(i => ev(100 + i, "click", 2, i)): _*)
+    mem.addData(ev(200, "ddos_probe", 2, 30))
+    query.processAllAvailable()
+    mem.addData(ev(300, "click", 6, 0)) // advance watermark, close both windows
+    query.processAllAvailable()
+    val rows = spark.sql(
+      """SELECT window_start, event_type, n_events, z, anomalous
+        |FROM vol_anomaly ORDER BY window_start, event_type""".stripMargin)
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .toMap
+    query.stop()
+    val h1 = rows(("2024-01-01 01:00:00.0", "click"))
+    assert(h1 === ((3L, Some(0.0), false)))
+    val h2 = rows(("2024-01-01 02:00:00.0", "click"))
+    assert(h2._1 === 10L && h2._2.contains(7.0) && h2._3, s"flood not flagged: $h2")
+    val unk = rows(("2024-01-01 02:00:00.0", "ddos_probe"))
+    assert(unk._2.isEmpty && unk._3, "unknown event type must be anomalous")
+  }
+
   test("mix-drift monitor flags the skewed window and passes the on-mix window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1208,6 +1208,87 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(m.values.sum === Dedup.minhashLshPairs(docs).count())
   }
 
+  test("dsir ranks target-vocabulary documents first and never selects the target itself") {
+    import spark.implicits._
+    val synth = Seq(
+      (0L, "alpha beta gamma alpha beta", "en"),   // target (0 % 50 == 0)
+      (50L, "alpha gamma beta gamma", "en"),        // target
+      (7L, "alpha beta gamma beta", "en"),          // speaks the target's language
+      (8L, "xray yankee zulu xray", "en"),          // off-domain
+      (9L, "other words entirely here", "en")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curation.dsirSelect(synth, topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(!out.map(_._1).exists(id => id % 50 == 0), "target docs must not be selected")
+    assert(out.head._1 === 7L, s"most target-like doc should lead: ${out.toSeq}")
+    val w = out.toMap
+    assert(w(7L) > w(8L) && w(7L) > w(9L))
+  }
+
+  test("bpe eval: train-split-learned merges compress both splits; splits partition the corpus") {
+    val rows = graft.operators.Bpe.tokenizeEval(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(rows.keySet === Set("heldout", "train"))
+    assert(rows.values.map(_._1).sum === docs.count())
+    // merges only ever shrink symbol counts, so compression >= 1 everywhere
+    rows.values.foreach { case (_, c) => assert(c >= 1.0, s"compression $c < 1") }
+  }
+
+  test("chunk retrieval finds a verbatim passage buried inside another document at rank 1") {
+    import spark.implicits._
+    val passage = (1 to 32).map(i => s"p$i").mkString(" ")
+    val filler = (1 to 32).map(i => s"f$i").mkString(" ")
+    val synth = Seq(
+      (0L, passage, "en"),                 // query doc = the passage itself
+      (1L, (1 to 8).map(i => s"q1x$i").mkString(" "), "en"),
+      (2L, (1 to 8).map(i => s"q2x$i").mkString(" "), "en"),
+      (5L, s"$filler $passage", "en"),     // passage hidden at chunk 1
+      (6L, (1 to 40).map(i => s"n$i").mkString(" "), "en")
+    ).toDF("doc_id", "text", "lang")
+    val top = Similarity.chunkTopK(synth).collect()
+      .filter(_.getLong(0) == 0L).minBy(_.getLong(1))
+    assert(top.getLong(2) === 5L, "top chunk must come from doc 5")
+    assert(top.getLong(3) === 1L, "the buried passage is chunk 1")
+    assert(top.getDouble(4) === 1.0, "verbatim passage => cosine 1.0")
+  }
+
+  test("hard negatives pair each vector with its most similar different-label cellmate") {
+    val rows = Similarity.hardNegatives(emb).collect()
+    assert(rows.nonEmpty)
+    val byVec = rows.groupBy(_.getLong(0))
+    assert(byVec.values.forall(_.length == 1), "one hardest negative per vector")
+    rows.foreach { r =>
+      assert(r.getInt(1) !== r.getInt(4), "negative must carry a different label")
+      assert(r.getDouble(5) <= 1.0 + 1e-9 && r.getDouble(5) >= -1.0 - 1e-9)
+    }
+  }
+
+  test("epochs plan: sqrt damping repeats small sources more; emission respects floor/ceil") {
+    val rows = Curation.epochsSummary(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._3).sum === docs.count())
+    // epochs ∝ 1/sqrt(tokens): fewer-token sources must repeat at least as much
+    rows.sortBy(_._4).sliding(2).foreach {
+      case Array((_, e1, _, t1, _), (_, e2, _, t2, _)) if t1 < t2 =>
+        assert(e1 >= e2, s"source with $t1 tokens repeats less than one with $t2")
+      case _ =>
+    }
+    // stochastic rounding: emitted count per source within [floor, ceil] per doc
+    rows.foreach { case (src, micro, nDocs, _, emitted) =>
+      assert(emitted >= (micro / 1000000L) * nDocs, src)
+      assert(emitted <= (micro / 1000000L + 1) * nDocs, src)
+    }
+  }
+
+  test("ivf cell stats cover the corpus and balance averages to one") {
+    val rows = Similarity.ivfCellStats(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._2).sum === emb.count())
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-3, "shares must sum to 1")
+    val meanBalance = rows.map(_._4).sum / rows.length
+    assert(math.abs(meanBalance - 1.0) < 0.05, s"mean balance $meanBalance")
+  }
+
   test("boilerplate rewrite cuts exactly the shared chunks and rebuilds the remainder in order") {
     import spark.implicits._
     // three docs: A and B share an aligned 8-word banner chunk; C is clean.
