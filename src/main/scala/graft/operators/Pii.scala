@@ -69,6 +69,14 @@ object Pii {
       regexp_replace(c, lit(pat), lit(repl))
     }
 
+  /** The four per-kind count columns appended in one narrow projection —
+    * shared with the streaming monitor ([[graft.streaming.DocStream]]). */
+  private[graft] def withCounts(df: DataFrame): DataFrame =
+    df.withColumn("n_email", countOf(EmailRe))
+      .withColumn("n_phone", countOf(PhoneRe))
+      .withColumn("n_ip", countOf(IpRe))
+      .withColumn("n_ssn", countOf(SsnRe))
+
   /** Per-document PII scan over ALREADY-DIRTY text — the production entry
     * point (mirrors [[Dedup]] exposing both augmented and raw-input APIs):
     * per-kind span counts plus a portable fingerprint of the redacted text

@@ -663,6 +663,48 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** PMI collocations — the corpus's strongest two-word associations
+    * (pointwise mutual information over bigram vs unigram frequencies),
+    * the classic phrase-mining / tokenizer-vocab-seeding signal. A
+    * min-support floor keeps rare-pair noise out (PMI's known failure
+    * mode); the single transcendental is computed from exact integer
+    * counts with an expression written identically in both engines, then
+    * rounded once to micro-nats.
+    *
+    * Scale shape: the word-count shape twice (bigram + unigram
+    * aggregations via the positional `word_ngrams` kernel), the two corpus
+    * totals ride a 1-row broadcast, candidate pairs (support ≥ floor) join
+    * their unigram counts on the token key, and the report is a TakeOrdered
+    * top-k. No text in any Exchange. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+      topK: Int = 30): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val uni = withTokens(docs)
+      .select(explode(col("toks")).as("tok")).filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = withTokens(docs)
+      .select(explode(call_function("word_ngrams", col("text"), lit(2))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("tt"))
+      .crossJoin(withTokens(docs)
+        .select(explode(call_function("word_ngrams", col("text"), lit(2))).as("bg"))
+        .agg(count(lit(1)).as("bb")))
+    bi
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_micro",
+        round(log((col("c_ab").cast("double") / col("bb")) /
+          ((col("c_a").cast("double") / col("tt")) *
+            (col("c_b").cast("double") / col("tt")))) * 1e6).cast("long"))
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bg"))
+      .limit(topK)
+  }
+
   def bigramScores(docs: DataFrame): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val bi = withTokens(docs)

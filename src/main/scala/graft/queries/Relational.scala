@@ -138,6 +138,68 @@ object Relational {
         .orderBy(col("n_rows").desc, col("o_custkey"))
         .limit(10)
     }),
+    // A: Pearson correlation per group — computed from EXACT integer sums
+    // (quantity is integral, price is cents) carried in decimals so no
+    // long overflow and no order-dependent double accumulation; the one
+    // double formula is written identically in the oracle. Never the
+    // engine's own corr(), whose streaming accumulation rounds differently.
+    "agg_corr" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("x"),
+          round(col("l_extendedprice") * 100).cast("long").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
+          sum(expr("cast(y * y as decimal(38,0))")).as("syy"),
+          sum(expr("cast(x * y as decimal(38,0))")).as("sxy"))
+        .withColumn("corr_qty_price",
+          round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6))
+        .select(col("l_returnflag"), col("n"), col("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // A: histogram-sketch quantiles — the scale path for percentiles when
+    // a per-group sort (agg_percentile's exact path) is too expensive: a
+    // (min, max) pass, a fixed 128-bin count pass, and in-bin linear
+    // interpolation at the first cumulative crossing. Two aggregations
+    // regardless of corpus size; the exact twin stays beside it to
+    // measure the sketch error.
+    "agg_histogram_quantile" -> ((s, dir) => {
+      val bins = 128
+      val base = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+      val stats = base.groupBy(col("grp"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"),
+          count(lit(1)).as("n"))
+      val wq = Window.partitionBy(col("grp"), col("q")).orderBy(col("bin"))
+      base.join(broadcast(stats), Seq("grp"))
+        .withColumn("bin",
+          least(lit(bins - 1),
+            floor((col("v") - col("mn")) / (col("mx") - col("mn")) * bins))
+            .cast("int"))
+        .groupBy(col("grp"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(stats), Seq("grp"))
+        .withColumn("q", explode(typedLit(Seq(0.5, 0.9))))
+        .withColumn("cum", sum(col("c")).over(wq))
+        .withColumn("target", col("q") * col("n"))
+        .filter(col("cum") >= col("target"))
+        .withColumn("rk", row_number().over(wq))
+        .filter(col("rk") === 1)
+        .withColumn("est",
+          round(col("mn") +
+            (col("bin") + (col("target") - (col("cum") - col("c"))) / col("c")) *
+              ((col("mx") - col("mn")) / bins), 4))
+        .select(col("grp").as("o_orderpriority"), col("q"), col("est"), col("n"))
+        .orderBy(col("o_orderpriority"), col("q"))
+    }),
     // A: count(DISTINCT x) (CLICKHOUSE.md:389,456).
     "agg_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -613,6 +675,49 @@ object Relational {
            FROM c)
          SELECT o_custkey, n_rows, share, ratio_to_avg FROM s
          ORDER BY n_rows DESC, o_custkey LIMIT 10""",
+    "agg_corr" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+                  CAST(l_quantity AS BIGINT) AS x,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+         a AS (
+           SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                  SUM(x * x)::DOUBLE AS sxx, SUM(y * y)::DOUBLE AS syy,
+                  SUM(x * y)::DOUBLE AS sxy
+           FROM b GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+                ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy::DOUBLE) /
+                      (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx::DOUBLE) *
+                       sqrt(n::DOUBLE * syy - sy::DOUBLE * sy::DOUBLE)), 6)
+                  AS corr_qty_price
+         FROM a ORDER BY l_returnflag""",
+    "agg_histogram_quantile" ->
+      """WITH b AS (SELECT o_orderpriority AS grp, o_totalprice AS v FROM orders),
+         st AS (
+           SELECT grp, MIN(v) AS mn, MAX(v) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+           FROM b GROUP BY grp),
+         h AS (
+           SELECT b.grp,
+                  LEAST(127, FLOOR((b.v - st.mn) / (st.mx - st.mn) * 128))::INT AS bin,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM b JOIN st USING (grp) GROUP BY 1, 2),
+         hq AS (
+           SELECT h.grp, h.bin, h.c, st.mn, st.mx, st.n, q.q
+           FROM h JOIN st USING (grp), (SELECT unnest([0.5, 0.9]) AS q) q),
+         wc AS (
+           SELECT grp, bin, c, mn, mx, n, q,
+                  SUM(c) OVER (PARTITION BY grp, q ORDER BY bin) AS cum
+           FROM hq),
+         sel AS (
+           SELECT grp, bin, c, mn, mx, n, q, cum,
+                  ROW_NUMBER() OVER (PARTITION BY grp, q ORDER BY bin) AS rk
+           FROM wc WHERE cum >= q * n)
+         SELECT grp AS o_orderpriority, q,
+                ROUND(mn + (bin + (q * n - (cum - c)) / c) * ((mx - mn) / 128), 4) AS est,
+                n
+         FROM sel WHERE rk = 1 ORDER BY o_orderpriority, q""",
     "agg_distinct" ->
       """SELECT l_returnflag,
          CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,

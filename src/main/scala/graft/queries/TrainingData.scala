@@ -136,7 +136,8 @@ object TrainingData {
     "sim_chunk_topk" -> ((s, dir) => Similarity.chunkTopK(docs(s, dir))),
     "sim_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
     "text_bpe_eval" -> ((s, dir) => Bpe.tokenizeEval(docs(s, dir))),
-    "cur_dsir" -> ((s, dir) => Curation.dsirSelect(docs(s, dir)))
+    "cur_dsir" -> ((s, dir) => Curation.dsirSelect(docs(s, dir))),
+    "text_pmi" -> ((s, dir) => TextAnalysis.pmiCollocations(docs(s, dir)))
   )
 
   // ────────────────────────────────────────────────────────────────────────
@@ -997,6 +998,34 @@ object TrainingData {
          |       CAST(COUNT(*) AS BIGINT) AS n_tokens
          |FROM sc GROUP BY doc_id
          |ORDER BY weight_micro DESC, doc_id LIMIT 50""".stripMargin,
+
+    "text_pmi" ->
+      s"""WITH $baseCte,
+         |bg0 AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i::INT] || ' ' || toks[(i+1)::INT])) AS bg
+         |  FROM base WHERE len(toks) >= 2),
+         |uni AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(toks) AS tok FROM base) t
+         |  WHERE tok <> '' GROUP BY tok),
+         |bigc AS (
+         |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg0 GROUP BY bg
+         |  HAVING COUNT(*) >= 5),
+         |tots AS (
+         |  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS tt,
+         |         (SELECT CAST(COUNT(*) AS BIGINT) FROM bg0) AS bb),
+         |sc AS (
+         |  SELECT b.bg, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+         |         CAST(ROUND(ln((b.c_ab::DOUBLE / t.bb) /
+         |           ((ua.c::DOUBLE / t.tt) * (ub.c::DOUBLE / t.tt)))
+         |           * 1000000) AS BIGINT) AS pmi_micro
+         |  FROM bigc b
+         |  JOIN uni ua ON split_part(b.bg, ' ', 1) = ua.tok
+         |  JOIN uni ub ON split_part(b.bg, ' ', 2) = ub.tok
+         |  CROSS JOIN tots t)
+         |SELECT bg, c_ab, c_a, c_b, pmi_micro
+         |FROM sc ORDER BY pmi_micro DESC, bg LIMIT 30""".stripMargin,
 
     "passage_top" ->
       s"""WITH $baseCte, $augCte, $passageGramCtes

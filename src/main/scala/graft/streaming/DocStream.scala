@@ -95,6 +95,33 @@ object DocStream {
         col("lang"), col("n_docs"), col("total_tokens"), col("avg_quality"))
   }
 
+  /** Streaming PII monitor — the privacy alarm BEFORE data lands: per
+    * event-time window, how many arriving documents carry PII spans and
+    * how many spans of each kind (the same codegen'd regexp projection as
+    * the batch [[graft.operators.Pii]] scanner, so stream and backfill
+    * agree exactly). A spike says a new source is leaking personal data
+    * into the crawl; the redaction step then runs before the sink.
+    * Watermarked tumbling windows, append-safe; the scan itself is
+    * narrow, so the monitor costs one windowed aggregation. */
+  def piiMonitor(docs: DataFrame, windowDur: String = "10 minutes",
+      delay: String = "10 minutes"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    graft.operators.Pii.withCounts(docs)
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") + col("n_ip") + col("n_ssn") > 0,
+          1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("n_email")).as("n_email"),
+        sum(col("n_phone")).as("n_phone"),
+        sum(col("n_ip")).as("n_ip"),
+        sum(col("n_ssn")).as("n_ssn"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("n_docs_with_pii"), col("n_email"), col("n_phone"),
+        col("n_ip"), col("n_ssn"))
+  }
+
   /** Streaming near-dup gate — the streaming sibling of
     * [[graft.operators.Dedup.minhashLshPairs]], for duplicates the digest
     * gate cannot see (truncated/edited copies). Custom state via

@@ -311,6 +311,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("correlation from exact sums is one shuffle of map-side partials") {
+    val p = plan("agg_corr")
+    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
+    assert(count(p, "HashAggregate") === 2)
+    assert(!p.contains("Join"))
+  }
+
+  test("histogram quantiles: two aggregation passes, stats broadcast back, no sort of the data") {
+    val p = plan("agg_histogram_quantile")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // the scale property: raw VALUES never shuffle — both aggregation
+    // passes combine map-side, so every hash Exchange carries partials /
+    // the tiny (group, bin) frame, never the value column itself
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains(" v#") && !l.contains("(v#"),
+        s"raw values reach a shuffle: $l"))
+  }
+
+  test("pmi: word-count aggregations, broadcast totals, truncated top-k, no text in Exchange") {
+    val p = plan("text_pmi")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"text_pmi shuffles text: $l"))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

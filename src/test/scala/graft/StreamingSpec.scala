@@ -312,6 +312,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(unk._2.isEmpty && unk._3, "unknown event type must be anomalous")
   }
 
+  test("pii monitor counts planted spans per window and passes clean windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val query = DocStream.piiMonitor(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("pii_monitor")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def doc(id: Long, text: String, h: Int) =
+      StreamDoc(id, text, "en", Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"))
+    mem.addData(
+      doc(1, "clean text here", 1),
+      doc(2, "contact bob@example.com or 192.168.1.5 now", 1),
+      doc(3, "all clean again", 2))
+    query.processAllAvailable()
+    mem.addData(doc(9, "watermark push", 6))
+    query.processAllAvailable()
+    val rows = spark.sql(
+      """SELECT window_start, n_docs, n_docs_with_pii, n_email, n_ip
+        |FROM pii_monitor ORDER BY window_start""".stripMargin).collect()
+      .map(r => r.getTimestamp(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    query.stop()
+    assert(rows("2024-01-01 01:00:00.0") === ((2L, 1L, 1L, 1L)))
+    assert(rows("2024-01-01 02:00:00.0") === ((1L, 0L, 0L, 0L)))
+  }
+
   test("mix-drift monitor flags the skewed window and passes the on-mix window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -1208,6 +1208,39 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(m.values.sum === Dedup.minhashLshPairs(docs).count())
   }
 
+  test("pmi surfaces a planted collocation above frequency-matched independent words") {
+    import spark.implicits._
+    // 'hong kong' always co-occur; 'red' and 'blue' are equally frequent
+    // but independent of each other
+    val synth = (0 until 40).map { i =>
+      val filler = Seq("red", "blue", "green", "car", "sky")(i % 5)
+      (i.toLong, s"hong kong visit $filler ${Seq("red", "blue")(i % 2)} trip", "en")
+    }.toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.pmiCollocations(synth, minCount = 5, topK = 30).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rows.contains("hong kong"))
+    val hk = rows("hong kong")
+    rows.filterNot(_._1 == "hong kong").values.foreach { pmi =>
+      assert(hk >= pmi, s"'hong kong' ($hk) must top the collocation list")
+    }
+  }
+
+  test("histogram quantile lands within one bin width of the exact percentile") {
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("v"))
+    val exact = base.groupBy("grp")
+      .agg(expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.9)").as("p90"),
+        (max(col("v")) - min(col("v"))).as("range"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val est = SparkEntry.queries("agg_histogram_quantile")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    exact.foreach { case (g, (p50, p90, range)) =>
+      val bw = range / 128
+      assert(math.abs(est((g, 0.5)) - p50) <= 2 * bw, s"$g p50: ${est((g, 0.5))} vs $p50")
+      assert(math.abs(est((g, 0.9)) - p90) <= 2 * bw, s"$g p90: ${est((g, 0.9))} vs $p90")
+    }
+  }
+
   test("dsir ranks target-vocabulary documents first and never selects the target itself") {
     import spark.implicits._
     val synth = Seq(
