@@ -19,6 +19,72 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Per-task maxima over a measured query — the skew detector: a
+    * quadratic blocking bucket or a single-partition window shows up as
+    * ONE task reading/shuffling the whole corpus, which wall-clock alone
+    * can hide behind 31 idle cores. */
+  private class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
+    @volatile var maxInput = 0L
+    @volatile var maxShuffleRead = 0L
+    def reset(): Unit = { maxInput = 0L; maxShuffleRead = 0L }
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        maxInput = math.max(maxInput, m.inputMetrics.bytesRead)
+        maxShuffleRead =
+          math.max(maxShuffleRead, m.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  /** Skew/scale soak: self-union the corpus `copies`× with a deliberately
+    * hot key family — every copy appends the same boilerplate line (hot
+    * chunk digests + hot SimHash buckets: each doc gains copies−1
+    * byte-identical twins) and collapses onto one language; orders copies
+    * collapse onto one hot custkey — then time the dedup/diag/calibration
+    * family and report per-query seconds plus the largest single-task
+    * input/shuffle-read. This is the measured regression gate for the r8
+    * plan-shape fixes (bucket frequency caps, broadcast-free bad-digest
+    * join, windowless totals, keyed rank windows): any of them reverting
+    * turns a bounded max-task number into "one task ate the corpus". */
+  private def soak(spark: SparkSession, sfDir: String, copies: Int): String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val hot = "all rights reserved subscribe to our newsletter for more updates terms of service apply to every visitor"
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until copies).map { i =>
+      val c = docs0.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      if (i == 0) c
+      else c.withColumn("text", concat(col("text"), lit(" " + hot)))
+        .withColumn("lang", lit("en"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val orders0 = spark.read.parquet(s"$sfDir/orders.parquet")
+    (0 until copies).map { i =>
+      if (i == 0) orders0 else orders0.withColumn("o_custkey", lit(1L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val listener = new MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    val family = Seq("dedup_exact", "clean_boilerplate", "dedup_simhash_pairs",
+      "dedup_winnow_pairs", "text_nb_calibration", "diag_skew")
+    val entries = family.map { name =>
+      listener.reset()
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir).count(); true }
+        catch { case _: Throwable => false }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400) // let straggler task-end events drain the bus
+      val mb = (b: Long) => math.rint(b / 1e5) / 10
+      val failStr = if (ok) "" else ",\"fail\":true"
+      s""""$name":{"sec":${math.rint(sec * 10) / 10},"max_task_in_mb":${mb(listener.maxInput)},"max_task_shuf_mb":${mb(listener.maxShuffleRead)}$failStr}"""
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    s"""{"copies":$copies,${entries.mkString(",")}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -76,6 +142,12 @@ object Bench {
       name -> (try best(2) { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })
     }
 
+    // skewed-corpus soak (disable with SPARK_GRAFT_SOAK=0)
+    val soakJson =
+      if (sys.env.get("SPARK_GRAFT_SOAK").contains("0")) "{}"
+      else try soak(spark, sfDir, copies = 5)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+
     // The driver captures only a bounded tail of stdout (~2k chars): the
     // r6 line with all 125 full-precision per-query entries was 4.4k and got
     // cut mid-stream (BENCH_r06 `parsed: null`). Keep the final JSON line
@@ -88,6 +160,15 @@ object Bench {
       .mkString("{", ",", "}")
     val fullPath = new java.io.File("target/bench_queries_full.json").getAbsolutePath
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullQs)
+    // the COMPLETE per-query map also goes to stdout as reassemblable
+    // chunked marker lines (each well under any line-length cut) printed
+    // BEFORE the headline, so the headline stays last even if the driver
+    // keeps only a stdout tail; a driver that keeps more gets the full map
+    // by concatenating the chunk payloads in order.
+    val chunks = fullQs.grouped(1500).toSeq
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      println(s"BENCH_JSON:${i + 1}/${chunks.size}:$c")
+    }
     val topN = 30
     val sorted = results.toSeq.sortBy(-_._2)
     val top = sorted.take(topN)
@@ -109,7 +190,8 @@ object Bench {
         s""","blocks_per_sec":${r1(decoded / decodeSec)}""" +
         s""","attestation_rows":$attRows,"attestation_rows_per_sec":${r1(attRows / explodeSec)}""" +
         s""","blocks_per_sec_by_fork":$forkJsonCompact""" +
-        s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(decoded / etlSec)}}""")
+        s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(decoded / etlSec)}""" +
+        s""","soak":$soakJson}""")
     spark.stop()
   }
 }

@@ -23,10 +23,15 @@ import org.apache.spark.sql.functions._
  * Scale shape (100 TB):
  *  - chunking is narrow, per-row lambda work; the chunk-frequency
  *    aggregation shuffles (digest) pairs only — never chunk text;
- *  - the boilerplate set (digests in ≥ minDocs distinct docs) is by
- *    construction the REPEATED subset — orders of magnitude smaller than
- *    the corpus — and is broadcast back against the narrowly recomputed
- *    chunk stream, so the corpus is never shuffled to be marked;
+ *  - the boilerplate set (digests in ≥ minDocs distinct docs) is the
+ *    REPEATED subset — usually small, but its size is corpus-dependent and
+ *    UNBOUNDED (a boilerplate-heavy crawl can have millions of shared
+ *    digests), so it is NOT broadcast: the mark-back is a shuffle hash
+ *    join co-partitioned on digest. The chunk stream already shuffles on
+ *    digest for the frequency count, so the join adds no new shuffle of
+ *    chunk text beyond the digest-keyed exchange it needs anyway, and the
+ *    per-partition hash map holds only that partition's slice of the bad
+ *    set — no driver collect, no single-executor broadcast build;
  *  - the rebuild is the one inherent doc-keyed shuffle: the output IS a
  *    rewritten corpus, so each document's surviving chunks must meet once.
  *    On a recurring pipeline, store the corpus bucketed by doc_id
@@ -66,14 +71,17 @@ object Cleaning {
   def rewriteRaw(corpus: DataFrame, chunkWords: Int = ChunkWords,
       minDocs: Int = MinDocs): DataFrame = {
     val chunks = chunked(TextAnalysis.withTokens(corpus), chunkWords)
-    // Boilerplate digests: the repeated subset only — broadcast-size by
-    // construction (a digest enters iff ≥ minDocs docs share it).
+    // Boilerplate digests: the repeated subset. Its size is unbounded in a
+    // boilerplate-heavy corpus, so it must never be broadcast — the
+    // shuffle_hash hint forces a digest-co-partitioned hash join (the bad
+    // side reuses its aggregation exchange; each partition builds a hash
+    // map over only its slice of the bad set).
     val bad = chunks.groupBy(col("digest"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("digest"), lit(true).as("is_boiler"))
     chunks
-      .join(broadcast(bad), Seq("digest"), "left_outer")
+      .join(bad.hint("shuffle_hash"), Seq("digest"), "left_outer")
       .withColumn("keep", col("is_boiler").isNull)
       .groupBy(col("doc_id"))
       .agg(

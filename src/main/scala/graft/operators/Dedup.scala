@@ -325,9 +325,24 @@ object Dedup {
 
   val SimhashChunks = 4 // 4 × 12-bit chunks for Hamming blocking
 
+  /** Fraction of documents a 12-bit chunk bucket may hold before the pair
+    * stage drops it (floor of 2 docs so tiny corpora still pair) — the
+    * [[Winnow.MaxFpDocFrac]] fix class applied to SimHash blocking: a chunk
+    * value shared by a large slice of the corpus (boilerplate-dominated or
+    * adversarially repetitive input, e.g. thousands of near-identical short
+    * docs) makes its bucket QUADRATIC in the self-join. Capping the
+    * posting-list size bounds every bucket's pair count at
+    * (frac·N)², independent of the hot family's size. Recall note: an
+    * over-cap bucket contributes no pairs from that chunk — a family that
+    * hot is mass near-duplication, which exact dedup catches far cheaper. */
+  val MaxChunkDocFrac = 0.05
+
   /** SimHash near-dup pairs: block on any equal 12-bit chunk (a pair within
     * Hamming distance 3 of a 48-bit hash must agree on ≥1 of 4 chunks —
-    * pigeonhole), verify bit_count(xor) ≤ maxHamming. */
+    * pigeonhole), frequency-cap the blocking buckets ([[MaxChunkDocFrac]]),
+    * verify bit_count(xor) ≤ maxHamming. The bucket-frequency join shuffles
+    * on the same (chunk, chunk_val) key as the pair join (co-partitioned);
+    * the 1-row corpus total is broadcast. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
     val sig = simhashSignatures(docs)
     val chunkBits = SimhashBits / SimhashChunks
@@ -337,8 +352,16 @@ object Dedup {
         s"""transform(sequence(0, ${SimhashChunks - 1}),
            |  c -> shiftright(simhash, c * $chunkBits) % ${1 << chunkBits})""".stripMargin))
         .as(Seq("chunk", "chunk_val")))
-    val a = chunked.as("a")
-    val b = chunked.as("b")
+    val total = sig.agg(count(lit(1)).as("n_docs_total"))
+    val freq = chunked.groupBy(col("chunk"), col("chunk_val"))
+      .agg(count(lit(1)).as("bucket_docs"))
+    val capped = chunked.join(freq, Seq("chunk", "chunk_val"))
+      .crossJoin(broadcast(total))
+      .filter(col("bucket_docs") <=
+        greatest(lit(2L), ceil(lit(MaxChunkDocFrac) * col("n_docs_total"))))
+      .select(col("doc_id"), col("simhash"), col("chunk"), col("chunk_val"))
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -530,6 +530,11 @@ object TextAnalysis {
   val CmsDepth = 4
   val CmsWidth = 512
 
+  /** Margin-domain range-bin count for [[nbCalibration]]'s exact
+    * distributed rank: bounds every post-classifier control frame (bin
+    * counts, offsets) and sets the per-bin window parallelism. */
+  val RankBins = 1024
+
   /** Count-Min-sketch heavy hitters: build a depth×width counter sketch
     * over the token stream, then report the top-k tokens with their exact
     * count, the sketch estimate (min over rows — classic CMS point query),
@@ -638,18 +643,57 @@ object TextAnalysis {
     * prediction agreement. A monotone keep_rate column = a usable score;
     * the decile where it crosses the target retention IS the threshold.
     *
-    * Scale shape: rides the [[nbQuality]] plan (word-count shaped), then
-    * one global rank. The ntile is a total-order window — acceptable here
-    * because the ranked frame is one row per DOCUMENT with two longs (the
-    * corpus text never reaches it); at extreme scale swap in a
-    * quantile-summary cut of the margin, which changes no downstream
-    * column. */
+    * Scale shape: rides the [[nbQuality]] plan (word-count shaped), then an
+    * EXACT distributed ntile replay with no global window: the per-doc
+    * frame never passes through a single partition. The integer margins are
+    * cut into ≤ [[RankBins]] deterministic order-preserving ranges (bin 0 =
+    * largest margins) from a 1-row (min, max, n) broadcast; per-bin counts
+    * (≤ RankBins rows) turn into bin rank offsets via a tiny triangle
+    * join; each doc's exact global rank = its bin offset + a row_number
+    * over the KEYED per-bin window (margin desc, doc_id) — bins partition
+    * the margin domain into disjoint descending ranges, so the sum is the
+    * total-order rank, and the closed-form ntile formula (first n mod b
+    * buckets carry one extra row) reproduces the window function
+    * bit-for-bit. Every post-classifier frame is ≤ RankBins rows except
+    * the per-doc frame itself, which only ever shuffles on `bin` —
+    * RankBins-way parallel. The classifier subtree appears in several
+    * branches; its exchanges are identical so ReuseExchange computes them
+    * once (a recurring pipeline would persist the scored frame anyway). */
   def nbCalibration(docs: DataFrame, buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    nbQuality(docs)
+    val scored = nbQuality(docs)
       .withColumn("margin", col("nll_toss") - col("nll_keep"))
-      .withColumn("decile", ntile(buckets).over(
-        Window.orderBy(col("margin").desc, col("doc_id"))).cast("long"))
+    val stats = scored.agg(
+      min(col("margin")).as("mn"), max(col("margin")).as("mx"),
+      count(lit(1)).as("n_total"))
+    // Deterministic binning: margin ∈ (mx-(b+1)·w, mx-b·w] ⇒ bin b, so
+    // bins are disjoint ranges in DESCENDING margin order. Width divides
+    // first (no (mx-mn)·RankBins overflow for extreme margin domains).
+    val binned = scored.crossJoin(broadcast(stats))
+      .withColumn("bin_w", greatest(lit(1L),
+        ceil((col("mx") - col("mn") + 1).cast("double") / RankBins).cast("long")))
+      .withColumn("bin", expr("(mx - margin) div bin_w"))
+    val binCounts = binned.groupBy(col("bin")).agg(count(lit(1)).as("bc"))
+    // Rank offset of bin b = rows in bins before it (tiny triangle join
+    // over the ≤ RankBins-row frame — never a global cumulative window).
+    val offsets = binCounts.as("a")
+      .join(binCounts.as("b"), col("b.bin") < col("a.bin"), "left_outer")
+      .groupBy(col("a.bin").as("bin"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("bin_off"))
+    binned
+      .join(broadcast(offsets), Seq("bin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bin"))
+          .orderBy(col("margin").desc, col("doc_id"))))
+      .withColumn("rank", col("bin_off") + col("rn"))
+      // Closed-form ntile over the exact rank: q=n div b rows per bucket,
+      // the first r=n mod b buckets take one extra.
+      .withColumn("decile", expr(
+        s"""case when rank <= (n_total % $buckets) * ((n_total div $buckets) + 1)
+           then (rank - 1) div ((n_total div $buckets) + 1) + 1
+           else (n_total % $buckets) +
+             (rank - (n_total % $buckets) * ((n_total div $buckets) + 1) - 1)
+               div greatest(n_total div $buckets, 1L) + 1 end""").cast("long"))
       .groupBy(col("decile"))
       .agg(
         count(lit(1)).as("n_docs"),

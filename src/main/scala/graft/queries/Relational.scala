@@ -121,20 +121,24 @@ object Relational {
     }),
     // Hot-key diagnosis: the report that decides whether a join/agg key
     // needs salting (feeds agg_salted_skew's remedy). Collapse to per-key
-    // counts (one shuffle), then rank the collapsed frame — top keys with
-    // corpus share and ratio-to-average; everything after the first
-    // aggregation is key-cardinality-sized, and the global sort is a
-    // TakeOrdered top-10, never a full sort.
+    // counts (one shuffle); the share/ratio denominators are a 1-row
+    // scalar aggregate cross-joined broadcast (the era_tx_fee_recipients
+    // pattern) — NOT a `sum() over ()` window, which would funnel the full
+    // key-cardinality frame through a single partition at real key counts.
+    // The global sort is a TakeOrdered top-10, never a full sort.
     "diag_skew" -> ((s, dir) => {
-      val w = Window.partitionBy()
-      t(s, dir, "orders")
+      val perKey = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_rows"))
+      val totals = perKey.agg(
+        sum(col("n_rows")).as("tot_rows"), count(lit(1)).as("n_keys"))
+      perKey.crossJoin(broadcast(totals))
         .withColumn("share",
-          round(col("n_rows").cast("double") / sum(col("n_rows")).over(w), 6))
+          round(col("n_rows").cast("double") / col("tot_rows"), 6))
         .withColumn("ratio_to_avg",
-          round(col("n_rows").cast("double") * count(lit(1)).over(w) /
-            sum(col("n_rows")).over(w), 4))
+          round(col("n_rows").cast("double") * col("n_keys") /
+            col("tot_rows"), 4))
+        .drop("tot_rows", "n_keys")
         .orderBy(col("n_rows").desc, col("o_custkey"))
         .limit(10)
     }),
@@ -180,10 +184,13 @@ object Relational {
           count(lit(1)).as("n"))
       val wq = Window.partitionBy(col("grp"), col("q")).orderBy(col("bin"))
       base.join(broadcast(stats), Seq("grp"))
+        // constant-group guard: mx = mn would make the bin NaN and the
+        // group silently vanish — all values land in bin 0 instead
         .withColumn("bin",
-          least(lit(bins - 1),
-            floor((col("v") - col("mn")) / (col("mx") - col("mn")) * bins))
-            .cast("int"))
+          when(col("mx") === col("mn"), lit(0))
+            .otherwise(least(lit(bins - 1),
+              floor((col("v") - col("mn")) / (col("mx") - col("mn")) * bins))
+              .cast("int")))
         .groupBy(col("grp"), col("bin"))
         .agg(count(lit(1)).as("c"))
         .join(broadcast(stats), Seq("grp"))
@@ -194,9 +201,10 @@ object Relational {
         .withColumn("rk", row_number().over(wq))
         .filter(col("rk") === 1)
         .withColumn("est",
-          round(col("mn") +
-            (col("bin") + (col("target") - (col("cum") - col("c"))) / col("c")) *
-              ((col("mx") - col("mn")) / bins), 4))
+          when(col("mx") === col("mn"), round(col("mn").cast("double"), 4))
+            .otherwise(round(col("mn") +
+              (col("bin") + (col("target") - (col("cum") - col("c"))) / col("c")) *
+                ((col("mx") - col("mn")) / bins), 4)))
         .select(col("grp").as("o_orderpriority"), col("q"), col("est"), col("n"))
         .orderBy(col("o_orderpriority"), col("q"))
     }),
@@ -700,7 +708,9 @@ object Relational {
            FROM b GROUP BY grp),
          h AS (
            SELECT b.grp,
-                  LEAST(127, FLOOR((b.v - st.mn) / (st.mx - st.mn) * 128))::INT AS bin,
+                  (CASE WHEN st.mx = st.mn THEN 0
+                        ELSE LEAST(127, FLOOR((b.v - st.mn) / (st.mx - st.mn) * 128))::INT
+                   END) AS bin,
                   CAST(COUNT(*) AS BIGINT) AS c
            FROM b JOIN st USING (grp) GROUP BY 1, 2),
          hq AS (
@@ -715,7 +725,9 @@ object Relational {
                   ROW_NUMBER() OVER (PARTITION BY grp, q ORDER BY bin) AS rk
            FROM wc WHERE cum >= q * n)
          SELECT grp AS o_orderpriority, q,
-                ROUND(mn + (bin + (q * n - (cum - c)) / c) * ((mx - mn) / 128), 4) AS est,
+                ROUND(CASE WHEN mx = mn THEN mn
+                           ELSE mn + (bin + (q * n - (cum - c)) / c) * ((mx - mn) / 128)
+                      END, 4) AS est,
                 n
          FROM sel WHERE rk = 1 ORDER BY o_orderpriority, q""",
     "agg_distinct" ->

@@ -1580,10 +1580,18 @@ object TrainingData {
          |  SELECT doc_id, simhash, c.chunk AS chunk,
          |         (simhash >> (c.chunk * 12)::INT) % 4096 AS chunk_val
          |  FROM sim, (SELECT unnest(range(0, 4)) AS chunk) c),
+         |tot AS (SELECT COUNT(*) AS n_docs_total FROM sim),
+         |freq AS (
+         |  SELECT chunk, chunk_val, COUNT(*) AS bucket_docs
+         |  FROM chunked GROUP BY chunk, chunk_val),
+         |capped AS (
+         |  SELECT c.doc_id, c.simhash, c.chunk, c.chunk_val
+         |  FROM chunked c JOIN freq f USING (chunk, chunk_val), tot
+         |  WHERE f.bucket_docs <= GREATEST(2, CEIL(0.05 * tot.n_docs_total))),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM chunked a JOIN chunked b
+         |  FROM capped a JOIN capped b
          |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
          |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6

@@ -147,21 +147,37 @@ object DocStream {
     * ingested. [[dedupExact]]'s state dies with its checkpoint; this is
     * how batch backfills and the stream share one dedup frontier.
     *
-    * Labeling uses semi/anti joins (set semantics), so replayed appends
-    * from an at-least-once batch retry cannot multiply rows or flip
-    * labels; output-side exactly-once needs a transactional sink and is
-    * out of scope. Intra-batch copies: first occurrence (lowest doc_id)
-    * is `new`, the rest `duplicate`. At 100 TB the snapshot is the
-    * digest-bucketed table ([[graft.operators.Dedup.saveSnapshotDigests]])
-    * and the join shuffles only each micro-batch.
+    * IDEMPOTENT under at-least-once batch replay: both the labeled output
+    * and the snapshot digests land under a `batch_key=<runId>_<batchId>`
+    * hive partition written with OVERWRITE, and the snapshot lookup
+    * EXCLUDES the current batch's own partition — so a retry that re-runs
+    * after a partially- or fully-committed first attempt overwrites its
+    * own partition in place (no second output copy) and still sees exactly
+    * the pre-batch frontier (no first-occurrence row re-labeled
+    * `duplicate` by its own earlier append). `runId` must be unique per
+    * STREAM RUN (pass the streaming query's runId, or any fresh token):
+    * Spark batchIds restart from 0 on a new checkpoint, so batchId alone
+    * cannot distinguish a replay from a different query's first batch.
+    * Labeling uses semi/anti joins (set semantics). Intra-batch copies:
+    * first occurrence (lowest doc_id) is `new`, the rest `duplicate`.
+    * At 100 TB the snapshot is the digest-bucketed table
+    * ([[graft.operators.Dedup.saveSnapshotDigests]]) and the join shuffles
+    * only each micro-batch. Snapshot existence goes through the Hadoop
+    * FileSystem API, so the gate works on HDFS/S3, not just local disk.
     *
-    * Usage: `stream.writeStream.foreachBatch(DocStream.snapshotGate(snapDir, outDir) _)`. */
-  def snapshotGate(snapshotDir: String, outDir: String)(
+    * Usage: `stream.writeStream.foreachBatch(DocStream.snapshotGate(snapDir, outDir, runId) _)`. */
+  def snapshotGate(snapshotDir: String, outDir: String, runId: String)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val batchKey = s"${runId.replaceAll("[^A-Za-z0-9_-]", "_")}_$batchId"
     val d = batch.withColumn("digest", md5(col("text")))
+    val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = snapPath.getFileSystem(spark.sessionState.newHadoopConf())
     val snap =
-      if (new java.io.File(snapshotDir).exists) spark.read.parquet(snapshotDir)
+      if (fs.exists(snapPath))
+        spark.read.parquet(snapshotDir)
+          .filter(col("batch_key") =!= batchKey) // replay: ignore own append
+          .select(col("digest"))
       else d.select(col("digest")).limit(0)
     val dup = d.join(snap, Seq("digest"), "left_semi")
       .withColumn("status", lit("duplicate"))
@@ -175,9 +191,9 @@ object DocStream {
       .withColumn("status", lit("duplicate"))
     dup.unionByName(freshNew).unionByName(freshDup)
       .select(col("doc_id"), col("digest"), col("status"))
-      .write.mode("append").parquet(outDir)
+      .write.mode("overwrite").parquet(s"$outDir/batch_key=$batchKey")
     freshNew.select(col("digest"))
-      .write.mode("append").parquet(snapshotDir)
+      .write.mode("overwrite").parquet(s"$snapshotDir/batch_key=$batchKey")
   }
 
   /** Source/language-mix drift monitor: per event-time window, the total

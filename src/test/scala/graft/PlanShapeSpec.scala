@@ -19,6 +19,23 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** Physical-plan TREE (AQE wrapper unwrapped) for node-level assertions
+    * the string form can't express, e.g. a WindowExec's partition spec. */
+  private def execTree(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case o => o
+    }
+
+  /** WindowExec nodes whose partition spec is EMPTY — each funnels its
+    * entire input through one task, the canonical 100 TB anti-shape. */
+  private def globalWindows(name: String): Seq[String] =
+    execTree(name).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w.simpleStringWithNodeId()
+    }
+
   private def count(p: String, needle: String): Int =
     p.sliding(needle.length).count(_ == needle)
 
@@ -208,9 +225,13 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("boilerplate rewrite: digest counting shuffles digests, the bad set broadcasts back") {
+  test("boilerplate rewrite: the bad-digest set joins co-partitioned — never broadcast") {
     val p = plan("clean_boilerplate")
-    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the bad set is unbounded (corpus-dependent), so it must ride a
+    // digest-co-partitioned ShuffledHashJoin; any BroadcastExchange here
+    // would be the driver collecting the whole boilerplate set
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastExchange"), p.take(2000))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
     // the chunk-frequency aggregation keys on digest and must not drag the
     // chunk token arrays (or raw text) through its Exchange — only the
@@ -238,15 +259,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange IdentityBroadcastMode"), p.take(2000))
   }
 
-  test("nb calibration: the ntile runs on the collapsed per-doc frame, after the NLL aggregation") {
+  test("nb calibration: exact rank rides the KEYED bin window — no global-order window anywhere") {
+    // the decile is replayed from an exact distributed rank (bin offsets +
+    // per-bin row_number); a WindowExec with an empty partition spec would
+    // mean the per-doc frame funnels through one task again
+    assert(globalWindows("text_nb_calibration").isEmpty,
+      globalWindows("text_nb_calibration").mkString("\n"))
     val p = plan("text_nb_calibration")
     assert(!p.contains("CartesianProduct"))
     p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
       .foreach(l => assert(!l.contains("text#"), s"nb calibration shuffles text: $l"))
-    // the global-rank window consumes the per-doc NLL frame (two longs per
-    // doc), not the token stream: Window sits above the doc-level aggregate
-    val idxWindow = p.indexOf("Window")
-    assert(idxWindow >= 0 && p.substring(idxWindow).contains("HashAggregate"), p.take(2000))
+    // the rank window is partitioned by the margin-range bin
+    assert(p.contains("windowspecdefinition(bin#"), p.take(2000))
   }
 
   test("cube expands grouping sets before ONE aggregation shuffle") {
@@ -256,14 +280,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
-  test("skew diagnosis collapses to per-key counts first; windows rank the collapsed frame") {
+  test("skew diagnosis: totals ride a 1-row broadcast cross join — no window at all") {
     val p = plan("diag_skew")
-    assert(count(p, "Exchange hashpartitioning") === 1, p.take(2000))
-    assert(!p.contains("Join"))
-    // the global-total window consumes the aggregate, not the scan
-    val idxWindow = p.indexOf("Window")
-    val idxAgg = p.indexOf("HashAggregate")
-    assert(idxWindow >= 0 && idxAgg >= 0 && idxWindow < idxAgg, p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // only the narrow per-key count frames shuffle (main + totals branch)
+    assert(count(p, "Exchange hashpartitioning") === 2, p.take(2000))
   }
 
   test("epochs application is map-side arithmetic into one source-keyed aggregation") {
@@ -345,6 +368,35 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct")
+    }
+  }
+
+  /** Queries ALLOWED to carry a WindowExec with an empty partition spec —
+    * each window provably consumes a frame already COLLAPSED by an
+    * aggregation to bounded (group-cardinality) size, so the single task
+    * is a few rows, not the corpus. Anything else funnels unbounded input
+    * through one task and fails the sweep. Keep this list justified:
+    * an entry without a collapsed input frame is a 100 TB regression. */
+  private val globalWindowAllowlist: Map[String, String] = Map(
+    "win_global_avg" -> "the operator IS the global-avg-over-groups demo; input is the per-(flag,status) aggregate (≤ 6 rows)",
+    "cur_source_mix" -> "share-of-total over the per-source aggregate (≤ #sources rows)",
+    "sim_ivf_stats" -> "imbalance ratio over the per-cell aggregate (≤ #IVF cells rows)",
+    "era_slot_gaps" -> "lag over the per-era max-slot aggregate (one row per era, ~1.5k rows for the full chain); the per-slot lag itself is era-partitioned")
+
+  test("global-order window sweep: every empty-partition-spec WindowExec is on the documented allowlist") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(globalWindowAllowlist.contains)
+      .flatMap { name =>
+        val gw = globalWindows(name)
+        if (gw.nonEmpty) Some(s"$name:\n  ${gw.mkString("\n  ")}") else None
+      }
+    assert(offenders.isEmpty,
+      s"queries with an un-allowlisted global window:\n${offenders.mkString("\n")}")
+    // and the allowlist itself must stay honest: every entry must exist
+    // AND still carry a global window (a stale entry hides regressions)
+    globalWindowAllowlist.keys.foreach { n =>
+      assert(SparkEntry.queries.contains(n), s"allowlist entry $n is not a registered query")
+      assert(globalWindows(n).nonEmpty, s"allowlist entry $n has no global window — remove it")
     }
   }
 }

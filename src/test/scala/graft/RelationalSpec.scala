@@ -64,4 +64,21 @@ class RelationalSpec extends AnyFunSuite {
     val df = SparkEntry.queries("join_full_outer")(spark, sf).collect()
     assert(df.forall(r => r.getLong(1) + r.getLong(2) > 0))
   }
+
+  test("histogram quantile: a constant-valued group survives with est = the constant") {
+    // mx = mn used to make the bin NaN and the whole group silently vanish;
+    // the guard must pin every quantile estimate to the constant itself
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("histq").toString
+    Seq(
+      ("CONST", 42.0), ("CONST", 42.0), ("CONST", 42.0),
+      ("VARIED", 10.0), ("VARIED", 20.0), ("VARIED", 30.0), ("VARIED", 40.0))
+      .toDF("o_orderpriority", "o_totalprice")
+      .write.parquet(s"$dir/orders.parquet")
+    val rows = SparkEntry.queries("agg_histogram_quantile")(spark, dir).collect()
+    val const = rows.filter(_.getString(0) == "CONST")
+    assert(const.length === 2, rows.mkString("; ")) // q=0.5 and q=0.9 both present
+    const.foreach(r => assert(r.getDouble(r.fieldIndex("est")) === 42.0))
+    assert(rows.count(_.getString(0) == "VARIED") === 2)
+  }
 }

@@ -255,7 +255,7 @@ class StreamingSpec extends AnyFunSuite {
     // query 1: two distinct docs
     val mem1 = MemoryStream[StreamDoc]
     val q1 = mem1.toDF().writeStream
-      .foreachBatch(DocStream.snapshotGate(snapDir, outDir) _)
+      .foreachBatch(DocStream.snapshotGate(snapDir, outDir, "run1") _)
       .option("checkpointLocation", s"$root/cp1")
       .trigger(Trigger.ProcessingTime(0)).start()
     mem1.addData(doc(1, "alpha beta"), doc(2, "gamma delta"))
@@ -265,7 +265,7 @@ class StreamingSpec extends AnyFunSuite {
     // and an intra-batch pair must split new/duplicate
     val mem2 = MemoryStream[StreamDoc]
     val q2 = mem2.toDF().writeStream
-      .foreachBatch(DocStream.snapshotGate(snapDir, outDir) _)
+      .foreachBatch(DocStream.snapshotGate(snapDir, outDir, "run2") _)
       .option("checkpointLocation", s"$root/cp2")
       .trigger(Trigger.ProcessingTime(0)).start()
     mem2.addData(doc(3, "alpha beta"), doc(4, "epsilon"), doc(5, "epsilon"))
@@ -274,6 +274,38 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("status"))).toMap
     assert(status === Map(1L -> "new", 2L -> "new", 3L -> "duplicate",
       4L -> "new", 5L -> "duplicate"))
+  }
+
+  test("snapshot gate is idempotent under at-least-once batch replay") {
+    // a foreachBatch retry re-runs a batchId whose first attempt already
+    // appended both output and snapshot digests; the replay must neither
+    // duplicate output rows nor re-label the batch's first-occurrence rows
+    // 'duplicate' against its OWN earlier snapshot append
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapgate_replay").toString
+    val (snapDir, outDir) = (s"$root/snap", s"$root/out")
+    val batch = Seq(
+      (1L, "alpha beta", "en", Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "gamma delta", "en", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("doc_id", "text", "lang", "ts")
+    DocStream.snapshotGate(snapDir, outDir, "runA")(batch, 0L)
+    val first = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("status")))
+      .sorted
+    // full replay of the same (runId, batchId) after a complete commit
+    DocStream.snapshotGate(snapDir, outDir, "runA")(batch, 0L)
+    val second = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("status")))
+      .sorted
+    assert(first.toSeq === Seq(1L -> "new", 2L -> "new"))
+    assert(second.toSeq === first.toSeq) // no second copy, no label flip
+    // and a genuinely NEW batch still sees the frontier
+    val next = Seq((3L, "alpha beta", "en", Timestamp.valueOf("2024-01-01 00:01:00")))
+      .toDF("doc_id", "text", "lang", "ts")
+    DocStream.snapshotGate(snapDir, outDir, "runA")(next, 1L)
+    val all = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("status"))).toMap
+    assert(all === Map(1L -> "new", 2L -> "new", 3L -> "duplicate"))
   }
 
   test("volume anomaly monitor passes normal windows, flags floods and unknown types") {

@@ -118,6 +118,33 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash cap: a flood of identical docs cannot make a chunk bucket quadratic") {
+    // adversarial corpus: 300 byte-identical docs. Every 12-bit chunk
+    // bucket of the flood holds all ~320 of them (incl. augmented copies),
+    // so WITHOUT the MaxChunkDocFrac cap the self-join would emit
+    // ~4 · 320²/2 ≈ 200k pair candidates from one family alone; the cap
+    // (5% of corpus, floor 2) drops those buckets wholesale. A small
+    // disjoint duplicate family below the cap must still pair.
+    import spark.implicits._
+    val flood = (0 until 300).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again", "en"))
+    val family = Seq(
+      (1000L, "an entirely different rare document body here", "en"),
+      (1001L, "an entirely different rare document body here", "en"))
+    val synth = (flood ++ family).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.simhashPairs(synth)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the legit tiny family survives the cap…
+    assert(pairs.contains((1000L, 1001L)), pairs.take(20).mkString(", "))
+    // …and every surviving pair is from it (1001 is augmented as a
+    // truncated near-dup, id 101001) — no flood pair leaks through
+    val familyIds = Set(1000L, 1001L, 101001L, 201001L)
+    pairs.foreach { case (a, b) =>
+      assert(familyIds(a) && familyIds(b), s"flood pair leaked: ($a, $b)")
+    }
+    assert(pairs.length <= 10, s"pair count blew up: ${pairs.length}")
+  }
+
   test("embedding near-dups are exactly the injected perturbed vectors") {
     val pairs = Dedup.embeddingNearDups(emb).collect()
     assert(pairs.nonEmpty)
