@@ -159,6 +159,43 @@ object Curation {
         round(col("n_kept").cast("double") / col("n_total"), 4))
       .orderBy(col("lang"))
 
+  /** Token-weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * A-ES (Inf. Proc. Letters 2006): each document draws a uniform u from
+    * a salted hash of its id and ranks by u^(1/w) with w = its word count;
+    * the global top-k is an exact weighted sample without replacement —
+    * long documents proportionally likelier, yet every doc has a chance.
+    * The mixture-rate sibling [[withSampleFlag]] keeps a per-language
+    * FRACTION; this keeps a fixed BUDGET (k docs) weighted by length —
+    * the "fill exactly one shard, length-proportionally" primitive.
+    *
+    * Determinism: u is hash-derived (no RNG state, replay-stable across
+    * shards and reruns); the A-ES key is ranked via ln(u)/w — monotone in
+    * u^(1/w) — computed as ONE transcendental rounded once to integer
+    * micro-nats, so Spark and the DuckDB oracle sort identical integers
+    * (the [[TextAnalysis.unigramScores]] parity trick).
+    *
+    * Scale shape: a narrow per-row projection into a TakeOrdered top-k —
+    * no shuffle of the corpus, no full sort, no driver-side sampling
+    * state; at 100 TB the only cross-executor traffic is each partition's
+    * k candidate rows. */
+  def weightedSample(docs: DataFrame, k: Int = 50,
+      salt: String = "ws1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val m = 2147483647L // 2³¹−1: u = (hash mod m + 1)/(m+1) ∈ (0, 1]
+    TextAnalysis.withTokens(docs)
+      .withColumn("n_words",
+        size(expr("filter(toks, t -> t <> '')")).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("hm", pmod(call_function("hash64",
+        concat(lit(s"$salt#"), col("doc_id").cast("string"))), lit(m)))
+      .withColumn("key_micro",
+        round(log((col("hm") + 1).cast("double") / (m + 1).toDouble) /
+          col("n_words") * 1e6).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Quality floor for the funnel's filter stage. */
   val QualityFloor = 0.3
 

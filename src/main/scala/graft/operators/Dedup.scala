@@ -306,6 +306,43 @@ object Dedup {
     } finally pairs.unpersist()
   }
 
+  /** Per-source duplication profile — the observability report over exact
+    * dedup: for every source, how many of its documents share a text
+    * digest with ANY other document, and how many share one ACROSS
+    * sources (the cross-source contamination signal: a mirror site or
+    * re-crawled domain shows up as one source whose content is another's).
+    * A deterministic 'mirror' source (exact copies of doc_id % 13 == 0,
+    * the [[augmentedDocs]] convention with source retained) guarantees the
+    * report is exercised at every fixture scale.
+    *
+    * Scale shape: one digest-keyed aggregation (16-byte digests, map-side
+    * combined), the per-digest stats join back CO-PARTITIONED on the same
+    * digest key (no broadcast, no second corpus pass), then a
+    * source-cardinality aggregation — #sources rows out, text never
+    * shuffles. */
+  def dupBySource(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("source"))
+    val mirror = base.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("source", lit("mirror"))
+    // digest computed narrowly, text dropped BEFORE any shuffle — every
+    // Exchange in this plan carries (digest, source) only
+    val all = base.unionByName(mirror)
+      .select(md5(col("text")).as("digest"), col("source"))
+    val perDigest = all.groupBy(col("digest"))
+      .agg(countDistinct(col("source")).as("n_sources"),
+        count(lit(1)).as("n_copies"))
+    all.join(perDigest.hint("shuffle_hash"), Seq("digest"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L)).as("n_cross_source"),
+        round(sum(when(col("n_copies") > 1, 1.0).otherwise(0.0)) /
+          count(lit(1)), 4).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
   // ── 4. SimHash ─────────────────────────────────────────────────────────
 
   val SimhashBits = 48 // fits signed 64-bit in every engine

@@ -656,13 +656,16 @@ object TextAnalysis {
     * buckets carry one extra row) reproduces the window function
     * bit-for-bit. Every post-classifier frame is ≤ RankBins rows except
     * the per-doc frame itself, which only ever shuffles on `bin` —
-    * RankBins-way parallel. The classifier subtree appears in several
-    * branches; its exchanges are identical so ReuseExchange computes them
-    * once (a recurring pipeline would persist the scored frame anyway). */
+    * RankBins-way parallel. The scored per-doc frame (five narrow columns)
+    * feeds four plan branches (stats, bin counts, offsets, final rank), so
+    * it is persisted MEMORY_AND_DISK — one classifier evaluation, shared
+    * lazily by every branch of the same job; at 100 TB this is the
+    * standard persist-the-collapsed-frame step, a few bytes per document. */
   def nbCalibration(docs: DataFrame, buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = nbQuality(docs)
       .withColumn("margin", col("nll_toss") - col("nll_keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = scored.agg(
       min(col("margin")).as("mn"), max(col("margin")).as("mx"),
       count(lit(1)).as("n_total"))
@@ -705,6 +708,68 @@ object TextAnalysis {
       .select(col("decile"), col("n_docs"), col("n_label_keep"),
         col("n_pred_keep"), col("keep_rate"), col("avg_margin"))
       .orderBy(col("decile"))
+  }
+
+  /** CCNet-style per-language perplexity terciles (Wenzek et al. 2020,
+    * the head/middle/tail cut): within each LANGUAGE, documents rank by
+    * their unigram-LM NLL ([[unigramScores]]) and split into `buckets`
+    * rank-equal slices — head = most corpus-typical text, the keep slice
+    * of a language-balanced quality cut (cutting on a global threshold
+    * would gut low-resource languages; per-language ranks cannot).
+    *
+    * Scale shape: the [[nbCalibration]] exact-rank machinery GENERALIZED
+    * TO KEYED GROUPS — a naive `ntile(3) over (partition by lang)` funnels
+    * each language through ONE task, and English IS the corpus at 100 TB.
+    * Instead: per-language (min, max, n) stats (#langs rows, broadcast),
+    * deterministic per-language key bins, per-(lang, bin) counts → rank
+    * offsets via a lang-keyed triangle join (≤ #langs·RankBins rows),
+    * rank = offset + per-(lang, bin) KEYED row_number, bucket from the
+    * closed-form ntile formula. The per-doc frame shuffles only on
+    * (lang, bin) — #langs×RankBins-way parallel. The rank key is the
+    * micro-nat average NLL scaled to an integer from the already
+    * hash-verified `avg_nll` double, so the DuckDB mirror — a plain
+    * windowed ntile — sorts identical integers and proves the replay
+    * exact. */
+  def ccnetBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramScores(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("key", round(col("avg_nll") * 1e4).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = scored.groupBy(col("lang")).agg(
+      min(col("key")).as("mn"), max(col("key")).as("mx"),
+      count(lit(1)).as("n_lang"))
+    val binned = scored.join(broadcast(stats), Seq("lang"))
+      .withColumn("bin_w", greatest(lit(1L),
+        ceil((col("mx") - col("mn") + 1).cast("double") / RankBins).cast("long")))
+      .withColumn("bin", expr("(key - mn) div bin_w")) // ASC: head = low NLL
+    val binCounts = binned.groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("bc"))
+    val offsets = binCounts.as("a")
+      .join(binCounts.as("b"),
+        col("a.lang") === col("b.lang") && col("b.bin") < col("a.bin"),
+        "left_outer")
+      .groupBy(col("a.lang").as("lang"), col("a.bin").as("bin"))
+      .agg(coalesce(sum(col("b.bc")), lit(0L)).as("bin_off"))
+    binned
+      .join(broadcast(offsets), Seq("lang", "bin"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), col("bin"))
+          .orderBy(col("key"), col("doc_id"))))
+      .withColumn("rank", col("bin_off") + col("rn"))
+      .withColumn("bucket", expr(
+        s"""case when rank <= (n_lang % $buckets) * ((n_lang div $buckets) + 1)
+           then (rank - 1) div ((n_lang div $buckets) + 1) + 1
+           else (n_lang % $buckets) +
+             (rank - (n_lang % $buckets) * ((n_lang div $buckets) + 1) - 1)
+               div greatest(n_lang div $buckets, 1L) + 1 end""").cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("key")).as("min_nll_e4"),
+        max(col("key")).as("max_nll_e4"),
+        round(sum(col("key")).cast("double") / (count(lit(1)) * 1e4), 4)
+          .as("avg_nll"))
+      .orderBy(col("lang"), col("bucket"))
   }
 
   /** PMI collocations — the corpus's strongest two-word associations

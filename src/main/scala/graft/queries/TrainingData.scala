@@ -105,6 +105,9 @@ object TrainingData {
     "cur_split_leakage" -> ((s, dir) => Curation.splitLeakage(docs(s, dir))),
     "cur_kcenter" -> ((s, dir) => Similarity.kcenterSelect(emb(s, dir))),
     "cur_chunks" -> ((s, dir) => Curation.chunkDocs(docs(s, dir))),
+    "cur_weighted_sample" -> ((s, dir) => Curation.weightedSample(docs(s, dir))),
+    "text_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(docs(s, dir))),
+    "diag_dup_source" -> ((s, dir) => Dedup.dupBySource(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -1511,6 +1514,60 @@ object TrainingData {
          |SELECT md5(text) AS digest, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
          |       CAST(COUNT(*) AS BIGINT) AS n_copies
          |FROM aug GROUP BY 1 ORDER BY digest""".stripMargin,
+
+    "cur_weighted_sample" ->
+      s"""WITH $baseCte,
+         |w AS (SELECT doc_id,
+         |        CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS n_words
+         |      FROM base),
+         |s AS (SELECT doc_id, n_words,
+         |        CAST(ROUND(ln((((${h64("'ws1#' || CAST(doc_id AS VARCHAR)")} % 2147483647)
+         |                        + 2147483647) % 2147483647 + 1)::DOUBLE / 2147483648.0)
+         |             / n_words * 1000000) AS BIGINT) AS key_micro
+         |      FROM w WHERE n_words > 0)
+         |SELECT doc_id, n_words, key_micro FROM s
+         |ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin,
+
+    "text_ccnet_buckets" ->
+      s"""WITH $baseCte,
+         |tk AS (SELECT doc_id, tok FROM
+         |         (SELECT doc_id, unnest(toks) AS tok FROM base) WHERE tok <> ''),
+         |v AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+         |tot AS (SELECT COUNT(*)::DOUBLE AS total FROM tk),
+         |sc AS (SELECT doc_id,
+         |         CAST(ROUND(-ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS nm
+         |       FROM tk JOIN v USING (tok) CROSS JOIN tot),
+         |pd AS (SELECT doc_id,
+         |         ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll
+         |       FROM sc GROUP BY doc_id),
+         |k AS (SELECT p.doc_id, b.lang,
+         |        CAST(ROUND(p.avg_nll * 10000) AS BIGINT) AS key
+         |      FROM pd p JOIN base b USING (doc_id)),
+         |nt AS (SELECT lang, key, doc_id,
+         |         ntile(3) OVER (PARTITION BY lang ORDER BY key, doc_id) AS bucket
+         |       FROM k)
+         |SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(MIN(key) AS BIGINT) AS min_nll_e4,
+         |       CAST(MAX(key) AS BIGINT) AS max_nll_e4,
+         |       ROUND(CAST(SUM(key) AS BIGINT)::DOUBLE / (COUNT(*) * 10000.0), 4) AS avg_nll
+         |FROM nt GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    "diag_dup_source" ->
+      """WITH b AS (SELECT doc_id, text, source FROM documents),
+        |m AS (SELECT doc_id + 200000 AS doc_id, text, 'mirror' AS source
+        |      FROM b WHERE doc_id % 13 = 0),
+        |a AS (SELECT doc_id, text, source, md5(text) AS digest
+        |      FROM (SELECT * FROM b UNION ALL SELECT * FROM m)),
+        |pd AS (SELECT digest, COUNT(DISTINCT source) AS n_sources,
+        |         COUNT(*) AS n_copies
+        |       FROM a GROUP BY digest)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |       CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_source,
+        |       ROUND(SUM(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS dup_rate
+        |FROM a JOIN pd USING (digest)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $baseCte, $augCte, $shCte,

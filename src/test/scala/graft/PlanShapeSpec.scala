@@ -361,6 +361,30 @@ class PlanShapeSpec extends AnyFunSuite {
       .foreach(l => assert(!l.contains("text#"), s"text_pmi shuffles text: $l"))
   }
 
+  test("weighted sample is a narrow projection into a TakeOrdered — no shuffle, no join") {
+    val p = plan("cur_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Join"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("ccnet buckets: per-language rank rides the KEYED (lang, bin) window") {
+    assert(globalWindows("text_ccnet_buckets").isEmpty,
+      globalWindows("text_ccnet_buckets").mkString("\n"))
+    val p = plan("text_ccnet_buckets")
+    assert(p.contains("windowspecdefinition(lang#"), p.take(2000))
+    p.linesIterator.filter(l => l.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(!l.contains("text#"), s"ccnet buckets shuffles text: $l"))
+  }
+
+  test("dup-by-source joins digest stats co-partitioned; text never reaches an Exchange") {
+    val p = plan("diag_dup_source")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .foreach(l => assert(!l.contains("text#"), s"diag_dup_source ships text: $l"))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

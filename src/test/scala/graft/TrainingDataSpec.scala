@@ -19,6 +19,58 @@ class TrainingDataSpec extends AnyFunSuite {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("weighted sample: deterministic, exactly k, and heavy docs dominate") {
+    import spark.implicits._
+    val a = Curation.weightedSample(docs).collect().map(_.getLong(0)).toSeq
+    val b = Curation.weightedSample(docs).collect().map(_.getLong(0)).toSeq
+    assert(a === b) // hash-derived uniforms: replay-stable, no RNG state
+    assert(a.length === 50)
+    // A-ES weighting: one 5000-word doc among 200 one-word docs must make
+    // a k=5 sample with near certainty (u^(1/5000) ≈ 1 ≫ u^(1/1))
+    val heavy = (0 until 200).map(i => (i.toLong, s"w$i", "en")) :+
+      (999L, (1 to 5000).map(j => s"h$j").mkString(" "), "en")
+    val synth = heavy.toDF("doc_id", "text", "lang")
+    val picked = Curation.weightedSample(synth, k = 5).collect().map(_.getLong(0))
+    assert(picked.contains(999L), picked.mkString(", "))
+  }
+
+  test("ccnet buckets replay the keyed ntile exactly and partition every language") {
+    import org.apache.spark.sql.expressions.Window
+    // the operator's bin machinery must agree with the naive one-partition
+    // ntile on every (lang, bucket) aggregate row
+    val fast = TextAnalysis.ccnetBuckets(docs).collect()
+    val naive = TextAnalysis.unigramScores(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("key", round(col("avg_nll") * 1e4).cast("long"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy(col("lang")).orderBy(col("key"), col("doc_id")))
+        .cast("long"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("key")).as("min_nll_e4"), max(col("key")).as("max_nll_e4"),
+        round(sum(col("key")).cast("double") / (count(lit(1)) * 1e4), 4)
+          .as("avg_nll"))
+      .orderBy(col("lang"), col("bucket"))
+      .collect()
+    assert(fast.map(_.toString).toSeq === naive.map(_.toString).toSeq)
+    // per-language bucket sizes differ by at most one (rank-equal thirds)
+    fast.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val sizes = rows.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"$lang buckets: ${sizes.mkString(",")}")
+    }
+  }
+
+  test("dup-by-source: the mirror source is fully cross-source duplicated") {
+    val rows = Dedup.dupBySource(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (mn, mdup, mcross) = rows("mirror")
+    assert(mn === docs.filter(col("doc_id") % 13 === 0).count())
+    assert(mdup === mn && mcross === mn) // every mirror doc is a copy
+    // and the originals' sources see the same digests back as cross-source
+    val crossTotal = rows.filter(_._1 != "mirror").values.map(_._3).sum
+    assert(crossTotal === mn)
+  }
+
   test("dedup_exact finds every injected exact copy and nothing else") {
     val nInjected = docs.filter(col("doc_id") % 13 === 0).count()
     val groups = Dedup.exact(docs)
