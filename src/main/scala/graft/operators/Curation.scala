@@ -529,4 +529,51 @@ object Curation {
             org.apache.spark.sql.expressions.Window.partitionBy()), 4))
       .orderBy(col("source"))
   }
+
+  /** Per-source scorecard — the one-page "which sources are worth their
+    * bytes" report combining the pipeline's cheap signals: exact-dup rate
+    * (with the deterministic 'mirror' source from
+    * [[Dedup.dupBySource]]'s convention guaranteeing the dup columns are
+    * exercised), Gopher keep rate, mean composite quality, and mean
+    * length. A crawl-source triage run reads this before anything
+    * heavier; a source with high dup_rate and low keep_rate is cut
+    * before dedup ever sees it.
+    *
+    * Scale shape: quality + Gopher + digest are ONE narrow projection
+    * (no per-signal joins back on doc_id); the only shuffles are the
+    * digest-keyed frequency count with its CO-PARTITIONED mark-back join
+    * (the [[Dedup.dupBySource]] shape — text dropped before the
+    * Exchange, the dup-count table never broadcast) and the final
+    * #sources-row aggregation. Float discipline: quality_score is
+    * already rounded to 4 places in both engines, so its mean aggregates
+    * the exact integer `round(q·10⁴)` and divides once. */
+  def sourceScorecard(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val mirror = base.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000)
+      .withColumn("source", lit("mirror"))
+    val scored = TextAnalysis.withGopherFlags(
+      TextAnalysis.withQualityScore(base.unionByName(mirror)))
+      .select(
+        md5(col("text")).as("digest"), col("source"),
+        round(col("quality_score") * 1e4).cast("long").as("q_e4"),
+        when(col("keep"), 1L).otherwise(0L).as("kept"),
+        col("n_words"))
+    val perDigest = scored.groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"))
+    scored.join(perDigest.hint("shuffle_hash"), Seq("digest"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        round(sum(when(col("n_copies") > 1, 1.0).otherwise(0.0)) /
+          count(lit(1)), 4).as("dup_rate"),
+        round(sum(col("kept")).cast("double") / count(lit(1)), 4)
+          .as("keep_rate"),
+        round(sum(col("q_e4")).cast("double") / (count(lit(1)) * 1e4), 4)
+          .as("avg_quality"),
+        round(sum(col("n_words")).cast("double") / count(lit(1)), 4)
+          .as("avg_words"))
+      .orderBy(col("source"))
+  }
 }

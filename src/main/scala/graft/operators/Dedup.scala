@@ -343,6 +343,37 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Measured MinHash-LSH quality — the dedup twin of
+    * [[Similarity.recallReport]]'s "measure, don't guess" rule: the exact
+    * blocked n-gram Jaccard pairs ([[ngramJaccard]], J ≥ `threshold`) are
+    * ground truth; the production LSH candidate set
+    * ([[minhashLshPairs]], banded signatures + estimate filter) is the
+    * system under test. One row: truth/candidate/hit counts, precision,
+    * recall — the number that says whether k=12, 3×4 banding is enough
+    * BEFORE a 100 TB run commits to it.
+    *
+    * Scale shape: both pair frames are the already-blocked shapes (no new
+    * pair space); the comparison is one full-outer join on the pair key
+    * and a 1-row aggregate. At 100 TB ground truth is the expensive side —
+    * run the eval on a sampled slice; the operator takes whatever corpus
+    * it is given. */
+  def lshEval(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val truth = ngramJaccard(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val cand = minhashLshPairs(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(coalesce(col("c"), lit(0L))).as("n_cand"),
+        sum(when(col("t").isNotNull && col("c").isNotNull, 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(
+        col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_cand"), 4).as("precision"),
+        round(col("n_hit").cast("double") / col("n_truth"), 4).as("recall"))
+  }
+
   // ── 4. SimHash ─────────────────────────────────────────────────────────
 
   val SimhashBits = 48 // fits signed 64-bit in every engine

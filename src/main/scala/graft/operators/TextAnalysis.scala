@@ -108,7 +108,22 @@ object TextAnalysis {
     * a consumer aggregates. Report ordering lives in [[gopherRules]];
     * pipeline consumers ([[nbQuality]]) use this unsorted form so no Sort
     * Exchange sits under their joins. */
-  def gopherFlags(docs: DataFrame): DataFrame = {
+  def gopherFlags(docs: DataFrame): DataFrame =
+    withGopherFlags(docs)
+      .select(
+        col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_word_ratio"), col("n_stop"),
+        col("r_words"), col("r_mean_len"), col("r_symbol"), col("r_alpha"),
+        col("r_stop"), col("keep"))
+
+  /** [[gopherFlags]] with EVERY input column retained (text, toks, words,
+    * and whatever the caller's frame carries) — the composition entry
+    * point for consumers that need the `keep` label NEXT TO other
+    * per-document work ([[linearProbeMoments]],
+    * [[graft.operators.Curation.sourceScorecard]]) without paying a
+    * doc-keyed self-join to glue two projections back together. Still one
+    * narrow projection. */
+  def withGopherFlags(docs: DataFrame): DataFrame = {
     val stopArr = s"array(${Stopwords.map(s => s"'$s'").mkString(",")})"
     withTokens(docs)
       .withColumn("words", expr("filter(toks, t -> t <> '')"))
@@ -124,16 +139,14 @@ object TextAnalysis {
           greatest(col("n_words"), lit(1L)), 4))
       .withColumn("n_stop",
         expr(s"size(filter(words, t -> array_contains($stopArr, t)))").cast("long"))
-      .select(
-        col("doc_id"), col("n_words"), col("mean_word_len"),
-        col("symbol_ratio"), col("alpha_word_ratio"), col("n_stop"),
-        (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
-          .as("r_words"),
-        (col("mean_word_len") >= GopherMinMeanLen &&
-          col("mean_word_len") <= GopherMaxMeanLen).as("r_mean_len"),
-        (col("symbol_ratio") <= GopherMaxSymbolRatio).as("r_symbol"),
-        (col("alpha_word_ratio") >= GopherMinAlphaRatio).as("r_alpha"),
-        (col("n_stop") >= GopherMinStopHits).as("r_stop"))
+      .withColumn("r_words",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+      .withColumn("r_mean_len",
+        col("mean_word_len") >= GopherMinMeanLen &&
+          col("mean_word_len") <= GopherMaxMeanLen)
+      .withColumn("r_symbol", col("symbol_ratio") <= GopherMaxSymbolRatio)
+      .withColumn("r_alpha", col("alpha_word_ratio") >= GopherMinAlphaRatio)
+      .withColumn("r_stop", col("n_stop") >= GopherMinStopHits)
       .withColumn("keep",
         col("r_words") && col("r_mean_len") && col("r_symbol") &&
           col("r_alpha") && col("r_stop"))
@@ -835,5 +848,175 @@ object TextAnalysis {
         round(col("nll_sum").cast("double") / (col("n_bigrams") * 1e6), 4).as("avg_nll"),
         round(exp(col("nll_sum").cast("double") / (col("n_bigrams") * 1e6)), 4).as("ppl"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Per-document token Shannon entropy — the gibberish/boilerplate axis
+    * the cross-entropy scores ([[unigramScores]]) cannot see: a doc of one
+    * word repeated 500× has LOW corpus NLL (the word is common) but ZERO
+    * internal entropy, and machine-generated spam lives at both extremes.
+    * Reports H = ln n − (Σ c·ln c)/n over the doc's own token counts plus
+    * H/ln n ∈ [0,1] (normalized: 1 = all tokens distinct, 0 = one token).
+    *
+    * Exact-replay arithmetic: every ln is rounded ONCE to integer
+    * micro-nats, so both engines aggregate integers — H's numerator is
+    * n·lnE6(n) − Σ c·lnE6(c), a BIGINT, and the normalized form divides
+    * the same two integer numerators (micro-nat scale cancels), so no
+    * float ever crosses an aggregation boundary.
+    *
+    * Scale shape: two keyed aggregations — (doc_id, hash64(token)) then
+    * doc_id — with map-side combine; token STRINGS never shuffle, each
+    * Exchange row is (doc_id, 8-byte hash, count). The 60-bit hash can in
+    * principle merge two tokens within one doc; both engines hash
+    * identically so the report stays replay-exact regardless. */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val counts = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("doc_id"), call_function("hash64", col("tok")).as("th"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .withColumn("ln_c_e6",
+        round(log(col("c").cast("double")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("ln_c_e6")).as("sum_clnc"))
+      .withColumn("ln_n_e6",
+        round(log(col("n_words").cast("double")) * 1e6).cast("long"))
+      .select(
+        col("doc_id"), col("n_words"), col("n_distinct"),
+        round((col("n_words") * col("ln_n_e6") - col("sum_clnc"))
+          .cast("double") / (col("n_words") * 1e6), 4).as("entropy"),
+        when(col("n_words") <= 1, lit(0.0))
+          .otherwise(round((col("n_words") * col("ln_n_e6") - col("sum_clnc"))
+            .cast("double") / (col("n_words") * col("ln_n_e6")), 4))
+          .as("norm_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-document n-gram novelty — the memorization-risk / templating
+    * signal: what fraction of a doc's distinct word trigrams appear in NO
+    * other document? Injected exact copies ([[Dedup.augmentedDocs]]) score
+    * 0.0 by construction (every gram exists twice), templated text scores
+    * low, original prose scores high — the inverse of the boilerplate
+    * axis, used to pick held-out-worthy or dedup-resistant content.
+    *
+    * Scale shape: the inverted-index pattern — grams hash to 8 bytes
+    * before ANY shuffle; the corpus gram-frequency aggregation and the
+    * mark-back join are co-partitioned on the same gram-hash key (the join
+    * reuses the aggregation's Exchange; `shuffle_hash` keeps AQE from
+    * inserting a sort), then one doc-keyed aggregation. Identical shape to
+    * [[graft.operators.Cleaning.rewriteRaw]]'s bad-digest mark-back, which
+    * is the scale-proven form — the gram-frequency table GROWS with the
+    * corpus and must never be broadcast. */
+  def noveltyScores(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val grams = Dedup.augmentedDocs(docs)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(
+        expr("array_distinct(transform(word_shingles(text, 3), s -> hash64(s)))"))
+        .as("gh"))
+    val freq = grams.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+    grams
+      .join(freq.hint("shuffle_hash"), Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Log₂ token-length histogram with document/word shares and the
+    * cumulative word share — the one-page corpus profile a packing run
+    * ([[Curation.packingSummary]]) reads to size its context window:
+    * "what share of my TOKENS lives in docs longer than 2ᵏ words" is
+    * exactly the cum_word_share column read from the right.
+    *
+    * Scale shape: one narrow projection into a ≤64-row aggregation
+    * (buckets are log₂ of a long), totals ride a 1-row broadcast
+    * cross-join, and the cumulative sum is a window over the COLLAPSED
+    * ≤64-row frame — on the [[graft.PlanShapeSpec]] global-window
+    * allowlist for exactly that reason (input cardinality is bounded by
+    * construction, not by data). */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = withTokens(docs)
+      .withColumn("n_words",
+        expr("size(filter(toks, t -> t <> ''))").cast("long"))
+      .filter(col("n_words") > 0)
+      // floor(log2) via binary-string length: exact integer math, no
+      // float edge at powers of two
+      .withColumn("bucket", (length(expr("bin(n_words)")) - 1).cast("long"))
+    val hist = w.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words_total"))
+    val tot = hist.agg(
+      sum(col("n_docs")).as("t_docs"), sum(col("n_words_total")).as("t_words"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("cum_words",
+        sum(col("n_words_total")).over(Window.orderBy(col("bucket"))))
+      .select(
+        col("bucket"), col("n_docs"), col("n_words_total"),
+        round(col("n_docs").cast("double") / col("t_docs"), 4).as("doc_share"),
+        round(col("n_words_total").cast("double") / col("t_words"), 4)
+          .as("word_share"),
+        round(col("cum_words").cast("double") / col("t_words"), 4)
+          .as("cum_word_share"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Hashed feature dimensionality for [[linearProbeMoments]]. */
+  val ProbeDims = 8
+
+  /** Distributed least squares the sufficient-statistics way: the moment
+    * matrix [X 1 y]ᵀ[X 1 y] over signed hashed token-count features
+    * (the [[featureHash]] formula at [[ProbeDims]] dims), an intercept,
+    * and the Gopher keep pseudo-label. Solving the normal equations
+    * (X̃ᵀX̃)β = X̃ᵀy on the ~(d+2)² driver-side matrix yields a linear
+    * quality probe trained in ONE pass over the corpus — the pattern every
+    * on-cluster linear/logistic trainer reduces to, and the distributed
+    * half is this operator. The spec solves it and checks the probe beats
+    * the majority class, proving the moments carry real signal.
+    *
+    * Scale shape: the features, intercept, and label are per-row lambdas
+    * (no tokenize-explode-shuffle); the 55 upper-triangle sums reduce in
+    * ONE partial-aggregated collapse — bytes shuffled are 55 longs per
+    * partition, independent of corpus size. Every entry is an exact
+    * integer (counts × counts), so the oracle matches bit-for-bit with no
+    * float discipline needed. */
+  /** The probe's per-document design row: signed hashed token counts
+    * v0..v{d−1}, intercept v{d}, label v{d+1}. Exposed for the spec that
+    * solves the normal equations and measures the probe's accuracy. */
+  private[graft] def probeFeatures(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val d = ProbeDims
+    (0 until d).foldLeft(
+      withGopherFlags(docs)
+        .withColumn(s"v${d + 1}", when(col("keep"), 1L).otherwise(0L))
+        .withColumn(s"v$d", lit(1L))) { (f, i) =>
+      f.withColumn(s"v$i", expr(
+        s"""aggregate(filter(words, t -> pmod(hash64(t), $d) = $i), 0L,
+           |  (acc, t) -> acc + case when pmod(hash64(concat('s#', t)), 2) = 0
+           |                    then 1L else -1L end)""".stripMargin))
+    }
+  }
+
+  def linearProbeMoments(docs: DataFrame): DataFrame = {
+    val d = ProbeDims
+    val wide = probeFeatures(docs)
+    val idx = for (i <- 0 to d + 1; j <- i to d + 1) yield (i, j)
+    val sums = idx.map { case (i, j) =>
+      sum(col(s"v$i") * col(s"v$j")).as(s"m_${i}_$j")
+    }
+    val stacked = idx
+      .map { case (i, j) => s"${i}L, ${j}L, m_${i}_$j" }
+      .mkString(", ")
+    wide.agg(sums.head, sums.tail: _*)
+      .select(expr(
+        s"stack(${idx.size}, $stacked) as (i, j, m)"))
+      .orderBy(col("i"), col("j"))
   }
 }

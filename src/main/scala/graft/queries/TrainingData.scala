@@ -108,6 +108,12 @@ object TrainingData {
     "cur_weighted_sample" -> ((s, dir) => Curation.weightedSample(docs(s, dir))),
     "text_ccnet_buckets" -> ((s, dir) => TextAnalysis.ccnetBuckets(docs(s, dir))),
     "diag_dup_source" -> ((s, dir) => Dedup.dupBySource(docs(s, dir))),
+    "diag_source_scorecard" -> ((s, dir) => Curation.sourceScorecard(docs(s, dir))),
+    "text_entropy" -> ((s, dir) => TextAnalysis.tokenEntropy(docs(s, dir))),
+    "text_novelty" -> ((s, dir) => TextAnalysis.noveltyScores(docs(s, dir))),
+    "text_length_histogram" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
+    "text_linear_probe" -> ((s, dir) => TextAnalysis.linearProbeMoments(docs(s, dir))),
+    "dedup_lsh_eval" -> ((s, dir) => Dedup.lshEval(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -1568,6 +1574,195 @@ object TrainingData {
         |       ROUND(SUM(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS dup_rate
         |FROM a JOIN pd USING (digest)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_entropy" ->
+      s"""WITH $baseCte,
+         |tk AS (SELECT doc_id, tok FROM
+         |         (SELECT doc_id, unnest(toks) AS tok FROM base) WHERE tok <> ''),
+         |c AS (SELECT doc_id, ${h64("tok")} AS th, COUNT(*) AS c
+         |      FROM tk GROUP BY 1, 2),
+         |d AS (SELECT doc_id,
+         |        CAST(SUM(c) AS BIGINT) AS n_words,
+         |        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |        CAST(SUM(c * CAST(ROUND(ln(c::DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_clnc
+         |      FROM c GROUP BY doc_id),
+         |e AS (SELECT doc_id, n_words, n_distinct, sum_clnc,
+         |        CAST(ROUND(ln(n_words::DOUBLE) * 1000000) AS BIGINT) AS ln_n_e6
+         |      FROM d)
+         |SELECT doc_id, n_words, n_distinct,
+         |       ROUND((n_words * ln_n_e6 - sum_clnc)::DOUBLE / (n_words * 1000000.0), 4)
+         |         AS entropy,
+         |       CASE WHEN n_words <= 1 THEN 0.0
+         |            ELSE ROUND((n_words * ln_n_e6 - sum_clnc)::DOUBLE
+         |                       / (n_words * ln_n_e6), 4) END AS norm_entropy
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "text_novelty" ->
+      s"""WITH $baseCte, $augCte, $shCte,
+         |shh AS (
+         |  SELECT doc_id, list_distinct(list_transform(sh, s -> ${h64("s")})) AS shl
+         |  FROM sh),
+         |g AS (SELECT doc_id, unnest(shl) AS gh FROM shh),
+         |f AS (SELECT gh, COUNT(*) AS nd FROM g GROUP BY gh)
+         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |       CAST(SUM(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       ROUND(SUM(CASE WHEN f.nd = 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+         |         AS novelty
+         |FROM g JOIN f USING (gh) GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_length_histogram" ->
+      s"""WITH $baseCte,
+         |w AS (SELECT doc_id,
+         |        CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS n_words
+         |      FROM base),
+         |w2 AS (SELECT doc_id, n_words,
+         |         CAST(length(printf('%b', n_words)) - 1 AS BIGINT) AS bucket
+         |       FROM w WHERE n_words > 0),
+         |h AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |        CAST(SUM(n_words) AS BIGINT) AS n_words_total
+         |      FROM w2 GROUP BY bucket),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS t_docs,
+         |        CAST(SUM(n_words_total) AS BIGINT) AS t_words FROM h)
+         |SELECT bucket, n_docs, n_words_total,
+         |       ROUND(n_docs::DOUBLE / t.t_docs, 4) AS doc_share,
+         |       ROUND(n_words_total::DOUBLE / t.t_words, 4) AS word_share,
+         |       ROUND(CAST(SUM(n_words_total) OVER (ORDER BY bucket) AS BIGINT)::DOUBLE
+         |             / t.t_words, 4) AS cum_word_share
+         |FROM h CROSS JOIN t ORDER BY bucket""".stripMargin,
+
+    "text_linear_probe" -> {
+      val d = TextAnalysis.ProbeDims
+      def xExpr(i: Int) = fold(
+        s"""list_transform(list_filter(words, t -> ${h64("t")} % $d = $i),
+           |           t -> CASE WHEN ${h64("'s#' || t")} % 2 = 0
+           |                THEN 1::BIGINT ELSE -1::BIGINT END)""".stripMargin,
+        "0::BIGINT", "(a, x) -> a + x")
+      val idx = for (i <- 0 to d + 1; j <- i to d + 1) yield (i, j)
+      val sums = idx.map { case (i, j) =>
+        s"CAST(SUM(v$i * v$j) AS BIGINT) AS m_${i}_$j" }.mkString(",\n         ")
+      val structs = idx.map { case (i, j) =>
+        s"struct_pack(i := $i, j := $j, m := m_${i}_$j)" }.mkString(", ")
+      val xCols = (0 until d).map(i => s"${xExpr(i)} AS v$i").mkString(",\n         ")
+      s"""WITH $baseCte,
+         |g AS (
+         |  SELECT doc_id, text, list_filter(toks, t -> t <> '') AS words,
+         |         len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
+         |  FROM base),
+         |g2 AS (
+         |  SELECT doc_id, words, CAST(len(words) AS BIGINT) AS n_words,
+         |         ROUND(${fold("list_transform(words, t -> strlen(t))", "0::BIGINT", "(x, y) -> x + y")}::DOUBLE
+         |           / greatest(len(words), 1), 4) AS mean_word_len,
+         |         ROUND(n_sym::DOUBLE / greatest(len(words), 1), 4) AS symbol_ratio,
+         |         ROUND(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+         |           / greatest(len(words), 1), 4) AS alpha_word_ratio,
+         |         CAST(len(list_filter(words, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop
+         |  FROM g),
+         |lab AS (
+         |  SELECT doc_id, words,
+         |         (n_words >= ${TextAnalysis.GopherMinWords}
+         |          AND n_words <= ${TextAnalysis.GopherMaxWords}
+         |          AND mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+         |          AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}
+         |          AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+         |          AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
+         |          AND n_stop >= ${TextAnalysis.GopherMinStopHits}) AS keep
+         |  FROM g2),
+         |wide AS (
+         |  SELECT doc_id,
+         |         $xCols,
+         |         1::BIGINT AS v$d,
+         |         CASE WHEN keep THEN 1::BIGINT ELSE 0::BIGINT END AS v${d + 1}
+         |  FROM lab),
+         |mm AS (
+         |  SELECT $sums
+         |  FROM wide)
+         |SELECT CAST(u.i AS BIGINT) AS i, CAST(u.j AS BIGINT) AS j,
+         |       CAST(u.m AS BIGINT) AS m
+         |FROM (SELECT unnest([$structs]) AS u FROM mm) t
+         |ORDER BY i, j""".stripMargin
+    },
+
+    "dedup_lsh_eval" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte,
+         |shh AS (
+         |  SELECT doc_id, lang, tok0,
+         |         list_distinct(list_transform(sh, s -> ${h64("s")})) AS shl
+         |  FROM sh),
+         |shn AS (SELECT doc_id, lang, tok0, shl, len(shl) AS nsh FROM shh),
+         |tp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shn a JOIN shn b
+         |    ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shl, b.shl))::DOUBLE
+         |        / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))) >= 0.6),
+         |banded AS (
+         |  SELECT doc_id, sig, b.band AS band,
+         |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+         |cp AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |           a.sig AS sig_a, b2.sig AS sig_b
+         |    FROM banded a JOIN banded b2
+         |      ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id)
+         |  WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5),
+         |j AS (
+         |  SELECT tp.doc_a IS NOT NULL AS t, cp.doc_a IS NOT NULL AS c
+         |  FROM tp FULL OUTER JOIN cp
+         |    ON tp.doc_a = cp.doc_a AND tp.doc_b = cp.doc_b)
+         |SELECT CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |       CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+         |       CAST(SUM(CASE WHEN t AND c THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       ROUND(SUM(CASE WHEN t AND c THEN 1 ELSE 0 END)::DOUBLE
+         |             / SUM(CASE WHEN c THEN 1 ELSE 0 END), 4) AS precision,
+         |       ROUND(SUM(CASE WHEN t AND c THEN 1 ELSE 0 END)::DOUBLE
+         |             / SUM(CASE WHEN t THEN 1 ELSE 0 END), 4) AS recall
+         |FROM j""".stripMargin,
+
+    "diag_source_scorecard" ->
+      s"""WITH b0 AS (SELECT doc_id, text, lang, source FROM documents),
+         |m0 AS (SELECT doc_id + 200000 AS doc_id, text, lang, 'mirror' AS source
+         |       FROM b0 WHERE doc_id % 13 = 0),
+         |u AS (SELECT * FROM b0 UNION ALL SELECT * FROM m0),
+         |tb AS (SELECT doc_id, source, trim(text) AS text,
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks
+         |       FROM u),
+         |q AS (SELECT doc_id, source, text,
+         |        CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(toks, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop,
+         |        list_filter(toks, t -> t <> '') AS words,
+         |        len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
+         |      FROM tb),
+         |q2 AS (SELECT doc_id, source, md5(text) AS digest,
+         |        CAST(ROUND(ROUND(least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.5
+         |          + (n_stop::DOUBLE / n_tokens) * 0.5, 4) * 10000) AS BIGINT) AS q_e4,
+         |        CAST(len(words) AS BIGINT) AS n_words,
+         |        ROUND(${fold("list_transform(words, t -> strlen(t))", "0::BIGINT", "(x, y) -> x + y")}::DOUBLE
+         |          / greatest(len(words), 1), 4) AS mean_word_len,
+         |        ROUND(n_sym::DOUBLE / greatest(len(words), 1), 4) AS symbol_ratio,
+         |        ROUND(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+         |          / greatest(len(words), 1), 4) AS alpha_word_ratio,
+         |        CAST(len(list_filter(words, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop2
+         |      FROM q),
+         |lb AS (SELECT doc_id, source, digest, q_e4, n_words,
+         |         CASE WHEN (n_words >= ${TextAnalysis.GopherMinWords}
+         |           AND n_words <= ${TextAnalysis.GopherMaxWords}
+         |           AND mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+         |           AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}
+         |           AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+         |           AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
+         |           AND n_stop2 >= ${TextAnalysis.GopherMinStopHits})
+         |           THEN 1 ELSE 0 END AS kept
+         |       FROM q2),
+         |pd AS (SELECT digest, COUNT(*) AS n_copies FROM lb GROUP BY digest)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+         |       ROUND(SUM(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS dup_rate,
+         |       ROUND(CAST(SUM(kept) AS BIGINT)::DOUBLE / COUNT(*), 4) AS keep_rate,
+         |       ROUND(CAST(SUM(q_e4) AS BIGINT)::DOUBLE / (COUNT(*) * 10000.0), 4) AS avg_quality,
+         |       ROUND(CAST(SUM(n_words) AS BIGINT)::DOUBLE / COUNT(*), 4) AS avg_words
+         |FROM lb JOIN pd USING (digest)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH $baseCte, $augCte, $shCte,

@@ -385,6 +385,41 @@ class PlanShapeSpec extends AnyFunSuite {
       .foreach(l => assert(!l.contains("text#"), s"diag_dup_source ships text: $l"))
   }
 
+  test("token entropy: token strings never enter an Exchange") {
+    val p = plan("text_entropy")
+    assert(!p.contains("Join"), p.take(2000))
+    p.linesIterator.filter(_.contains("Exchange"))
+      .foreach(l => assert(!l.contains("tok#") && !l.contains("text#"),
+        s"text_entropy shuffles token text: $l"))
+  }
+
+  test("novelty: gram-frequency mark-back is a co-partitioned shuffle join, never broadcast") {
+    val p = plan("text_novelty")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    // the gram-frequency table grows with the corpus — broadcasting it is
+    // the clean_boilerplate bug all over again
+    assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+    p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .foreach(l => assert(!l.contains("text#"), s"text_novelty ships text: $l"))
+  }
+
+  test("linear probe: one collapsed aggregation, no joins, no windows") {
+    val p = plan("text_linear_probe")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    // the only Exchange is the 55-long partial-agg collapse
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("SinglePartition")),
+      s"probe shuffles more than the collapsed moments: $exchanges")
+  }
+
+  test("source scorecard: digest stats join co-partitioned; text never shuffles") {
+    val p = plan("diag_source_scorecard")
+    assert(p.contains("ShuffledHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .foreach(l => assert(!l.contains("text#"), s"scorecard ships text: $l"))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast
@@ -405,7 +440,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "win_global_avg" -> "the operator IS the global-avg-over-groups demo; input is the per-(flag,status) aggregate (≤ 6 rows)",
     "cur_source_mix" -> "share-of-total over the per-source aggregate (≤ #sources rows)",
     "sim_ivf_stats" -> "imbalance ratio over the per-cell aggregate (≤ #IVF cells rows)",
-    "era_slot_gaps" -> "lag over the per-era max-slot aggregate (one row per era, ~1.5k rows for the full chain); the per-slot lag itself is era-partitioned")
+    "era_slot_gaps" -> "lag over the per-era max-slot aggregate (one row per era, ~1.5k rows for the full chain); the per-slot lag itself is era-partitioned",
+    "text_length_histogram" -> "cumulative sum over the per-log2-bucket aggregate (≤ 64 rows: buckets of a long)")
 
   test("global-order window sweep: every empty-partition-spec WindowExec is on the documented allowlist") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -60,6 +60,100 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("token entropy: one repeated token scores 0, all-distinct scores 1") {
+    import spark.implicits._
+    val synth = Seq(
+      (1L, ("x " * 64).trim, "en"),                       // one token 64×
+      (2L, (1 to 64).map(i => s"w$i").mkString(" "), "en") // 64 distinct
+    ).toDF("doc_id", "text", "lang")
+    val rows = TextAnalysis.tokenEntropy(synth).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getDouble(3) === 0.0 && rows(1L).getDouble(4) === 0.0)
+    assert(rows(2L).getDouble(4) === 1.0) // H = ln n exactly
+    assert(math.abs(rows(2L).getDouble(3) - math.log(64)) < 1e-3)
+  }
+
+  test("novelty: injected exact copies have zero novel grams") {
+    val nov = TextAnalysis.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // every doc_id % 13 == 0 original got a byte-identical +200000 twin:
+    // both members score 0.0 (each of their grams exists in >= 2 docs)
+    val copied = nov.keys.filter(id => id >= 200000).toSeq
+    assert(copied.nonEmpty)
+    copied.foreach { id =>
+      assert(nov(id) === 0.0, s"copy $id has novelty ${nov(id)}")
+      assert(nov(id - 200000) === 0.0, s"original ${id - 200000} not 0")
+    }
+    assert(nov.values.exists(_ > 0.5), "no genuinely novel docs found")
+  }
+
+  test("length histogram: shares sum to 1 and the cumulative ends at 1") {
+    val h = TextAnalysis.lengthHistogram(docs).collect()
+    assert(h.map(_.getLong(1)).sum === docs.count())
+    assert(h.last.getDouble(5) === 1.0)
+    val cums = h.map(_.getDouble(5))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("linear probe: moments solve to a probe that beats the majority class") {
+    val d = TextAnalysis.ProbeDims
+    val m = TextAnalysis.linearProbeMoments(docs).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2).toDouble).toMap
+    def mm(i: Int, j: Int) = m(math.min(i, j) -> math.max(i, j))
+    val n = d + 1 // features + intercept
+    // normal equations (XᵀX + εI)β = Xᵀy, Gaussian elimination w/ pivot
+    val a = Array.tabulate(n, n)((i, j) => mm(i, j) + (if (i == j) 1e-6 else 0.0))
+    val b = Array.tabulate(n)(i => mm(i, d + 1))
+    for (k <- 0 until n) {
+      val p = (k until n).maxBy(r => math.abs(a(r)(k)))
+      val (tr, tb) = (a(k), b(k)); a(k) = a(p); a(p) = tr; b(k) = b(p); b(p) = tb
+      for (r <- k + 1 until n) {
+        val f = a(r)(k) / a(k)(k)
+        for (c <- k until n) a(r)(c) -= f * a(k)(c)
+        b(r) -= f * b(k)
+      }
+    }
+    val beta = new Array[Double](n)
+    for (k <- n - 1 to 0 by -1)
+      beta(k) = (b(k) - (k + 1 until n).map(c => a(k)(c) * beta(c)).sum) / a(k)(k)
+    val feats = TextAnalysis.probeFeatures(docs)
+      .select((0 to d + 1).map(i => col(s"v$i")): _*).collect()
+    val preds = feats.map { r =>
+      val yhat = (0 to d).map(i => beta(i) * r.getLong(i)).sum
+      (if (yhat >= 0.5) 1L else 0L) == r.getLong(d + 1)
+    }
+    val acc = preds.count(identity).toDouble / preds.length
+    val majority = math.max(
+      feats.count(_.getLong(d + 1) == 1L), feats.count(_.getLong(d + 1) == 0L))
+      .toDouble / preds.length
+    assert(acc > majority, s"probe acc $acc <= majority $majority")
+  }
+
+  test("lsh eval: hits bounded by both sides and recall catches exact copies") {
+    val r = Dedup.lshEval(docs).collect()(0)
+    val (nTruth, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTruth > 0 && nCand > 0)
+    assert(nHit <= math.min(nTruth, nCand))
+    assert(r.getDouble(3) <= 1.0 && r.getDouble(4) <= 1.0)
+    // exact copies have identical signatures (est = 1.0) AND Jaccard 1.0:
+    // banding can never miss them, so recall is strictly positive and in
+    // practice well above the s-curve floor for the fixture's J>=0.8 pairs
+    assert(r.getDouble(4) >= 0.5, s"recall ${r.getDouble(4)} suspiciously low")
+  }
+
+  test("source scorecard: mirror rows are fully duplicated and rates are sane") {
+    val rows = Curation.sourceScorecard(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val m = rows("mirror")
+    assert(m.getLong(1) === docs.filter(col("doc_id") % 13 === 0).count())
+    assert(m.getDouble(3) === 1.0) // dup_rate: every mirror doc is a copy
+    rows.values.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0) // keep_rate
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0) // avg_quality
+      assert(r.getDouble(6) > 0.0) // avg_words
+    }
+  }
+
   test("dup-by-source: the mirror source is fully cross-source duplicated") {
     val rows = Dedup.dupBySource(docs).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
