@@ -707,4 +707,75 @@ object Similarity {
           VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
       k)
   }
+
+  /** Per-dimension embedding moments — the distributed-PCA diagnostic a
+    * retrieval pipeline reads before trusting its vectors: a dimension
+    * with ~zero variance is dead weight in every dot product, wildly
+    * uneven variances mean the space is anisotropic (cosine is then
+    * dominated by a few axes), and the diagonal spectrum yields the
+    * effective-dimensionality estimate (Σv)²/Σv² (the spec computes it
+    * from this frame and checks it lands in (1, dims]).
+    *
+    * Exact-replay arithmetic: each coordinate is quantized ONCE to
+    * integer micro-units (`round(x·10⁶)` — float→double widening is
+    * IEEE-exact and identical in both engines), so Σx and Σx² are BIGINT
+    * sums — associative, partitioning-independent — and mean/variance
+    * divide two exact integers at the very end.
+    *
+    * Scale shape: one narrow posexplode (dims rows per vector, two longs
+    * each) into a dims-row aggregation with map-side combine — per
+    * partition, dims·16 bytes cross the wire regardless of corpus size.
+    * No join, no window, no driver state. */
+  def dimStats(emb: DataFrame, dims: Int = 64): DataFrame = {
+    val m = emb
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("dim"),
+        round(col("x") * 1e6).cast("long").as("xe6"))
+    m.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xe6")).as("sx"),
+        sum(col("xe6") * col("xe6")).as("sx2"))
+      .select(
+        col("dim"), col("n"),
+        round(col("sx").cast("double") / (col("n") * 1e6), 6).as("mean"),
+        round((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+          (col("n").cast("double") * col("n") * 1e12), 6).as("variance"),
+        round(sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+          (col("n").cast("double") * col("n") * 1e12)), 6).as("std"))
+      .orderBy(col("dim"))
+  }
+
+  /** Sampled pairwise-cosine distribution — the anisotropy report: if
+    * random pairs already score cos ≈ 0.8, a 0.85 ANN threshold is
+    * meaningless (Ethayarajh 2019's contextual-embedding finding, run as
+    * a pipeline gate). Pairs are drawn DETERMINISTICALLY by hashing ids
+    * into `nBuckets` buckets and pairing within buckets — replayable, no
+    * RNG, and the pair count concentrates at ~n²/(2·nBuckets).
+    *
+    * Scale shape: one bucket-keyed self-join; bucket population is
+    * n/nBuckets, so nBuckets must scale with the corpus (size it to
+    * n/4-ish — the operator takes it as a parameter; the default suits
+    * the fixture). Cosines quantize to integer micro-units before the
+    * 1-row aggregate, so the summary is partitioning-independent. */
+  def pairStats(emb: DataFrame, nBuckets: Int = 256): DataFrame = {
+    val v = prepared(emb)
+      .withColumn("bucket",
+        pmod(call_function("hash64", concat(lit("pair#"), col("vec_id").cast("string"))),
+          lit(nBuckets.toLong)))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos_e6",
+        round(VectorMath.dot("a.vec", "b.vec") /
+          sqrt(col("a.sq") * col("b.sq")) * 1e6).cast("long"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("cos_e6")).cast("double") / (count(lit(1)) * 1e6), 4)
+          .as("mean_cos"),
+        round(sqrt((count(lit(1)) * sum(col("cos_e6") * col("cos_e6")) -
+          sum(col("cos_e6")) * sum(col("cos_e6"))).cast("double") /
+          (count(lit(1)).cast("double") * count(lit(1)) * 1e12)), 4).as("std_cos"),
+        round(min(col("cos_e6")).cast("double") / 1e6, 4).as("min_cos"),
+        round(max(col("cos_e6")).cast("double") / 1e6, 4).as("max_cos"))
+  }
 }

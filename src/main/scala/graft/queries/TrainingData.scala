@@ -117,6 +117,8 @@ object TrainingData {
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
+    "sim_dim_stats" -> ((s, dir) => Similarity.dimStats(emb(s, dir))),
+    "sim_pair_stats" -> ((s, dir) => Similarity.pairStats(emb(s, dir))),
     "sim_doc_topk" -> ((s, dir) => Similarity.hashedDocTopK(docs(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_lsh_mp" -> ((s, dir) => Similarity.lshMultiProbeTopK(emb(s, dir))),
@@ -1574,6 +1576,39 @@ object TrainingData {
         |       ROUND(SUM(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS dup_rate
         |FROM a JOIN pd USING (digest)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "sim_dim_stats" ->
+      s"""WITH m AS (
+         |  SELECT i.dim AS dim,
+         |         CAST(ROUND(e.embedding[(i.dim + 1)::INT]::DOUBLE * 1000000) AS BIGINT) AS xe6
+         |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) i),
+         |p AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |        CAST(SUM(xe6) AS BIGINT) AS sx,
+         |        CAST(SUM(xe6 * xe6) AS BIGINT) AS sx2
+         |      FROM m GROUP BY dim)
+         |SELECT CAST(dim AS BIGINT) AS dim, n,
+         |       ROUND(sx::DOUBLE / (n * 1000000.0), 6) AS mean,
+         |       ROUND((n * sx2 - sx * sx)::DOUBLE / (n::DOUBLE * n * 1e12), 6) AS variance,
+         |       ROUND(sqrt((n * sx2 - sx * sx)::DOUBLE / (n::DOUBLE * n * 1e12)), 6) AS std
+         |FROM p ORDER BY dim""".stripMargin,
+
+    "sim_pair_stats" ->
+      s"""WITH $vecCte,
+         |bk AS (SELECT vec_id, vec, sq,
+         |         (${h64("'pair#' || CAST(vec_id AS VARCHAR)")} % 256) AS bucket
+         |       FROM vn),
+         |pr AS (SELECT CAST(ROUND(${dotD("a.vec", "b.vec")}
+         |         / sqrt(a.sq * b.sq) * 1000000) AS BIGINT) AS cos_e6
+         |       FROM bk a JOIN bk b
+         |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       ROUND(CAST(SUM(cos_e6) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS mean_cos,
+         |       ROUND(sqrt((COUNT(*) * CAST(SUM(cos_e6 * cos_e6) AS BIGINT)
+         |         - CAST(SUM(cos_e6) AS BIGINT) * CAST(SUM(cos_e6) AS BIGINT))::DOUBLE
+         |         / (COUNT(*)::DOUBLE * COUNT(*) * 1e12)), 4) AS std_cos,
+         |       ROUND(MIN(cos_e6)::DOUBLE / 1000000.0, 4) AS min_cos,
+         |       ROUND(MAX(cos_e6)::DOUBLE / 1000000.0, 4) AS max_cos
+         |FROM pr""".stripMargin,
 
     "text_entropy" ->
       s"""WITH $baseCte,

@@ -420,6 +420,14 @@ class PlanShapeSpec extends AnyFunSuite {
       .foreach(l => assert(!l.contains("text#"), s"scorecard ships text: $l"))
   }
 
+  test("dim stats: dims-row aggregation, vectors never cross an Exchange") {
+    val p = plan("sim_dim_stats")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(2000))
+    p.linesIterator.filter(_.contains("Exchange"))
+      .foreach(l => assert(!l.contains("embedding#") && !l.contains("vec#"),
+        s"sim_dim_stats shuffles vectors: $l"))
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

@@ -129,6 +129,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(acc > majority, s"probe acc $acc <= majority $majority")
   }
 
+  test("dim stats: full spectrum present and effective dimensionality is sane") {
+    val rows = Similarity.dimStats(emb).collect()
+    assert(rows.length === 64)
+    assert(rows.map(_.getLong(1)).distinct.length === 1) // n uniform across dims
+    val vars = rows.map(_.getDouble(3))
+    assert(vars.forall(_ >= 0.0))
+    // effective dimensionality (Σv)²/Σv² from the diagonal spectrum —
+    // must exceed 1 (not all variance on one axis) and at most dims
+    val eff = math.pow(vars.sum, 2) / vars.map(v => v * v).sum
+    assert(eff > 1.0 && eff <= 64.0, s"effective dim $eff out of range")
+  }
+
+  test("pair stats: sampled cosine summary is internally consistent") {
+    val r = Similarity.pairStats(emb).collect()(0)
+    assert(r.getLong(0) > 0)
+    val (mean, mn, mx) = (r.getDouble(1), r.getDouble(3), r.getDouble(4))
+    assert(mn >= -1.0001 && mx <= 1.0001)
+    assert(mean >= mn && mean <= mx)
+    assert(r.getDouble(2) >= 0.0) // std
+  }
+
   test("lsh eval: hits bounded by both sides and recall catches exact copies") {
     val r = Dedup.lshEval(docs).collect()(0)
     val (nTruth, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
