@@ -479,6 +479,56 @@ object Curation {
       .orderBy(col("split_a"), col("split_b"))
   }
 
+  /** Doc-hash vs source-grouped split, leakage measured side by side —
+    * the GroupShuffleSplit argument made with numbers: hashing DOCUMENTS
+    * into train/val strands near-duplicates across the boundary (the
+    * model sees val's twins in training), while hashing SOURCES keeps
+    * every mirror/recrawl family on one side. Both modes are scored on
+    * the SAME near-dup pair list ([[Dedup.minhashLshPairs]]); the report
+    * is two rows — pairs straddling the boundary and the leak rate —
+    * and the spec pins the structural fact that same-source dup families
+    * can never leak under the grouped split.
+    *
+    * Scale shape: the pair list is the banded-LSH frame the dedup path
+    * already pays for; endpoint sources arrive via two doc-keyed joins
+    * of (doc_id, source) against the pair endpoints' base ids (narrow
+    * columns only), split labels are per-row hashes, and the report is a
+    * 1-row aggregate melted to two rows. */
+  def groupedSplitLeakage(docs: DataFrame, valPermille: Int = 100,
+      srcValPermille: Int = 300, salt: String = "split1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    def docVal(c: Column): Column =
+      call_function("hash64",
+        concat(c.cast("string"), lit("#" + salt))) % 1000 < valPermille
+    def srcVal(c: Column): Column =
+      call_function("hash64",
+        concat(lit("src#"), c, lit("#" + salt))) % 1000 < srcValPermille
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = Dedup.minhashLshPairs(docs)
+      // augmented ids map to their base document: +100000 truncated,
+      // +200000 exact copies (Dedup.augmentedDocs convention)
+      .withColumn("base_a", col("doc_a") % 100000)
+      .withColumn("base_b", col("doc_b") % 100000)
+    val withSrc = pairs
+      .join(src.select(col("doc_id").as("base_a"), col("source").as("src_a")),
+        Seq("base_a"))
+      .join(src.select(col("doc_id").as("base_b"), col("source").as("src_b")),
+        Seq("base_b"))
+      .select(
+        (docVal(col("doc_a")) =!= docVal(col("doc_b"))).as("cross_doc"),
+        (srcVal(col("src_a")) =!= srcVal(col("src_b"))).as("cross_src"))
+    withSrc.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cross_doc"), 1L).otherwise(0L)).as("c_doc"),
+        sum(when(col("cross_src"), 1L).otherwise(0L)).as("c_src"))
+      .select(expr(
+        """stack(2,
+          |  'doc_hash', n_pairs, c_doc, round(c_doc / cast(n_pairs as double), 4),
+          |  'source_group', n_pairs, c_src, round(c_src / cast(n_pairs as double), 4)
+          |) as (mode, n_pairs, n_cross, leak_rate)""".stripMargin))
+      .orderBy(col("mode"))
+  }
+
   /** RefinedWeb-style per-source document cap: within each source, rank
     * documents by (quality desc, doc_id) and keep at most `cap` — the
     * standard guard against one domain (a crawler trap, a mirror farm)

@@ -968,6 +968,50 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Quality-filter ensemble agreement matrix — before stacking four
+    * filters in a funnel, measure whether they are redundant (agreement
+    * ≈ 1: drop one) or contradictory (agreement ≈ 0.5: investigate).
+    * Filters: Gopher rules, the NB classifier, the composite
+    * quality-score floor, and a corpus-typicality cut (unigram NLL below
+    * the corpus mean). Upper-triangle rows (filter_a, filter_b,
+    * n_both_keep, n_agree, agree_rate); the diagonal carries each
+    * filter's own keep count.
+    *
+    * Scale shape: Gopher + quality ride ONE narrow projection; NB and
+    * unigram scores are the word-count-shaped frames the pipeline
+    * already computes; gluing is two doc-keyed joins of four-column
+    * frames plus a 1-row broadcast for the corpus-mean cut (compared in
+    * EXACT integers: a_e4·n ≤ Σa_e4 — no float mean crosses engines);
+    * the matrix is one collapsed aggregation melted by `stack`. */
+  def filterAgreement(docs: DataFrame): DataFrame = {
+    val gq = withGopherFlags(withQualityScore(docs))
+      .select(col("doc_id"), col("keep").as("f_gopher"),
+        (col("quality_score") >= graft.operators.Curation.QualityFloor)
+          .as("f_quality"))
+    val nb = nbQuality(docs)
+      .select(col("doc_id"), col("pred").as("f_nb"))
+    val uni = unigramScores(docs)
+      .select(col("doc_id"), round(col("avg_nll") * 1e4).cast("long").as("a_e4"))
+    val uniStats = uni.agg(sum(col("a_e4")).as("s_e4"), count(lit(1)).as("n_u"))
+    val uniF = uni.crossJoin(broadcast(uniStats))
+      .select(col("doc_id"), (col("a_e4") * col("n_u") <= col("s_e4")).as("f_ppl"))
+    val f = gq.join(nb, Seq("doc_id")).join(uniF, Seq("doc_id"))
+    val names = Seq("gopher", "nb", "ppl", "quality")
+    val idx = for (i <- names.indices; j <- i until names.size)
+      yield (names(i), names(j))
+    val aggs = idx.flatMap { case (a, b) => Seq(
+      sum(when(col(s"f_$a") && col(s"f_$b"), 1L).otherwise(0L)).as(s"bk_${a}_$b"),
+      sum(when(col(s"f_$a") === col(s"f_$b"), 1L).otherwise(0L)).as(s"ag_${a}_$b"))
+    } :+ count(lit(1)).as("n_docs")
+    val stacked = idx.map { case (a, b) =>
+      s"'$a', '$b', bk_${a}_$b, ag_${a}_$b, round(ag_${a}_$b / cast(n_docs as double), 4)"
+    }.mkString(", ")
+    f.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${idx.size}, $stacked) as (filter_a, filter_b, n_both_keep, n_agree, agree_rate)"))
+      .orderBy(col("filter_a"), col("filter_b"))
+  }
+
   /** Hashed feature dimensionality for [[linearProbeMoments]]. */
   val ProbeDims = 8
 

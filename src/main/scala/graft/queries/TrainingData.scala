@@ -114,6 +114,8 @@ object TrainingData {
     "text_length_histogram" -> ((s, dir) => TextAnalysis.lengthHistogram(docs(s, dir))),
     "text_linear_probe" -> ((s, dir) => TextAnalysis.linearProbeMoments(docs(s, dir))),
     "dedup_lsh_eval" -> ((s, dir) => Dedup.lshEval(docs(s, dir))),
+    "cur_split_grouped" -> ((s, dir) => Curation.groupedSplitLeakage(docs(s, dir))),
+    "diag_filter_agreement" -> ((s, dir) => TextAnalysis.filterAgreement(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -1576,6 +1578,82 @@ object TrainingData {
         |       ROUND(SUM(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS dup_rate
         |FROM a JOIN pd USING (digest)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "cur_split_grouped" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte,
+         |banded AS (
+         |  SELECT doc_id, sig, b.band AS band,
+         |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |         a.sig AS sig_a, b2.sig AS sig_b
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+         |cp AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5),
+         |ws AS (
+         |  SELECT c.doc_a, c.doc_b, sa.source AS src_a, sb.source AS src_b
+         |  FROM cp c
+         |  JOIN documents sa ON c.doc_a % 100000 = sa.doc_id
+         |  JOIN documents sb ON c.doc_b % 100000 = sb.doc_id),
+         |fl AS (
+         |  SELECT ((${h64("doc_a::VARCHAR || '#split1'")} % 1000 < 100) <>
+         |          (${h64("doc_b::VARCHAR || '#split1'")} % 1000 < 100)) AS cross_doc,
+         |         ((${h64("'src#' || src_a || '#split1'")} % 1000 < 300) <>
+         |          (${h64("'src#' || src_b || '#split1'")} % 1000 < 300)) AS cross_src
+         |  FROM ws),
+         |ag AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |         CAST(SUM(CASE WHEN cross_doc THEN 1 ELSE 0 END) AS BIGINT) AS c_doc,
+         |         CAST(SUM(CASE WHEN cross_src THEN 1 ELSE 0 END) AS BIGINT) AS c_src
+         |  FROM fl)
+         |SELECT 'doc_hash' AS mode, n_pairs, c_doc AS n_cross,
+         |       ROUND(c_doc::DOUBLE / n_pairs, 4) AS leak_rate FROM ag
+         |UNION ALL
+         |SELECT 'source_group', n_pairs, c_src,
+         |       ROUND(c_src::DOUBLE / n_pairs, 4) FROM ag
+         |ORDER BY mode""".stripMargin,
+
+    "diag_filter_agreement" -> {
+      val names = Seq("gopher", "nb", "ppl", "quality")
+      val idx = for (i <- names.indices; j <- i until names.size)
+        yield (names(i), names(j))
+      val sums = idx.flatMap { case (a, b) => Seq(
+        s"CAST(SUM(CASE WHEN f_$a AND f_$b THEN 1 ELSE 0 END) AS BIGINT) AS bk_${a}_$b",
+        s"CAST(SUM(CASE WHEN f_$a = f_$b THEN 1 ELSE 0 END) AS BIGINT) AS ag_${a}_$b")
+      }.mkString(",\n         ")
+      val melt = idx.map { case (a, b) =>
+        s"""SELECT '$a' AS filter_a, '$b' AS filter_b, bk_${a}_$b AS n_both_keep,
+           |       ag_${a}_$b AS n_agree,
+           |       ROUND(ag_${a}_$b::DOUBLE / n_docs, 4) AS agree_rate FROM mm""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $nbCtes,
+         |uv AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+         |ut AS (SELECT COUNT(*)::DOUBLE AS total FROM tk),
+         |usc AS (SELECT doc_id, CAST(ROUND(-ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS nm
+         |        FROM tk JOIN uv USING (tok) CROSS JOIN ut),
+         |upd AS (SELECT doc_id, ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll
+         |        FROM usc GROUP BY doc_id),
+         |ua AS (SELECT doc_id, CAST(ROUND(avg_nll * 10000) AS BIGINT) AS a_e4 FROM upd),
+         |ust AS (SELECT CAST(SUM(a_e4) AS BIGINT) AS s_e4, CAST(COUNT(*) AS BIGINT) AS n_u FROM ua),
+         |qf AS (SELECT doc_id,
+         |         ROUND(least(CAST(len(toks) AS BIGINT)::DOUBLE / 100.0, 1.0::DOUBLE) * 0.5
+         |           + (len(list_filter(toks, t -> list_contains($stopArr, t)))::DOUBLE
+         |              / len(toks)) * 0.5, 4) AS quality_score
+         |       FROM base),
+         |ff AS (SELECT f.doc_id,
+         |         f.label AS f_gopher,
+         |         (f.nll_keep <= f.nll_toss) AS f_nb,
+         |         (ua.a_e4 * ust.n_u <= ust.s_e4) AS f_ppl,
+         |         (qf.quality_score >= ${graft.operators.Curation.QualityFloor}) AS f_quality
+         |       FROM fin f JOIN ua USING (doc_id) JOIN qf USING (doc_id) CROSS JOIN ust),
+         |mm AS (SELECT $sums,
+         |         CAST(COUNT(*) AS BIGINT) AS n_docs FROM ff)
+         |$melt
+         |ORDER BY filter_a, filter_b""".stripMargin
+    },
 
     "sim_dim_stats" ->
       s"""WITH m AS (

@@ -129,6 +129,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(acc > majority, s"probe acc $acc <= majority $majority")
   }
 
+  test("grouped split leaks no more than the doc-hash split") {
+    val rows = Curation.groupedSplitLeakage(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (nDoc, cDoc, _) = rows("doc_hash")
+    val (nSrc, cSrc, _) = rows("source_group")
+    assert(nDoc === nSrc) // same pair list scored both ways
+    assert(cDoc > 0, "doc-hash split should strand some dup families")
+    // every injected dup family (exact + truncated twins) shares its base
+    // doc's source, so the grouped split can never separate them — its
+    // leakage is at most the genuinely cross-source near-dup pairs
+    assert(cSrc < cDoc, s"source-grouped leak $cSrc not below doc-hash $cDoc")
+  }
+
+  test("filter agreement: diagonal is exact and rates are probabilities") {
+    val rows = TextAnalysis.filterAgreement(docs).collect()
+    assert(rows.length === 10) // upper triangle of 4 filters
+    val diag = rows.filter(r => r.getString(0) == r.getString(1))
+    assert(diag.length === 4)
+    diag.foreach(r => assert(r.getDouble(4) === 1.0)) // self-agreement
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(3) || r.getString(0) != r.getString(1))
+    }
+    // gopher's diagonal both-keep count IS its keep count
+    val gDiag = diag.find(_.getString(0) == "gopher").get
+    val gKeep = TextAnalysis.gopherFlags(docs).filter(col("keep")).count()
+    assert(gDiag.getLong(2) === gKeep)
+  }
+
   test("dim stats: full spectrum present and effective dimensionality is sane") {
     val rows = Similarity.dimStats(emb).collect()
     assert(rows.length === 64)
