@@ -580,6 +580,30 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Deequ-style intake profile of the documents table — the schema
+    * expectations a pipeline asserts BEFORE spending compute: per column,
+    * null count and exact distinct count. Run on every ingest batch; a
+    * jump in `text` distincts vs `doc_id` distincts is the dup alarm, a
+    * nonzero null count on a required column stops the run.
+    *
+    * Scale shape: one multi-distinct aggregation (Spark plans the
+    * standard Expand — corpus ×5 narrow rows, map-side partial) melted
+    * by stack. Exact distincts are the fixture-scale honest form; the
+    * 100 TB form swaps each COUNT(DISTINCT) for the KMV sketch
+    * ([[TextAnalysis.vocabKmv]]) — same report schema, mergeable. */
+  def tableProfile(docs: DataFrame): DataFrame = {
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"))
+    }
+    val stacked = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(expr(
+        s"stack(${cols.size}, $stacked) as (column_name, n_null, n_distinct)"))
+      .orderBy(col("column_name"))
+  }
+
   /** Per-source scorecard — the one-page "which sources are worth their
     * bytes" report combining the pipeline's cheap signals: exact-dup rate
     * (with the deterministic 'mirror' source from

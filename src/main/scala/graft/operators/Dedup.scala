@@ -144,6 +144,38 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Jaccard-threshold sensitivity sweep — the "which threshold do I
+    * ship" table: for each candidate threshold, how many pairs would the
+    * n-gram dedup flag and how similar are they on average? Computed from
+    * ONE pass of the blocked candidate machinery at the loosest
+    * threshold; each pair then counts toward every threshold at or below
+    * its Jaccard (a 5-literal explode, not five corpus passes).
+    *
+    * Scale shape: [[ngramCandidates]]'s de-skewed blocking at t = 0.5
+    * (the widest setting pays the widest probe — that is the honest
+    * cost), the per-pair merge kernel once, then a ≤5-row aggregation.
+    * Mean Jaccard aggregates the exact integer `round(j·10⁴)`. */
+  def thresholdSweep(docs: DataFrame,
+      thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val base = thresholds.min
+    val pairs = ngramCandidates(docs, base)
+      .withColumn("common", call_function("sorted_overlap", col("shl_a"), col("shl_b")))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("nsh_a") + col("nsh_b") - col("common")))
+      .filter(col("jaccard") >= base)
+      .select(round(col("jaccard"), 4).as("j4"))
+    pairs
+      .select(col("j4"),
+        explode(array(thresholds.map(t => lit(t)): _*)).as("threshold"))
+      .filter(col("j4") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(round(col("j4") * 1e4).cast("long")).cast("double") /
+          (count(lit(1)) * 1e4), 4).as("mean_jaccard"))
+      .orderBy(col("threshold"))
+  }
+
   // ── 3. MinHash + LSH ───────────────────────────────────────────────────
 
   val MinhashK = 12
@@ -372,6 +404,38 @@ object Dedup {
         col("n_truth"), col("n_cand"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_cand"), 4).as("precision"),
         round(col("n_hit").cast("double") / col("n_truth"), 4).as("recall"))
+  }
+
+  /** Measured vs theoretical LSH s-curve — [[lshEval]] refined by
+    * similarity bucket: for truth pairs in each Jaccard decile, the share
+    * the production LSH path (banding + estimate filter) actually
+    * surfaced, next to the banding-only collision probability
+    * 1 − (1 − s^r)^b at the bucket midpoint (r = 4 rows, b = 3 bands).
+    * Measured below theory at a bucket = the estimate filter is biting;
+    * theory below target at the threshold = change the banding geometry,
+    * no amount of tuning elsewhere helps. The standard plot for choosing
+    * (k, bands) — computed from the corpus instead of assumed.
+    *
+    * Scale shape: the two already-blocked pair frames joined on the pair
+    * key, a ≤6-row bucket aggregation, theory as a per-row literal
+    * formula. */
+  def lshScurve(docs: DataFrame, minJ: Double = 0.5): DataFrame = {
+    val truth = ngramJaccard(docs, minJ)
+    val cand = minhashLshPairs(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "left_outer")
+      .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("c"), lit(0L))).as("n_caught"))
+      .withColumn("recall_measured",
+        round(col("n_caught").cast("double") / col("n_truth"), 4))
+      .withColumn("mid", least((col("bucket").cast("double") + 0.5) / 10.0, lit(1.0)))
+      .withColumn("p_theory",
+        round(lit(1.0) - pow(lit(1.0) - pow(col("mid"), lit(4.0)), lit(3.0)), 4))
+      .select(col("bucket"), col("n_truth"), col("n_caught"),
+        col("recall_measured"), col("p_theory"))
+      .orderBy(col("bucket"))
   }
 
   // ── 4. SimHash ─────────────────────────────────────────────────────────

@@ -968,6 +968,68 @@ object TextAnalysis {
       .orderBy(col("bucket"))
   }
 
+  /** Token-distribution drift between two corpus sides — the ingest
+    * monitoring number: yesterday's crawl vs today's, shard A vs shard B,
+    * or (here, deterministically) the two halves of a hash split. Reports
+    * Jensen–Shannon divergence (bounded [0, ln 2], symmetric, defined
+    * even for disjoint vocabularies — why it beats raw KL for monitoring)
+    * and total-variation distance, plus per-side vocabulary counts.
+    *
+    * Exact-replay arithmetic: p/m = 2·ca·tb/(ca·tb + cb·ta) is a ratio
+    * of exact integer products, each ln is rounded ONCE to micro-nats and
+    * weighted by the integer count, so both divergences aggregate BIGINTs
+    * (TV's numerator Σ\|ca·tb − cb·ta\| likewise). Count products fit the
+    * double mantissa up to ~9·10¹⁵ — per-token × side-total products at
+    * extreme corpus sizes would switch the production form to per-side
+    * probabilities, documented here.
+    *
+    * Scale shape: the DSIR shape — ONE token-keyed aggregation with two
+    * conditional sums, a 1-row totals broadcast, then a 1-row collapse.
+    * Token strings appear in exactly one Exchange (the vocab groupBy). */
+  def corpusDrift(docs: DataFrame, salt: String = "drift1"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val tk = withTokens(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("side", pmod(call_function("hash64",
+        concat(lit(salt + "#"), col("doc_id").cast("string"))), lit(2L)))
+    driftOf(tk)
+  }
+
+  /** Drift core over an explicit (tok, side) stream — the spec drives it
+    * with a deliberately disjoint-vocabulary split to pin js → ln 2. */
+  private[graft] def driftOf(tk: DataFrame): DataFrame = {
+    val counts = tk.groupBy(col("tok")).agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col("ca"), col("cb"), col("ta"), col("tb"),
+        when(col("ca") > 0, col("ca") *
+          round(log(lit(2.0) * col("ca") * col("tb") /
+            (col("ca") * col("tb") + col("cb") * col("ta"))) * 1e6).cast("long"))
+          .otherwise(0L).as("jp"),
+        when(col("cb") > 0, col("cb") *
+          round(log(lit(2.0) * col("cb") * col("ta") /
+            (col("ca") * col("tb") + col("cb") * col("ta"))) * 1e6).cast("long"))
+          .otherwise(0L).as("jq"),
+        abs(col("ca") * col("tb") - col("cb") * col("ta")).as("tvn"))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("ca") > 0, 1L).otherwise(0L)).as("n_vocab_a"),
+        sum(when(col("cb") > 0, 1L).otherwise(0L)).as("n_vocab_b"),
+        max(col("ta")).as("ta"), max(col("tb")).as("tb"),
+        sum(col("jp")).as("sjp"), sum(col("jq")).as("sjq"),
+        sum(col("tvn")).as("stv"))
+      .select(
+        col("n_vocab"), col("n_vocab_a"), col("n_vocab_b"),
+        round((col("sjp").cast("double") / col("ta") +
+          col("sjq").cast("double") / col("tb")) / 2e6, 6).as("js"),
+        round(col("stv").cast("double") /
+          (lit(2.0) * col("ta") * col("tb")), 6).as("tv"))
+  }
+
   /** Quality-filter ensemble agreement matrix — before stacking four
     * filters in a funnel, measure whether they are redundant (agreement
     * ≈ 1: drop one) or contradictory (agreement ≈ 0.5: investigate).

@@ -116,6 +116,10 @@ object TrainingData {
     "dedup_lsh_eval" -> ((s, dir) => Dedup.lshEval(docs(s, dir))),
     "cur_split_grouped" -> ((s, dir) => Curation.groupedSplitLeakage(docs(s, dir))),
     "diag_filter_agreement" -> ((s, dir) => TextAnalysis.filterAgreement(docs(s, dir))),
+    "diag_corpus_drift" -> ((s, dir) => TextAnalysis.corpusDrift(docs(s, dir))),
+    "diag_table_profile" -> ((s, dir) => Curation.tableProfile(docs(s, dir))),
+    "dedup_threshold_sweep" -> ((s, dir) => Dedup.thresholdSweep(docs(s, dir))),
+    "dedup_lsh_scurve" -> ((s, dir) => Dedup.lshScurve(docs(s, dir))),
 
     // ── similarity search ─────────────────────────────────────────────────
     "sim_topk_brute" -> ((s, dir) => Similarity.bruteForceTopK(emb(s, dir))),
@@ -1578,6 +1582,111 @@ object TrainingData {
         |       ROUND(SUM(CASE WHEN n_copies > 1 THEN 1.0 ELSE 0.0 END) / COUNT(*), 4) AS dup_rate
         |FROM a JOIN pd USING (digest)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_lsh_scurve" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte,
+         |shh AS (
+         |  SELECT doc_id, lang, tok0,
+         |         list_distinct(list_transform(sh, s -> ${h64("s")})) AS shl
+         |  FROM sh),
+         |shn AS (SELECT doc_id, lang, tok0, shl, len(shl) AS nsh FROM shh),
+         |tp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         ROUND(len(list_intersect(a.shl, b.shl))::DOUBLE
+         |           / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))), 4) AS jaccard
+         |  FROM shn a JOIN shn b
+         |    ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shl, b.shl))::DOUBLE
+         |        / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))) >= 0.5),
+         |banded AS (
+         |  SELECT doc_id, sig, b.band AS band,
+         |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+         |cp AS (
+         |  SELECT doc_a, doc_b, 1::BIGINT AS c FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |           a.sig AS sig_a, b2.sig AS sig_b
+         |    FROM banded a JOIN banded b2
+         |      ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id)
+         |  WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5),
+         |bu AS (
+         |  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket,
+         |         CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |         CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS n_caught
+         |  FROM tp LEFT JOIN cp USING (doc_a, doc_b)
+         |  GROUP BY 1)
+         |SELECT bucket, n_truth, n_caught,
+         |       ROUND(n_caught::DOUBLE / n_truth, 4) AS recall_measured,
+         |       ROUND(1.0 - pow(1.0 - pow(least((bucket::DOUBLE + 0.5) / 10.0, 1.0), 4.0), 3.0), 4) AS p_theory
+         |FROM bu ORDER BY bucket""".stripMargin,
+
+    "diag_corpus_drift" ->
+      s"""WITH $baseCte,
+         |tk AS (SELECT doc_id, tok FROM
+         |         (SELECT doc_id, unnest(toks) AS tok FROM base) WHERE tok <> ''),
+         |sd AS (SELECT tok,
+         |         (${h64("'drift1#' || CAST(doc_id AS VARCHAR)")} % 2) AS side
+         |       FROM tk),
+         |c AS (SELECT tok,
+         |        CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |        CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |      FROM sd GROUP BY tok),
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb FROM c),
+         |e AS (SELECT ca, cb, ta, tb,
+         |        CASE WHEN ca > 0 THEN ca * CAST(ROUND(ln(2.0 * ca * tb
+         |          / (ca * tb + cb * ta)) * 1000000) AS BIGINT) ELSE 0 END AS jp,
+         |        CASE WHEN cb > 0 THEN cb * CAST(ROUND(ln(2.0 * cb * ta
+         |          / (ca * tb + cb * ta)) * 1000000) AS BIGINT) ELSE 0 END AS jq,
+         |        abs(ca * tb - cb * ta) AS tvn
+         |      FROM c CROSS JOIN t),
+         |f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         |        CAST(SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_a,
+         |        CAST(SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab_b,
+         |        MAX(ta) AS ta, MAX(tb) AS tb,
+         |        CAST(SUM(jp) AS BIGINT) AS sjp, CAST(SUM(jq) AS BIGINT) AS sjq,
+         |        CAST(SUM(tvn) AS BIGINT) AS stv
+         |      FROM e)
+         |SELECT n_vocab, n_vocab_a, n_vocab_b,
+         |       ROUND((sjp::DOUBLE / ta + sjq::DOUBLE / tb) / 2000000.0, 6) AS js,
+         |       ROUND(stv::DOUBLE / (2.0 * ta * tb), 6) AS tv
+         |FROM f""".stripMargin,
+
+    "diag_table_profile" -> {
+      val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+      val sums = cols.flatMap { c => Seq(
+        s"CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_$c",
+        s"CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd_$c")
+      }.mkString(",\n         ")
+      val melt = cols.map(c =>
+        s"SELECT '$c' AS column_name, nn_$c AS n_null, nd_$c AS n_distinct FROM s")
+        .mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT $sums FROM documents)
+         |$melt
+         |ORDER BY column_name""".stripMargin
+    },
+
+    "dedup_threshold_sweep" ->
+      s"""WITH $baseCte, $augCte, $shCte,
+         |shh AS (
+         |  SELECT doc_id, lang, tok0,
+         |         list_distinct(list_transform(sh, s -> ${h64("s")})) AS shl
+         |  FROM sh),
+         |shn AS (SELECT doc_id, lang, tok0, shl, len(shl) AS nsh FROM shh),
+         |pj AS (
+         |  SELECT ROUND(len(list_intersect(a.shl, b.shl))::DOUBLE
+         |           / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))), 4) AS j4
+         |  FROM shn a JOIN shn b
+         |    ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.shl, b.shl))::DOUBLE
+         |        / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))) >= 0.5),
+         |sw AS (SELECT t.threshold, j4
+         |       FROM pj CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.6::DOUBLE,
+         |         0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS threshold) t
+         |       WHERE j4 >= t.threshold)
+         |SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       ROUND(CAST(SUM(CAST(ROUND(j4 * 10000) AS BIGINT)) AS BIGINT)::DOUBLE
+         |             / (COUNT(*) * 10000.0), 4) AS mean_jaccard
+         |FROM sw GROUP BY threshold ORDER BY threshold""".stripMargin,
 
     "cur_split_grouped" ->
       s"""WITH $baseCte, $augCte, $shCte, $sigCte,

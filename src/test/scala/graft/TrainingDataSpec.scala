@@ -129,6 +129,52 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(acc > majority, s"probe acc $acc <= majority $majority")
   }
 
+  test("corpus drift: disjoint vocabularies hit ln 2, a hash split stays near 0") {
+    import spark.implicits._
+    // two sides with completely disjoint vocab: js = ln 2, tv = 1
+    val disjoint = ((1 to 50).map(i => (s"a$i", 0L)) ++
+      (1 to 50).map(i => (s"b$i", 1L))).toDF("tok", "side")
+    val d = TextAnalysis.driftOf(disjoint).collect()(0)
+    assert(math.abs(d.getDouble(3) - math.log(2)) < 1e-3, s"js ${d.getDouble(3)}")
+    assert(d.getDouble(4) === 1.0)
+    // the real corpus split by doc hash: same distribution, low drift
+    val r = TextAnalysis.corpusDrift(docs).collect()(0)
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 0.2, s"js ${r.getDouble(3)}")
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("threshold sweep: pair counts shrink and similarity grows with the bar") {
+    val rows = Dedup.thresholdSweep(docs).collect()
+    assert(rows.length === 5)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.mkString(","))
+    val means = rows.map(_.getDouble(2))
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b }, means.mkString(","))
+    assert(ns.last > 0) // exact copies (J = 1) survive every threshold
+  }
+
+  test("table profile: key column is unique and non-null") {
+    val p = Curation.tableProfile(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p("doc_id") === ((0L, docs.count())))
+    assert(p("text")._2 <= docs.count())
+    assert(p.size === 5)
+  }
+
+  test("lsh s-curve: exact copies are always caught and theory tops out at 1") {
+    val rows = Dedup.lshScurve(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // bucket 10 = J exactly 1.0 (the injected exact copies): identical
+    // signatures collide in every band and the estimate is 1.0 — the
+    // production path can never miss them
+    val top = rows.find(_.getLong(0) == 10L).get
+    assert(top.getDouble(3) === 1.0 && top.getDouble(4) === 1.0)
+  }
+
   test("grouped split leaks no more than the doc-hash split") {
     val rows = Curation.groupedSplitLeakage(docs).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
