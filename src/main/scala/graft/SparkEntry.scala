@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.EraQueries.queries ++
-      graft.queries.TrainingData.queries
+      graft.queries.TrainingData.queries ++
+      graft.queries.Behavioral.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The era_* queries read era files — a format
@@ -30,5 +31,5 @@ object SparkEntry {
     * specs; the SQL re-computes the analytics above the decoded values). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.TrainingData.oracleSql ++
-      graft.queries.EraOracle.oracleSql
+      graft.queries.EraOracle.oracleSql ++ graft.queries.Behavioral.oracleSql
 }

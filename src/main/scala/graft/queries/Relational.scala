@@ -597,6 +597,28 @@ object Relational {
         .agg(sum(col("pc")).as("n_events"), round(sum(col("ps")), 2).as("sum_value"))
         .orderBy(col("event_type"))
     }),
+    // GROUPING SETS — the explicit multi-grain form of rollup/cube (Spark 4
+    // Dataset.groupingSets): per-(flag,status), per-flag, and grand total in
+    // one pass. One shuffle; Catalyst expands grains map-side.
+    "agg_grouping_sets" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    // W: distribution family — percent_rank / cume_dist within a partition
+    // key (never a global window; the per-segment sort is the semantics).
+    "win_distribution" -> ((s, dir) => {
+      val bySeg = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+      t(s, dir, "customer")
+        .withColumn("pr", round(percent_rank().over(bySeg), 6))
+        .withColumn("cd", round(cume_dist().over(bySeg), 6))
+        .filter(col("c_acctbal") > 9900)
+        .select(col("c_mktsegment"), col("c_custkey"), col("pr"), col("cd"))
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
     // toUInt64(string) cast ladder (CLICKHOUSE.md:795-798).
     "scalar_cast" -> ((s, dir) => {
       t(s, dir, "events")
@@ -921,6 +943,22 @@ object Relational {
     "scalar_cast" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
          CAST(COUNT(*) AS BIGINT) AS n
-         FROM events GROUP BY 1 ORDER BY k_mod"""
+         FROM events GROUP BY 1 ORDER BY k_mod""",
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity), 2) AS sum_qty,
+         CAST(COUNT(*) AS BIGINT) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "win_distribution" ->
+      """WITH w AS (
+           SELECT c_mktsegment, c_custkey, c_acctbal,
+                  ROUND(PERCENT_RANK() OVER win, 6) AS pr,
+                  ROUND(CUME_DIST() OVER win, 6) AS cd
+           FROM customer
+           WINDOW win AS (PARTITION BY c_mktsegment ORDER BY c_acctbal))
+         SELECT c_mktsegment, c_custkey, pr, cd
+         FROM w WHERE c_acctbal > 9900 ORDER BY c_mktsegment, c_custkey"""
   )
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the behavioral / graph / basket query family —
+  * properties the DuckDB hash gate can't express (monotonicity, probability
+  * normalization, conservation laws). */
+class BehavioralSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("retention: offset-0 row of each cohort equals the cohort's size") {
+    val rows = run("evt_retention_cohorts").collect()
+    val byCohort = rows.groupBy(_.get(0))
+    byCohort.foreach { case (_, rs) =>
+      val offsets = rs.map(r => (r.getLong(1), r.getLong(2))).toMap
+      assert(offsets.contains(0L), "every cohort has a week-0 row")
+      // no later week can retain more users than the cohort had at week 0
+      offsets.foreach { case (_, n) => assert(n <= offsets(0L)) }
+      assert(offsets.keys.forall(_ >= 0L), "offsets are non-negative")
+    }
+  }
+
+  test("funnel: step counts are monotone non-increasing") {
+    val byStep = run("evt_step_funnel").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStep.keySet === Set("1_view", "2_click", "3_purchase"))
+    assert(byStep("1_view") >= byStep("2_click"))
+    assert(byStep("2_click") >= byStep("3_purchase"))
+    assert(byStep("1_view") > 0)
+  }
+
+  test("markov: outgoing probabilities sum to 1 per source state") {
+    val rows = run("evt_markov_chain").collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"src=$src probs sum to $pSum")
+      rs.foreach(r => assert(r.getLong(2) > 0))
+    }
+  }
+
+  test("rolling 7d active >= that day's daily actives, <= total users") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val total = ev.select(col("user_id")).distinct().count()
+    run("evt_rolling_active").collect().foreach { r =>
+      val (day, active) = (r.get(0), r.getLong(1))
+      assert(active >= daily(day), s"$day: 7d window below the day's own DAU")
+      assert(active <= total)
+    }
+  }
+
+  test("pagerank: ranks bounded below by the damping floor, top-20 emitted") {
+    val rows = run("graph_pagerank").collect()
+    assert(rows.length === 20)
+    rows.foreach(r => assert(r.getLong(1) >= 150000L,
+      "rank can never fall below the (1-d) teleport mass"))
+    // descending order with part-id tiebreak
+    val ranks = rows.map(_.getLong(1)).toSeq
+    assert(ranks === ranks.sorted.reverse)
+  }
+
+  test("degree stats: handshake lemma — sum(deg*n_nodes) counts each edge twice") {
+    import org.apache.spark.sql.functions._
+    val rows = run("graph_degree_stats").collect()
+    val degSum = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nEdges = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p"), col("b.p")).distinct().count()
+    assert(degSum === 2 * nEdges)
+  }
+
+  test("association rules: confidence in (0,1], lift positive, support >= floor") {
+    val rows = run("basket_assoc_rules").collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 3, "min support")
+      val conf = r.getDouble(3)
+      assert(conf > 0 && conf <= 1.0)
+      assert(r.getDouble(4) > 0, "lift")
+      assert(r.getLong(0) < r.getLong(1), "canonical pair order pa < pb")
+    }
+  }
+}

@@ -451,6 +451,38 @@ class PlanShapeSpec extends AnyFunSuite {
     "era_slot_gaps" -> "lag over the per-era max-slot aggregate (one row per era, ~1.5k rows for the full chain); the per-slot lag itself is era-partitioned",
     "text_length_histogram" -> "cumulative sum over the per-log2-bucket aggregate (≤ 64 rows: buckets of a long)")
 
+  test("behavioral family: user-keyed plans with no cartesian anywhere") {
+    // the funnel is chained user_id equi-joins; the cohort matrix is two
+    // user_id shuffles; nothing may degrade to a nested-loop or cartesian
+    Seq("evt_step_funnel", "evt_retention_cohorts", "evt_markov_chain").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p".take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p".take(2000))
+    }
+  }
+
+  test("rolling-active avoids the range join: bounded explode + broadcast day filter") {
+    val p = plan("evt_rolling_active")
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("pagerank iterations are equi-joins; the only nested loop is none") {
+    val p = plan("graph_pagerank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // rank updates stay integer-typed end to end (bigint in every HashAggregate)
+    assert(!p.contains("CheckOverflow"), "no decimal creep in the rank arithmetic")
+  }
+
+  test("association rules: pair space rides the basket equi-join; corpus total is a 1-row broadcast") {
+    val p = plan("basket_assoc_rules")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000)) // the 1-row tot crossJoin only
+    assert(count(p, "BroadcastNestedLoopJoin") === 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("global-order window sweep: every empty-partition-spec WindowExec is on the documented allowlist") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(globalWindowAllowlist.contains)
