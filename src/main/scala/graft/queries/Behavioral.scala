@@ -149,6 +149,175 @@ object Behavioral {
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("deg"))
     }),
+    // Item-item collaborative filtering (co-occurrence cosine): for every
+    // part, the 5 most-similar parts by basket co-occurrence,
+    // sim = cooc / √(n_i·n_j). The pair space is the basket self-join
+    // (bounded per-order k²); the top-k rides a per-item window over the
+    // collapsed pair frame — the classic offline item-rec build.
+    "rec_item_sim" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val cnt = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
+      val pairs = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("item"), col("b.p").as("other"))
+        .agg(count(lit(1)).as("cooc"))
+      val sim = pairs
+        .join(cnt.select(col("p").as("item"), col("n").as("ni")), Seq("item"))
+        .join(cnt.select(col("p").as("other"), col("n").as("nj")), Seq("other"))
+        .withColumn("cosine",
+          round(col("cooc") / sqrt(col("ni") * col("nj")), 6))
+      val byItem = Window.partitionBy(col("item"))
+        .orderBy(col("cosine").desc, col("other"))
+      sim.withColumn("rnk", row_number().over(byItem).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("item"), col("rnk"), col("other"), col("cooc"), col("cosine"))
+        .orderBy(col("item"), col("rnk"))
+    }),
+    // Last-touch attribution: each purchase is attributed to the user's most
+    // recent click at most 24 h before it. One user-partitioned ordered
+    // window carries the running last-click timestamp (ignoreNulls last());
+    // gaps are exact integer microseconds.
+    "evt_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("lc", last(
+          when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("lc")))
+        .select(col("event_id"), col("user_id"),
+          expr("gap_us div 60000000").as("gap_min"),
+          coalesce(col("gap_us") <= 86400000000L, lit(false)).as("attributed"))
+        .orderBy(col("event_id"))
+    }),
+    // Inter-arrival time percentiles: per event type, the median and p90 gap
+    // between a user's consecutive events of that type. The lag window is
+    // (user, type)-partitioned; percentiles run on exact integer-microsecond
+    // gaps over the per-type frame.
+    "evt_interarrival" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(col("prev")))
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(gap_us, 0.5)"), 2).as("p50_gap_us"),
+          round(expr("percentile(gap_us, 0.9)"), 2).as("p90_gap_us"),
+          count(lit(1)).as("n_gaps"))
+        .orderBy(col("event_type"))
+    }),
+    // Triangle count + global clustering coefficient over the co-purchase
+    // graph, with DEGREE-ORDERED orientation (the scale-correct plan): each
+    // undirected edge is directed from its lower-(degree, id) endpoint to the
+    // higher, so per-node out-degree is bounded by O(sqrt(|E|)) on any graph
+    // (arboricity bound) and the wedge self-join can never blow up on a hub
+    // vertex. Every triangle is counted exactly once: its three nodes have a
+    // unique (deg, id) order a < b < c, contributing the single wedge
+    // (a→b, a→c) closed by (b→c). The oracle counts the same triangles via
+    // plain id-ordering — identical total, simpler SQL.
+    "graph_triangles" -> ((s, dir) => {
+      val op = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val ranked = deg.select(col("n"), struct(col("deg"), col("n")).as("rk"))
+      val eo = e
+        .join(ranked.select(col("n").as("u"), col("rk").as("ru")), Seq("u"))
+        .join(ranked.select(col("n").as("v"), col("rk").as("rv")), Seq("v"))
+        .select(
+          when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("src"),
+          when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("dst"),
+          when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rdst"))
+      val wedges = eo.as("x").join(eo.as("y"),
+          col("x.src") === col("y.src") && col("x.rdst") < col("y.rdst"))
+        .select(col("x.dst").as("wb"), col("y.dst").as("wc"))
+      val tri = wedges.join(
+          eo.select(col("src").as("wb"), col("dst").as("wc")), Seq("wb", "wc"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val stats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("wedge_count"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      stats.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedge_count"),
+          round(lit(3.0) * col("n_triangles") / col("wedge_count"), 6).as("gcc"))
+    }),
+    // Lag-k autocorrelation of daily event volume per type (k = 1, 7) — the
+    // seasonality sniff test on a metric stream. Pairs come from a per-type
+    // equi-join of the collapsed daily frame against itself shifted by k
+    // days; the correlation is computed from exact integer sums (the
+    // agg_corr discipline) so both engines evaluate one identical double
+    // formula.
+    "ts_autocorr" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val pairs = Seq(1, 7).map { k =>
+        daily.as("a").join(daily.as("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.day") === date_add(col("a.day"), k))
+          .select(col("a.event_type").as("event_type"), lit(k.toLong).as("lag"),
+            col("a.c").as("x"), col("b.c").as("y"))
+      }.reduce(_ unionByName _)
+      pairs.groupBy(col("event_type"), col("lag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
+          sum(expr("cast(y * y as decimal(38,0))")).as("syy"),
+          sum(expr("cast(x * y as decimal(38,0))")).as("sxy"))
+        .withColumn("acf",
+          round((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              sqrt(col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6))
+        .select(col("event_type"), col("lag"), col("n"), col("acf"))
+        .orderBy(col("event_type"), col("lag"))
+    }),
+    // Day-of-week seasonality profile: events per ISO weekday per type with
+    // the share of the type's total. The share window runs over the
+    // collapsed ≤7-rows-per-type frame (partitioned by type — benign).
+    "ts_dow_seasonality" -> ((s, dir) => {
+      val byType = Window.partitionBy(col("event_type"))
+      t(s, dir, "events")
+        .groupBy(col("event_type"), (weekday(to_date(col("ts"))) + 1).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") / sum(col("n")).over(byType), 6))
+        .orderBy(col("event_type"), col("dow"))
+    }),
+    // CUSUM change-point scan per event type: the day where the cumulative
+    // deviation of daily volume from the type's mean peaks. All arithmetic
+    // is exact-integer — cusum_k = N·prefix_k − k·S (deviation-from-mean
+    // scaled by N) — so the argmax is bit-stable in both engines; windows
+    // are type-partitioned (≤30 rows each).
+    "ts_cusum" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val byType = Window.partitionBy(col("event_type"))
+      val ordered = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      val scored = daily
+        .withColumn("nd", count(lit(1)).over(byType))
+        .withColumn("s", sum(col("c")).over(byType))
+        .withColumn("k", row_number().over(ordered))
+        .withColumn("pre", sum(col("c")).over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cusum", col("nd") * col("pre") - col("k") * col("s"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(abs(col("cusum")).desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("cp_day"),
+          abs(col("cusum")).as("abs_cusum"),
+          round(abs(col("cusum")) / (col("nd") * col("s")).cast("double"), 6).as("rel_shift"))
+        .orderBy(col("event_type"))
+    }),
     // Association rules (market basket): support / confidence / lift over
     // part pairs co-occurring in an order. Pair space is bounded by the
     // per-order item count (k² per basket, k ≤ 13 here), min-support prunes
@@ -244,6 +413,113 @@ object Behavioral {
          deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)
          SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM deg GROUP BY deg ORDER BY deg""",
+    "rec_item_sim" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY p),
+         pairs AS (
+           SELECT a.p AS item, b.p AS other, CAST(COUNT(*) AS BIGINT) AS cooc
+           FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+           GROUP BY a.p, b.p),
+         sim AS (
+           SELECT item, other, cooc,
+                  ROUND(cooc::DOUBLE / sqrt((ci.n * cj.n)::DOUBLE), 6) AS cosine
+           FROM pairs JOIN cnt ci ON pairs.item = ci.p
+                      JOIN cnt cj ON pairs.other = cj.p),
+         ranked AS (
+           SELECT item, other, cooc, cosine,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY item
+                       ORDER BY cosine DESC, other) AS BIGINT) AS rnk
+           FROM sim)
+         SELECT item, rnk, other, cooc, cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY item, rnk""",
+    "evt_attribution" ->
+      """WITH w AS (
+           SELECT event_id, user_id, event_type, ts,
+                  last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+           FROM events)
+         SELECT event_id, user_id,
+                (epoch_us(ts) - epoch_us(lc)) // 60000000 AS gap_min,
+                COALESCE(epoch_us(ts) - epoch_us(lc) <= 86400000000, FALSE) AS attributed
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+    "evt_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+                  epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) AS gap_us
+           FROM events)
+         SELECT event_type,
+                ROUND(quantile_cont(gap_us, 0.5), 2) AS p50_gap_us,
+                ROUND(quantile_cont(gap_us, 0.9), 2) AS p90_gap_us,
+                CAST(COUNT(*) AS BIGINT) AS n_gaps
+         FROM g WHERE gap_us IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+         tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                 FROM e e1 JOIN e e2 ON e1.v = e2.u
+                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                       CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS wedge_count
+                FROM deg),
+         ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, n_triangles, wedge_count,
+                ROUND(3.0::DOUBLE * n_triangles / wedge_count, 6) AS gcc
+         FROM st, ne, tri""",
+    "ts_autocorr" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.event_type, k.lag, a.c AS x, b.c AS y
+           FROM daily a
+           JOIN (SELECT CAST(unnest([1, 7]) AS BIGINT) AS lag) k ON TRUE
+           JOIN daily b ON a.event_type = b.event_type
+                       AND b.day = a.day + k.lag * INTERVAL 1 DAY),
+         a AS (
+           SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                  SUM(x * x)::DOUBLE AS sxx, SUM(y * y)::DOUBLE AS syy,
+                  SUM(x * y)::DOUBLE AS sxy
+           FROM pairs GROUP BY 1, 2)
+         SELECT event_type, lag, n,
+                ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy::DOUBLE) /
+                      (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx::DOUBLE) *
+                       sqrt(n::DOUBLE * syy - sy::DOUBLE * sy::DOUBLE)), 6) AS acf
+         FROM a ORDER BY event_type, lag""",
+    "ts_dow_seasonality" ->
+      """WITH d AS (
+           SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, dow, n,
+                ROUND(n::DOUBLE / SUM(n) OVER (PARTITION BY event_type), 6) AS share
+         FROM d ORDER BY event_type, dow""",
+    "ts_cusum" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         scored AS (
+           SELECT event_type, day,
+                  CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd,
+                  CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+                  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+                  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+           FROM daily),
+         cu AS (
+           SELECT event_type, day, nd, s, nd * pre - k * s AS cusum,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY abs(nd * pre - k * s) DESC, day) AS rn
+           FROM scored)
+         SELECT event_type, day AS cp_day, CAST(abs(cusum) AS BIGINT) AS abs_cusum,
+                ROUND(abs(cusum)::DOUBLE / (nd * s), 6) AS rel_shift
+         FROM cu WHERE rn = 1 ORDER BY event_type""",
     "basket_assoc_rules" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS item_n FROM op GROUP BY p),

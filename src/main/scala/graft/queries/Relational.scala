@@ -619,6 +619,53 @@ object Relational {
         .select(col("c_mktsegment"), col("c_custkey"), col("pr"), col("cd"))
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),
+    // EXISTS / NOT EXISTS correlated subqueries — planned as leftsemi +
+    // leftanti hash joins (never a per-row subquery re-execution): customers
+    // with at least one big order and no finished order. The orders side is
+    // filtered BEFORE the join so each semi/anti probe carries only the
+    // qualifying keys.
+    "sub_exists" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey"))
+      val fin = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      c.join(big, c("c_custkey") === big("o_custkey"), "leftsemi")
+        .join(fin, c("c_custkey") === fin("o_custkey"), "leftanti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+    // LATERAL top-N-per-group: the 3 highest-balance customers of each
+    // nation. SQL's correlated LIMIT subquery; in Spark the scale-correct
+    // plan is a nation-partitioned row_number (per-partition heap, no
+    // per-group re-scan) + broadcast of the 25-row nation dim.
+    "join_lateral_topn" -> ((s, dir) => {
+      val byNation =
+        Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(byNation))
+        .filter(col("rn") <= 3)
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("n_name"), col("c_acctbal").desc, col("c_custkey"))
+    }),
+    // RANGE window frame over event-time (not ROWS): 4-day rolling event
+    // count per type keyed on the integer day epoch. The input deliberately
+    // has gaps (every 3rd calendar day removed) so RANGE genuinely differs
+    // from ROWS — missing days shrink the window instead of reaching further
+    // back. Partitioned by event_type; never a global window.
+    "win_range_frame" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .filter(dayofmonth(col("day")) % 3 =!= 0)
+        .withColumn("epd", datediff(col("day"), lit("2024-01-01").cast("date")))
+      val frame = Window.partitionBy(col("event_type")).orderBy(col("epd"))
+        .rangeBetween(-3, Window.currentRow)
+      daily
+        .withColumn("c_4d", sum(col("c")).over(frame))
+        .select(col("event_type"), col("day"), col("c"), col("c_4d"))
+        .orderBy(col("event_type"), col("day"))
+    }),
     // toUInt64(string) cast ladder (CLICKHOUSE.md:795-798).
     "scalar_cast" -> ((s, dir) => {
       t(s, dir, "events")
@@ -951,6 +998,32 @@ object Relational {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "sub_exists" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    "join_lateral_topn" ->
+      """SELECT n_name, l.c_custkey, l.c_acctbal
+         FROM nation, LATERAL (
+           SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_custkey LIMIT 3) l
+         ORDER BY n_name, c_acctbal DESC, c_custkey""",
+    "win_range_frame" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         gapped AS (
+           SELECT event_type, day, c,
+                  date_diff('day', DATE '2024-01-01', day) AS epd
+           FROM daily WHERE dayofmonth(day) % 3 <> 0)
+         SELECT event_type, day, c,
+                CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY epd
+                     RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS c_4d
+         FROM gapped ORDER BY event_type, day""",
     "win_distribution" ->
       """WITH w AS (
            SELECT c_mktsegment, c_custkey, c_acctbal,

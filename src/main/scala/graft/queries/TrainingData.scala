@@ -79,6 +79,7 @@ object TrainingData {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(docs(s, dir))),
     "dedup_minhash_sig" -> ((s, dir) => Dedup.minhashSignaturesFlat(docs(s, dir))),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashLshPairs(docs(s, dir))),
+    "dedup_edit_verify" -> ((s, dir) => Dedup.editVerify(docs(s, dir))),
     "dedup_clusters" -> ((s, dir) => Dedup.duplicateClusters(docs(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashSignatures(docs(s, dir))),
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -2022,6 +2023,33 @@ object TrainingData {
          |       ROUND(len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE, 4) AS est_jaccard
          |FROM pairs
          |WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_edit_verify" ->
+      s"""WITH $baseCte, $augCte, $shCte, $sigCte,
+         |banded AS (
+         |  SELECT doc_id, sig, b.band AS band,
+         |         array_to_string(sig[(b.band * 4 + 1)::INT:(b.band * 4 + 4)::INT], ',') AS band_key
+         |  FROM sig, (SELECT unnest(range(0, 3)) AS band) b),
+         |cpairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |         a.sig AS sig_a, b2.sig AS sig_b
+         |  FROM banded a JOIN banded b2
+         |    ON a.band = b2.band AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id),
+         |cand AS (
+         |  SELECT doc_a, doc_b,
+         |         ROUND(len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE, 4) AS est_jaccard
+         |  FROM cpairs
+         |  WHERE len(list_filter(range(1, 13), i -> sig_a[i::INT] = sig_b[i::INT])) / 12.0::DOUBLE >= 0.5),
+         |txt AS (SELECT doc_id, substr(text, 1, 400) AS txt FROM aug)
+         |SELECT doc_a, doc_b, est_jaccard,
+         |       CAST(levenshtein(ta.txt, tb.txt) AS BIGINT) AS edit_dist,
+         |       ROUND(1 - levenshtein(ta.txt, tb.txt)::DOUBLE /
+         |             GREATEST(GREATEST(length(ta.txt), length(tb.txt)), 1), 4) AS edit_sim,
+         |       (ROUND(1 - levenshtein(ta.txt, tb.txt)::DOUBLE /
+         |             GREATEST(GREATEST(length(ta.txt), length(tb.txt)), 1), 4) >= 0.8) AS verified
+         |FROM cand JOIN txt ta ON cand.doc_a = ta.doc_id
+         |          JOIN txt tb ON cand.doc_b = tb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->

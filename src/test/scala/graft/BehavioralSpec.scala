@@ -77,6 +77,94 @@ class BehavioralSpec extends AnyFunSuite {
     assert(degSum === 2 * nEdges)
   }
 
+  test("item sim: contiguous ranks, cosine in (0,1], cooc bounded by item supports") {
+    val rows = run("rec_item_sim").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks === (1L to ranks.length), "ranks are 1..k contiguous")
+      // ranked best-first: cosine non-increasing in rank
+      val byRank = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(3) > 0)
+    }
+  }
+
+  test("attribution: attributed purchases have a gap within 24h, others not") {
+    val rows = run("evt_attribution").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gapMin = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      if (r.getBoolean(3)) {
+        assert(gapMin.exists(g => g >= 0 && g <= 1440), s"attributed but gap=$gapMin")
+      } else {
+        assert(gapMin.forall(_ > 1440), "unattributed with a sub-24h click")
+      }
+    }
+  }
+
+  test("interarrival: p50 <= p90, every type with repeat events present") {
+    val rows = run("evt_interarrival").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2), "median cannot exceed p90")
+      assert(r.getDouble(1) > 0 && r.getLong(3) > 0)
+    }
+  }
+
+  test("triangles: degree-ordered count equals the naive id-ordered count") {
+    import org.apache.spark.sql.functions._
+    val r = run("graph_triangles").collect().head
+    val (nodes, edges, tri, wedges, gcc) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    // independent naive recount: canonical edges u<v, close u<v<w
+    val op = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct().cache()
+    val naive = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+    assert(tri === naive, "orientation must not change the triangle count")
+    assert(edges === e.count() && nodes > 0)
+    assert(gcc > 0 && gcc <= 1.0, "clustering coefficient is a ratio")
+    assert(3 * tri <= wedges, "every triangle contributes 3 closed wedges")
+  }
+
+  test("autocorr: coefficients bounded by 1 in absolute value, both lags present") {
+    val rows = run("ts_autocorr").collect()
+    val lags = rows.map(_.getLong(1)).toSet
+    assert(lags === Set(1L, 7L))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+      assert(r.getLong(2) > 1, "correlation needs >= 2 pairs")
+    }
+  }
+
+  test("dow seasonality: shares sum to 1 per type over ISO weekdays") {
+    val rows = run("ts_dow_seasonality").collect()
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      assert(rs.map(_.getLong(1)).forall(d => d >= 1 && d <= 7))
+      val s = rs.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"$tpe shares sum to $s")
+    }
+  }
+
+  test("cusum: one change-point per type, relative shift in [0,1]") {
+    val rows = run("ts_cusum").collect()
+    val types = rows.map(_.getString(0))
+    assert(types.distinct.length === types.length, "exactly one row per type")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0)
+      val rel = r.getDouble(3)
+      assert(rel >= 0 && rel <= 1.0, "|N·prefix − k·S| <= N·S")
+    }
+  }
+
   test("association rules: confidence in (0,1], lift positive, support >= floor") {
     val rows = run("basket_assoc_rules").collect()
     rows.foreach { r =>

@@ -483,6 +483,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("EXISTS/NOT EXISTS plan as semi + anti hash joins, never re-executed subqueries") {
+    val p = plan("sub_exists")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("lateral top-n per group: partitioned window + broadcast dim, no per-group re-scan") {
+    val p = plan("join_lateral_topn")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(count(p, "Scan parquet") === 2, "customer scanned once, nation once")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("triangle count: wedge space rides equi-joins; only the two 1-row stat crossJoins nest") {
+    val p = plan("graph_triangles")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(count(p, "BroadcastNestedLoopJoin") === 2, p.take(2000))
+  }
+
+  test("time-series family: per-type equi-joins and partitioned windows only") {
+    Seq("ts_autocorr", "ts_dow_seasonality", "ts_cusum", "win_range_frame",
+        "evt_attribution", "evt_interarrival", "rec_item_sim").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
+    }
+  }
+
+  test("edit verify: candidate pairs join text by doc_id equi-joins, no pair-space blowup") {
+    val p = plan("dedup_edit_verify")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("global-order window sweep: every empty-partition-spec WindowExec is on the documented allowlist") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(globalWindowAllowlist.contains)

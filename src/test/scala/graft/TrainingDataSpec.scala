@@ -327,6 +327,26 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("edit verify: exact copies verify at distance 0; verdicts track edit_sim") {
+    val rows = Dedup.editVerify(docs).collect()
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val exactIds = docs.filter(col("doc_id") % 13 === 0 && col("doc_id") % 7 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    exactIds.foreach { id =>
+      val r = byPair.get((id, id + 200000L))
+      assert(r.isDefined, s"exact copy of $id missing from verify stage")
+      assert(r.get.getLong(3) === 0L, "exact copy must have edit distance 0")
+      assert(r.get.getDouble(4) === 1.0 && r.get.getBoolean(5))
+    }
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === (r.getDouble(4) >= 0.8), "verdict is the threshold")
+      assert(r.getLong(3) >= 0 && r.getDouble(4) <= 1.0)
+    }
+    // LSH estimates and exact edit similarity must broadly agree: every
+    // candidate pair the verifier REJECTS sits below perfect est too
+    rows.filter(!_.getBoolean(5)).foreach(r => assert(r.getDouble(2) < 1.0))
+  }
+
   test("duplicate clusters: every doc in a pair joins its source's component") {
     val clusters = Dedup.duplicateClusters(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
