@@ -19,11 +19,58 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  @volatile private var blackhole = 0L // defeats dead-code elimination of the probe
+
+  private def hashLoop(iters: Long, seed: Long): Long = {
+    var x = seed | 1L
+    var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
+  /** Fixed-cost calibration probe, run before AND after the measured work.
+    * BENCH numbers from this sandbox have drifted ±3× between rounds with
+    * zero code change (BENCH_r07 vs r08); these three constants make every
+    * run self-interpreting:
+    *  - `st_sec`: 4e8-iteration xorshift on ONE thread — pure single-core
+    *    speed / CPU steal, no allocation, no Spark;
+    *  - `mt_sec`: the same per-thread work on min(32, cores) threads — on an
+    *    uncontended 32-core box this equals st_sec; a higher ratio means the
+    *    sandbox is not actually giving us the advertised cores;
+    *  - `scan_sec`: sum over a fixed 20M-row / 2-col parquet written by this
+    *    run — Spark scheduling + IO at a constant data size, independent of
+    *    SPARK_GRAFT_SF_DIR.
+    * A slow round with slow probes is environment; a slow round with fast
+    * probes is a regression. */
+  private def calibrate(spark: SparkSession, scanPath: String): String = {
+    val iters = 400000000L
+    val t0 = System.nanoTime()
+    blackhole ^= hashLoop(iters, 0x9e3779b97f4a7c15L)
+    val st = (System.nanoTime() - t0) / 1e9
+    val nThreads = math.min(Runtime.getRuntime.availableProcessors(), 32)
+    val t1 = System.nanoTime()
+    val threads = (1 to nThreads).map { i =>
+      new Thread(() => { blackhole ^= hashLoop(iters, i.toLong) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val mt = (System.nanoTime() - t1) / 1e9
+    var sum = 0L
+    val t2 = System.nanoTime()
+    sum = spark.read.parquet(scanPath)
+      .selectExpr("sum(v)").collect()(0).getLong(0)
+    val scan = (System.nanoTime() - t2) / 1e9
+    blackhole ^= sum
+    def r2(d: Double) = math.rint(d * 100) / 100
+    s"""{"st_sec":${r2(st)},"mt${nThreads}_sec":${r2(mt)},"scan_sec":${r2(scan)}}"""
+  }
+
   /** Per-task maxima over a measured query — the skew detector: a
     * quadratic blocking bucket or a single-partition window shows up as
     * ONE task reading/shuffling the whole corpus, which wall-clock alone
-    * can hide behind 31 idle cores. */
-  private class MaxTaskListener extends org.apache.spark.scheduler.SparkListener {
+    * can hide behind 31 idle cores. Shared with [[graft.SoakSpec]], which
+    * turns the same measurement into a failing test. */
+  private[graft] class MaxTaskListener
+      extends org.apache.spark.scheduler.SparkListener {
     @volatile var maxInput = 0L
     @volatile var maxShuffleRead = 0L
     def reset(): Unit = { maxInput = 0L; maxShuffleRead = 0L }
@@ -38,17 +85,13 @@ object Bench {
     }
   }
 
-  /** Skew/scale soak: self-union the corpus `copies`× with a deliberately
-    * hot key family — every copy appends the same boilerplate line (hot
-    * chunk digests + hot SimHash buckets: each doc gains copies−1
-    * byte-identical twins) and collapses onto one language; orders copies
-    * collapse onto one hot custkey — then time the dedup/diag/calibration
-    * family and report per-query seconds plus the largest single-task
-    * input/shuffle-read. This is the measured regression gate for the r8
-    * plan-shape fixes (bucket frequency caps, broadcast-free bad-digest
-    * join, windowless totals, keyed rank windows): any of them reverting
-    * turns a bounded max-task number into "one task ate the corpus". */
-  private def soak(spark: SparkSession, sfDir: String, copies: Int): String = {
+  /** Build the adversarially-skewed soak corpus: `copies`× self-union of
+    * `documents` where every copy appends the same boilerplate line (hot
+    * chunk digests + hot SimHash buckets; each doc gains copies−1
+    * byte-identical twins) and collapses onto one language, and `orders`
+    * copies collapse onto one hot custkey. Returns the temp dir. */
+  private[graft] def soakCorpus(spark: SparkSession, sfDir: String,
+      copies: Int): String = {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-soak").toString
     val hot = "all rights reserved subscribe to our newsletter for more updates terms of service apply to every visitor"
@@ -65,6 +108,21 @@ object Bench {
       if (i == 0) orders0 else orders0.withColumn("o_custkey", lit(1L))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  /** Skew/scale soak: self-union the corpus `copies`× with a deliberately
+    * hot key family — every copy appends the same boilerplate line (hot
+    * chunk digests + hot SimHash buckets: each doc gains copies−1
+    * byte-identical twins) and collapses onto one language; orders copies
+    * collapse onto one hot custkey — then time the dedup/diag/calibration
+    * family and report per-query seconds plus the largest single-task
+    * input/shuffle-read. This is the measured regression gate for the r8
+    * plan-shape fixes (bucket frequency caps, broadcast-free bad-digest
+    * join, windowless totals, keyed rank windows): any of them reverting
+    * turns a bounded max-task number into "one task ate the corpus". */
+  private def soak(spark: SparkSession, sfDir: String, copies: Int): String = {
+    val dir = soakCorpus(spark, sfDir, copies)
     val listener = new MaxTaskListener
     spark.sparkContext.addSparkListener(listener)
     val family = Seq("dedup_exact", "clean_boilerplate", "dedup_simhash_pairs",
@@ -98,6 +156,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // fixed-size scan target for the calibration probe (constant across SFs)
+    val calDir = java.nio.file.Files.createTempDirectory("graft-bench-cal").toString
+    spark.range(20000000L).selectExpr("id", "hash(id) as v") // int: 20M-row sum fits a long under ANSI
+      .repartition(8).write.mode("overwrite").parquet(s"$calDir/cal.parquet")
+    val calPre = calibrate(spark, s"$calDir/cal.parquet")
 
     // era parse throughput (BASELINE.md blocks/s): decode a synthetic
     // 128-file era corpus end-to-end (scan → decompress → SSZ decode →
@@ -148,6 +212,15 @@ object Bench {
       else try soak(spark, sfDir, copies = 5)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
 
+    // second decode measurement AFTER the sweep+soak: pre/post decode drift
+    // on identical code+data within one process bounds the within-run noise.
+    System.gc()
+    var decoded2 = 0L
+    val decodeSec2 = best(3) {
+      decoded2 = graft.operators.Normalizer.decodeBlocks(records).count()
+    }
+    val calPost = calibrate(spark, s"$calDir/cal.parquet")
+
     // The driver captures only a bounded tail of stdout (~2k chars): the
     // r6 line with all 125 full-precision per-query entries was 4.4k and got
     // cut mid-stream (BENCH_r06 `parsed: null`). Keep the final JSON line
@@ -158,7 +231,10 @@ object Bench {
     def r1(d: Double): Double = math.rint(d * 10) / 10
     val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullPath = new java.io.File("target/bench_queries_full.json").getAbsolutePath
+    // tracked repo path (not target/) so the committed artifact carries the
+    // complete map — the r8 headline's -1 entries were only verifiable from
+    // an untracked file.
+    val fullPath = new java.io.File("BENCH_QUERIES_FULL.json").getAbsolutePath
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullQs)
     // the COMPLETE per-query map also goes to stdout as reassemblable
     // chunked marker lines (each well under any line-length cut) printed
@@ -188,6 +264,8 @@ object Bench {
         s""","full_queries_json":"$fullPath"""" +
         s""","era_blocks":$decoded,"era_decode_sec":${r3(decodeSec)}""" +
         s""","blocks_per_sec":${r1(decoded / decodeSec)}""" +
+        s""","blocks_per_sec_rerun":${r1(decoded2 / decodeSec2)}""" +
+        s""","cal_pre":$calPre,"cal_post":$calPost""" +
         s""","attestation_rows":$attRows,"attestation_rows_per_sec":${r1(attRows / explodeSec)}""" +
         s""","blocks_per_sec_by_fork":$forkJsonCompact""" +
         s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(decoded / etlSec)}""" +

@@ -607,10 +607,10 @@ object Dedup {
   def semDedup(emb: DataFrame, threshold: Double = 0.96): DataFrame = {
     import graft.functions.VectorMath
     graft.GraftExtensions.ensureRegistered(emb.sparkSession)
-    val v = Similarity.withIvfCellScore(
-      augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec")))
+    val v = Similarity.withCellBlock(Similarity.withIvfCellScore(
+      augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec"))))
     val dropped = v.as("a").join(v.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id") &&
+        col("a.cell_blk") === col("b.cell_blk") && col("a.vec_id") =!= col("b.vec_id") &&
           (VectorMath.dot("a.vec", "b.vec") /
             sqrt(col("a.sq") * col("b.sq")) >= threshold) &&
           (col("b.cent_cos") < col("a.cent_cos") ||

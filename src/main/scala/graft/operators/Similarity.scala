@@ -87,15 +87,51 @@ object Similarity {
   val IvfCentroids = 16
   val IvfProbes = 2
 
+  /** Centroid count as a function of corpus size: k = max(16, ⌈N / 256⌉),
+    * i.e. expected cell occupancy is pinned at [[MaxMembersPerCell]] BY
+    * CONSTRUCTION rather than growing linearly with the corpus. This is
+    * what keeps every cell-blocked pair family (SemDeDup, hard-negative
+    * mining) from going quadratic at 100×: per-cell pair work stays
+    * O(256²) as N grows because k grows with N — the standard IVF sizing
+    * rule (FAISS's k ≈ N/target_list_len; SemDeDup runs k = 50k for
+    * LAION). The DuckDB oracles compute the identical
+    * GREATEST(16, CEIL(COUNT(*)/256.0)) so the value gate tracks k. */
+  def centroidCount(corpusSize: Long): Int =
+    math.max(IvfCentroids,
+      math.ceil(corpusSize.toDouble / MaxMembersPerCell).toInt)
+
   /** Collected centroid table: (centroid_id, vector, squared norm), sorted
-    * by id. 16 rows of driver-side job planning — at real scale these are
-    * k-means centroids loaded from an offline artifact, never a shuffle. */
-  private def collectCentroids(v: DataFrame): Array[(Long, Seq[Double], Double)] =
-    v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + IvfCentroids)
+    * by id; k = [[centroidCount]] of the corpus. k rows of driver-side job
+    * planning — at real scale these are k-means centroids loaded from an
+    * offline artifact, never a shuffle (and the literal-argmax assignment
+    * becomes a broadcast-join argmin once k outgrows a literal array). */
+  private def collectCentroids(v: DataFrame): Array[(Long, Seq[Double], Double)] = {
+    val k = centroidCount(v.count())
+    v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
       .select((col("vec_id") - 100).as("centroid_id"), col("vec"), col("sq"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+  }
+
+  /** Hard per-cell occupancy cap for the QUADRATIC consumers (pair
+    * generation): appends `cell_blk` = the cell id subdivided into
+    * deterministic blocks of ≤ `cap` members (rank by vec_id within the
+    * cell). [[centroidCount]] bounds EXPECTED occupancy; this bounds the
+    * worst case — an adversarial corpus that piles onto one centroid still
+    * yields ≤ cap·(cap−1) pairs per block instead of m². The split is a
+    * rank window partitioned by cell: linear, one pass, and only as skewed
+    * as the input itself — the acceptable price for making the downstream
+    * self-join's cost bounded by construction. Pairs that straddle a block
+    * boundary are sacrificed (the same recall trade every blocking cap in
+    * the dedup family makes, e.g. the SimHash 5% bucket cap). */
+  def withCellBlock(v: DataFrame, cap: Int = MaxMembersPerCell): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col("vec_id"))
+    v.withColumn("cell_blk",
+      col("cell") * lit(65536L) +
+        floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"))
+  }
 
   /** IVF-style coarse quantization: centroid set = a deterministic sample
     * of the corpus (vec_id 100..115 — at real scale these are k-means
@@ -173,13 +209,13 @@ object Similarity {
     * [[graft.operators.Dedup.semDedup]]'s pair stage; at real scale the
     * cell is the partition key and each mining task is cell-local. */
   def hardNegatives(emb: DataFrame): DataFrame = {
-    val v = withIvfCell(prepared(emb))
+    val v = withCellBlock(withIvfCell(prepared(emb)))
     val a = v.as("a")
     val b = v.as("b")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a.vec_id")).orderBy(col("cos").desc, col("b.vec_id"))
     a.join(b,
-        col("a.cell") === col("b.cell") &&
+        col("a.cell_blk") === col("b.cell_blk") &&
           col("a.vec_id") =!= col("b.vec_id") &&
           col("a.label") =!= col("b.label"))
       .withColumn("cos",

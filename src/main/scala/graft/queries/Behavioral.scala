@@ -32,12 +32,8 @@ import org.apache.spark.sql.expressions.Window
  */
 object Behavioral {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cohort retention matrix: users grouped by first-active week; for each

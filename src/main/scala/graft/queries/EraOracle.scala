@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Normalizer
 import graft.testkit.EraFixtures
@@ -56,6 +57,18 @@ object EraOracle {
     write("block_meta")(blocks.toDF().select(
       "slot", "era_number", "version", "compressed_size", "decompressed_size"))
     write("wide_blocks")(Normalizer.wideBlocks(blocks))
+    // mainnet fixture corpus: the oracle recomputes the fork/timestamp
+    // ladder from `slot` alone (+ payload time when present), so only the
+    // minimal columns are exported — nothing the ladder query asserts is
+    // passed through except slot and the detected network name.
+    val mb = EraQueries.mainnetBlocks(spark)
+    write("mainnet_blocks")(mb.toDF().select("slot", "network", "era_number"))
+    // RAW payload timestamp field (not the derived timestamp_utc, which for
+    // payload forks is itself computed from it — that would be circular)
+    write("mainnet_payloads")(
+      mb.toDF().filter(col("body.execution_payload").isNotNull)
+        .select(col("slot"),
+          col("body.execution_payload.timestamp").as("payload_ts")))
   }
 
   /** One DuckDB statement per era query, mirroring the Spark plans in
@@ -77,6 +90,25 @@ object EraOracle {
            FROM ${t("records")} GROUP BY record_type ORDER BY record_type""",
       "era_point_lookup" ->
         s"""SELECT * FROM ${t("blocks")} WHERE slot = 98300""",
+      // independent recomputation of the mainnet fork/epoch/timestamp ladder
+      // (config/forks.py:63-81 epochs, networks.py mainnet genesis 1606824023
+      // / 12 s slots): fork from the epoch thresholds, era from slot // 8192,
+      // timestamp = payload time when the fork carries one, else genesis +
+      // slot·12 (block_parser.py:84-113)
+      "era_mainnet_ladder" ->
+        s"""SELECT b.slot, b.network,
+           CASE WHEN b.slot // 32 >= 364032 THEN 'electra'
+                WHEN b.slot // 32 >= 269568 THEN 'deneb'
+                WHEN b.slot // 32 >= 194048 THEN 'capella'
+                WHEN b.slot // 32 >= 144896 THEN 'bellatrix'
+                WHEN b.slot // 32 >= 74240 THEN 'altair'
+                ELSE 'phase0' END AS fork,
+           CAST(b.slot // 8192 AS BIGINT) AS era_number,
+           CAST(b.slot // 32 AS BIGINT) AS epoch,
+           CAST(COALESCE(p.payload_ts, 1606824023 + b.slot * 12) AS BIGINT) AS ts_epoch
+           FROM ${t("mainnet_blocks")} b
+           LEFT JOIN ${t("mainnet_payloads")} p ON b.slot = p.slot
+           ORDER BY b.slot""",
       "era_inclusion_delay" ->
         s"""SELECT committee_index,
            ROUND(AVG(slot - attestation_slot), 4) AS avg_inclusion_delay,

@@ -47,6 +47,23 @@ object EraQueries {
     cachedBlocks
   }
 
+  @volatile private var cachedMainnetBlocks: Dataset[DecodedBlock] = _
+
+  /** Decoded blocks over the MAINNET fixture eras
+    * ([[graft.testkit.MainnetEraFixture]]) — the second network config
+    * through the identical decode plan (filename → network → fork ladder →
+    * timestamp), cached like [[blocks]]. */
+  def mainnetBlocks(spark: SparkSession): Dataset[DecodedBlock] = synchronized {
+    if (cachedMainnetBlocks == null || cachedMainnetBlocks.sparkSession.ne(spark)) {
+      if (cachedMainnetBlocks != null)
+        try cachedMainnetBlocks.unpersist() catch { case _: Throwable => () }
+      val dir = graft.testkit.MainnetEraFixture.ensureGenerated()
+      cachedMainnetBlocks =
+        Normalizer.decodeBlocks(spark.read.format("era").load(dir)).cache()
+    }
+    cachedMainnetBlocks
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
     // every normalized table is directly a query (the 15-way explode is the
     // reference's core "query" — processor.py:101-399)
@@ -70,6 +87,17 @@ object EraQueries {
       // wide single-file all-blocks shape (export/base.py:59-153)
       "era_wide_blocks" -> ((s, _) =>
         Normalizer.wideBlocks(blocks(s)).orderBy("slot")),
+      // F20/F21/F22 on the NON-DEFAULT network: decoded fork / era / epoch /
+      // timestamp for the mainnet fixtures. The oracle recomputes fork from
+      // the mainnet epoch ladder and the timestamp from payload-time-else-
+      // genesis+slot·12 (networks.py:1-41 mainnet row), so a regression that
+      // silently falls back to the gnosis config fails the value hash.
+      "era_mainnet_ladder" -> ((s, _) =>
+        mainnetBlocks(s).toDF()
+          .select(col("slot"), col("network"), col("version").as("fork"),
+            col("era_number"), expr("slot div 32").as("epoch"),
+            unix_seconds(col("timestamp_utc")).as("ts_epoch"))
+          .orderBy(col("slot"))),
       // P1: point lookup — slot predicate prunes files before any read
       "era_point_lookup" -> ((s, _) =>
         Normalizer.blocksTable(blocks(s)).filter(col("slot") === 98300L)),

@@ -24,16 +24,8 @@ import org.apache.spark.sql.expressions.Window
  */
 object Relational {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects natively; the
-    // session reads it as Long (spark.sql.legacy.parquet.nanosAsLong) and we
-    // convert here. `div` (integer division) — ns-since-2024 overflows the
-    // 53-bit double mantissa, so `/` would corrupt the low microseconds.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
-  }
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
 
   /** All aggregate outputs are rounded/cast identically in the oracle SQL so
     * double accumulation-order differences cannot flip the value hash. */
@@ -648,6 +640,25 @@ object Relational {
         .select(col("n_name"), col("c_custkey"), col("c_acctbal"))
         .orderBy(col("n_name"), col("c_acctbal").desc, col("c_custkey"))
     }),
+    // Deliberately-skewed fact⋈dim shuffle join: a third of orders collapse
+    // onto customer 1 (the hot-key shape a real workload shows as one
+    // straggler task). The declarative plan is exactly the naive join — the
+    // skew cure is AQE's skew-join split at runtime (OptimizeSkewedJoin
+    // re-plans the hot partition into parallel splits; AqeSkewSpec asserts
+    // `skew=true` appears in the executed plan under SMJ thresholds). No
+    // salting in the query itself: at 100 TB the same plan self-heals,
+    // which is the point — compare agg_salted_skew for the manual cure.
+    "join_skew_aqe" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("ck",
+          when(col("o_orderkey") % 3 === 0, lit(1L))
+            .otherwise(col("o_custkey")))
+      o.join(t(s, dir, "customer"), col("ck") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_nationkey"))
+    }),
     // RANGE window frame over event-time (not ROWS): 4-day rolling event
     // count per type keyed on the integer day epoch. The input deliberately
     // has gaps (every 3rd calendar day removed) so RANGE genuinely differs
@@ -963,6 +974,14 @@ object Relational {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    "join_skew_aqe" ->
+      """SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+         FROM (SELECT CASE WHEN o_orderkey % 3 = 0 THEN 1
+                           ELSE o_custkey END AS ck, o_totalprice
+               FROM orders) o
+         JOIN customer ON ck = c_custkey
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
     "scalar_case_when" ->
       """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
                      WHEN o_totalprice < 200000 THEN 'medium'

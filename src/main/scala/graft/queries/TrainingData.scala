@@ -277,6 +277,17 @@ object TrainingData {
     fold(s"list_transform(range(1, ${dims + 1}), i -> $a[i::INT] * $b[i::INT])",
       "0.0::DOUBLE", "(x, y) -> x + y")
 
+  /** Mirrors [[graft.operators.Similarity.centroidCount]]: the IVF centroid
+    * count k = max(16, ⌈N/256⌉) of the corpus the centroids are drawn from,
+    * as a scalar subquery so the oracle tracks k at any scale factor. */
+  private def kCentSub(corpus: String): String =
+    s"(SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) FROM $corpus)"
+
+  /** Mirrors [[graft.operators.Similarity.withCellBlock]]: subdivide each
+    * cell into deterministic ≤256-member blocks (rank by vec_id). */
+  private def cellBlkExpr: String =
+    "cell * 65536 + (ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) - 1) // 256"
+
   /** embeddings → DOUBLE[] vectors + squared norms (mirrors
     * Similarity.prepared). */
   private val vecCte =
@@ -1182,7 +1193,7 @@ object TrainingData {
       s"""WITH $vecCte,
          |c0 AS (
          |  SELECT vec_id - 100 AS cell, vec AS cvec, sq AS csq
-         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
          |${kmeansIterCtes(1, "c0")},
          |${kmeansIterCtes(2, "c1n")},
          |final_assign AS (
@@ -1257,7 +1268,7 @@ object TrainingData {
       s"""WITH $vecCte,
          |cents AS (
          |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
-         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
          |assign AS (
          |  SELECT vec_id, centroid_id AS cell FROM (
          |    SELECT vn.vec_id, c.centroid_id,
@@ -2183,7 +2194,7 @@ object TrainingData {
          |vs AS (SELECT vec_id, vec, ${dotD("vec", "vec")} AS sq FROM vaug),
          |cents AS (
          |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
-         |  FROM vs WHERE vec_id >= 100 AND vec_id < 116),
+         |  FROM vs WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vs")}),
          |assign AS (
          |  SELECT vec_id, vec, sq, centroid_id AS cell, cs AS cent_cos FROM (
          |    SELECT vs.vec_id, vs.vec, vs.sq, c.centroid_id,
@@ -2192,9 +2203,11 @@ object TrainingData {
          |             ORDER BY ${dotD("vs.vec", "c.cvec")} / sqrt(vs.sq * c.csq) DESC,
          |                      c.centroid_id) AS crank
          |    FROM vs, cents c) t WHERE crank = 1),
+         |assignb AS (
+         |  SELECT *, $cellBlkExpr AS cell_blk FROM assign),
          |dropped AS (
          |  SELECT DISTINCT a.vec_id
-         |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |  FROM assignb a JOIN assignb b ON a.cell_blk = b.cell_blk AND a.vec_id <> b.vec_id
          |  WHERE ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) >= 0.96
          |    AND (b.cent_cos < a.cent_cos
          |         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))
@@ -2337,7 +2350,7 @@ object TrainingData {
       s"""WITH $vecCte,
          |cents AS (
          |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
-         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
          |assign AS (
          |  SELECT vec_id, vec, sq, centroid_id AS cell FROM (
          |    SELECT vn.vec_id, vn.vec, vn.sq, c.centroid_id,
@@ -2509,7 +2522,7 @@ object TrainingData {
       s"""WITH $vecCte,
          |cents AS (
          |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
-         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
          |assign AS (
          |  SELECT vec_id, centroid_id AS cell FROM (
          |    SELECT vn.vec_id, c.centroid_id,
@@ -2573,7 +2586,7 @@ object TrainingData {
       s"""WITH $vecCte,
          |cents AS (
          |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
-         |  FROM vn WHERE vec_id >= 100 AND vec_id < 116),
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
          |assign AS (
          |  SELECT vec_id, label, vec, sq, centroid_id AS cell FROM (
          |    SELECT vn.vec_id, vn.label, vn.vec, vn.sq, c.centroid_id,
@@ -2581,11 +2594,13 @@ object TrainingData {
          |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
          |                      c.centroid_id) AS crank
          |    FROM vn, cents c) t WHERE crank = 1),
+         |assignb AS (
+         |  SELECT *, $cellBlkExpr AS cell_blk FROM assign),
          |p AS (
          |  SELECT a.vec_id, a.label, a.cell, b.vec_id AS neg_id, b.label AS neg_label,
          |         ${dotD("a.vec", "b.vec")} / sqrt(a.sq * b.sq) AS cos
-         |  FROM assign a JOIN assign b
-         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id AND a.label <> b.label),
+         |  FROM assignb a JOIN assignb b
+         |    ON a.cell_blk = b.cell_blk AND a.vec_id <> b.vec_id AND a.label <> b.label),
          |r AS (SELECT vec_id, label, cell, neg_id, neg_label, cos,
          |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neg_id) AS rk
          |      FROM p)

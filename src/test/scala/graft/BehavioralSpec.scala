@@ -42,8 +42,7 @@ class BehavioralSpec extends AnyFunSuite {
 
   test("rolling 7d active >= that day's daily actives, <= total users") {
     import org.apache.spark.sql.functions._
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = graft.queries.Tables.load(spark, sf, "events")
     val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(countDistinct(col("user_id")).as("dau"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Occupancy bounds for the IVF cell machinery — the properties that keep
+  * every cell-blocked pair family (SemDeDup, hard-negative mining) from
+  * going quadratic at 100× the corpus:
+  *  - the centroid count scales with the corpus so EXPECTED occupancy is a
+  *    constant (~[[Similarity.MaxMembersPerCell]]);
+  *  - [[Similarity.withCellBlock]] caps WORST-CASE occupancy even when an
+  *    adversarial corpus piles every vector onto one centroid.
+  */
+class CellCapSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("centroid count pins expected occupancy at 256 as the corpus grows") {
+    assert(Similarity.centroidCount(500) === 16)     // floor at small N
+    assert(Similarity.centroidCount(4096) === 16)    // 16·256 exactly
+    assert(Similarity.centroidCount(4097) === 17)    // first step past floor
+    assert(Similarity.centroidCount(1000000) === 3907)
+    // the invariant that matters at scale: N / k ≤ 256 for all N past floor
+    Seq(10000L, 1000000L, 100000000L, 10000000000L).foreach { n =>
+      val k = Similarity.centroidCount(n)
+      assert(n.toDouble / k <= Similarity.MaxMembersPerCell,
+        s"N=$n k=$k occupancy=${n / k}")
+    }
+  }
+
+  test("cell blocks cap worst-case occupancy under a single-cell pileup") {
+    // adversarial assignment: 3000 vectors, ALL in one cell (what a skewed
+    // corpus does to its hottest centroid)
+    val v = spark.range(3000).select(
+      col("id").as("vec_id"), lit(7L).as("cell"))
+    val blocked = Similarity.withCellBlock(v)
+    val sizes = blocked.groupBy(col("cell_blk")).count().collect()
+    assert(sizes.map(_.getLong(1)).max <= Similarity.MaxMembersPerCell,
+      "a cell block exceeded the occupancy cap")
+    // no rows lost, blocks partition the cell
+    assert(sizes.map(_.getLong(1)).sum === 3000L)
+    assert(sizes.length === math.ceil(3000.0 / Similarity.MaxMembersPerCell).toInt)
+    // determinism: same input → same block ids
+    val again = Similarity.withCellBlock(v).groupBy(col("cell_blk")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === sizes.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("cell blocks are cell-local: distinct cells never share a block") {
+    val v = spark.range(1000).select(
+      col("id").as("vec_id"), (col("id") % 3).as("cell"))
+    val blocked = Similarity.withCellBlock(v)
+    val crossed = blocked.groupBy(col("cell_blk"))
+      .agg(countDistinct(col("cell")).as("n_cells"))
+      .filter(col("n_cells") > 1).count()
+    assert(crossed === 0L)
+  }
+
+  test("pair work per block is bounded: capped self-join emits ≤ cap·(cap−1) pairs per block") {
+    val cap = 64
+    val v = spark.range(500).select(col("id").as("vec_id"), lit(0L).as("cell"))
+    val blocked = Similarity.withCellBlock(v, cap)
+    val pairs = blocked.as("a").join(blocked.as("b"),
+      col("a.cell_blk") === col("b.cell_blk") && col("a.vec_id") =!= col("b.vec_id"))
+    val perBlock = pairs.groupBy(col("a.cell_blk")).count().collect()
+    assert(perBlock.map(_.getLong(1)).max <= cap.toLong * (cap - 1))
+    // vs m·(m−1) = 249 500 uncapped — the quadratic term the cap removes
+    assert(pairs.count() < 500L * 499)
+  }
+}

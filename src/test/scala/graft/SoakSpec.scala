@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench soak promoted to a failing test (r8 verdict ask #4): run the
+  * dedup/diag/calibration family against the adversarially-skewed corpus
+  * ([[Bench.soakCorpus]]: 5× hot-twin docs collapsed onto one language, one
+  * hot custkey) and ASSERT the per-query max single-task shuffle stays
+  * bounded — a reverted blocking cap (SimHash bucket frequency cap,
+  * boilerplate co-partitioned join, keyed ntile replay, winnow frequency
+  * cap) funnels the corpus through ONE task and trips the bound here,
+  * instead of waiting for a human to read BENCH_r{N}.
+  *
+  * Bounds are ~5–10× the values measured at this corpus size (sf0.001 × 5
+  * copies, measured 0.01–0.35 MB per task) — loose enough for partition
+  * scheduling jitter, tight enough that quadratic-in-the-hot-family blowup
+  * (the failure mode: the 5× twins make every hot bucket/digest group 5×
+  * larger, so unblocked pair output grows 25×) lands far past them.
+  */
+class SoakSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // (query, max single-task shuffle-read bound in MB)
+  private val family = Seq(
+    "dedup_exact" -> 2.0,
+    "clean_boilerplate" -> 2.0,
+    "dedup_simhash_pairs" -> 4.0,
+    "dedup_winnow_pairs" -> 4.0,
+    "text_nb_calibration" -> 4.0,
+    "diag_skew" -> 2.0)
+
+  test("no soak-family query funnels the hot-twin corpus through one task") {
+    val dir = Bench.soakCorpus(spark, "/root/testdata/sf0.001", copies = 5)
+    val listener = new Bench.MaxTaskListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val over = family.flatMap { case (name, boundMb) =>
+        listener.reset()
+        SparkEntry.queries(name)(spark, dir).count()
+        Thread.sleep(400) // let straggler task-end events drain the bus
+        val gotMb = listener.maxShuffleRead / 1e6
+        if (gotMb > boundMb) Some(f"$name: $gotMb%.2f MB > $boundMb MB") else None
+      }
+      assert(over.isEmpty, s"max-task shuffle bound exceeded:\n${over.mkString("\n")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}

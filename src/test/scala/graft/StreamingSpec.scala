@@ -237,8 +237,7 @@ class StreamingSpec extends AnyFunSuite {
   test("windowed counts run identically on the batch events table") {
     // the same operator body over a bounded DataFrame — backfill path;
     // totals must reconcile with a plain aggregation of the same table
-    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = graft.queries.Tables.load(spark, "/root/testdata/sf0.001", "events")
     val out = EventStream.windowedCounts(df, "24 hours", "0 seconds")
     val windowedTotal = out.agg(org.apache.spark.sql.functions.sum("n_events"))
       .collect()(0).getLong(0)
