@@ -163,16 +163,27 @@ object Bench {
       .repartition(8).write.mode("overwrite").parquet(s"$calDir/cal.parquet")
     val calPre = calibrate(spark, s"$calDir/cal.parquet")
 
-    // era parse throughput (BASELINE.md blocks/s): decode a synthetic
-    // 128-file era corpus end-to-end (scan → decompress → SSZ decode →
-    // nested-block rows). Measured FIRST on a clean heap — after the query
-    // sweep, accumulated garbage adds multi-second GC noise.
+    // era parse throughput (BASELINE.md blocks/s): decode a synthetic era
+    // corpus end-to-end (scan → decompress → SSZ decode → nested-block
+    // rows). Measured FIRST on a clean heap — after the query sweep,
+    // accumulated garbage adds multi-second GC noise.
+    //
+    // Two corpora: the original 128-file/64-block mix feeds the ETL and
+    // attestation-explode metrics (comparable to earlier rounds), while
+    // THROUGHPUT is measured on an 8× deeper corpus (512 blocks/file —
+    // ~16k blocks per fork). At 64 blocks/file a per-fork measurement
+    // finished in ~0.3 s, i.e. it was timing Spark's job-scheduling
+    // overhead, not the decoder — which is exactly the ±2× round-to-round
+    // "regression" BENCH_NOTES kept relitigating.
     val (eraDir, _) = graft.testkit.BenchEras.ensureGenerated()
     val records = spark.read.format("era").load(eraDir)
+    val (eraDirDeep, _) = graft.testkit.BenchEras.ensureGenerated(
+      dir = "target/bench-eras-deep", filesPerFork = 32, blocksPerFile = 512)
+    val recordsDeep = spark.read.format("era").load(eraDirDeep)
     var decoded = 0L
     System.gc()
     val decodeSec = best(4) {
-      decoded = graft.operators.Normalizer.decodeBlocks(records).count()
+      decoded = graft.operators.Normalizer.decodeBlocks(recordsDeep).count()
     }
     var attRows = 0L
     val explodeSec = best(4) {
@@ -186,7 +197,7 @@ object Bench {
     val forkEras = Seq("phase0" -> 0L, "altair" -> 11L, "bellatrix" -> 756L,
       "capella" -> 1267L, "deneb" -> 1999L, "electra" -> 2613L)
     val perFork = forkEras.map { case (fork, era) =>
-      val f = spark.read.format("era").load(f"$eraDir/gnosis-$era%05d-*.era")
+      val f = spark.read.format("era").load(f"$eraDirDeep/gnosis-$era%05d-*.era")
       var n = 0L
       System.gc() // isolate each fork's best-of from the previous fork's garbage
       val sec = best(3) { n = graft.operators.Normalizer.decodeBlocks(f).count() }
@@ -195,6 +206,7 @@ object Bench {
     // full 15-table extract + parquet sink for the corpus — the "per-era
     // wall clock for the full 15-table extract" target from BASELINE.md
     val etlOut = java.nio.file.Files.createTempDirectory("graft-bench-etl").toString
+    val etlBlocks = graft.operators.Normalizer.decodeBlocks(records).count()
     val etlSec = best(2) {
       val blocks = graft.operators.Normalizer.decodeBlocks(records).cache()
       try graft.export.Sinks.exportSeparateFiles(
@@ -217,7 +229,7 @@ object Bench {
     System.gc()
     var decoded2 = 0L
     val decodeSec2 = best(3) {
-      decoded2 = graft.operators.Normalizer.decodeBlocks(records).count()
+      decoded2 = graft.operators.Normalizer.decodeBlocks(recordsDeep).count()
     }
     val calPost = calibrate(spark, s"$calDir/cal.parquet")
 
@@ -268,7 +280,7 @@ object Bench {
         s""","cal_pre":$calPre,"cal_post":$calPost""" +
         s""","attestation_rows":$attRows,"attestation_rows_per_sec":${r1(attRows / explodeSec)}""" +
         s""","blocks_per_sec_by_fork":$forkJsonCompact""" +
-        s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(decoded / etlSec)}""" +
+        s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(etlBlocks / etlSec)}""" +
         s""","soak":$soakJson}""")
     spark.stop()
   }

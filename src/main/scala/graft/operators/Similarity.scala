@@ -133,29 +133,72 @@ object Similarity {
         floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"))
   }
 
+  /** Largest centroid set the literal-argmax plan embeds in the row
+    * projection. Past this, k × dims literal doubles blow up codegen (and
+    * eventually the plan itself), so assignment switches to the broadcast
+    * plan in [[bestCentroid]]. Both plans compute the identical argmax with
+    * the identical tie-break, so results — and the DuckDB oracles — are
+    * plan-independent. */
+  val LiteralCentroidMax = 128
+
+  /** v + `best` = struct(score, −centroid_id) of the nearest centroid
+    * (max = score desc, centroid id asc tie-break). Two physical plans:
+    *  - k ≤ [[LiteralCentroidMax]]: `array_max` over a literal struct
+    *    array — fully narrow, zero Exchange, the fastest shape while the
+    *    centroid table fits a codegen'd projection;
+    *  - larger k (the 100 TB regime — [[centroidCount]] grows k with the
+    *    corpus): broadcast the centroid TABLE, cross-join, and take
+    *    max(candidate) per vector. The partial aggregate collapses each
+    *    vector's k candidates map-side (all k copies of a row are born in
+    *    its own partition), so the one Exchange carries ~|corpus| collapsed
+    *    rows, never |corpus|·k. */
+  private[graft] def bestCentroid(v: DataFrame,
+      cents: Array[(Long, Seq[Double], Double)]): DataFrame =
+    bestCentroid(v, cents, literal = cents.length <= LiteralCentroidMax)
+
+  private[graft] def bestCentroid(v: DataFrame,
+      cents: Array[(Long, Seq[Double], Double)], literal: Boolean): DataFrame = {
+    require(cents.nonEmpty, "IVF centroid set is empty")
+    if (literal) {
+      val negScored = cents.toSeq.map { case (cid, cvec, csq) =>
+        struct(
+          (call_function("vec_dot", col("vec"), typedLit(cvec)) /
+            sqrt(col("sq") * lit(csq))).as("s"),
+          lit(-cid).as("ncid"))
+      }
+      v.withColumn("best", array_max(array(negScored: _*)))
+    } else {
+      val spark = v.sparkSession
+      import spark.implicits._
+      val cdf = cents.toSeq.toDF("centroid_id", "cvec", "csq")
+      val carried = v.columns.filterNot(_ == "vec_id").toSeq
+      v.crossJoin(broadcast(cdf))
+        .withColumn("cand", struct(
+          (call_function("vec_dot", col("vec"), col("cvec")) /
+            sqrt(col("sq") * col("csq"))).as("s"),
+          (-col("centroid_id")).as("ncid")))
+        .groupBy(col("vec_id"))
+        // non-key columns are constant within a group (k copies of one row),
+        // so first() is value-deterministic
+        .agg(max(col("cand")).as("best"),
+          carried.map(c => first(col(c)).as(c)): _*)
+        .select((Seq("vec_id") ++ carried).map(col) :+ col("best"): _*)
+    }
+  }
+
   /** IVF-style coarse quantization: centroid set = a deterministic sample
-    * of the corpus (vec_id 100..115 — at real scale these are k-means
-    * centroids, refreshed offline); every vector is assigned to its
-    * nearest centroid by cosine (argmax, centroid-id tie-break). The
-    * argmax is `array_max` over a literal array of (score, −id) structs —
-    * no join, no window, no Exchange before the cell column exists; at
-    * 100 TB the cell becomes the partition key, so a query reads only its
-    * probed partitions. */
+    * of the corpus (at real scale these are k-means centroids, refreshed
+    * offline); every vector is assigned to its nearest centroid by cosine
+    * (argmax, centroid-id tie-break) via [[bestCentroid]]. At 100 TB the
+    * cell becomes the partition key, so a query reads only its probed
+    * partitions. */
   def withIvfCell(v: DataFrame): DataFrame =
     withIvfCell(v, collectCentroids(v))
 
-  private def withIvfCell(v: DataFrame, cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
-    require(cents.nonEmpty, "IVF centroid set is empty")
-    // max over struct(s, -cid) = (score desc, centroid_id asc) tie-break
-    val negScored = cents.toSeq.map { case (cid, cvec, csq) =>
-      struct(
-        (call_function("vec_dot", col("vec"), typedLit(cvec)) /
-          sqrt(col("sq") * lit(csq))).as("s"),
-        lit(-cid).as("ncid"))
-    }
-    v.withColumn("cell", -array_max(array(negScored: _*)).getField("ncid"))
+  private def withIvfCell(v: DataFrame, cents: Array[(Long, Seq[Double], Double)]): DataFrame =
+    bestCentroid(v, cents)
+      .withColumn("cell", -col("best").getField("ncid"))
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
-  }
 
   /** Chunk-level retrieval — the RAG shape: documents are split into
     * fixed-width token chunks, each chunk gets its own (hashed) vector,
@@ -255,20 +298,11 @@ object Similarity {
     * fields are kept — `cell` (assigned centroid) and `cent_cos` (cosine
     * to it). The centrality score is what SemDeDup's keeper rule ranks on
     * ([[Dedup.semDedup]]). Still a fully narrow projection. */
-  def withIvfCellScore(v: DataFrame): DataFrame = {
-    val cents = collectCentroids(v)
-    require(cents.nonEmpty, "IVF centroid set is empty")
-    val negScored = cents.toSeq.map { case (cid, cvec, csq) =>
-      struct(
-        (call_function("vec_dot", col("vec"), typedLit(cvec)) /
-          sqrt(col("sq") * lit(csq))).as("s"),
-        lit(-cid).as("ncid"))
-    }
-    v.withColumn("best", array_max(array(negScored: _*)))
+  def withIvfCellScore(v: DataFrame): DataFrame =
+    bestCentroid(v, collectCentroids(v))
       .withColumn("cell", -col("best").getField("ncid"))
       .withColumn("cent_cos", col("best").getField("s"))
       .select(col("vec_id"), col("vec"), col("sq"), col("cell"), col("cent_cos"))
-  }
 
   /** Lloyd's k-means refinement of the IVF centroid set (spherical:
     * assignment by cosine, update = per-cell member mean). Each iteration
@@ -444,23 +478,44 @@ object Similarity {
   }
 
   /** (query_id, qvec, qsq, cell) — each query exploded to its `IvfProbes`
-    * nearest centroids via the literal-centroid sort (narrow). */
+    * nearest centroids. k ≤ [[LiteralCentroidMax]]: literal-centroid struct
+    * sort, fully narrow. Larger k: the query set is tiny (it broadcasts into
+    * the candidate join downstream), so a query × centroid-table join + a
+    * per-query rank window is trivial at any k. Identical selection + id
+    * tie-break either way. */
   private def ivfProbes(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
       nQueries: Int): DataFrame = {
-    // (−score, centroid_id) structs sort ascending = (score desc, id asc)
-    val probeScored = cents.toSeq.map { case (cid, cvec, csq) =>
-      struct(
-        (-(call_function("vec_dot", col("qvec"), typedLit(cvec)) /
-          sqrt(col("qsq") * lit(csq)))).as("ns"),
-        lit(cid).as("cid"))
-    }
-    prep.filter(col("vec_id") < nQueries)
+    val q = prep.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
-      .withColumn("cell",
-        explode(transform(
-          slice(sort_array(array(probeScored: _*)), 1, IvfProbes),
-          s => s.getField("cid"))))
-      .select(col("query_id"), col("qvec"), col("qsq"), col("cell"))
+    if (cents.length <= LiteralCentroidMax) {
+      // (−score, centroid_id) structs sort ascending = (score desc, id asc)
+      val probeScored = cents.toSeq.map { case (cid, cvec, csq) =>
+        struct(
+          (-(call_function("vec_dot", col("qvec"), typedLit(cvec)) /
+            sqrt(col("qsq") * lit(csq)))).as("ns"),
+          lit(cid).as("cid"))
+      }
+      q.withColumn("cell",
+          explode(transform(
+            slice(sort_array(array(probeScored: _*)), 1, IvfProbes),
+            s => s.getField("cid"))))
+        .select(col("query_id"), col("qvec"), col("qsq"), col("cell"))
+    } else {
+      val spark = prep.sparkSession
+      import spark.implicits._
+      val cdf = cents.toSeq.toDF("centroid_id", "cvec", "csq")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("ps").desc, col("centroid_id"))
+      q.crossJoin(broadcast(cdf))
+        .withColumn("ps",
+          call_function("vec_dot", col("qvec"), col("cvec")) /
+            sqrt(col("qsq") * col("csq")))
+        .withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= IvfProbes)
+        .select(col("query_id"), col("qvec"), col("qsq"),
+          col("centroid_id").as("cell"))
+    }
   }
 
   val PqM = 4        // subspaces

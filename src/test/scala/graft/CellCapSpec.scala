@@ -58,6 +58,33 @@ class CellCapSpec extends AnyFunSuite {
     assert(crossed === 0L)
   }
 
+  test("literal and broadcast-join centroid assignment agree past the codegen threshold") {
+    import spark.implicits._
+    // 2000 synthetic 8-dim vectors, 150 centroids (> LiteralCentroidMax=128
+    // forces the join plan on the default path) — both plans must produce
+    // the identical argmax with the identical id tie-break
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
+    val v = spark.range(2000)
+      .map { id => (id, id % 5, vec(id)) }
+      .toDF("vec_id", "label", "vec")
+      .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
+      .filter(col("sq") > 0)
+    val cents = (0 until 150).map { c =>
+      val cv = vec(c * 977L + 3)
+      (c.toLong, cv, cv.map(x => x * x).sum)
+    }.toArray
+    assert(cents.length > graft.operators.Similarity.LiteralCentroidMax)
+    def cells(literal: Boolean) =
+      graft.operators.Similarity.bestCentroid(v, cents, literal)
+        .select(col("vec_id"), (-col("best.ncid")).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lit_ = cells(literal = true)
+    val join_ = cells(literal = false)
+    assert(lit_.size === join_.size)
+    assert(lit_ === join_)
+  }
+
   test("pair work per block is bounded: capped self-join emits ≤ cap·(cap−1) pairs per block") {
     val cap = 64
     val v = spark.range(500).select(col("id").as("vec_id"), lit(0L).as("cell"))
