@@ -580,6 +580,64 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, distilled to its
+    * deterministic core): upweight the sources the current model finds
+    * HARD. Here "the model" is the corpus's own unigram LM (the CCNet
+    * proxy this pipeline already trains for perplexity filtering —
+    * [[TextAnalysis.unigramScores]]), hardness is a source's average
+    * per-token NLL above the corpus average, and the output mix is
+    *   weight(s) ∝ token_share(s) · exp(η · excess_nll(s)),
+    * normalized — the exponentiated-gradient tilt of the paper with the
+    * reference model fixed. Feed the weights to [[sampleBySource]]-style
+    * samplers or the epochs planner.
+    *
+    * Scale shape: the word-count shape end-to-end (one vocab aggregation,
+    * one token-level hash join, one per-source aggregation); everything
+    * after is windows over the ≤|sources|-row collapsed frame.
+    *
+    * Determinism: per-token NLL in integer micro-nats; per-source and
+    * corpus sums are integer; shares/tilts are rounded to integer micro
+    * BEFORE the (order-free, integer) normalization sum — so both engines
+    * divide identical integers. */
+  def domainReweight(docs: DataFrame, eta: Double = 1.0): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val tk = TextAnalysis.withTokens(docs)
+      .select(col("doc_id"), col("source"), explode(col("toks")).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = tk.agg(count(lit(1)).cast("double").as("total"))
+    tk
+      .join(vocab, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("nll_micro",
+        round(-log(col("cnt").cast("double") / col("total")) * 1e6).cast("long"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("nll_micro")).as("nll_sum"))
+      .withColumn("avg_micro",
+        round(col("nll_sum").cast("double") / col("n_tokens")).cast("long"))
+      .withColumn("all_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("corpus_micro",
+        round(sum(col("nll_sum")).over(w).cast("double") / col("all_tokens"))
+          .cast("long"))
+      .withColumn("excess_micro",
+        greatest(lit(0L), col("avg_micro") - col("corpus_micro")))
+      .withColumn("ts_micro",
+        round(col("n_tokens").cast("double") * 1e6 / col("all_tokens")).cast("long"))
+      .withColumn("raw_micro",
+        round(col("ts_micro").cast("double") *
+          exp(lit(eta) * col("excess_micro").cast("double") / 1e6)).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("ts_micro").cast("double") / 1e6, 6).as("token_share"),
+        round(col("nll_sum").cast("double") / (col("n_tokens") * 1e6), 4).as("avg_nll"),
+        round(col("excess_micro").cast("double") / 1e6, 4).as("excess_nll"),
+        round(col("raw_micro").cast("double") / sum(col("raw_micro")).over(w), 6)
+          .as("doremi_weight"))
+      .orderBy(col("source"))
+  }
+
   /** Deequ-style intake profile of the documents table — the schema
     * expectations a pipeline asserts BEFORE spending compute: per column,
     * null count and exact distinct count. Run on every ingest batch; a

@@ -27,6 +27,29 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Batch sessionization body (30-min inactivity gap): the classic
+    * two-window + aggregate shape, everything keyed on `user_id`. Exposed
+    * so `BucketedJoinSpec` can prove the 100 TB story: over an events
+    * table BUCKETED by user_id at rest, this entire pipeline — both
+    * windows AND the (user_id, session_seq) aggregation, whose
+    * ClusteredDistribution a user_id HashPartitioning already satisfies —
+    * plans with ZERO Exchange. */
+  private[graft] def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("is_start",
+        when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) div 1000000").as("duration_s"))
+  }
+
   /** All aggregate outputs are rounded/cast identically in the oracle SQL so
     * double accumulation-order differences cannot flip the value hash. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -286,22 +309,8 @@ object Relational {
     // the session id is the running count of session starts. Both windows
     // share ONE (user_id) shuffle and sort. Summary grain: one row per
     // session with its span and event count.
-    "win_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events")
-        .withColumn("us", unix_micros(col("ts")))
-        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
-        .withColumn("is_start",
-          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq",
-          sum(col("is_start")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          expr("(max(us) - min(us)) div 1000000").as("duration_s"))
-        .orderBy(col("user_id"), col("session_seq"))
-    }),
+    "win_sessionize" -> ((s, dir) =>
+      sessionize(t(s, dir, "events")).orderBy(col("user_id"), col("session_seq"))),
     // W2: global analytic avg(x) OVER () (CLICKHOUSE.md:529,755). Inherently a
     // single-partition window at any scale — the reference query is global;
     // computed via a scalar cross-join-free windowed aggregate on a tiny

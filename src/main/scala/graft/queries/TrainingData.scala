@@ -57,6 +57,8 @@ object TrainingData {
       TextAnalysis.gopherSummary(docs(s, dir))),
     "text_perplexity_interp" -> ((s, dir) =>
       TextAnalysis.interpolatedScores(docs(s, dir))),
+    "cur_doremi" -> ((s, dir) =>
+      Curation.domainReweight(docs(s, dir))),
     "text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfFit(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
@@ -715,6 +717,50 @@ object TrainingData {
          |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
          |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "cur_doremi" ->
+      s"""WITH b2 AS (
+         |  SELECT doc_id, source,
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |tk AS (SELECT doc_id, source, tok FROM
+         |         (SELECT doc_id, source, unnest(toks) AS tok FROM b2)
+         |       WHERE tok <> ''),
+         |v AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok),
+         |tot AS (SELECT COUNT(*)::DOUBLE AS total FROM tk),
+         |sc AS (
+         |  SELECT source, doc_id,
+         |         CAST(ROUND(-ln(cnt::DOUBLE / total) * 1000000) AS BIGINT) AS nm
+         |  FROM tk JOIN v USING (tok) CROSS JOIN tot),
+         |ps AS (
+         |  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(nm) AS BIGINT) AS nll_sum
+         |  FROM sc GROUP BY source),
+         |g AS (
+         |  SELECT *,
+         |         CAST(ROUND(nll_sum::DOUBLE / n_tokens) AS BIGINT) AS avg_micro,
+         |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS all_tokens,
+         |         CAST(SUM(nll_sum) OVER () AS BIGINT) AS all_nll
+         |  FROM ps),
+         |x AS (
+         |  SELECT *,
+         |         GREATEST(0, avg_micro -
+         |           CAST(ROUND(all_nll::DOUBLE / all_tokens) AS BIGINT)) AS excess_micro,
+         |         CAST(ROUND(n_tokens::DOUBLE * 1000000 / all_tokens) AS BIGINT) AS ts_micro
+         |  FROM g),
+         |r AS (
+         |  SELECT *,
+         |         CAST(ROUND(ts_micro::DOUBLE *
+         |           exp(1.0 * excess_micro::DOUBLE / 1000000)) AS BIGINT) AS raw_micro
+         |  FROM x)
+         |SELECT source, n_docs, n_tokens,
+         |       ROUND(ts_micro::DOUBLE / 1000000, 6) AS token_share,
+         |       ROUND(nll_sum::DOUBLE / (n_tokens * 1000000.0), 4) AS avg_nll,
+         |       ROUND(excess_micro::DOUBLE / 1000000, 4) AS excess_nll,
+         |       ROUND(raw_micro::DOUBLE / CAST(SUM(raw_micro) OVER () AS DOUBLE), 6)
+         |         AS doremi_weight
+         |FROM r ORDER BY source""".stripMargin,
 
     "text_feature_hash" ->
       s"""WITH $baseCte,

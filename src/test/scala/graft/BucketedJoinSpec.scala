@@ -41,6 +41,26 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionization over a user-bucketed events table plans with ZERO Exchange") {
+    // the at-rest layout for an event-log warehouse: bucketed by user_id,
+    // so the user-keyed window pair AND the (user_id, session_seq)
+    // aggregation — whose ClusteredDistribution a user_id HashPartitioning
+    // already satisfies — all reuse the storage partitioning
+    val ev = graft.queries.Tables.load(spark, TestSpark.sf, "events")
+    Bucketed.saveBucketed(ev, "events_bkt", "user_id", 8)
+    val out = graft.queries.Relational.sessionize(spark.table("events_bkt"))
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucketed sessionization still shuffles:\n${p.take(3000)}")
+    assert(p.contains("Window"), p.take(2000))
+    // same body over plain parquet pays the user_id Exchange — and values match
+    val plain = graft.queries.Relational.sessionize(ev)
+    assert(plain.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(key(out) === key(plain))
+  }
+
   test("digest-bucketed snapshot: the ingest gate shuffles only the arriving batch") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")

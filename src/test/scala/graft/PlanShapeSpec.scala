@@ -447,6 +447,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val globalWindowAllowlist: Map[String, String] = Map(
     "win_global_avg" -> "the operator IS the global-avg-over-groups demo; input is the per-(flag,status) aggregate (≤ 6 rows)",
     "cur_source_mix" -> "share-of-total over the per-source aggregate (≤ #sources rows)",
+    "cur_doremi" -> "share/tilt normalization over the per-source aggregate (≤ #sources rows)",
     "sim_ivf_stats" -> "imbalance ratio over the per-cell aggregate (≤ #IVF cells rows)",
     "era_slot_gaps" -> "lag over the per-era max-slot aggregate (one row per era, ~1.5k rows for the full chain); the per-slot lag itself is era-partitioned",
     "text_length_histogram" -> "cumulative sum over the per-log2-bucket aggregate (≤ 64 rows: buckets of a long)")

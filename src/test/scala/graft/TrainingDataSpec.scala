@@ -34,6 +34,27 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(picked.contains(999L), picked.mkString(", "))
   }
 
+  test("doremi: weights normalize, and a planted hard domain is tilted above its token share") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("cur_doremi")(spark, sfDir).collect()
+    assert(math.abs(rows.map(_.getAs[Double]("doremi_weight")).sum - 1.0) < 1e-4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("excess_nll") >= 0.0)
+      assert(r.getAs[Double]("doremi_weight") > 0.0)
+    }
+    // synthetic corpus: one domain of common text, one of rare-token soup —
+    // the hard domain must be weighted ABOVE its token share, the easy one
+    // below (the DoReMi tilt direction)
+    val easy = (0 until 60).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog", "en", "easy"))
+    val hard = (60 until 90).map(i => (i.toLong, s"zqx$i wvu$i ptr$i mlk$i jhg$i fdc$i bax$i nyo$i", "en", "hard"))
+    val synth = (easy ++ hard).toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Curation.domainReweight(synth)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("token_share"), r.getAs[Double]("doremi_weight"))).toMap
+    assert(out("hard")._2 > out("hard")._1, s"hard domain not upweighted: $out")
+    assert(out("easy")._2 < out("easy")._1, s"easy domain not downweighted: $out")
+  }
+
   test("ccnet buckets replay the keyed ntile exactly and partition every language") {
     import org.apache.spark.sql.expressions.Window
     // the operator's bin machinery must agree with the naive one-partition
