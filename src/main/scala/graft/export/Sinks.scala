@@ -82,6 +82,17 @@ object Sinks {
     n
   }
 
+  /** The at-rest layout for the 15-table warehouse at archive scale:
+    * parquet partitioned by `era_number`, one directory per era. Era is
+    * the natural unit — the ETL writes whole eras atomically (resume /
+    * replay is per-era, [[EraStateManager]]), and every slot- or
+    * era-ranged query prunes to its directories BEFORE any file is opened
+    * (`spark.read.parquet(path).filter(era_number === n)` lists only that
+    * partition — pruning-tested in `ExportStateSpec`). A 100k-era archive
+    * is 100k directories per table; a point query opens one. */
+  def writePartitionedByEra(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("era_number").parquet(path)
+
   /** S11/S13 exact-parity single-file export: the reference's INLINE
     * metadata envelope — JSONL metadata as the first line
     * (json_exporter.py:31-41) or a CSV `#` comment preamble

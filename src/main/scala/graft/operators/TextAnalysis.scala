@@ -401,6 +401,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer-fertility report per language — the number a tokenizer
+    * choice is judged by before a single GPU-hour is spent: subword tokens
+    * per whitespace word (fertility; multilingual corpora routinely show
+    * 2-4× for scripts a vocab underserves, directly inflating training
+    * cost per word) and bytes per subword token (compression). Uses the
+    * [[BpePattern]] proxy tokenizer this pipeline tokenizes with
+    * everywhere; swapping a real vocab changes only the token kernel.
+    * All-integer aggregation — one lang-keyed groupBy, exact ratios. */
+  def fertility(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .select(col("lang"),
+        size(expr("filter(toks, t -> t <> '')")).cast("long").as("n_words"),
+        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+          .cast("long").as("n_sub"),
+        length(col("text")).cast("long").as("n_bytes"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_sub")).as("n_subtokens"),
+        sum(col("n_bytes")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_subtokens"),
+        col("n_bytes"),
+        round(col("n_subtokens").cast("double") / col("n_words"), 4).as("fertility"),
+        round(col("n_bytes").cast("double") / col("n_subtokens"), 4).as("bytes_per_token"))
+      .orderBy(col("lang"))
+
   /** Zipf-law fit over the token frequency spectrum — the corpus-health
     * diagnostic: least-squares slope of ln(count) vs ln(rank) for the top
     * `topN` tokens. Natural text sits near slope −1; a spam-flooded or

@@ -59,6 +59,8 @@ object TrainingData {
       TextAnalysis.interpolatedScores(docs(s, dir))),
     "cur_doremi" -> ((s, dir) =>
       Curation.domainReweight(docs(s, dir))),
+    "text_fertility" -> ((s, dir) =>
+      TextAnalysis.fertility(docs(s, dir))),
     "text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfFit(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
@@ -717,6 +719,22 @@ object TrainingData {
          |       ROUND(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS avg_nll,
          |       ROUND(exp(SUM(nm)::DOUBLE / (COUNT(*) * 1000000.0)), 4) AS ppl
          |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_fertility" ->
+      s"""WITH $baseCte,
+         |f AS (
+         |  SELECT lang,
+         |         CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS n_words,
+         |         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_sub,
+         |         CAST(strlen(text) AS BIGINT) AS n_bytes
+         |  FROM base)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |       CAST(SUM(n_sub) AS BIGINT) AS n_subtokens,
+         |       CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+         |       ROUND(SUM(n_sub)::DOUBLE / SUM(n_words), 4) AS fertility,
+         |       ROUND(SUM(n_bytes)::DOUBLE / SUM(n_sub), 4) AS bytes_per_token
+         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "cur_doremi" ->
       s"""WITH b2 AS (

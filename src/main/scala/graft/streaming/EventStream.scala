@@ -113,4 +113,24 @@ object EventStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** The same gap sessionization via Spark's NATIVE `session_window`
+    * aggregation — the built-in-operator form preferred when the session
+    * payload is expressible as plain aggregates (no custom state code, and
+    * the engine's session-merge state store does the bookkeeping). Kept
+    * alongside [[sessionize]] deliberately: flatMapGroupsWithState is the
+    * escape hatch for session payloads the built-in can't express
+    * (first-N events, per-session dedup, ML features); this is the
+    * shape to reach for first. Identical session boundaries: both close a
+    * session after `gapMinutes` of inactivity by event time. */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30,
+      lateness: String = "1 minute"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
 }

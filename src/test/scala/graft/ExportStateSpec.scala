@@ -23,6 +23,30 @@ class ExportStateSpec extends AnyFunSuite {
     assert(Sinks.datasetFilename("out/x.json", "blocks") === "out/x_blocks.json")
   }
 
+  test("era-partitioned layout: an era filter scans ONLY that era's partition directory") {
+    val blocks = graft.queries.EraQueries.blocks(spark).toDF()
+      .select(col("slot"), col("proposer_index"), col("version"), col("era_number"))
+    val out = tmpDir("era-part")
+    Sinks.writePartitionedByEra(blocks, s"$out/blocks")
+    val eras = blocks.select(col("era_number")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(eras.length > 1, "fixture corpus must span multiple eras for pruning to mean anything")
+    val back = spark.read.parquet(s"$out/blocks")
+    val one = back.filter(col("era_number") === eras.head)
+    // partition pruning happens at planning: the scan node must select
+    // exactly ONE partition directory out of the table's eras (inputFiles
+    // can't show this — it lists the unfiltered relation)
+    val scan = one.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount} of ${eras.length}")
+    assert(scan.metadata("PartitionFilters").contains("era_number"))
+    // and the values round-trip
+    assert(one.count() ===
+      blocks.filter(col("era_number") === eras.head).count())
+  }
+
   test("separate-files fan-out writes every dataset + SUMMARY.txt, all formats readable") {
     import spark.implicits._
     val dir = tmpDir("sinks")

@@ -76,6 +76,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((7L, 2L, 3.0))) // first burst: 2 events, value 3
   }
 
+  test("native session_window sessionization matches the custom-state boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val query = EventStream.sessionizeNative(mem.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def at(min: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    try {
+      mem.addData(
+        Event(7L, 1, "click", at(0), 1.0),
+        Event(7L, 2, "click", at(10), 2.0))
+      query.processAllAvailable()
+      mem.addData(Event(7L, 3, "click", at(100), 4.0)) // gap > 30 min → new session
+      query.processAllAvailable()
+      mem.addData(Event(9L, 9, "click", at(300), 0.5)) // watermark push finalizes
+      query.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, session_start, session_end, n_events, total_value
+           FROM native_sessions WHERE user_id = 7 ORDER BY session_start""")
+        .collect()
+      assert(rows.length === 1 || rows.length === 2) // session 2 closes only if watermark passed
+      val first = rows(0)
+      assert(first.getTimestamp(1) === at(0))
+      // native session end = last event + gap (the merge window), unlike the
+      // custom operator's last-event end — both mark the same burst
+      assert(first.getTimestamp(2) === at(10 + 30))
+      assert(first.getLong(3) === 2L)
+      assert(first.getDouble(4) === 3.0)
+    } finally query.stop()
+  }
+
   test("streaming exact dedup emits only the first copy of each content digest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
