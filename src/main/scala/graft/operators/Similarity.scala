@@ -124,7 +124,14 @@ object Similarity {
     * as the input itself — the acceptable price for making the downstream
     * self-join's cost bounded by construction. Pairs that straddle a block
     * boundary are sacrificed (the same recall trade every blocking cap in
-    * the dedup family makes, e.g. the SimHash 5% bucket cap). */
+    * the dedup family makes, e.g. the SimHash 5% bucket cap).
+    *
+    * Id packing: block id = cell·65536 + rank/cap, i.e. 65536 block slots
+    * per cell = headroom for 65536·cap ≈ 16.7M members piling onto ONE
+    * cell before adjacent cells' id ranges could touch — with k scaled to
+    * the corpus that is a >4000× single-cell skew, far past anything the
+    * assignment can produce (and cell ids ~N/256 keep the product well
+    * inside a long). */
   def withCellBlock(v: DataFrame, cap: Int = MaxMembersPerCell): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("vec_id"))
@@ -483,11 +490,15 @@ object Similarity {
     * the candidate join downstream), so a query × centroid-table join + a
     * per-query rank window is trivial at any k. Identical selection + id
     * tie-break either way. */
-  private def ivfProbes(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
-      nQueries: Int): DataFrame = {
+  private[graft] def ivfProbes(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+      nQueries: Int): DataFrame =
+    ivfProbes(prep, cents, nQueries, literal = cents.length <= LiteralCentroidMax)
+
+  private[graft] def ivfProbes(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+      nQueries: Int, literal: Boolean): DataFrame = {
     val q = prep.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
-    if (cents.length <= LiteralCentroidMax) {
+    if (literal) {
       // (−score, centroid_id) structs sort ascending = (score desc, id asc)
       val probeScored = cents.toSeq.map { case (cid, cvec, csq) =>
         struct(

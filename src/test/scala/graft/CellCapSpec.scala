@@ -85,6 +85,26 @@ class CellCapSpec extends AnyFunSuite {
     assert(lit_ === join_)
   }
 
+  test("probe selection agrees between the literal sort and the join+rank plan at large k") {
+    import spark.implicits._
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
+    val prep = spark.range(200)
+      .map { id => (id, vec(id)) }.toDF("vec_id", "vec")
+      .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
+      .filter(col("sq") > 0)
+    val cents = (0 until 150).map { c =>
+      val cv = vec(c * 977L + 3)
+      (c.toLong, cv, cv.map(x => x * x).sum)
+    }.toArray
+    def probes(literal: Boolean) =
+      graft.operators.Similarity.ivfProbes(prep, cents, nQueries = 5, literal)
+        .select(col("query_id"), col("cell"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probes(literal = true) === probes(literal = false))
+    assert(probes(literal = true).groupBy(_._1).forall(_._2.size == graft.operators.Similarity.IvfProbes))
+  }
+
   test("pair work per block is bounded: capped self-join emits ≤ cap·(cap−1) pairs per block") {
     val cap = 64
     val v = spark.range(500).select(col("id").as("vec_id"), lit(0L).as("cell"))
