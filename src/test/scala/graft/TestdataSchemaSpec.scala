@@ -41,6 +41,19 @@ class TestdataSchemaSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 
+  test("legacy int64-nanos layout still normalizes exactly (micro truncation, no float loss)") {
+    import org.apache.spark.sql.functions._
+    // 2024-01-01T00:00:00.123456789 as nanos — big enough that a double
+    // round-trip would corrupt the low microseconds (the original bug class
+    // the `div` comment in Tables guards against)
+    val nanos = 1704067200L * 1000000000L + 123456789L
+    val legacy = spark.range(1).select(lit(nanos).as("ts"))
+    val out = graft.queries.Tables.normalizeEventTs(spark, legacy)
+    assert(out.schema("ts").dataType === TimestampType)
+    val got = out.selectExpr("unix_micros(ts)").collect()(0).getLong(0)
+    assert(got === 1704067200L * 1000000L + 123456L) // nanos div 1000, exact
+  }
+
   test("core table columns the query surface depends on are present and typed") {
     def sch(t: String) = spark.read.parquet(s"$sf/$t.parquet").schema
     val li = sch("lineitem")
