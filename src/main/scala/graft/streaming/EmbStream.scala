@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One embedding arriving on the ingest stream. */
+case class StreamEmb(vec_id: Long, embedding: Seq[Float], label: Int, ts: Timestamp)
+
+/**
+ * Streaming side of the ANN index lifecycle: an IVF index at rest is a
+ * cell-partitioned table plus a centroid artifact; INGEST is "assign each
+ * arriving vector to its cell with the artifact, append to the cell's
+ * partition, and watch occupancy drift" — when the corpus outgrows the
+ * centroid set (cells run hot), the batch trainer
+ * ([[graft.operators.Similarity.kmeansCentroids]]) re-fits offline and the
+ * artifact is swapped. This module is that ingest+watch step, reusing the
+ * batch assignment kernel so stream and backfill agree bit-for-bit.
+ */
+object EmbStream {
+
+  /** Cell assignment for a stream of embeddings against a FIXED centroid
+    * artifact (the same (id, vector, norm²) rows the batch path collects):
+    * a fully narrow projection — [[graft.operators.Similarity.bestCentroid]]
+    * with the literal plan, which is watermark/append-safe because it
+    * touches no state. Output: the input plus `cell`. */
+  def withCell(embs: DataFrame,
+      cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(embs.sparkSession)
+    val prepped = embs
+      .withColumn("vec", col("embedding").cast("array<double>"))
+      .withColumn("sq", graft.functions.VectorMath.normSq("vec"))
+      .filter(col("sq") > 0)
+    graft.operators.Similarity.bestCentroid(prepped, cents, literal = true)
+      .withColumn("cell", -col("best").getField("ncid"))
+      .drop("best", "vec", "sq")
+  }
+
+  /** Per-(window, cell) ingest accounting with an occupancy alarm: arriving
+    * vectors are assigned via [[withCell]] and counted per tumbling window;
+    * a cell ingesting more than `hotCellThreshold` vectors in one window is
+    * flagged `hot` — sustained hot cells mean the centroid artifact no
+    * longer matches the data distribution and the offline trainer should
+    * re-fit (the IVF sibling of [[DocStream.mixDriftMonitor]]'s crawl-shift
+    * alarm). One watermarked windowed aggregation; append-mode safe. */
+  def cellIngestMonitor(embs: DataFrame,
+      cents: Array[(Long, Seq[Double], Double)],
+      windowDur: String = "10 minutes",
+      lateness: String = "10 minutes",
+      hotCellThreshold: Long = 256L): DataFrame =
+    withCell(embs, cents)
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur), col("cell"))
+      .agg(count(lit(1)).as("n_ingested"))
+      .select(
+        col("window.start").as("window_start"),
+        col("cell"), col("n_ingested"),
+        (col("n_ingested") > hotCellThreshold).as("hot"))
+}

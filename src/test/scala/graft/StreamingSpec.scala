@@ -108,6 +108,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("IVF ingest monitor assigns cells with the batch kernel and flags hot cells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{EmbStream, StreamEmb}
+    // two orthogonal centroids; the artifact a batch trainer would publish
+    val cents = Array(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 1.0),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0), 1.0))
+    def emb(id: Long, v: Seq[Float], min: Int) =
+      StreamEmb(id, v, 0, new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L))
+    val mem = MemoryStream[StreamEmb]
+    val q = EmbStream.cellIngestMonitor(mem.toDF(), cents,
+        windowDur = "10 minutes", hotCellThreshold = 2L)
+      .writeStream.format("memory").queryName("cell_ingest")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // window 1: three near-centroid-0 vectors (hot: > 2) + one near 1
+      mem.addData(
+        emb(1, Seq(0.9f, 0.1f, 0f, 0f), 0),
+        emb(2, Seq(0.8f, 0.05f, 0f, 0f), 1),
+        emb(3, Seq(0.95f, 0f, 0f, 0f), 2),
+        emb(4, Seq(0.1f, 0.9f, 0f, 0f), 3))
+      q.processAllAvailable()
+      mem.addData(emb(9, Seq(0f, 1f, 0f, 0f), 60)) // watermark push closes window 1
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT cell, n_ingested, hot FROM cell_ingest WHERE window_start = timestamp'2024-01-01 00:00:00'")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(rows(0L) === ((3L, true)), s"got $rows")
+      assert(rows(1L) === ((1L, false)), s"got $rows")
+    } finally q.stop()
+    // batch parity: the same frame through the batch assignment kernel
+    val batch = Seq(
+      emb(1, Seq(0.9f, 0.1f, 0f, 0f), 0),
+      emb(4, Seq(0.1f, 0.9f, 0f, 0f), 3)).toDF()
+    val assigned = graft.streaming.EmbStream.withCell(batch, cents)
+      .select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigned === Map(1L -> 0L, 4L -> 1L))
+  }
+
   test("streaming exact dedup emits only the first copy of each content digest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
