@@ -580,6 +580,37 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** One-row corpus datasheet — the "dataset card" numbers a training-data
+    * release publishes and an intake review reads first: size (docs,
+    * tokens), composition breadth (languages, sources), exact-duplicate
+    * rate (1 − distinct content digests / docs), mean quality score, and
+    * the Gopher-rule keep rate. Pure composition of kernels that are each
+    * separately oracle-verified; everything reduces to three 1-row
+    * aggregates glued with broadcast cross-joins — no shuffle carries more
+    * than partial-aggregate state at any corpus size. The quality mean is
+    * summed in integer 1e-4 units so the cross-engine value is exact. */
+  def datasetCard(docs: DataFrame): DataFrame = {
+    val base = TextAnalysis.withTokens(docs).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(md5(col("text"))).as("n_distinct_texts"))
+    val q = TextAnalysis.withQualityScore(docs)
+      .agg(sum(round(col("quality_score") * 10000).cast("long")).as("q_micro"))
+    val g = TextAnalysis.gopherFlags(docs)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+    base.crossJoin(broadcast(q)).crossJoin(broadcast(g))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"), col("n_sources"),
+        col("n_distinct_texts"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 4)
+          .as("dup_rate"),
+        round(col("q_micro").cast("double") / (col("n_docs") * 10000.0), 4)
+          .as("avg_quality"),
+        round(col("n_keep").cast("double") / col("n_docs"), 4)
+          .as("gopher_keep_rate"))
+  }
+
   /** DoReMi-style domain reweighting (Xie et al. 2023, distilled to its
     * deterministic core): upweight the sources the current model finds
     * HARD. Here "the model" is the corpus's own unigram LM (the CCNet

@@ -61,6 +61,8 @@ object TrainingData {
       Curation.domainReweight(docs(s, dir))),
     "text_fertility" -> ((s, dir) =>
       TextAnalysis.fertility(docs(s, dir))),
+    "cur_dataset_card" -> ((s, dir) =>
+      Curation.datasetCard(docs(s, dir))),
     "text_zipf" -> ((s, dir) =>
       TextAnalysis.zipfFit(docs(s, dir))),
     "text_bpe_merges" -> ((s, dir) =>
@@ -735,6 +737,53 @@ object TrainingData {
          |       ROUND(SUM(n_sub)::DOUBLE / SUM(n_words), 4) AS fertility,
          |       ROUND(SUM(n_bytes)::DOUBLE / SUM(n_sub), 4) AS bytes_per_token
          |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "cur_dataset_card" ->
+      s"""WITH card AS (
+         |  SELECT doc_id, trim(text) AS text, lang, source,
+         |         regexp_split_to_array(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |b AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+         |  FROM card),
+         |q AS (
+         |  SELECT CAST(SUM(CAST(ROUND(
+         |           ROUND(least(len(toks)::DOUBLE / 100.0, 1.0::DOUBLE) * 0.5
+         |             + (len(list_filter(toks, t -> list_contains($stopArr, t)))::DOUBLE
+         |                / len(toks)) * 0.5, 4) * 10000) AS BIGINT)) AS BIGINT) AS q_micro
+         |  FROM card),
+         |gw AS (
+         |  SELECT list_filter(toks, t -> t <> '') AS words,
+         |         len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
+         |  FROM card),
+         |g2 AS (
+         |  SELECT CAST(len(words) AS BIGINT) AS n_words,
+         |         ROUND(${fold("list_transform(words, t -> strlen(t))", "0::BIGINT", "(x, y) -> x + y")}::DOUBLE
+         |           / greatest(len(words), 1), 4) AS mean_word_len,
+         |         ROUND(n_sym::DOUBLE / greatest(len(words), 1), 4) AS symbol_ratio,
+         |         ROUND(len(list_filter(words, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+         |           / greatest(len(words), 1), 4) AS alpha_word_ratio,
+         |         CAST(len(list_filter(words, t -> list_contains($stopArr, t))) AS BIGINT) AS n_stop
+         |  FROM gw),
+         |g AS (
+         |  SELECT CAST(SUM(CASE WHEN
+         |           n_words >= ${TextAnalysis.GopherMinWords}
+         |           AND n_words <= ${TextAnalysis.GopherMaxWords}
+         |           AND mean_word_len >= ${TextAnalysis.GopherMinMeanLen}
+         |           AND mean_word_len <= ${TextAnalysis.GopherMaxMeanLen}
+         |           AND symbol_ratio <= ${TextAnalysis.GopherMaxSymbolRatio}
+         |           AND alpha_word_ratio >= ${TextAnalysis.GopherMinAlphaRatio}
+         |           AND n_stop >= ${TextAnalysis.GopherMinStopHits}
+         |         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep FROM g2)
+         |SELECT b.n_docs, b.n_tokens, b.n_langs, b.n_sources, b.n_distinct_texts,
+         |       ROUND(1.0::DOUBLE - b.n_distinct_texts::DOUBLE / b.n_docs, 4) AS dup_rate,
+         |       ROUND(q.q_micro::DOUBLE / (b.n_docs * 10000.0), 4) AS avg_quality,
+         |       ROUND(g.n_keep::DOUBLE / b.n_docs, 4) AS gopher_keep_rate
+         |FROM b CROSS JOIN q CROSS JOIN g""".stripMargin,
 
     "cur_doremi" ->
       s"""WITH b2 AS (
