@@ -134,7 +134,9 @@ object Bench {
         try { SparkEntry.queries(name)(spark, dir).count(); true }
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(400) // let straggler task-end events drain the bus
+      // barrier on the listener bus itself (not a sleep): all task-end
+      // events for this query are delivered before the metrics are read
+      org.apache.spark.graftutil.ListenerDrain.drain(spark.sparkContext)
       val mb = (b: Long) => math.rint(b / 1e5) / 10
       val failStr = if (ok) "" else ",\"fail\":true"
       s""""$name":{"sec":${math.rint(sec * 10) / 10},"max_task_in_mb":${mb(listener.maxInput)},"max_task_shuf_mb":${mb(listener.maxShuffleRead)}$failStr}"""

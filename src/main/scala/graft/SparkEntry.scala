@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.EraQueries.queries ++
+      graft.queries.EraViews.queries ++
       graft.queries.TrainingData.queries ++
       graft.queries.Behavioral.queries
 
@@ -31,5 +32,5 @@ object SparkEntry {
     * specs; the SQL re-computes the analytics above the decoded values). */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++ graft.queries.TrainingData.oracleSql ++
-      graft.queries.EraOracle.oracleSql ++ graft.queries.Behavioral.oracleSql
+      graft.queries.EraOracle.oracleSqlWithViews ++ graft.queries.Behavioral.oracleSql
 }

@@ -100,13 +100,26 @@ object Similarity {
     math.max(IvfCentroids,
       math.ceil(corpusSize.toDouble / MaxMembersPerCell).toInt)
 
+  /** Block slots per cell in [[withCellBlock]]'s id packing (block id =
+    * cell·stride + rank/cap). Shared with the DuckDB oracle builders so
+    * changing the packing cannot silently desynchronize the value gate. */
+  val CellBlockStride = 65536L
+
   /** Collected centroid table: (centroid_id, vector, squared norm), sorted
     * by id; k = [[centroidCount]] of the corpus. k rows of driver-side job
     * planning — at real scale these are k-means centroids loaded from an
     * offline artifact, never a shuffle (and the literal-argmax assignment
     * becomes a broadcast-join argmin once k outgrows a literal array). */
-  private def collectCentroids(v: DataFrame): Array[(Long, Seq[Double], Double)] = {
-    val k = centroidCount(v.count())
+  private def collectCentroids(v: DataFrame): Array[(Long, Seq[Double], Double)] =
+    collectCentroids(v, v.count())
+
+  /** Overload threading a pre-computed corpus count, so pipelines that
+    * already know N (or run several centroid consumers over one prepared
+    * frame, e.g. [[recallReport]]) pay the zero-column count pass once
+    * instead of once per invocation. */
+  private def collectCentroids(v: DataFrame,
+      corpusSize: Long): Array[(Long, Seq[Double], Double)] = {
+    val k = centroidCount(corpusSize)
     v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
       .select((col("vec_id") - 100).as("centroid_id"), col("vec"), col("sq"))
       .collect()
@@ -136,7 +149,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("vec_id"))
     v.withColumn("cell_blk",
-      col("cell") * lit(65536L) +
+      col("cell") * lit(CellBlockStride) +
         floor((row_number().over(w) - lit(1)) / lit(cap)).cast("long"))
   }
 
@@ -191,6 +204,158 @@ object Similarity {
           carried.map(c => first(col(c)).as(c)): _*)
         .select((Seq("vec_id") ++ carried).map(col) :+ col("best"): _*)
     }
+  }
+
+  /** The fine centroid set as a DATAFRAME — (centroid_id, cvec, csq), k
+    * rows, never collected: the artifact representation every two-level
+    * consumer works from once k outgrows what a driver Array / broadcast
+    * should hold. */
+  private[graft] def centroidFrame(v: DataFrame, k: Int): DataFrame =
+    v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
+      .select((col("vec_id") - 100).as("centroid_id"),
+        col("vec").as("cvec"), col("sq").as("csq"))
+
+  /** Largest centroid set the FLAT assignment plans (driver collect +
+    * literal/broadcast argmax) are allowed to carry. [[centroidCount]]
+    * grows k linearly with the corpus (k ≈ N/256), so past this the
+    * centroid artifact itself is big data — ~32 MB of broadcast at this
+    * threshold — and assignment switches to [[bestCentroidTwoLevel]],
+    * whose driver state and broadcasts are O(√k). */
+  val FlatCentroidMax = 65536
+
+  /** Exact two-level (hierarchical) nearest-centroid assignment — the
+    * 100 TB shape of [[bestCentroid]]: neither the driver nor any
+    * broadcast ever holds the full k-row centroid table, only O(√k) rows.
+    *
+    * Structure (FAISS's IVF-in-IVF, made EXACT with a ball-cover bound):
+    *  1. coarse set = every stride-th fine centroid (G = ⌈√k⌉ rows,
+    *     collected — the only driver state);
+    *  2. fine→coarse grouping: each fine centroid joins its nearest
+    *     coarse centroid (a distributed pass over the k-row frame via the
+    *     same [[bestCentroid]] kernel), and each group records its
+    *     angular radius r_g = min cosine between the coarse centroid and
+    *     its members (G-row artifact);
+    *  3. hop 1 (narrow): every vector computes an achievable lower bound
+    *     LB = max_g cos(v, c_g) — achievable because coarse ⊂ fine — via
+    *     [[bestCentroid]] against the G coarse rows, then keeps exactly
+    *     the groups whose ball-cover upper bound cos(max(0, θ_vg − r_g))
+    *     could still beat LB (spherical triangle inequality
+    *     θ(v,f) ≥ θ(v,c_g) − r_g for f in group g). The expansion is a
+    *     broadcast crossJoin + filter — map-side, no shuffle, typically
+    *     1–3 surviving groups per vector;
+    *  4. hop 2: surviving (vector, grp) rows shuffle-hash-join the fine
+    *     frame on grp (the fine side is explicitly hinted so it NEVER
+    *     broadcasts), score with the identical candidate kernel, and a
+    *     map-side-collapsed groupBy(vec_id) takes the same
+    *     (score, −centroid_id) struct max as the flat plans.
+    *
+    * Exactness: the global argmax f* lives in some group g*, and
+    * UB_{g*} ≥ cos(v, f*) ≥ LB, so g* always survives the hop-1 filter
+    * (ε absorbs float rounding in the bound arithmetic; the candidate selection
+    * itself uses the exact scores, so results are BIT-IDENTICAL to the
+    * flat argmax including the tie-break — gated by `CellCapSpec` and the
+    * `sim_ivf_twolevel` oracle, whose DuckDB side computes the flat
+    * assignment). */
+  private[graft] def bestCentroidTwoLevel(v: DataFrame, centDf: DataFrame,
+      k: Int, eps: Double = 1e-9): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val G = math.ceil(math.sqrt(k.toDouble)).toInt
+    val stride = math.ceil(k.toDouble / G).toInt
+    // (1) O(√k) coarse rows — the only thing the driver ever holds
+    val coarse: Array[(Long, Seq[Double], Double)] = centDf
+      .filter(col("centroid_id") % stride === 0)
+      .select(col("centroid_id"), col("cvec"), col("csq"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(coarse.nonEmpty, "two-level coarse centroid set is empty")
+    // (2) fine→coarse grouping, distributed over the k-row frame
+    val fineGrp = bestCentroid(
+        centDf.select(col("centroid_id").as("vec_id"),
+          col("cvec").as("vec"), col("csq").as("sq")),
+        coarse)
+      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"),
+        col("sq").as("csq"),
+        (-col("best").getField("ncid")).as("grp"),
+        col("best").getField("s").as("gcos"))
+    val radii: Map[Long, Double] = fineGrp.groupBy(col("grp"))
+      .agg(min(col("gcos")).as("mcos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // groups with no members (a duplicate coarse vector losing its own
+    // tie-break) simply never get probed — their members live elsewhere
+    val coarseRad = coarse.flatMap { case (cid, cvec, csq) =>
+      radii.get(cid).map(m => (cid, cvec, csq, m))
+    }.toSeq.toDF("grp", "gvec", "gsq", "mcos")
+    // (3) LB pass (narrow argmax vs G rows) + ball-cover probe expansion
+    val withLb = bestCentroid(v, coarse)
+      .withColumn("lb", col("best").getField("s")).drop("best")
+    val vCols = v.columns.toSeq
+    val probed = withLb.crossJoin(broadcast(coarseRad))
+      .withColumn("s",
+        call_function("vec_dot", col("vec"), col("gvec")) /
+          sqrt(col("sq") * col("gsq")))
+      // cos(θ_vg − r_g) for θ_vg ≥ r_g (s ≤ mcos); the ball contains the
+      // vector's direction otherwise and the bound is vacuous (UB = 1)
+      .withColumn("ub",
+        when(col("s") >= col("mcos"), lit(1.0))
+          .otherwise(col("s") * col("mcos") +
+            sqrt(greatest(lit(0.0), lit(1.0) - col("s") * col("s"))) *
+              sqrt(greatest(lit(0.0), lit(1.0) - col("mcos") * col("mcos")))))
+      .filter(col("ub") >= col("lb") - lit(eps))
+      .select(vCols.map(col) :+ col("grp"): _*)
+    // (4) fine join on grp — shuffle-hash, fine side must not broadcast
+    val carried = v.columns.filterNot(_ == "vec_id").toSeq
+    probed.join(fineGrp.select(col("grp"), col("centroid_id"),
+        col("cvec"), col("csq")).hint("shuffle_hash"), Seq("grp"))
+      .withColumn("cand", struct(
+        (call_function("vec_dot", col("vec"), col("cvec")) /
+          sqrt(col("sq") * col("csq"))).as("s"),
+        (-col("centroid_id")).as("ncid")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"),
+        carried.map(c => first(col(c)).as(c)): _*)
+      .select((Seq("vec_id") ++ carried).map(col) :+ col("best"): _*)
+  }
+
+  /** Cell assignment through the two-level plan — the entry the 100 TB
+    * regime uses (k > [[FlatCentroidMax]]), exposed directly so the value
+    * gate can force it at any size: `sim_ivf_twolevel`'s DuckDB oracle
+    * computes the FLAT argmax, so the oracle passing IS the
+    * exactness proof. */
+  def withIvfCellTwoLevel(v: DataFrame): DataFrame = {
+    val k = centroidCount(v.count())
+    bestCentroidTwoLevel(v, centroidFrame(v, k), k)
+      .withColumn("cell", -col("best").getField("ncid"))
+      .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
+  }
+
+  /** Scale-dispatching cell assignment: flat literal/broadcast argmax
+    * while the centroid artifact is small enough to collect and
+    * broadcast, two-level past [[FlatCentroidMax]]. */
+  def withIvfCellAtScale(v: DataFrame): DataFrame = {
+    val n = v.count()
+    val k = centroidCount(n)
+    if (k <= FlatCentroidMax) withIvfCell(v, collectCentroids(v, n))
+    else bestCentroidTwoLevel(v, centroidFrame(v, k), k)
+      .withColumn("cell", -col("best").getField("ncid"))
+      .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
+  }
+
+  /** Two-level cell-population report (same output shape as
+    * [[ivfCellStats]]) — the oracle-gated witness that the hierarchical
+    * plan's assignment is bit-identical to the flat argmax. */
+  def ivfCellStatsTwoLevel(emb: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    withIvfCellTwoLevel(prepared(emb))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("share",
+        round(col("n_vecs").cast("double") / sum(col("n_vecs")).over(w), 6))
+      .withColumn("balance",
+        round(col("n_vecs").cast("double") * count(lit(1)).over(w) /
+          sum(col("n_vecs")).over(w), 4))
+      .orderBy(col("cell"))
   }
 
   /** IVF-style coarse quantization: centroid set = a deterministic sample
@@ -335,7 +500,13 @@ object Similarity {
   def kmeansCentroids(emb: DataFrame, iters: Int = 2,
       maxMembersPerCell: Int = MaxMembersPerCell): Array[(Long, Seq[Double], Double)] = {
     val prep = prepared(emb)
-    var cents = collectCentroids(prep)
+    kmeansCentroids(prep, collectCentroids(prep), iters, maxMembersPerCell)
+  }
+
+  private def kmeansCentroids(prep: DataFrame,
+      init: Array[(Long, Seq[Double], Double)], iters: Int,
+      maxMembersPerCell: Int): Array[(Long, Seq[Double], Double)] = {
+    var cents = init
     require(cents.nonEmpty, "IVF centroid set is empty")
     val dims = cents.head._2.size
     val wCell = org.apache.spark.sql.expressions.Window
@@ -368,7 +539,8 @@ object Similarity {
     * member count — value-verifies the whole training loop. */
   def kmeansCells(emb: DataFrame, iters: Int = 2): DataFrame = {
     val prep = prepared(emb)
-    val cents = kmeansCentroids(emb, iters)
+    val cents = kmeansCentroids(prep, collectCentroids(prep), iters,
+      MaxMembersPerCell)
     val spark = emb.sparkSession
     import spark.implicits._
     val centroidRows = cents.toSeq.flatMap { case (cid, cvec, _) =>
@@ -474,7 +646,11 @@ object Similarity {
     * corpus ⋈ broadcast(probes) on the cell key. */
   def ivfTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val prep = prepared(emb)
-    val cents = collectCentroids(prep)
+    ivfTopK(prep, collectCentroids(prep), k, nQueries)
+  }
+
+  private def ivfTopK(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+      k: Int, nQueries: Int): DataFrame = {
     val v = withIvfCell(prep, cents)
     rankTopK(
       v.join(broadcast(ivfProbes(prep, cents, nQueries)), Seq("cell"))
@@ -631,7 +807,11 @@ object Similarity {
     * projections, probes and distance tables are broadcast. */
   def ivfPqTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val prep = prepared(emb)
-    val cents = collectCentroids(prep)
+    ivfPqTopK(prep, collectCentroids(prep), k, nQueries)
+  }
+
+  private def ivfPqTopK(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+      k: Int, nQueries: Int): DataFrame = {
     val cb = collectCodebook(prep)
     val coded = withPqCodes(withIvfCell(prep, cents), cb)
     val probes = ivfProbes(prep, cents, nQueries)
@@ -765,9 +945,13 @@ object Similarity {
   def recallReport(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val brute = bruteForceTopK(emb, k, nQueries)
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    // one prepared frame + one centroid collect shared by both IVF
+    // variants: the count and centroid jobs run once for the whole report
+    val prep = prepared(emb)
+    val cents = collectCentroids(prep)
     val methods: Seq[(String, DataFrame)] = Seq(
-      "ivf" -> ivfTopK(emb, k, nQueries),
-      "ivfpq" -> ivfPqTopK(emb, k, nQueries),
+      "ivf" -> ivfTopK(prep, cents, k, nQueries),
+      "ivfpq" -> ivfPqTopK(prep, cents, k, nQueries),
       "lsh" -> lshTopK(emb, k, nQueries),
       "lsh_mp" -> lshMultiProbeTopK(emb, k, nQueries),
       "pq" -> pqTopK(emb, k, nQueries),

@@ -415,7 +415,11 @@ object TextAnalysis {
         size(expr("filter(toks, t -> t <> '')")).cast("long").as("n_words"),
         size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
           .cast("long").as("n_sub"),
-        length(col("text")).cast("long").as("n_bytes"))
+        // bytes, not chars: the oracle's strlen is octet count and the
+        // metric (bytes/token compression) is only truthful in bytes —
+        // chars and bytes diverge on every non-ASCII script this report
+        // exists to surface (same kernel as tokenCounts.n_bytes)
+        octet_length(col("text")).cast("long").as("n_bytes"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("n_words"),

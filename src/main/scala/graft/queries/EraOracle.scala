@@ -268,4 +268,20 @@ object EraOracle {
            FROM ${t("blob_commitments")} GROUP BY slot
            ORDER BY commitment_count DESC, slot LIMIT 20""")
   }
+
+  /** The raw-SQL view surface ([[EraViews]]) runs CLICKHOUSE.md query TEXT
+    * through `spark.sql` against the registered temp views; each is gated
+    * with the identical oracle as its DataFrame twin — shared by
+    * reference, so the two surfaces can never drift apart silently. */
+  private val sqlSurfaceTwins: Map[String, String] = Map(
+    "era_sql_daily_activity" -> "era_daily_activity",
+    "era_sql_slot_gaps" -> "era_slot_gaps",
+    "era_sql_attestation_participation" -> "era_attestation_participation",
+    "era_sql_exits_monthly" -> "era_exits_monthly",
+    "era_sql_tx_fee_recipients" -> "era_tx_fee_recipients")
+
+  def oracleSqlWithViews: Map[String, String] = {
+    val base = oracleSql
+    base ++ sqlSurfaceTwins.map { case (sqlQ, twin) => sqlQ -> base(twin) }
+  }
 }

@@ -157,6 +157,9 @@ object TrainingData {
     "text_nb_calibration" -> ((s, dir) => TextAnalysis.nbCalibration(docs(s, dir))),
     "cur_epochs" -> ((s, dir) => Curation.epochsSummary(docs(s, dir))),
     "sim_ivf_stats" -> ((s, dir) => Similarity.ivfCellStats(emb(s, dir))),
+    // two-level (hierarchical) assignment, oracle-checked against the FLAT
+    // argmax SQL — the value gate IS the exactness proof for the 100 TB plan
+    "sim_ivf_twolevel" -> ((s, dir) => Similarity.ivfCellStatsTwoLevel(emb(s, dir))),
     "sim_chunk_topk" -> ((s, dir) => Similarity.chunkTopK(docs(s, dir))),
     "sim_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
     "text_bpe_eval" -> ((s, dir) => Bpe.tokenizeEval(docs(s, dir))),
@@ -287,12 +290,16 @@ object TrainingData {
     * count k = max(16, ⌈N/256⌉) of the corpus the centroids are drawn from,
     * as a scalar subquery so the oracle tracks k at any scale factor. */
   private def kCentSub(corpus: String): String =
-    s"(SELECT GREATEST(16, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) FROM $corpus)"
+    s"(SELECT GREATEST(${graft.operators.Similarity.IvfCentroids}, " +
+      s"CAST(CEIL(COUNT(*) / ${graft.operators.Similarity.MaxMembersPerCell}.0) AS BIGINT)) " +
+      s"FROM $corpus)"
 
   /** Mirrors [[graft.operators.Similarity.withCellBlock]]: subdivide each
     * cell into deterministic ≤256-member blocks (rank by vec_id). */
   private def cellBlkExpr: String =
-    "cell * 65536 + (ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) - 1) // 256"
+    s"cell * ${graft.operators.Similarity.CellBlockStride} + " +
+      "(ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) - 1) // " +
+      s"${graft.operators.Similarity.MaxMembersPerCell}"
 
   /** embeddings → DOUBLE[] vectors + squared norms (mirrors
     * Similarity.prepared). */
@@ -2630,6 +2637,26 @@ object TrainingData {
          |       CAST(SUM(n_emit) AS BIGINT) AS n_emitted,
          |       ROUND(SUM(n_emit)::DOUBLE / COUNT(*), 4) AS realized_epochs
          |FROM e GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical SQL to sim_ivf_stats on purpose: DuckDB computes the flat
+    // argmax while Spark runs the two-level plan, so green = bit-identical
+    "sim_ivf_twolevel" ->
+      s"""WITH $vecCte,
+         |cents AS (
+         |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
+         |assign AS (
+         |  SELECT vec_id, centroid_id AS cell FROM (
+         |    SELECT vn.vec_id, c.centroid_id,
+         |           ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |             ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
+         |                      c.centroid_id) AS crank
+         |    FROM vn, cents c) t WHERE crank = 1),
+         |a AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM assign GROUP BY cell)
+         |SELECT cell, n_vecs,
+         |       ROUND(n_vecs::DOUBLE / SUM(n_vecs) OVER (), 6) AS share,
+         |       ROUND(n_vecs::DOUBLE * COUNT(*) OVER () / SUM(n_vecs) OVER (), 4) AS balance
+         |FROM a ORDER BY cell""".stripMargin,
 
     "sim_ivf_stats" ->
       s"""WITH $vecCte,

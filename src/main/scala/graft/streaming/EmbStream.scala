@@ -27,6 +27,18 @@ object EmbStream {
     * touches no state. Output: the input plus `cell`. */
   def withCell(embs: DataFrame,
       cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    // the broadcast-join fallback the batch path switches to past this
+    // size ends in a groupBy(vec_id) — unbounded state on an unbounded
+    // stream — so the literal plan is the ONLY stream-safe assignment;
+    // past it the artifact is a coarse-quantizer problem (assign against
+    // Similarity's two-level plan in a batch backfill), not a bigger
+    // literal. Fail loudly instead of re-entering the codegen blowup the
+    // batch path deliberately avoids.
+    require(cents.length <= graft.operators.Similarity.LiteralCentroidMax,
+      s"streaming cell assignment embeds centroids in a literal projection; " +
+        s"${cents.length} centroids exceeds LiteralCentroidMax=" +
+        s"${graft.operators.Similarity.LiteralCentroidMax} — refit a coarser " +
+        "artifact or assign in batch (two-level quantizer)")
     graft.GraftExtensions.ensureRegistered(embs.sparkSession)
     val prepped = embs
       .withColumn("vec", col("embedding").cast("array<double>"))

@@ -105,6 +105,65 @@ class CellCapSpec extends AnyFunSuite {
     assert(probes(literal = true).groupBy(_._1).forall(_._2.size == graft.operators.Similarity.IvfProbes))
   }
 
+  test("two-level assignment is bit-identical to the flat argmax past the codegen threshold") {
+    import spark.implicits._
+    // 2000 vectors, 150 centroids (> LiteralCentroidMax — the regime where
+    // flat switches to the broadcast-join plan and the artifact growth
+    // problem starts): the hierarchical plan must reproduce the flat argmax
+    // exactly, including the centroid-id tie-break
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
+    val v = spark.range(2000)
+      .map { id => (id, id % 5, vec(id)) }
+      .toDF("vec_id", "label", "vec")
+      .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
+      .filter(col("sq") > 0)
+    val k = 150
+    val cents = (0 until k).map { c =>
+      val cv = vec(c * 977L + 3)
+      (c.toLong, cv, cv.map(x => x * x).sum)
+    }
+    val centDf = cents.toDF("centroid_id", "cvec", "csq")
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = cellsOf(Similarity.bestCentroid(v, cents.toArray, literal = false))
+    val hier = cellsOf(Similarity.bestCentroidTwoLevel(v, centDf, k))
+    assert(hier.size === flat.size)
+    assert(hier === flat)
+  }
+
+  test("two-level plan broadcasts only O(√k) rows and never broadcasts the fine table") {
+    import spark.implicits._
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
+    val v = spark.range(500)
+      .map { id => (id, id % 5, vec(id)) }
+      .toDF("vec_id", "label", "vec")
+      .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
+      .filter(col("sq") > 0)
+    val k = 150
+    val cents = (0 until k).map { c =>
+      val cv = vec(c * 977L + 3)
+      (c.toLong, cv, cv.map(x => x * x).sum)
+    }
+    val centDf = cents.toDF("centroid_id", "cvec", "csq")
+    val out = Similarity.bestCentroidTwoLevel(v, centDf, k)
+    val plan = out.queryExecution.executedPlan.toString
+    // the fine-table join is pinned to shuffle-hash: the k-row (→ 100 TB:
+    // O(N/256)-row) side must appear under an Exchange, never a broadcast
+    assert(plan.contains("ShuffledHashJoin"),
+      s"fine join is not shuffle-hash:\n$plan")
+    // the only broadcast in the plan is the G-row coarse(+radius) table of
+    // the probe expansion (G = ⌈√k⌉ = 13 here); the LB hop at G ≤ 128 is a
+    // literal projection with no broadcast at all
+    val nBroadcast = "BroadcastExchange".r.findAllIn(plan).size
+    assert(nBroadcast <= 1, s"unexpected broadcasts ($nBroadcast):\n$plan")
+    // driver/broadcast state is O(√k) by construction
+    assert(math.ceil(math.sqrt(k.toDouble)).toInt === 13)
+    out.count() // executes end-to-end
+  }
+
   test("pair work per block is bounded: capped self-join emits ≤ cap·(cap−1) pairs per block") {
     val cap = 64
     val v = spark.range(500).select(col("id").as("vec_id"), lit(0L).as("cell"))

@@ -43,7 +43,10 @@ class SoakSpec extends AnyFunSuite {
       val over = family.flatMap { case (name, boundMb) =>
         listener.reset()
         SparkEntry.queries(name)(spark, dir).count()
-        Thread.sleep(400) // let straggler task-end events drain the bus
+        // deterministic drain: barrier on the listener bus, so straggler
+        // task-end events can neither be missed nor bleed into the next
+        // query's window after reset()
+        org.apache.spark.graftutil.ListenerDrain.drain(spark.sparkContext)
         val gotMb = listener.maxShuffleRead / 1e6
         info(f"$name: max task shuffle $gotMb%.3f MB (bound $boundMb)")
         if (gotMb > boundMb) Some(f"$name: $gotMb%.2f MB > $boundMb MB") else None
