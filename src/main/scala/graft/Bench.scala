@@ -145,6 +145,96 @@ object Bench {
     s"""{"copies":$copies,${entries.mkString(",")}}"""
   }
 
+  /** Self-scaled ramp corpus: `copies`× union of a deterministic 1/8
+    * subsample of the input corpus, with DISTINCT ids and SHIFTED content —
+    * the opposite of [[soakCorpus]]'s hot twins: every copy prepends a
+    * copy-unique token to `text` (fresh shingles, MinHash/SimHash digests
+    * and chunk hashes, so the dedup families do real work instead of
+    * collapsing onto byte-twins) and nudges every embedding dimension by a
+    * copy-dependent epsilon (fresh cosine structure, so cells/buckets
+    * spread instead of stacking). Embedding ids are renumbered contiguously
+    * after the subsample so the query (`vec_id < nQueries`) and centroid
+    * (`[100, 100+k)`) id ranges stay populated at every scale. Base is 1/8
+    * of the bench corpus so the 64× rung lands at 8× the LARGEST
+    * driver-provided corpus — measured scale evidence past sf0.1, not
+    * plan-shape prose. */
+  private[graft] def rampCorpus(spark: SparkSession, sfDir: String,
+      copies: Int): String = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-ramp$copies").toString
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 8 === 0)
+    (0 until copies).map { i =>
+      docs0.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+        .withColumn("text", concat(lit(s"c$i "), col("text")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // the ANN kernels draw queries from vec_id < 5 and centroids from
+    // [100, 100+k): the renumbered 1/8 subsample only keeps that range
+    // populated when the base is big enough — below it, ramp from the full
+    // corpus (only reachable on tiny local runs; the sf0.1 bench samples)
+    val emb0 =
+      if (embAll.count() >= 1600)
+        embAll.filter(col("vec_id") % 8 === 0)
+          .withColumn("vec_id", row_number().over(w).cast("long") - 1)
+      else embAll
+    (0 until copies).map { i =>
+      emb0.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, d) -> cast(x + ((d * 31 + $i) % 7 - 3) * cast(0.01 as double) as float))"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** The representative kernels per family the ramp tracks. */
+  private val rampFamilies: Seq[(String, Seq[String])] = Seq(
+    "dedup" -> Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs"),
+    "ann" -> Seq("sim_topk_ivf", "sim_hard_negatives"),
+    "text" -> Seq("text_quality", "text_langid"))
+
+  /** Scale-ramp measurement: per-family wall time at 1×/8×/64× of the
+    * ramp base, with per-8×-step growth factors (sec[i+1] / (8·sec[i]) —
+    * 1.0 = perfectly linear, >1 superlinear; the gate the r9 verdict asked
+    * for is ≤ ~1.3 per step). Per-query times go to BENCH_RAMP_FULL.json;
+    * the compact families + worst-growth entry ride the headline line. */
+  private def ramp(spark: SparkSession, sfDir: String): String = {
+    val scales = Seq(1, 8, 64)
+    val dirs = scales.map(c => c -> rampCorpus(spark, sfDir, c)).toMap
+    val perQuery: Seq[(String, String, Seq[Double])] = rampFamilies.flatMap {
+      case (fam, qs) => qs.map { q =>
+        val secs = scales.map { c =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dirs(c)).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (fam, q, secs)
+      }
+    }
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    def growth(secs: Seq[Double]): Seq[Double] =
+      secs.sliding(2).map { case Seq(a, b) => r3(b / (8 * a)) }.toSeq
+    val fullJson = perQuery.map { case (_, q, secs) =>
+      s""""$q":{"sec":[${secs.map(r3).mkString(",")}],"step_growth":[${growth(secs).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(new java.io.File("BENCH_RAMP_FULL.json").getAbsolutePath),
+      fullJson)
+    val famJson = rampFamilies.map { case (fam, qs) =>
+      val famSecs = scales.indices.map(i =>
+        perQuery.filter(_._1 == fam).map(_._3(i)).sum)
+      s""""$fam":{"sec":[${famSecs.map(r3).mkString(",")}],"step_growth":[${growth(famSecs).mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    // the offender-naming entry: the steepest FINAL step (the 8×→64× rung,
+    // where fixed job overhead no longer flatters the ratio)
+    val (wq, wg) = perQuery.map { case (_, q, secs) => q -> growth(secs).last }
+      .maxBy(_._2)
+    s"""{"scales":[1,8,64],"base":"$sfDir/8","families":$famJson,""" +
+      s""""worst_final_step":{"query":"$wq","growth":$wg}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -205,14 +295,31 @@ object Bench {
       val sec = best(3) { n = graft.operators.Normalizer.decodeBlocks(f).count() }
       fork -> (n / sec)
     }
-    // full 15-table extract + parquet sink for the corpus — the "per-era
-    // wall clock for the full 15-table extract" target from BASELINE.md
+    // full 15-table extract + parquet sink — now on the SAME 12-era deep
+    // corpus as the decode metric (98,304 blocks), with CONCURRENT table
+    // writes (the 16 sinks are independent jobs over one cached decode;
+    // sequentially each paid full job+commit latency while 31 cores sat
+    // idle) and per-table sink seconds in the artifact.
     val etlOut = java.nio.file.Files.createTempDirectory("graft-bench-etl").toString
-    val etlBlocks = graft.operators.Normalizer.decodeBlocks(records).count()
+    val etlBlocks = graft.operators.Normalizer.decodeBlocks(recordsDeep).count()
+    var etlPerTable: Map[String, (Long, Double)] = Map.empty
     val etlSec = best(2) {
-      val blocks = graft.operators.Normalizer.decodeBlocks(records).cache()
-      try graft.export.Sinks.exportSeparateFiles(
-        graft.operators.Normalizer.allDatasets(blocks), s"$etlOut/out.parquet")
+      val blocks = graft.operators.Normalizer.decodeBlocks(recordsDeep).cache()
+      // materialize the shared decode ONCE before fanning out: concurrent
+      // first-touch writes would each re-decode partitions while racing to
+      // populate the cache (measured 20.7 s/table first wave vs 5.5 s once
+      // cached)
+      blocks.foreachPartition((_: Iterator[graft.model.DecodedBlock]) => ())
+      // coalesce each child to a few output files: 15 concurrent jobs ×
+      // 192 input partitions otherwise write ~2,900 tiny files whose
+      // commit protocol dominates the wall clock (the reference's export
+      // writes ONE file per table — processor.py fan-out — so fewer,
+      // bigger files is also the closer comparison); 15 jobs × 4 tasks
+      // still saturates the 32 cores
+      try etlPerTable = graft.export.Sinks.exportSeparateFilesTimed(
+        graft.operators.Normalizer.allDatasets(blocks)
+          .map { case (n, df) => n -> df.coalesce(4) },
+        s"$etlOut/out.parquet", parallelism = 16)
       finally blocks.unpersist()
     }
 
@@ -224,6 +331,12 @@ object Bench {
     val soakJson =
       if (sys.env.get("SPARK_GRAFT_SOAK").contains("0")) "{}"
       else try soak(spark, sfDir, copies = 5)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+
+    // self-scaled 1×/8×/64× ramp (disable with SPARK_GRAFT_RAMP=0)
+    val rampJson =
+      if (sys.env.get("SPARK_GRAFT_RAMP").contains("0")) "{}"
+      else try ramp(spark, sfDir)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
 
     // second decode measurement AFTER the sweep+soak: pre/post decode drift
@@ -283,7 +396,10 @@ object Bench {
         s""","attestation_rows":$attRows,"attestation_rows_per_sec":${r1(attRows / explodeSec)}""" +
         s""","blocks_per_sec_by_fork":$forkJsonCompact""" +
         s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(etlBlocks / etlSec)}""" +
-        s""","soak":$soakJson}""")
+        s""","etl_blocks":$etlBlocks""" +
+        s""","etl_per_table_sec":${etlPerTable.toSeq.sortBy(-_._2._2)
+          .map { case (n, (_, s)) => s""""$n":${r3(s)}""" }.mkString("{", ",", "}")}""" +
+        s""","soak":$soakJson,"ramp":$rampJson}""")
     spark.stop()
   }
 }

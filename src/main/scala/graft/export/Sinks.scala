@@ -180,17 +180,61 @@ object Sinks {
       datasets: Map[String, DataFrame],
       baseOutput: String,
       metadata: Map[String, String] = Map.empty,
-      singleFile: Boolean = false): Map[String, Long] = {
-    val counts = datasets.toSeq.sortBy(_._1).map { case (name, df) =>
-      name -> write(df, datasetFilename(baseOutput, name), singleFile, metadata)
-    }
+      singleFile: Boolean = false): Map[String, Long] =
+    exportSeparateFilesTimed(datasets, baseOutput, metadata, singleFile,
+      parallelism = 1).map { case (n, (rows, _)) => n -> rows }
+
+  /** The fan-out with CONCURRENT table writes plus per-table wall time.
+    *
+    * The 15 child tables are independent jobs over one shared (cached)
+    * decode, and most of them are tiny — sequentially each pays full
+    * job-scheduling + file-commit latency while 31 cores idle. Submitting
+    * the writes from a bounded thread pool lets the scheduler overlap
+    * them (multi-thread job submission is the supported Spark pattern for
+    * exactly this fan-out shape), which is where the ETL path's wall
+    * clock actually goes at bench scale — the per-table seconds this
+    * returns are the evidence. Output contents are byte-identical to the
+    * sequential path (disjoint output dirs, same per-table plans);
+    * `ExportParallelSpec` pins that equivalence. */
+  def exportSeparateFilesTimed(
+      datasets: Map[String, DataFrame],
+      baseOutput: String,
+      metadata: Map[String, String] = Map.empty,
+      singleFile: Boolean = false,
+      parallelism: Int = 8): Map[String, (Long, Double)] = {
+    val entries = datasets.toSeq.sortBy(_._1)
+    val timed: Seq[(String, (Long, Double))] =
+      if (parallelism <= 1)
+        entries.map { case (name, df) =>
+          val t0 = System.nanoTime()
+          val rows = write(df, datasetFilename(baseOutput, name), singleFile, metadata)
+          name -> (rows, (System.nanoTime() - t0) / 1e9)
+        }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, entries.size))
+        try {
+          val futures = entries.map { case (name, df) =>
+            name -> pool.submit(new java.util.concurrent.Callable[(Long, Double)] {
+              def call(): (Long, Double) = {
+                val t0 = System.nanoTime()
+                val rows =
+                  write(df, datasetFilename(baseOutput, name), singleFile, metadata)
+                (rows, (System.nanoTime() - t0) / 1e9)
+              }
+            })
+          }
+          futures.map { case (name, f) => name -> f.get() }
+        } finally pool.shutdown()
+      }
     val (stem, _) = splitExt(baseOutput)
-    val summary = counts.map { case (n, c) => s"$n: $c records" }.mkString("", "\n", "\n")
+    val summary = timed.map { case (n, (c, _)) => s"$n: $c records" }
+      .mkString("", "\n", "\n")
     val summaryPath = Paths.get(s"${stem}_SUMMARY.txt")
     if (summaryPath.getParent != null) Files.createDirectories(summaryPath.getParent)
     Files.write(summaryPath, summary.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    counts.toMap
+    timed.toMap
   }
 
   /** S15: batched JDBC sink with the reference's retry discipline
