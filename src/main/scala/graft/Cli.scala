@@ -215,35 +215,14 @@ object Cli {
     val spark = session()
     val state = new EraStateManager(spark, stateDir)
     val eras = discovered.map(_._1.toLong)
-    val todo =
-      if (flags.contains("--force")) { eras } // force-clean + reprocess all
-      else state.determineErasToProcess(eras, network)
-    println(s"processing ${todo.size} of ${eras.size} eras (rest completed)")
     val byEra = discovered.toMap
-    todo.foreach { era =>
-      val url = byEra(era.toInt)
-      if (flags.contains("--force"))
-        state.cleanEraCompletely(dataRoot, network, era)
-      state.recordEraStart(era, network)
-      try {
-        val local = RemoteDiscovery.download(url, cacheDir)
-        val records = spark.read.format("era").load(local.toString)
-        val blocks = Normalizer.decodeBlocks(records).cache()
-        val counts =
-          if (verb == "all-blocks")
-            Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks),
-              Sinks.eraOutputFilename(out, era.toInt))
-          else Map(verb -> Sinks.write(Normalizer.dataset(blocks, verb),
-            Sinks.eraOutputFilename(out, era.toInt)))
-        blocks.unpersist()
-        state.recordEraCompletion(era, network, counts.keys.toSeq.sorted, counts.values.sum)
-        println(s"era $era completed: ${counts.values.sum} records")
-      } catch {
-        case e: Exception =>
-          state.recordEraFailure(era, network, String.valueOf(e.getMessage))
-          System.err.println(s"era $era failed: ${e.getMessage}")
-      }
+    val processed = graft.export.IncrementalExporter.run(
+        spark, state, network, eras, out, verb,
+        force = flags.contains("--force"), dataRoot = Some(dataRoot)) { era =>
+      val local = RemoteDiscovery.download(byEra(era.toInt), cacheDir)
+      spark.read.format("era").load(local.toString)
     }
+    println(s"processed ${processed.size} of ${eras.size} eras (rest completed)")
   }
 
   // ── schema migrations (migration_manager.py / commands/migrate.py) ──────

@@ -34,12 +34,17 @@ object EraFixtures {
     ("gnosis_12678717", 12678717L, "capella"),
     ("gnosis_16383000", 16383000L, "deneb"),
     ("gnosis_bellatrix_syn", 6200000L, "bellatrix"),
-    ("gnosis_electra_syn", 21405701L, "electra"))
+    ("gnosis_electra_syn", 21405701L, "electra"),
+    // ~10× child-row density deneb block (own era): decode + every era
+    // oracle exercised at offset-table sizes the per-op fixtures never
+    // reach — the small-N-masked-bug canary
+    ("gnosis_dense_syn", 16400000L, "deneb"))
 
   /** Raw RPC fixture each name derives from. */
   private def rawName(name: String): String = name match {
     case "gnosis_bellatrix_syn" => "gnosis_10379290"
     case "gnosis_electra_syn" => "gnosis_16383000"
+    case "gnosis_dense_syn" => "gnosis_16383000"
     case n => n
   }
 
@@ -56,7 +61,7 @@ object EraFixtures {
     * plus a `state` and `index` record so record-type dispatch is exercised.
     * Returns the directory. Idempotent: skips when files exist. The dir name
     * carries the augmentation generation so stale caches are never reused. */
-  def ensureGenerated(dir: String = "target/fixture-eras-aug1"): String = {
+  def ensureGenerated(dir: String = "target/fixture-eras-aug2"): String = {
     val d = new File(dir)
     d.mkdirs()
     fixtures.foreach { case (name, slot, fork) =>

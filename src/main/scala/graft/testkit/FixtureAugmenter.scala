@@ -159,7 +159,48 @@ object FixtureAugmenter {
     case "gnosis_electra_syn" =>
       addBlobCommitments(body, 1, 0x98)
       addExecutionRequests(body)
+    case "gnosis_dense_syn" =>
+      // the ~10× child-row density fixture: start from the deneb op mix
+      // (every rare table populated), then element-wise repeat every child
+      // list — exercises decode at offset-table sizes an op-or-two-per-
+      // block fixture never reaches (hundreds of attestations/transactions
+      // in ONE block), so a small-N-masked SSZ bug fails the golden counts
+      // and every era oracle rather than hiding
+      addDeposit(body, 5, 32000000000L, 0x21)
+      addVoluntaryExit(body, epoch = 1024000L, validator = 906L, seed = 6)
+      addProposerSlashing(body, slot = 16399990L, proposer = 5151L, seed = 64)
+      addBlobCommitments(body, 3, 0xa0)
+      addAttesterSlashing(body, Seq(20L, 21L, 22L), Seq(21L, 22L),
+        src1 = 1024990L, tgt1 = 1024999L, src2 = 1024990L, tgt2 = 1025000L,
+        slot = 16399980L, seed = 80)
+      densify(body, copies = 10)
     case _ => ()
+  }
+
+  /** Element-wise ×`copies` repetition of every operation list in `body`
+    * (and the payload's withdrawals/transactions): each original element is
+    * deep-copied `copies−1` more times, appended after the originals.
+    * Clone-unchanged on purpose — every golden count and table value is
+    * then exactly derivable from the JSON, and the decode must reproduce
+    * each clone bit-for-bit (positional columns aside). */
+  private def densify(body: ObjectNode, copies: Int): Unit = {
+    def repeat(parent: ObjectNode, field: String): Unit = {
+      val node = parent.get(field)
+      if (node != null && node.isArray) {
+        val a = node.asInstanceOf[ArrayNode]
+        val orig = (0 until a.size).map(a.get(_).deepCopy[JsonNode]())
+        (1 until copies).foreach(_ =>
+          orig.foreach(e => a.add(e.deepCopy[JsonNode]())))
+      }
+    }
+    Seq("attestations", "deposits", "voluntary_exits", "proposer_slashings",
+        "attester_slashings", "bls_to_execution_changes",
+        "blob_kzg_commitments").foreach(repeat(body, _))
+    val payload = body.get("execution_payload")
+    if (payload != null && payload.isObject) {
+      Seq("withdrawals", "transactions")
+        .foreach(repeat(payload.asInstanceOf[ObjectNode], _))
+    }
   }
 
   /** Reshape the capella fixture body to bellatrix (strip capella-only
@@ -192,6 +233,9 @@ object FixtureAugmenter {
     val shaped = name match {
       case "gnosis_bellatrix_syn" => reshapeBellatrix(data, slot)
       case "gnosis_electra_syn" => reshapeElectra(data, slot)
+      case "gnosis_dense_syn" => // deneb shape as-is, relocated to its slot
+        data.get("message").asInstanceOf[ObjectNode].put("slot", slot.toString)
+        data
       case _ => data
     }
     augment(name, shaped.get("message").get("body").asInstanceOf[ObjectNode])

@@ -58,11 +58,14 @@ class AugmentedFixtureSpec extends AnyFunSuite {
       val ssz = SszEncoder.encodeSignedBlock(data, fork)
       BlockDecoder.decode(SnappyFramed.compress(ssz), slot, gnosis).get.body
     }
-    assert(bodies.map(_.deposits.size).sum == 3)
-    assert(bodies.map(_.voluntary_exits.size).sum == 5)
-    assert(bodies.map(_.proposer_slashings.size).sum == 2)
-    assert(bodies.map(_.attester_slashings.size).sum == 3)
-    assert(bodies.flatMap(_.blob_kzg_commitments).map(_.size).sum == 4)
+    // sparse corpus contributions + the dense fixture's ×10 op mix
+    // (1 deposit, 1 exit, 1 proposer slashing, 1 attester slashing,
+    // 3 blob commitments — each repeated 10×)
+    assert(bodies.map(_.deposits.size).sum == 3 + 10)
+    assert(bodies.map(_.voluntary_exits.size).sum == 5 + 10)
+    assert(bodies.map(_.proposer_slashings.size).sum == 2 + 10)
+    assert(bodies.map(_.attester_slashings.size).sum == 3 + 10)
+    assert(bodies.flatMap(_.blob_kzg_commitments).map(_.size).sum == 4 + 30)
     val reqs = bodies.flatMap(_.execution_requests)
     assert(reqs.map(_.deposits.size).sum == 2)
     assert(reqs.map(_.withdrawals.size).sum == 1)

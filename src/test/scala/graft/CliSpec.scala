@@ -36,7 +36,7 @@ class CliSpec extends AnyFunSuite {
     val out = captureOut {
       Cli.main(Array(eraDir, "all-blocks", s"$dir/out.parquet", "--separate"))
     }
-    assert(out.contains("blocks: 7 records")) // 7 fixture eras, 1 block each
+    assert(out.contains("blocks: 8 records")) // 8 fixture eras, 1 block each
     assert(Files.exists(Paths.get(s"$dir/out_blocks.parquet")))
     assert(Files.exists(Paths.get(s"$dir/out_attestations.parquet")))
     assert(Files.exists(Paths.get(s"$dir/out_SUMMARY.txt")))
