@@ -295,32 +295,32 @@ object Bench {
       val sec = best(3) { n = graft.operators.Normalizer.decodeBlocks(f).count() }
       fork -> (n / sec)
     }
-    // full 15-table extract + parquet sink — now on the SAME 12-era deep
-    // corpus as the decode metric (98,304 blocks), with CONCURRENT table
-    // writes (the 16 sinks are independent jobs over one cached decode;
-    // sequentially each paid full job+commit latency while 31 cores sat
-    // idle) and per-table sink seconds in the artifact.
+    // full 15-table extract + parquet sink — on the SAME 12-era deep corpus
+    // as the decode metric (98,304 blocks), decode STAGED to parquet once
+    // and 16 CONCURRENT table writes over column-pruned stage scans.
+    // Probed alternatives (tools/EtlProbe, this machine): cached-decode +
+    // sequential writes 1.9k blocks/s, cached + 16 concurrent 2.1-3.5k
+    // (every job re-deserializes the full cached `body` column — the cache
+    // stores the struct as ONE column, so pruning can't help), splayed
+    // in-memory cache 4.0-4.6k; parquet staging 11-13.6k: nested-schema
+    // pruning reaches each job's scan, so a tiny table's job reads only
+    // its own body.<child> column chunks (vectorized), and the staged
+    // corpus — unlike executor cache — survives any corpus:memory ratio,
+    // which is also why it is the 100 TB shape. Stage coalesced to 32
+    // files so the 16 fan-out jobs emit ≤32 files per table.
     val etlOut = java.nio.file.Files.createTempDirectory("graft-bench-etl").toString
     val etlBlocks = graft.operators.Normalizer.decodeBlocks(recordsDeep).count()
     var etlPerTable: Map[String, (Long, Double)] = Map.empty
+    var etlStageSec = 0.0
     val etlSec = best(2) {
-      val blocks = graft.operators.Normalizer.decodeBlocks(recordsDeep).cache()
-      // materialize the shared decode ONCE before fanning out: concurrent
-      // first-touch writes would each re-decode partitions while racing to
-      // populate the cache (measured 20.7 s/table first wave vs 5.5 s once
-      // cached)
-      blocks.foreachPartition((_: Iterator[graft.model.DecodedBlock]) => ())
-      // coalesce each child to a few output files: 15 concurrent jobs ×
-      // 192 input partitions otherwise write ~2,900 tiny files whose
-      // commit protocol dominates the wall clock (the reference's export
-      // writes ONE file per table — processor.py fan-out — so fewer,
-      // bigger files is also the closer comparison); 15 jobs × 4 tasks
-      // still saturates the 32 cores
-      try etlPerTable = graft.export.Sinks.exportSeparateFilesTimed(
-        graft.operators.Normalizer.allDatasets(blocks)
-          .map { case (n, df) => n -> df.coalesce(4) },
-        s"$etlOut/out.parquet", parallelism = 16)
-      finally blocks.unpersist()
+      val stage = java.nio.file.Files.createTempDirectory("graft-bench-stage").toString
+      val t0 = System.nanoTime()
+      etlPerTable = graft.export.StagedExport.exportAll(
+        graft.operators.Normalizer.decodeBlocks(recordsDeep),
+        s"$stage/blocks", s"$etlOut/out.parquet")
+      // stage time = total − the concurrent fan-out window (per-table max)
+      etlStageSec = (System.nanoTime() - t0) / 1e9 -
+        etlPerTable.values.map(_._2).max
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -396,6 +396,7 @@ object Bench {
         s""","attestation_rows":$attRows,"attestation_rows_per_sec":${r1(attRows / explodeSec)}""" +
         s""","blocks_per_sec_by_fork":$forkJsonCompact""" +
         s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(etlBlocks / etlSec)}""" +
+        s""","etl_stage_sec":${r3(etlStageSec)}""" +
         s""","etl_blocks":$etlBlocks""" +
         s""","etl_per_table_sec":${etlPerTable.toSeq.sortBy(-_._2._2)
           .map { case (n, (_, s)) => s""""$n":${r3(s)}""" }.mkString("{", ",", "}")}""" +
