@@ -310,18 +310,21 @@ object Bench {
     // files so the 16 fan-out jobs emit ≤32 files per table.
     val etlOut = java.nio.file.Files.createTempDirectory("graft-bench-etl").toString
     val etlBlocks = graft.operators.Normalizer.decodeBlocks(recordsDeep).count()
-    var etlPerTable: Map[String, (Long, Double)] = Map.empty
-    var etlStageSec = 0.0
-    val etlSec = best(2) {
+    // two full runs, artifact = the BEST run's numbers as one consistent
+    // set (this sandbox's write path occasionally stalls 10-20× on page-
+    // cache writeback — the per-table/stage breakdown must describe the
+    // run the headline etl_15table_sec came from, not whichever ran last)
+    val etlRuns = (1 to 2).map { _ =>
       val stage = java.nio.file.Files.createTempDirectory("graft-bench-stage").toString
       val t0 = System.nanoTime()
-      etlPerTable = graft.export.StagedExport.exportAll(
+      val per = graft.export.StagedExport.exportAll(
         graft.operators.Normalizer.decodeBlocks(recordsDeep),
         s"$stage/blocks", s"$etlOut/out.parquet")
+      val sec = (System.nanoTime() - t0) / 1e9
       // stage time = total − the concurrent fan-out window (per-table max)
-      etlStageSec = (System.nanoTime() - t0) / 1e9 -
-        etlPerTable.values.map(_._2).max
+      (sec, sec - per.values.map(_._2).max, per)
     }
+    val (etlSec, etlStageSec, etlPerTable) = etlRuns.minBy(_._1)
 
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> (try best(2) { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })

@@ -34,11 +34,14 @@ object StagedExport {
     * fan-in and per-table output file count. */
   def exportAll(blocks: Dataset[DecodedBlock], stageDir: String,
       baseOutput: String, parallelism: Int = 16,
-      stageFiles: Int = 32): Map[String, (Long, Double)] = {
+      stageFiles: Int = 32, stageCodec: String = "zstd"): Map[String, (Long, Double)] = {
     val spark = blocks.sparkSession
     import spark.implicits._
+    // zstd stage: ~2× smaller than snappy for hex-heavy block payloads at
+    // negligible extra CPU — halves both the write-back pressure staging
+    // adds and the bytes every fan-out scan re-reads
     blocks.toDF().coalesce(stageFiles)
-      .write.mode("overwrite").parquet(stageDir)
+      .write.mode("overwrite").option("compression", stageCodec).parquet(stageDir)
     val staged = spark.read.parquet(stageDir).as[DecodedBlock]
     Sinks.exportSeparateFilesTimed(Normalizer.allDatasets(staged),
       baseOutput, parallelism = parallelism)

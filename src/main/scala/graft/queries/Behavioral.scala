@@ -229,12 +229,22 @@ object Behavioral {
           when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("src"),
           when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("dst"),
           when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rdst"))
-      val wedges = eo.as("x").join(eo.as("y"),
-          col("x.src") === col("y.src") && col("x.rdst") < col("y.rdst"))
-        .select(col("x.dst").as("wb"), col("y.dst").as("wc"))
-      val tri = wedges.join(
-          eo.select(col("src").as("wb"), col("dst").as("wc")), Seq("wb", "wc"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // adjacency-intersection closure (not a wedge self-join): for the
+      // oriented edge a→b every closing c sits in N+(a) ∩ N+(b), and the
+      // a < b < c ordering makes edge (a,b) the unique counting site per
+      // triangle. The wedge join would shuffle |wedges| ≈ Σ outdeg² rows
+      // (tens of millions at sf0.1); this shuffles only the E-row edge
+      // list against a node-count-sized adjacency table (out-degree is
+      // √E-bounded by the orientation, so each array is small, and the
+      // whole table broadcasts at bench scale — AQE falls back to a
+      // sort-merge join when it outgrows that, still E-proportional).
+      val adj = eo.groupBy(col("src"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val tri = eo
+        .join(adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), Seq("dst"))
+        .select(size(array_intersect(col("na"), col("nb"))).cast("long").as("nc"))
+        .agg(coalesce(sum(col("nc")), lit(0L)).as("n_triangles"))
       val stats = deg.agg(
         count(lit(1)).as("n_nodes"),
         sum(expr("deg * (deg - 1) div 2")).as("wedge_count"))
