@@ -197,42 +197,54 @@ object Bench {
 
   /** Scale-ramp measurement: per-family wall time at 1×/8×/64× of the
     * ramp base, with per-8×-step growth factors (sec[i+1] / (8·sec[i]) —
-    * 1.0 = perfectly linear, >1 superlinear; the gate the r9 verdict asked
-    * for is ≤ ~1.3 per step). Per-query times go to BENCH_RAMP_FULL.json;
-    * the compact families + worst-growth entry ride the headline line. */
+    * 1.0 = perfectly linear, >1 superlinear; the r9-verdict gate is
+    * ≤ ~1.3 per step). OUTPUT rows are recorded alongside, because the
+    * ramp corpus builds 8- and 64-way near-duplicate families by
+    * construction, so the dedup PAIR queries' output grows quadratically
+    * in copies — a time growth above the gate with `rows_growth` far above
+    * it is output-driven (time per produced pair still falls), while a
+    * steep time growth at flat output names a real plan defect. Per-query
+    * data goes to BENCH_RAMP_FULL.json; the compact families + the
+    * steepest-final-step entry ride the headline line. */
   private def ramp(spark: SparkSession, sfDir: String): String = {
     val scales = Seq(1, 8, 64)
     val dirs = scales.map(c => c -> rampCorpus(spark, sfDir, c)).toMap
-    val perQuery: Seq[(String, String, Seq[Double])] = rampFamilies.flatMap {
+    val perQuery: Seq[(String, String, Seq[(Double, Long)])] = rampFamilies.flatMap {
       case (fam, qs) => qs.map { q =>
-        val secs = scales.map { c =>
+        val runs = scales.map { c =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(q)(spark, dirs(c)).count()
-          (System.nanoTime() - t0) / 1e9
+          val n = SparkEntry.queries(q)(spark, dirs(c)).count()
+          ((System.nanoTime() - t0) / 1e9, n)
         }
-        (fam, q, secs)
+        (fam, q, runs)
       }
     }
     def r3(d: Double) = math.rint(d * 1000) / 1000
     def growth(secs: Seq[Double]): Seq[Double] =
       secs.sliding(2).map { case Seq(a, b) => r3(b / (8 * a)) }.toSeq
-    val fullJson = perQuery.map { case (_, q, secs) =>
-      s""""$q":{"sec":[${secs.map(r3).mkString(",")}],"step_growth":[${growth(secs).mkString(",")}]}"""
+    val fullJson = perQuery.map { case (_, q, runs) =>
+      val secs = runs.map(_._1)
+      s""""$q":{"sec":[${secs.map(r3).mkString(",")}],""" +
+        s""""rows":[${runs.map(_._2).mkString(",")}],""" +
+        s""""step_growth":[${growth(secs).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(new java.io.File("BENCH_RAMP_FULL.json").getAbsolutePath),
       fullJson)
     val famJson = rampFamilies.map { case (fam, qs) =>
       val famSecs = scales.indices.map(i =>
-        perQuery.filter(_._1 == fam).map(_._3(i)).sum)
+        perQuery.filter(_._1 == fam).map(_._3(i)._1).sum)
       s""""$fam":{"sec":[${famSecs.map(r3).mkString(",")}],"step_growth":[${growth(famSecs).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     // the offender-naming entry: the steepest FINAL step (the 8×→64× rung,
-    // where fixed job overhead no longer flatters the ratio)
-    val (wq, wg) = perQuery.map { case (_, q, secs) => q -> growth(secs).last }
-      .maxBy(_._2)
+    // where fixed job overhead no longer flatters the ratio), with the
+    // same step's output-rows growth for the output-driven-or-not verdict
+    val (wq, wg, wr) = perQuery.map { case (_, q, runs) =>
+      (q, growth(runs.map(_._1)).last,
+        r3(runs.last._2.toDouble / math.max(1L, runs(runs.size - 2)._2)))
+    }.maxBy(_._2)
     s"""{"scales":[1,8,64],"base":"$sfDir/8","families":$famJson,""" +
-      s""""worst_final_step":{"query":"$wq","growth":$wg}}"""
+      s""""worst_final_step":{"query":"$wq","growth":$wg,"rows_growth":$wr}}"""
   }
 
   def main(args: Array[String]): Unit = {
