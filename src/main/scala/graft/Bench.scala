@@ -186,14 +186,36 @@ object Bench {
           s"transform(embedding, (x, d) -> cast(x + ((d * 31 + $i) % 7 - 3) * cast(0.01 as double) as float))"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // events: whole USERS sampled (sessions/attribution windows must see a
+    // user's complete stream), copies disjoint in user and event ids —
+    // behavioral output scales exactly linearly, so the gate is strict
+    val ev0 = graft.queries.Tables.load(spark, sfDir, "events")
+      .filter(col("user_id") % 8 === 0)
+    (0 until copies).map { i =>
+      ev0.withColumn("user_id", col("user_id") + lit(i * 100000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // lineitem: whole ORDERS sampled (baskets must stay intact), copies
+    // disjoint in order AND part space — each copy is an isolated
+    // co-purchase graph, so triangle work scales linearly too
+    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") % 8 === 0)
+    (0 until copies).map { i =>
+      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir
   }
 
   /** The representative kernels per family the ramp tracks. */
   private val rampFamilies: Seq[(String, Seq[String])] = Seq(
     "dedup" -> Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs"),
-    "ann" -> Seq("sim_topk_ivf", "sim_hard_negatives"),
-    "text" -> Seq("text_quality", "text_langid"))
+    "ann" -> Seq("sim_topk_ivf", "sim_hard_negatives", "sim_ivf_twolevel"),
+    "text" -> Seq("text_quality", "text_langid"),
+    "behavioral" -> Seq("win_sessionize", "evt_attribution"),
+    "graph" -> Seq("graph_triangles"))
 
   /** Scale-ramp measurement: per-family wall time at 1×/8×/64× of the
     * ramp base, with per-8×-step growth factors (sec[i+1] / (8·sec[i]) —
