@@ -278,7 +278,11 @@ object EraOracle {
     "era_sql_slot_gaps" -> "era_slot_gaps",
     "era_sql_attestation_participation" -> "era_attestation_participation",
     "era_sql_exits_monthly" -> "era_exits_monthly",
-    "era_sql_tx_fee_recipients" -> "era_tx_fee_recipients")
+    "era_sql_tx_fee_recipients" -> "era_tx_fee_recipients",
+    "era_sql_sync_participation" -> "era_sync_participation",
+    "era_sql_slashing_classified" -> "era_slashing_classified",
+    "era_sql_bls_top_validators" -> "era_bls_top_validators",
+    "era_sql_blob_patterns" -> "era_blob_patterns")
 
   def oracleSqlWithViews: Map[String, String] = {
     val base = oracleSql

@@ -107,6 +107,64 @@ object EraViews {
       |ORDER BY transactions DESC, fee_recipient
       |LIMIT 20""".stripMargin
 
+  /** CLICKHOUSE.md:628-638 — sync committee participation by hour
+    * (toStartOfHour → date_trunc). */
+  val SyncParticipationSql: String =
+    """SELECT date_trunc('hour', timestamp_utc) AS hour,
+      |       round(avg(participating_validators), 2) AS avg_participation,
+      |       min(participating_validators) AS min_participation,
+      |       max(participating_validators) AS max_participation,
+      |       count(*) AS total_sync_aggregates
+      |FROM sync_aggregates
+      |GROUP BY hour
+      |ORDER BY hour""".stripMargin
+
+  /** CLICKHOUSE.md:666-685 — attester-slashing classification (double vs
+    * surround vote), the documented CASE verbatim; ordered by the table
+    * key instead of `timestamp_utc DESC` so the result is deterministic
+    * under slot-timestamp ties (the twin's column set). */
+  val SlashingClassifiedSql: String =
+    """SELECT slot, slashing_index, att_1_committee_index,
+      |       att_1_validator_count, att_2_validator_count,
+      |       total_slashed_validators,
+      |       CASE
+      |         WHEN att_1_target_epoch = att_2_target_epoch THEN 'Double Vote'
+      |         WHEN att_1_source_epoch < att_2_source_epoch
+      |          AND att_1_target_epoch > att_2_target_epoch THEN 'Surround Vote'
+      |         ELSE 'Other'
+      |       END AS slashing_type
+      |FROM attester_slashings
+      |ORDER BY slot, slashing_index""".stripMargin
+
+  /** CLICKHOUSE.md:733-745 — repeat BLS changers (groupArray →
+    * sort_array+array_join for a deterministic address list). */
+  val BlsTopValidatorsSql: String =
+    """SELECT validator_index,
+      |       count(*) AS change_count,
+      |       array_join(sort_array(collect_list(to_execution_address)), ',')
+      |         AS execution_addresses
+      |FROM bls_changes
+      |GROUP BY validator_index
+      |ORDER BY change_count DESC, validator_index""".stripMargin
+
+  /** CLICKHOUSE.md:749-760 — blob commitment patterns. The documented
+    * `avg(count()) OVER ()` is an all-rows window (one partition); the
+    * scale-safe restatement is a scalar aggregate over the hourly frame
+    * cross-joined back — identical values, no single-partition Exchange
+    * (same shape as the `era_blob_patterns` DataFrame twin). */
+  val BlobPatternsSql: String =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', timestamp_utc) AS hour,
+      |         count(*) AS total_commitments,
+      |         count(DISTINCT slot) AS blocks_with_blobs
+      |  FROM blob_commitments
+      |  GROUP BY hour),
+      |a AS (SELECT round(avg(total_commitments), 4) AS avg_hourly_commitments
+      |      FROM hourly)
+      |SELECT hour, total_commitments, blocks_with_blobs, avg_hourly_commitments
+      |FROM hourly CROSS JOIN a
+      |ORDER BY hour""".stripMargin
+
   /** The SQL-text query corpus: each runs through `spark.sql` against the
     * registered views and carries the same oracle as its DataFrame twin. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -115,5 +173,9 @@ object EraViews {
     "era_sql_attestation_participation" ->
       ((s, _) => sql(s, AttestationParticipationSql)),
     "era_sql_exits_monthly" -> ((s, _) => sql(s, ExitsMonthlySql)),
-    "era_sql_tx_fee_recipients" -> ((s, _) => sql(s, TxFeeRecipientsSql)))
+    "era_sql_tx_fee_recipients" -> ((s, _) => sql(s, TxFeeRecipientsSql)),
+    "era_sql_sync_participation" -> ((s, _) => sql(s, SyncParticipationSql)),
+    "era_sql_slashing_classified" -> ((s, _) => sql(s, SlashingClassifiedSql)),
+    "era_sql_bls_top_validators" -> ((s, _) => sql(s, BlsTopValidatorsSql)),
+    "era_sql_blob_patterns" -> ((s, _) => sql(s, BlobPatternsSql)))
 }

@@ -17,7 +17,11 @@ class EraViewsSpec extends AnyFunSuite {
     "era_sql_daily_activity" -> "era_daily_activity",
     "era_sql_attestation_participation" -> "era_attestation_participation",
     "era_sql_exits_monthly" -> "era_exits_monthly",
-    "era_sql_tx_fee_recipients" -> "era_tx_fee_recipients")
+    "era_sql_tx_fee_recipients" -> "era_tx_fee_recipients",
+    "era_sql_sync_participation" -> "era_sync_participation",
+    "era_sql_slashing_classified" -> "era_slashing_classified",
+    "era_sql_bls_top_validators" -> "era_bls_top_validators",
+    "era_sql_blob_patterns" -> "era_blob_patterns")
 
   private def rows(name: String): (Seq[String], Seq[Seq[Any]]) = {
     val df = SparkEntry.queries(name)(spark, TestSpark.sf)
