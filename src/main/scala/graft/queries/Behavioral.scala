@@ -35,6 +35,41 @@ object Behavioral {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Distinct (order, part) basket projection — the shared input of every
+    * co-purchase graph query — persisted MEMORY_AND_DISK. Five queries
+    * build this identical frame (and the self-joins below read it twice
+    * each); persisting keys the entry by plan in the cache manager, so
+    * all of them share ONE materialization per corpus and repeat
+    * invocations reuse it instead of re-running the scan + distinct. */
+  private def orderParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Directed co-purchase edge list (parts sharing an order ⇒ edge both
+    * ways) WITH each source's out-degree: `(src, dst, deg)`, persisted
+    * MEMORY_AND_DISK. The graph family re-reads this frame 3–6× per
+    * query — PageRank touches it once per iteration, triangle closure
+    * three times — so it is materialized ONCE instead of re-deriving the
+    * self-join + distinct + degree join at every use (the GraphX
+    * discipline: persist the edge frame before iterating; without it the
+    * final adaptive plan re-executes the derivation per use — 14–36
+    * lineitem scans per query with zero exchange reuse, measured via
+    * [[graft.tools.ReuseProbe]]). Degree rides along because every
+    * consumer needs it (PageRank's contribution split, the orientation
+    * rank, the degree histogram), which keeps each iteration a single
+    * cache-read + one rank shuffle. At 100 TB this frame is the bucketed
+    * edge warehouse; MEMORY_AND_DISK is the local stand-in that degrades
+    * to disk instead of recomputation. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val op = orderParts(s, dir)
+    val e = op.as("a").join(op.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+    e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cohort retention matrix: users grouped by first-active week; for each
     // (cohort, week-offset) the count of cohort members active that week.
@@ -113,14 +148,9 @@ object Behavioral {
     // partial-aggregation order. Every node has deg ≥ 1 and (symmetry) at
     // least one in-edge, so no dangling-mass term is needed.
     "graph_pagerank" -> ((s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val edges = e.join(deg, Seq("src"))
-      var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rnk"))
+      val edges = coPurchaseEdges(s, dir)
+      var ranks = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1000000L).as("rnk"))
       for (_ <- 1 to 3) {
         ranks = edges.join(ranks, edges("src") === ranks("node"))
           .select(col("dst"), expr("rnk div deg").as("c"))
@@ -136,12 +166,8 @@ object Behavioral {
     // diagnostic you run BEFORE an iterative algorithm (hub detection: a
     // power-law tail here predicts skewed join keys in PageRank).
     "graph_degree_stats" -> ((s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      coPurchaseEdges(s, dir)
+        .select(col("src"), col("deg")).distinct()
         .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("deg"))
     }),
@@ -151,8 +177,7 @@ object Behavioral {
     // (bounded per-order k²); the top-k rides a per-item window over the
     // collapsed pair frame — the classic offline item-rec build.
     "rec_item_sim" -> ((s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val op = orderParts(s, dir)
       val cnt = op.groupBy(col("p")).agg(count(lit(1)).as("n"))
       val pairs = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
@@ -214,13 +239,15 @@ object Behavioral {
     // (a→b, a→c) closed by (b→c). The oracle counts the same triangles via
     // plain id-ordering — identical total, simpler SQL.
     "graph_triangles" -> ((s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = op.as("a").join(op.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      // undirected edge set + degrees from the SHARED persisted directed
+      // frame: (u,v) with u < v is exactly one direction of it, and each
+      // node's degree is its directed out-degree — so this query rides the
+      // same cache entry as PageRank/degree-stats instead of deriving its
+      // own self-join
+      val ed = coPurchaseEdges(s, dir)
+      val e = ed.filter(col("src") < col("dst"))
+        .select(col("src").as("u"), col("dst").as("v"))
+      val deg = ed.select(col("src").as("n"), col("deg")).distinct()
       val ranked = deg.select(col("n"), struct(col("deg"), col("n")).as("rk"))
       val eo = e
         .join(ranked.select(col("n").as("u"), col("rk").as("ru")), Seq("u"))
@@ -330,8 +357,7 @@ object Behavioral {
     // before the per-item joins, and the corpus total is a 1-row broadcast —
     // the same collapsed-scalar pattern as era_tx_fee_recipients.
     "basket_assoc_rules" -> ((s, dir) => {
-      val op = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val op = orderParts(s, dir)
       val cnt = op.groupBy(col("p")).agg(count(lit(1)).as("item_n"))
       val tot = op.agg(countDistinct(col("o")).as("n_orders"))
       val pairs = op.as("a").join(op.as("b"),
