@@ -25,14 +25,27 @@ object ReuseProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // actual bytes read from sources across all tasks of the query's jobs —
+    // the ground truth the plan string can't give: N× the input size means
+    // the plan re-scanned N times, whatever the tree printed
+    val in = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          in.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
     args.foreach { q =>
+      in.set(0L)
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.count()
+      org.apache.spark.graftutil.ListenerDrain.drain(spark.sparkContext)
       val plan = df.queryExecution.executedPlan.toString
       val reused =
         "ReusedExchange|ReusedQueryStage|TableCacheQueryStage".r.findAllIn(plan).size
       val scans = "Scan parquet".r.findAllIn(plan).size
-      println(s"[reuse] $q reused=$reused scans=$scans")
+      val mb = math.rint(in.get() / 1e5) / 10
+      println(s"[reuse] $q reused=$reused scans=$scans input_mb=$mb")
     }
     spark.stop()
   }
