@@ -266,7 +266,50 @@ object EraOracle {
       "era_blob_top_blocks" ->
         s"""SELECT slot, CAST(COUNT(*) AS BIGINT) AS commitment_count
            FROM ${t("blob_commitments")} GROUP BY slot
-           ORDER BY commitment_count DESC, slot LIMIT 20""")
+           ORDER BY commitment_count DESC, slot LIMIT 20""",
+      // standalone oracles for the SQL-text surface queries with no
+      // DataFrame twin (verbatim CLICKHOUSE.md shapes over wide_blocks /
+      // the request tables)
+      "era_sql_block_production" ->
+        s"""SELECT proposer_index, CAST(COUNT(*) AS BIGINT) AS blocks_proposed,
+           ROUND(AVG(attestation_count), 4) AS avg_attestations,
+           MIN(timestamp_utc) AS first_block, MAX(timestamp_utc) AS last_block
+           FROM ${t("wide_blocks")} GROUP BY proposer_index
+           ORDER BY blocks_proposed DESC, proposer_index LIMIT 20""",
+      "era_sql_block_timing" ->
+        s"""SELECT DATE_TRUNC('hour', timestamp_utc) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS block_count,
+           ROUND(AVG(attestation_count), 4) AS avg_attestations,
+           ROUND(AVG(deposit_count), 4) AS avg_deposits
+           FROM ${t("wide_blocks")} GROUP BY 1 ORDER BY hour""",
+      "era_sql_withdrawal_hourly" ->
+        s"""SELECT CAST(EXTRACT(hour FROM timestamp_utc) AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS withdrawal_requests,
+           ROUND(AVG(amount), 2) AS avg_amount_gwei,
+           CAST(COUNT(DISTINCT source_address) AS BIGINT) AS unique_addresses,
+           CAST(COUNT(DISTINCT validator_pubkey) AS BIGINT) AS unique_validators
+           FROM ${t("withdrawal_requests")} GROUP BY 1 ORDER BY hour""",
+      "era_sql_request_mix" ->
+        s"""SELECT 'deposit_requests' AS request_type,
+             CAST(COUNT(*) AS BIGINT) AS total_requests,
+             CAST(SUM(amount) AS BIGINT) AS total_amount_gwei,
+             CAST(COUNT(DISTINCT pubkey) AS BIGINT) AS unique_keys,
+             MIN(timestamp_utc) AS earliest_request,
+             MAX(timestamp_utc) AS latest_request
+           FROM ${t("deposit_requests")}
+           UNION ALL
+           SELECT 'withdrawal_requests',
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(amount) AS BIGINT),
+             CAST(COUNT(DISTINCT validator_pubkey) AS BIGINT),
+             MIN(timestamp_utc), MAX(timestamp_utc)
+           FROM ${t("withdrawal_requests")}
+           UNION ALL
+           SELECT 'consolidation_requests',
+             CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT),
+             CAST(COUNT(DISTINCT source_pubkey) AS BIGINT),
+             MIN(timestamp_utc), MAX(timestamp_utc)
+           FROM ${t("consolidation_requests")}
+           ORDER BY total_requests DESC, request_type""")
   }
 
   /** The raw-SQL view surface ([[EraViews]]) runs CLICKHOUSE.md query TEXT

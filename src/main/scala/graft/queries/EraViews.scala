@@ -165,6 +165,72 @@ object EraViews {
       |FROM hourly CROSS JOIN a
       |ORDER BY hour""".stripMargin
 
+  /** CLICKHOUSE.md:477-487 — block production statistics, verbatim over
+    * `wide_blocks` (the child-count columns live on the wide shape; the
+    * reference's `blocks` table carries them inline). Deterministic
+    * proposer tie-break added to the documented ORDER BY. */
+  val BlockProductionSql: String =
+    """SELECT proposer_index,
+      |       count(*) AS blocks_proposed,
+      |       round(avg(attestation_count), 4) AS avg_attestations,
+      |       min(timestamp_utc) AS first_block,
+      |       max(timestamp_utc) AS last_block
+      |FROM wide_blocks
+      |GROUP BY proposer_index
+      |ORDER BY blocks_proposed DESC, proposer_index
+      |LIMIT 20""".stripMargin
+
+  /** CLICKHOUSE.md:489-498 — block timing analysis by hour. */
+  val BlockTimingSql: String =
+    """SELECT date_trunc('hour', timestamp_utc) AS hour,
+      |       count(*) AS block_count,
+      |       round(avg(attestation_count), 4) AS avg_attestations,
+      |       round(avg(deposit_count), 4) AS avg_deposits
+      |FROM wide_blocks
+      |GROUP BY hour
+      |ORDER BY hour""".stripMargin
+
+  /** CLICKHOUSE.md:410-420 — withdrawal request patterns by hour of day
+    * (toHour → hour()). */
+  val WithdrawalHourlySql: String =
+    """SELECT cast(hour(timestamp_utc) AS BIGINT) AS hour,
+      |       count(*) AS withdrawal_requests,
+      |       round(avg(amount), 2) AS avg_amount_gwei,
+      |       count(DISTINCT source_address) AS unique_addresses,
+      |       count(DISTINCT validator_pubkey) AS unique_validators
+      |FROM withdrawal_requests
+      |GROUP BY hour
+      |ORDER BY hour""".stripMargin
+
+  /** CLICKHOUSE.md:422-459 — cross-request-type analysis, the three-way
+    * UNION ALL verbatim (consolidations carry no amount → literal 0);
+    * request_type tie-break added for a deterministic order. */
+  val RequestMixSql: String =
+    """SELECT 'deposit_requests' AS request_type,
+      |       count(*) AS total_requests,
+      |       sum(amount) AS total_amount_gwei,
+      |       count(DISTINCT pubkey) AS unique_keys,
+      |       min(timestamp_utc) AS earliest_request,
+      |       max(timestamp_utc) AS latest_request
+      |FROM deposit_requests
+      |UNION ALL
+      |SELECT 'withdrawal_requests' AS request_type,
+      |       count(*) AS total_requests,
+      |       sum(amount) AS total_amount_gwei,
+      |       count(DISTINCT validator_pubkey) AS unique_keys,
+      |       min(timestamp_utc) AS earliest_request,
+      |       max(timestamp_utc) AS latest_request
+      |FROM withdrawal_requests
+      |UNION ALL
+      |SELECT 'consolidation_requests' AS request_type,
+      |       count(*) AS total_requests,
+      |       cast(0 AS BIGINT) AS total_amount_gwei,
+      |       count(DISTINCT source_pubkey) AS unique_keys,
+      |       min(timestamp_utc) AS earliest_request,
+      |       max(timestamp_utc) AS latest_request
+      |FROM consolidation_requests
+      |ORDER BY total_requests DESC, request_type""".stripMargin
+
   /** The SQL-text query corpus: each runs through `spark.sql` against the
     * registered views and carries the same oracle as its DataFrame twin. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -177,5 +243,9 @@ object EraViews {
     "era_sql_sync_participation" -> ((s, _) => sql(s, SyncParticipationSql)),
     "era_sql_slashing_classified" -> ((s, _) => sql(s, SlashingClassifiedSql)),
     "era_sql_bls_top_validators" -> ((s, _) => sql(s, BlsTopValidatorsSql)),
-    "era_sql_blob_patterns" -> ((s, _) => sql(s, BlobPatternsSql)))
+    "era_sql_blob_patterns" -> ((s, _) => sql(s, BlobPatternsSql)),
+    "era_sql_block_production" -> ((s, _) => sql(s, BlockProductionSql)),
+    "era_sql_block_timing" -> ((s, _) => sql(s, BlockTimingSql)),
+    "era_sql_withdrawal_hourly" -> ((s, _) => sql(s, WithdrawalHourlySql)),
+    "era_sql_request_mix" -> ((s, _) => sql(s, RequestMixSql)))
 }
