@@ -162,12 +162,20 @@ object Bench {
       copies: Int): String = {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory(s"graft-ramp$copies").toString
+    // copies are fanned out through ONE broadcast crossJoin against a
+    // copies-row dimension, never an N-way union: a 512-way union is
+    // itself the wrong plan shape (512 scan branches, megabyte task
+    // binaries, minutes of planning) — the corpus builder has to obey the
+    // same scale discipline the queries do
+    val copyDim = broadcast(
+      spark.range(copies.toLong).select(col("id").as("copy")))
     val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") % 8 === 0)
-    (0 until copies).map { i =>
-      docs0.withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
-        .withColumn("text", concat(lit(s"c$i "), col("text")))
-    }.reduce(_ unionByName _)
+    docs0.crossJoin(copyDim)
+      .withColumn("doc_id", col("doc_id") + col("copy") * 100000000L)
+      .withColumn("text",
+        concat(lit("c"), col("copy").cast("string"), lit(" "), col("text")))
+      .drop("copy")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
     val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -180,31 +188,31 @@ object Bench {
         embAll.filter(col("vec_id") % 8 === 0)
           .withColumn("vec_id", row_number().over(w).cast("long") - 1)
       else embAll
-    (0 until copies).map { i =>
-      emb0.withColumn("vec_id", col("vec_id") + lit(i * 100000000L))
-        .withColumn("embedding", expr(
-          s"transform(embedding, (x, d) -> cast(x + ((d * 31 + $i) % 7 - 3) * cast(0.01 as double) as float))"))
-    }.reduce(_ unionByName _)
+    emb0.crossJoin(copyDim)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, d) -> cast(x + ((d * 31 + copy) % 7 - 3) * cast(0.01 as double) as float))"))
+      .withColumn("vec_id", col("vec_id") + col("copy") * 100000000L)
+      .drop("copy")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // events: whole USERS sampled (sessions/attribution windows must see a
     // user's complete stream), copies disjoint in user and event ids —
     // behavioral output scales exactly linearly, so the gate is strict
-    val ev0 = graft.queries.Tables.load(spark, sfDir, "events")
+    graft.queries.Tables.load(spark, sfDir, "events")
       .filter(col("user_id") % 8 === 0)
-    (0 until copies).map { i =>
-      ev0.withColumn("user_id", col("user_id") + lit(i * 100000000L))
-        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
-    }.reduce(_ unionByName _)
+      .crossJoin(copyDim)
+      .withColumn("user_id", col("user_id") + col("copy") * 100000000L)
+      .withColumn("event_id", col("event_id") + col("copy") * 100000000L)
+      .drop("copy")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     // lineitem: whole ORDERS sampled (baskets must stay intact), copies
     // disjoint in order AND part space — each copy is an isolated
     // co-purchase graph, so triangle work scales linearly too
-    val li0 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_orderkey") % 8 === 0)
-    (0 until copies).map { i =>
-      li0.withColumn("l_orderkey", col("l_orderkey") + lit(i * 1000000000L))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * 100000000L))
-    }.reduce(_ unionByName _)
+      .crossJoin(copyDim)
+      .withColumn("l_orderkey", col("l_orderkey") + col("copy") * 1000000000L)
+      .withColumn("l_partkey", col("l_partkey") + col("copy") * 100000000L)
+      .drop("copy")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     dir
   }
@@ -217,6 +225,14 @@ object Bench {
     "behavioral" -> Seq("win_sessionize", "evt_attribution"),
     "graph" -> Seq("graph_triangles"))
 
+  /** Queries whose OUTPUT is quadratic in `copies` by corpus construction
+    * (every copy is a near-duplicate of the same base doc, so each base
+    * doc's pair set is copies²): meaningful through the 64× rung — where
+    * `rows` next to `sec` shows time-per-pair falling — but at 512× the
+    * pair sets alone are ~10⁹ rows, measuring the corpus design rather
+    * than any plan property, so the deep rung skips them. */
+  private val quadraticOutput = Set("dedup_minhash_pairs", "dedup_simhash_pairs")
+
   /** Scale-ramp measurement: per-family wall time at 1×/8×/64× of the
     * ramp base, with per-8×-step growth factors (sec[i+1] / (8·sec[i]) —
     * 1.0 = perfectly linear, >1 superlinear; the r9-verdict gate is
@@ -228,12 +244,20 @@ object Bench {
     * steep time growth at flat output names a real plan defect. Per-query
     * data goes to BENCH_RAMP_FULL.json; the compact families + the
     * steepest-final-step entry ride the headline line. */
-  private def ramp(spark: SparkSession, sfDir: String): String = {
-    val scales = Seq(1, 8, 64)
+  private[graft] def ramp(spark: SparkSession, sfDir: String): String = {
+    // SPARK_GRAFT_RAMP=deep adds a 512× rung (= 64× the LARGEST
+    // driver-provided corpus) — minutes of extra wall time, so it is
+    // opt-in for a dedicated scale run, not the per-round default;
+    // the measured curve is recorded in BENCH_NOTES.md
+    val scales =
+      if (sys.env.get("SPARK_GRAFT_RAMP").contains("deep")) Seq(1, 8, 64, 512)
+      else Seq(1, 8, 64)
     val dirs = scales.map(c => c -> rampCorpus(spark, sfDir, c)).toMap
     val perQuery: Seq[(String, String, Seq[(Double, Long)])] = rampFamilies.flatMap {
       case (fam, qs) => qs.map { q =>
-        val runs = scales.map { c =>
+        val qScales =
+          if (quadraticOutput(q)) scales.filter(_ <= 64) else scales
+        val runs = qScales.map { c =>
           val t0 = System.nanoTime()
           val n = SparkEntry.queries(q)(spark, dirs(c)).count()
           ((System.nanoTime() - t0) / 1e9, n)
@@ -250,13 +274,24 @@ object Bench {
         s""""rows":[${runs.map(_._2).mkString(",")}],""" +
         s""""step_growth":[${growth(secs).mkString(",")}]}"""
     }.mkString("{", ",", "}")
+    val rampArtifact =
+      if (scales.last > 64) "BENCH_RAMP_DEEP.json" else "BENCH_RAMP_FULL.json"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(new java.io.File("BENCH_RAMP_FULL.json").getAbsolutePath),
+      java.nio.file.Paths.get(new java.io.File(rampArtifact).getAbsolutePath),
       fullJson)
-    val famJson = rampFamilies.map { case (fam, qs) =>
+    val famJson = rampFamilies.map { case (fam, _) =>
+      val famRuns = perQuery.filter(_._1 == fam).map(_._3)
+      // queries can stop early (quadratic-output skip on the deep rung):
+      // sum whatever was measured at each rung, but compute each growth
+      // step only over queries measured at BOTH of its endpoints
       val famSecs = scales.indices.map(i =>
-        perQuery.filter(_._1 == fam).map(_._3(i)._1).sum)
-      s""""$fam":{"sec":[${famSecs.map(r3).mkString(",")}],"step_growth":[${growth(famSecs).mkString(",")}]}"""
+        famRuns.flatMap(_.lift(i)).map(_._1).sum)
+      val famSteps = scales.indices.dropRight(1).map { i =>
+        val both = famRuns.filter(_.length > i + 1)
+        val denom = 8 * both.map(_(i)._1).sum
+        if (denom == 0.0) 0.0 else r3(both.map(_(i + 1)._1).sum / denom)
+      }
+      s""""$fam":{"sec":[${famSecs.map(r3).mkString(",")}],"step_growth":[${famSteps.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     // the offender-naming entry: the steepest FINAL step (the 8×→64× rung,
     // where fixed job overhead no longer flatters the ratio), with the
@@ -265,7 +300,7 @@ object Bench {
       (q, growth(runs.map(_._1)).last,
         r3(runs.last._2.toDouble / math.max(1L, runs(runs.size - 2)._2)))
     }.maxBy(_._2)
-    s"""{"scales":[1,8,64],"base":"$sfDir/8","families":$famJson,""" +
+    s"""{"scales":[${scales.mkString(",")}],"base":"$sfDir/8","families":$famJson,""" +
       s""""worst_final_step":{"query":"$wq","growth":$wg,"rows_growth":$wr}}"""
   }
 
