@@ -217,11 +217,17 @@ object Similarity {
 
   /** Largest centroid set the FLAT assignment plans (driver collect +
     * literal/broadcast argmax) are allowed to carry. [[centroidCount]]
-    * grows k linearly with the corpus (k ≈ N/256), so past this the
-    * centroid artifact itself is big data — ~32 MB of broadcast at this
-    * threshold — and assignment switches to [[bestCentroidTwoLevel]],
-    * whose driver state and broadcasts are O(√k). */
-  val FlatCentroidMax = 65536
+    * grows k linearly with the corpus (k ≈ N/256), so flat assignment
+    * work is O(N·k) = O(N²/256) — a quadratic tail — while
+    * [[bestCentroidTwoLevel]] is O(N·√k) with O(√k) driver state and
+    * broadcasts. The threshold sits at the MEASURED compute crossover
+    * (512× deep ramp, BENCH_RAMP_DEEP.json): at k = 313 flat still wins
+    * (2.7 s vs 3.4 s), at k = 2,500 two-level wins 3× (8.4 s vs 25.9 s,
+    * and the flat step-growth curve had turned superlinear at 1.215);
+    * 1,024 splits the bracket. Broadcast size is secondary — at this k
+    * the table is only ~0.5 MB — the quadratic distance work is what
+    * turns first. */
+  val FlatCentroidMax = 1024
 
   /** Exact two-level (hierarchical) nearest-centroid assignment — the
     * 100 TB shape of [[bestCentroid]]: neither the driver nor any
@@ -646,10 +652,55 @@ object Similarity {
     * corpus ⋈ broadcast(probes) on the cell key. */
   def ivfTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val prep = prepared(emb)
-    ivfTopK(prep, collectCentroids(prep), k, nQueries)
+    val n = prep.count()
+    val kc = centroidCount(n)
+    if (kc <= FlatCentroidMax) ivfTopK(prep, collectCentroids(prep, n), k, nQueries)
+    else ivfTopKTwoLevel(prep, kc, k, nQueries)
   }
 
-  private def ivfTopK(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+  /** The past-the-crossover IVF plan: NO k-row driver collect anywhere —
+    * two-level corpus assignment (bit-identical argmax, O(N·√k)) and
+    * frame-based probe selection that broadcasts the tiny QUERY side over
+    * the k-row centroid frame instead of the reverse. Exposed so the spec
+    * can force it at small k and assert result equality with the flat
+    * plan. */
+  private[graft] def ivfTopKTwoLevel(prep: DataFrame, kc: Int, k: Int,
+      nQueries: Int): DataFrame = {
+    val cdf = centroidFrame(prep, kc)
+    val v = bestCentroidTwoLevel(prep, cdf, kc)
+      .withColumn("cell", -col("best").getField("ncid"))
+      .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
+    rankTopK(
+      v.join(broadcast(ivfProbesFrame(prep, cdf, nQueries)), Seq("cell"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq"))),
+      k)
+  }
+
+  /** Probe selection against a centroid FRAME (no driver-side centroid
+    * array): identical scoring and (score desc, id) tie-break as
+    * [[ivfProbes]]'s non-literal branch, but the broadcast side is the
+    * nQueries-row query set — the centroid table streams, so selection
+    * stays shuffle-light at any k. */
+  private[graft] def ivfProbesFrame(prep: DataFrame, cdf: DataFrame,
+      nQueries: Int): DataFrame = {
+    val q = prep.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("ps").desc, col("centroid_id"))
+    cdf.crossJoin(broadcast(q))
+      .withColumn("ps",
+        call_function("vec_dot", col("qvec"), col("cvec")) /
+          sqrt(col("qsq") * col("csq")))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("query_id"), col("qvec"), col("qsq"),
+        col("centroid_id").as("cell"))
+  }
+
+  private[graft] def ivfTopK(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
       k: Int, nQueries: Int): DataFrame = {
     val v = withIvfCell(prep, cents)
     rankTopK(

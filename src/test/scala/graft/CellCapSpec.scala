@@ -164,6 +164,31 @@ class CellCapSpec extends AnyFunSuite {
     out.count() // executes end-to-end
   }
 
+  test("IVF top-k results agree between the flat plan and the two-level dispatch") {
+    import spark.implicits._
+    // same 2000-vector corpus; k = 150 forced through BOTH plans (the
+    // public entry dispatches on centroidCount > FlatCentroidMax — this
+    // pins that the dispatch can never change a result, only the plan)
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
+    val prep = spark.range(2000)
+      .map { id => (id, id % 5, vec(id)) }
+      .toDF("vec_id", "label", "vec")
+      .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
+      .filter(col("sq") > 0)
+    val kc = 150
+    val cents = Similarity.centroidFrame(prep, kc)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    val flat = Similarity.ivfTopK(prep, cents, k = 10, nQueries = 5)
+      .collect().map(_.toSeq).toSeq
+    val two = Similarity.ivfTopKTwoLevel(prep, kc, k = 10, nQueries = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(two.nonEmpty)
+    assert(two === flat)
+  }
+
   test("pair work per block is bounded: capped self-join emits ≤ cap·(cap−1) pairs per block") {
     val cap = 64
     val v = spark.range(500).select(col("id").as("vec_id"), lit(0L).as("cell"))
