@@ -260,7 +260,13 @@ object Bench {
         val runs = qScales.map { c =>
           val t0 = System.nanoTime()
           val n = SparkEntry.queries(q)(spark, dirs(c)).count()
-          ((System.nanoTime() - t0) / 1e9, n)
+          val sec = (System.nanoTime() - t0) / 1e9
+          // rungs must be independent measurements: queries that persist
+          // shared frames (the graph family's edge cache is GBs at the
+          // 512× rung) would otherwise accumulate dead entries across
+          // scales and pay their successors' GC bill
+          spark.sharedState.cacheManager.clearCache()
+          (sec, n)
         }
         (fam, q, runs)
       }
