@@ -367,11 +367,12 @@ object Similarity {
   /** IVF-style coarse quantization: centroid set = a deterministic sample
     * of the corpus (at real scale these are k-means centroids, refreshed
     * offline); every vector is assigned to its nearest centroid by cosine
-    * (argmax, centroid-id tie-break) via [[bestCentroid]]. At 100 TB the
-    * cell becomes the partition key, so a query reads only its probed
-    * partitions. */
-  def withIvfCell(v: DataFrame): DataFrame =
-    withIvfCell(v, collectCentroids(v))
+    * (argmax, centroid-id tie-break). Dispatches like every assignment
+    * entry: flat [[bestCentroid]] up to [[FlatCentroidMax]], the O(N·√k)
+    * [[bestCentroidTwoLevel]] past it — bit-identical either way. At
+    * 100 TB the cell becomes the partition key, so a query reads only
+    * its probed partitions. */
+  def withIvfCell(v: DataFrame): DataFrame = withIvfCellAtScale(v)
 
   private def withIvfCell(v: DataFrame, cents: Array[(Long, Seq[Double], Double)]): DataFrame =
     bestCentroid(v, cents)
@@ -476,11 +477,20 @@ object Similarity {
     * fields are kept — `cell` (assigned centroid) and `cent_cos` (cosine
     * to it). The centrality score is what SemDeDup's keeper rule ranks on
     * ([[Dedup.semDedup]]). Still a fully narrow projection. */
-  def withIvfCellScore(v: DataFrame): DataFrame =
-    bestCentroid(v, collectCentroids(v))
+  def withIvfCellScore(v: DataFrame): DataFrame = {
+    val n = v.count()
+    val k = centroidCount(n)
+    // same flat/two-level dispatch as [[withIvfCellAtScale]]: past the
+    // crossover the struct max comes from the hierarchical plan, whose
+    // `best` carries the identical (score, −id) pair
+    val assigned =
+      if (k <= FlatCentroidMax) bestCentroid(v, collectCentroids(v, n))
+      else bestCentroidTwoLevel(v, centroidFrame(v, k), k)
+    assigned
       .withColumn("cell", -col("best").getField("ncid"))
       .withColumn("cent_cos", col("best").getField("s"))
       .select(col("vec_id"), col("vec"), col("sq"), col("cell"), col("cent_cos"))
+  }
 
   /** Lloyd's k-means refinement of the IVF centroid set (spherical:
     * assignment by cosine, update = per-cell member mean). Each iteration
@@ -858,7 +868,25 @@ object Similarity {
     * projections, probes and distance tables are broadcast. */
   def ivfPqTopK(emb: DataFrame, k: Int = 10, nQueries: Int = 5): DataFrame = {
     val prep = prepared(emb)
-    ivfPqTopK(prep, collectCentroids(prep), k, nQueries)
+    val n = prep.count()
+    val kc = centroidCount(n)
+    if (kc <= FlatCentroidMax) ivfPqTopK(prep, collectCentroids(prep, n), k, nQueries)
+    else {
+      // past the crossover: two-level assignment + frame-based probes,
+      // PQ codes/distance tables unchanged (codebook is PqK=8 rows — never
+      // part of the k growth)
+      val cb = collectCodebook(prep)
+      val cdf = centroidFrame(prep, kc)
+      val assigned = bestCentroidTwoLevel(prep, cdf, kc)
+        .withColumn("cell", -col("best").getField("ncid"))
+        .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
+      val probes = ivfProbesFrame(prep, cdf, nQueries)
+        .withColumn("dt", pqDistTable(cb))
+        .select(col("query_id"), col("qsq"), col("dt"), col("cell"))
+      rankByAdist(
+        withPqCodes(assigned, cb).join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id")), k)
+    }
   }
 
   private def ivfPqTopK(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
