@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -104,4 +105,88 @@ object Passages {
   /** [[docRepeatedShareRaw]] over the duplicated corpus (oracle twin). */
   def docRepeatedShare(docs: DataFrame, n: Int = PassageN): DataFrame =
     docRepeatedShareRaw(Dedup.augmentedDocs(docs), n)
+
+  /** Maximal duplicated spans — the CUT LIST of ExactSubstr dedup (Lee et
+    * al. §4.1): per document, every maximal word range covered by n-gram
+    * windows whose hash occurs ≥ 2 times anywhere in the corpus (within- OR
+    * cross-document — unlike [[docRepeatedShareRaw]], which deliberately
+    * counts only cross-document repeats: a removal pass must also cut the
+    * second copy of a passage repeated inside one document). A window
+    * starting at word p covers [p, p+n−1]; two duplicated windows belong to
+    * one span when their start gap ≤ n (overlapping or touching coverage),
+    * so each emitted row is a contiguous duplicated region
+    * [span_start, span_end] in 1-based word positions.
+    *
+    * Scale shape — linear end-to-end, with NO pairwise stage (a stronger
+    * contract than the pair-emitting dedups): positional n-grams come from
+    * the single-pass `word_ngrams` kernel and are hashed immediately, so
+    * shuffle rows are (8-byte hash, doc_id, pos); the duplicated-hash set is
+    * ONE map-side-combined count aggregation (per-partition duplicate
+    * windows collapse before the exchange); membership is a hash semi-join
+    * where each gram row meets at most one hash row — a corpus-frequent
+    * boilerplate hash makes a LARGE PROBE side but never a product; the
+    * island merge re-shuffles only the duplicated positions to (doc_id)
+    * partitions where a sort-window runs per document — per-key state is
+    * bounded by document length, the same bound every per-doc kernel
+    * already carries. */
+  def duplicatedSpansRaw(corpus: DataFrame, n: Int = PassageN): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
+    val grams = corpus
+      .select(col("doc_id"),
+        posexplode(call_function("word_ngrams", trim(col("text")), lit(n))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        call_function("hash64", col("col")).as("h"))
+    val dup = grams
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"))
+    val dpos = grams.join(dup, Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // gaps-and-islands: a NULL gap (first duplicated window of the doc)
+    // opens island 0 on both engines (NULL > n is false in the CASE)
+    val islands = dpos
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(byDoc))
+      .withColumn("island",
+        sum(when(col("gap") > n, 1L).otherwise(0L)).over(byDoc))
+    islands
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** One-row removal budget for [[duplicatedSpansRaw]]'s cut list: documents
+    * touched, span count, total duplicated words, and the corpus-level share
+    * of words sitting inside a duplicated span — the number that decides
+    * whether substring dedup is worth a rewrite pass at all (Lee et al.
+    * report ~3% for C4; boilerplate-heavy crawls run far higher). The totals
+    * side is a second single-pass aggregation; the two 1-row frames meet in
+    * a broadcast cross join. */
+  def duplicatedSpanStatsRaw(corpus: DataFrame, n: Int = PassageN): DataFrame = {
+    val spans = duplicatedSpansRaw(corpus, n)
+      .agg(count_distinct(col("doc_id")).as("n_docs_affected"),
+        count(lit(1)).as("n_spans"),
+        coalesce(sum(col("span_words")), lit(0L)).as("dup_words"))
+    val totals = corpus.select(
+      sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_words"))
+    spans.crossJoin(broadcast(totals))
+      .select(col("n_docs_affected"), col("n_spans"), col("dup_words"),
+        round(col("dup_words").cast("double") / col("total_words"), 4)
+          .as("dup_word_share"))
+  }
+
+  /** [[duplicatedSpansRaw]] over the duplicated corpus (oracle twin): the
+    * injected exact copies yield full-document spans on both members and
+    * the 80%-prefix copies yield prefix spans. */
+  def duplicatedSpans(docs: DataFrame, n: Int = PassageN): DataFrame =
+    duplicatedSpansRaw(Dedup.augmentedDocs(docs), n)
+
+  /** [[duplicatedSpanStatsRaw]] over the duplicated corpus (oracle twin). */
+  def duplicatedSpanStats(docs: DataFrame, n: Int = PassageN): DataFrame =
+    duplicatedSpanStatsRaw(Dedup.augmentedDocs(docs), n)
 }

@@ -73,6 +73,8 @@ object TrainingData {
     // ── repeated-passage (substring-level) dedup ──────────────────────────
     "passage_top" -> ((s, dir) => Passages.topRepeatedPassages(docs(s, dir))),
     "passage_doc_share" -> ((s, dir) => Passages.docRepeatedShare(docs(s, dir))),
+    "passage_spans" -> ((s, dir) => Passages.duplicatedSpans(docs(s, dir))),
+    "passage_span_stats" -> ((s, dir) => Passages.duplicatedSpanStats(docs(s, dir))),
 
     // ── decontamination / PII scrubbing ───────────────────────────────────
     "decon_overlap" -> ((s, dir) => Contamination.contaminatedDocs(docs(s, dir))),
@@ -539,6 +541,28 @@ object TrainingData {
        |           i -> array_to_string(toks[i::INT:(i + ${n - 1})::INT], ' ')) AS gl
        |  FROM aug WHERE len(toks) >= $n),
        |gr AS (SELECT doc_id, unnest(gl) AS gram FROM pg)""".stripMargin
+  }
+
+  /** Duplicated-window positions + gaps-and-islands merge over pg (mirrors
+    * Passages.duplicatedSpansRaw): zip-unnest positions with gram hashes,
+    * keep hashes occurring ≥2 times corpus-wide, open a new island when the
+    * start gap exceeds the window length (NULL first-row gap stays in
+    * island 0 on both engines: CASE WHEN NULL THEN 1 ELSE 0 → 0). */
+  private val passageSpanCtes: String = {
+    val n = graft.operators.Passages.PassageN
+    s"""pp AS (SELECT doc_id,
+       |              unnest(range(1, len(gl) + 1)) AS pos,
+       |              unnest(list_transform(gl, g -> ${h64("g")})) AS h
+       |       FROM pg),
+       |dup AS (SELECT h FROM pp GROUP BY h HAVING COUNT(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM pp JOIN dup USING (h)),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         SUM(CASE WHEN pos - prev > $n THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos,
+       |               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+       |        FROM dp) t)""".stripMargin
   }
 
   /** Distinct 8-gram hash sets over aug (mirrors
@@ -1196,6 +1220,29 @@ object TrainingData {
          |             / COUNT(*), 4) AS repeated_share
          |FROM grh g LEFT JOIN rep r ON g.h = r.h
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "passage_spans" ->
+      s"""WITH $baseCte, $augCte, $passageGramCtes,
+         |$passageSpanCtes
+         |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+         |       CAST(MAX(pos) + ${graft.operators.Passages.PassageN - 1} AS BIGINT) AS span_end,
+         |       CAST(MAX(pos) + ${graft.operators.Passages.PassageN - 1} - MIN(pos) + 1 AS BIGINT) AS span_words,
+         |       CAST(COUNT(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "passage_span_stats" ->
+      s"""WITH $baseCte, $augCte, $passageGramCtes,
+         |$passageSpanCtes,
+         |sp AS (SELECT doc_id,
+         |              MAX(pos) + ${graft.operators.Passages.PassageN - 1} - MIN(pos) + 1 AS span_words
+         |       FROM isl GROUP BY doc_id, island),
+         |tw AS (SELECT SUM(len(toks)) AS total_words FROM aug)
+         |SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
+         |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+         |       CAST(COALESCE(SUM(span_words), 0) AS BIGINT) AS dup_words,
+         |       ROUND(COALESCE(SUM(span_words), 0)::DOUBLE / tw.total_words, 4) AS dup_word_share
+         |FROM sp, tw GROUP BY tw.total_words""".stripMargin,
 
     "cur_shuffle" ->
       s"""WITH k AS (

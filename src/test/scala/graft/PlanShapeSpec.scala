@@ -428,6 +428,21 @@ class PlanShapeSpec extends AnyFunSuite {
         s"sim_dim_stats shuffles vectors: $l"))
   }
 
+  test("ExactSubstr spans: hash-only exchanges, doc-partitioned island window, no pair stage") {
+    val p = plan("passage_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the dup-set membership check is a semi join on the 8-byte hash
+    assert(p.contains("LeftSemi"), p.take(2000))
+    // shuffles move (hash, doc_id, pos) — raw text never reaches an Exchange
+    p.linesIterator.filter(l => l.contains("Exchange") || l.contains("Broadcast"))
+      .foreach(l => assert(!l.contains("text#"), s"passage_spans shuffles raw text: $l"))
+    // the island merge is a per-document window, never a global one
+    p.linesIterator.filter(_.contains("Window")).foreach { l =>
+      assert(l.contains("doc_id#"), s"island window not doc-partitioned: $l")
+    }
+  }
+
   test("no query plans a CartesianProduct") {
     // plan-only sweep of the whole registered surface; deliberate bounded
     // cross joins must appear as BroadcastNestedLoopJoin (tiny broadcast

@@ -860,6 +860,42 @@ class TrainingDataSpec extends AnyFunSuite {
       .foreach(r => assert(r.getDouble(3) === 1.0))
   }
 
+  test("duplicated spans: shared prefix yields one maximal span per member; within-doc repeat is cut") {
+    import spark.implicits._
+    // two docs sharing a 10-word prefix (windows at pos 1..3), distinct tails
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val synth = Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5 a6 a7 a8", "en"),
+      (2L, s"$shared b1 b2 b3 b4 b5 b6 b7 b8", "en"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12", "en"))
+      .toDF("doc_id", "text", "lang")
+    val spans = Passages.duplicatedSpansRaw(synth).collect()
+    // exactly one span per sharing doc, covering words 1..10; doc 3 clean
+    assert(spans.length === 2, spans.mkString("; "))
+    spans.foreach { r =>
+      assert(Set(1L, 2L).contains(r.getLong(0)))
+      assert(r.getLong(1) === 1L, s"span_start ${r.getLong(1)}")
+      assert(r.getLong(2) === 10L, s"span_end ${r.getLong(2)}")
+      assert(r.getLong(3) === 10L) // span_words
+      assert(r.getLong(4) === 3L)  // windows at pos 1,2,3
+    }
+    // the SAME 8-gram twice inside one document: both occurrences are spans
+    // (an excision pass must cut the second copy — cross-doc-only counting
+    // would miss it entirely)
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val inner = Seq((9L, s"$rep x1 x2 x3 $rep", "en")).toDF("doc_id", "text", "lang")
+    val innerSpans = Passages.duplicatedSpansRaw(inner).collect()
+    assert(innerSpans.length === 2, innerSpans.mkString("; "))
+    assert(innerSpans.map(_.getLong(1)).toSet === Set(1L, 12L))
+    // stats roll-up agrees with the cut list it summarizes
+    val st = Passages.duplicatedSpanStatsRaw(synth).collect().head
+    assert(st.getLong(0) === 2L) // docs affected
+    assert(st.getLong(1) === 2L) // spans
+    assert(st.getLong(2) === 20L) // dup words
+    val totalWords = 18 + 18 + 12
+    assert(math.abs(st.getDouble(3) - 20.0 / totalWords) < 5e-4)
+  }
+
   test("corpus shuffle: deterministic, seed-sensitive, shards consistent and balanced") {
     def snap(seed: String) =
       Curation.withShuffleOrder(docs, seed = seed)
