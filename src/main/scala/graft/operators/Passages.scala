@@ -180,11 +180,51 @@ object Passages {
           .as("dup_word_share"))
   }
 
+  /** The REWRITE pass that applies [[duplicatedSpansRaw]]'s cut list —
+    * ExactSubstr's actual output corpus: every duplicated span is excised
+    * from every document carrying one (Lee et al. §4.1 remove ALL matched
+    * occurrences; aggressive but deterministic and policy-free). Emits the
+    * per-document removal accounting plus an md5 digest of the cleaned
+    * text, so a full rewritten corpus never has to be materialized to
+    * verify the pass.
+    *
+    * Scale shape: the cut list collapses to one (doc_id → span array) row
+    * per AFFECTED document (bounded by doc length, usually a handful), so
+    * the apply step is an equi join where the corpus side dominates and the
+    * excision itself is a narrow higher-order-function projection over the
+    * token array — no shuffle sees text except the final doc_id exchange
+    * of the corpus itself. */
+  def excisedRaw(corpus: DataFrame, n: Int = PassageN): DataFrame = {
+    val spans = duplicatedSpansRaw(corpus, n)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
+    corpus
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .join(spans, Seq("doc_id"), "left")
+      // keep token positions covered by NO span; span order in the
+      // collected array is irrelevant (pure membership test)
+      .withColumn("kept", expr(
+        "filter(transform(toks, (t, i) -> struct(t AS t, CAST(i + 1 AS BIGINT) AS p)), " +
+          "x -> spans IS NULL OR NOT exists(spans, s -> x.p >= s.s AND x.p <= s.e))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("kept_words"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("removed_words"),
+        md5(array_join(expr("transform(kept, x -> x.t)"), " ")).as("cleaned_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[duplicatedSpansRaw]] over the duplicated corpus (oracle twin): the
     * injected exact copies yield full-document spans on both members and
     * the 80%-prefix copies yield prefix spans. */
   def duplicatedSpans(docs: DataFrame, n: Int = PassageN): DataFrame =
     duplicatedSpansRaw(Dedup.augmentedDocs(docs), n)
+
+  /** [[excisedRaw]] over the duplicated corpus (oracle twin): injected
+    * copies and their bases excise to (near-)empty documents. */
+  def excised(docs: DataFrame, n: Int = PassageN): DataFrame =
+    excisedRaw(Dedup.augmentedDocs(docs), n)
 
   /** [[duplicatedSpanStatsRaw]] over the duplicated corpus (oracle twin). */
   def duplicatedSpanStats(docs: DataFrame, n: Int = PassageN): DataFrame =

@@ -75,6 +75,7 @@ object TrainingData {
     "passage_doc_share" -> ((s, dir) => Passages.docRepeatedShare(docs(s, dir))),
     "passage_spans" -> ((s, dir) => Passages.duplicatedSpans(docs(s, dir))),
     "passage_span_stats" -> ((s, dir) => Passages.duplicatedSpanStats(docs(s, dir))),
+    "passage_excise" -> ((s, dir) => Passages.excised(docs(s, dir))),
 
     // ── decontamination / PII scrubbing ───────────────────────────────────
     "decon_overlap" -> ((s, dir) => Contamination.contaminatedDocs(docs(s, dir))),
@@ -1243,6 +1244,30 @@ object TrainingData {
          |       CAST(COALESCE(SUM(span_words), 0) AS BIGINT) AS dup_words,
          |       ROUND(COALESCE(SUM(span_words), 0)::DOUBLE / tw.total_words, 4) AS dup_word_share
          |FROM sp, tw GROUP BY tw.total_words""".stripMargin,
+
+    "passage_excise" ->
+      s"""WITH $baseCte, $augCte, $passageGramCtes,
+         |$passageSpanCtes,
+         |spd AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS s,
+         |               CAST(MAX(pos) + ${graft.operators.Passages.PassageN - 1} AS BIGINT) AS e
+         |        FROM isl GROUP BY doc_id, island),
+         |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+         |        FROM spd GROUP BY doc_id),
+         |ex AS (
+         |  SELECT a.doc_id, a.toks,
+         |         CASE WHEN p.spans IS NULL THEN a.toks
+         |              ELSE list_transform(
+         |                     list_filter(range(1, len(a.toks) + 1),
+         |                       i -> len(list_filter(p.spans,
+         |                              sp -> i >= sp.s AND i <= sp.e)) = 0),
+         |                     i -> a.toks[i::INT]) END AS kept
+         |  FROM aug a LEFT JOIN spl p USING (doc_id))
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_words,
+         |       CAST(len(kept) AS BIGINT) AS kept_words,
+         |       CAST(len(toks) - len(kept) AS BIGINT) AS removed_words,
+         |       md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_digest
+         |FROM ex ORDER BY doc_id""".stripMargin,
 
     "cur_shuffle" ->
       s"""WITH k AS (

@@ -894,6 +894,23 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(st.getLong(2) === 20L) // dup words
     val totalWords = 18 + 18 + 12
     assert(math.abs(st.getDouble(3) - 20.0 / totalWords) < 5e-4)
+    // the rewrite pass: shared prefix excised from BOTH members, tails kept
+    // verbatim; the untouched doc keeps its original digest
+    val ex = Passages.excisedRaw(synth).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(ex(1L).getLong(2) === 8L && ex(1L).getLong(3) === 10L)
+    assert(ex(2L).getLong(2) === 8L && ex(2L).getLong(3) === 10L)
+    assert(ex(3L).getLong(3) === 0L)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(ex(1L).getString(4) === hex("a1 a2 a3 a4 a5 a6 a7 a8"))
+    assert(ex(3L).getString(4) === hex("c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"))
+    // within-doc repeat: BOTH copies excised (Lee et al. remove all
+    // occurrences), only the middle filler survives
+    val exInner = Passages.excisedRaw(inner).collect().head
+    assert(exInner.getLong(3) === 16L)
+    assert(exInner.getString(4) === hex("x1 x2 x3"))
   }
 
   test("corpus shuffle: deterministic, seed-sensitive, shards consistent and balanced") {
