@@ -222,6 +222,11 @@ object Bench {
     "dedup" -> Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs"),
     "ann" -> Seq("sim_topk_ivf", "sim_hard_negatives", "sim_ivf_twolevel"),
     "text" -> Seq("text_quality", "text_langid"),
+    // ExactSubstr: the ramp's copy-prefixed texts make almost every 8-gram
+    // a cross-copy repeat, so the cut list covers ~the whole corpus — the
+    // worst-case load for the dup-set aggregation and the island windows,
+    // with output rows still linear (≈ one merged span per doc)
+    "passage" -> Seq("passage_spans"),
     "behavioral" -> Seq("win_sessionize", "evt_attribution"),
     "graph" -> Seq("graph_triangles"))
 
@@ -258,15 +263,24 @@ object Bench {
         val qScales =
           if (quadraticOutput(q)) scales.filter(_ <= 64) else scales
         val runs = qScales.map { c =>
-          val t0 = System.nanoTime()
-          val n = SparkEntry.queries(q)(spark, dirs(c)).count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          // rungs must be independent measurements: queries that persist
-          // shared frames (the graph family's edge cache is GBs at the
-          // 512× rung) would otherwise accumulate dead entries across
-          // scales and pay their successors' GC bill
-          spark.sharedState.cacheManager.clearCache()
-          (sec, n)
+          // min of 2 independent measurements per rung — the same defense
+          // class as the decode metric's best(4): this sandbox's CPU-steal
+          // windows are minutes long and land MID-run, where the pre/post
+          // calibration probes can't see them; a growth ratio built from
+          // one stolen rung names an innocent operator (observed 3–5× on
+          // single rungs across otherwise-identical runs)
+          val reps = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val n = SparkEntry.queries(q)(spark, dirs(c)).count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            // rungs must be independent measurements: queries that persist
+            // shared frames (the graph family's edge cache is GBs at the
+            // 512× rung) would otherwise accumulate dead entries across
+            // scales and pay their successors' GC bill
+            spark.sharedState.cacheManager.clearCache()
+            (sec, n)
+          }
+          (reps.map(_._1).min, reps.head._2)
         }
         (fam, q, runs)
       }

@@ -70,6 +70,37 @@ object Behavioral {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Connected-component labels by min-label propagation WITH pointer
+    * jumping, `rounds` fixed rounds over a SYMMETRIC `(src, dst)` edge
+    * frame: each round first pulls the minimum neighbor label
+    * (one edge⋈labels equi-join + one min aggregation), then jumps every
+    * node to its label's label (one labels self equi-join — the
+    * pointer-doubling step that makes coverage radius grow geometrically
+    * instead of one hop per round, so log(diameter) rounds suffice; the
+    * fixed schedule keeps the operator deterministic and oracle-unrollable
+    * instead of hiding a driver-side convergence loop). Labels are node
+    * ids, so the jump join always finds its target row; exact CC labels
+    * whenever the component diameter is within the schedule's reach (a
+    * property the spec pins on a path graph at the reach boundary). Every
+    * per-round op is an equi-join or aggregation — no pair space, no
+    * driver state; this is the 100 TB CC plan (the dedup family's
+    * distributed fallback shares the pointer-doubling core). */
+  private[graft] def ccLabelProp(edges: DataFrame, rounds: Int): DataFrame = {
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("comp"))
+    for (_ <- 1 to rounds) {
+      val neigh = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(edges("dst")).agg(min(col("comp")).as("mc"))
+        .select(col("dst").as("node"), col("mc"))
+      val prop = labels.join(neigh, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"))
+      labels = prop.as("a").join(prop.as("b"), col("a.comp") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.comp").as("comp"))
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Cohort retention matrix: users grouped by first-active week; for each
     // (cohort, week-offset) the count of cohort members active that week.
@@ -161,6 +192,16 @@ object Behavioral {
       ranks.orderBy(col("rnk").desc, col("node"))
         .limit(20)
         .select(col("node").as("part"), col("rnk").as("rank_micro"))
+    }),
+    // Connected components of the co-purchase graph: 4 rounds of
+    // min-label propagation + pointer jumping (see ccLabelProp) over the
+    // shared persisted edge frame, reported as the top component sizes.
+    "graph_cc_labelprop" -> ((s, dir) => {
+      val labels = ccLabelProp(
+        coPurchaseEdges(s, dir).select(col("src"), col("dst")), rounds = 4)
+      labels.groupBy(col("comp")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("comp"))
+        .limit(20)
     }),
     // Degree distribution of the same co-purchase graph — the graph-health
     // diagnostic you run BEFORE an iterative algorithm (hub detection: a
@@ -445,6 +486,35 @@ object Behavioral {
          deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)
          SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM deg GROUP BY deg ORDER BY deg""",
+    // 4 unrolled rounds of (min-neighbor propagate, pointer jump) —
+    // mirrors ccLabelProp exactly, including the jump self-join per round
+    "graph_cc_labelprop" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+               FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+         l0 AS (SELECT DISTINCT src AS node, src AS comp FROM e),
+         n1 AS (SELECT e.dst AS node, MIN(l.comp) AS mc
+                FROM e JOIN l0 l ON e.src = l.node GROUP BY e.dst),
+         p1 AS (SELECT l.node, LEAST(l.comp, COALESCE(n1.mc, l.comp)) AS comp
+                FROM l0 l LEFT JOIN n1 USING (node)),
+         l1 AS (SELECT a.node, b.comp FROM p1 a JOIN p1 b ON a.comp = b.node),
+         n2 AS (SELECT e.dst AS node, MIN(l.comp) AS mc
+                FROM e JOIN l1 l ON e.src = l.node GROUP BY e.dst),
+         p2 AS (SELECT l.node, LEAST(l.comp, COALESCE(n2.mc, l.comp)) AS comp
+                FROM l1 l LEFT JOIN n2 USING (node)),
+         l2 AS (SELECT a.node, b.comp FROM p2 a JOIN p2 b ON a.comp = b.node),
+         n3 AS (SELECT e.dst AS node, MIN(l.comp) AS mc
+                FROM e JOIN l2 l ON e.src = l.node GROUP BY e.dst),
+         p3 AS (SELECT l.node, LEAST(l.comp, COALESCE(n3.mc, l.comp)) AS comp
+                FROM l2 l LEFT JOIN n3 USING (node)),
+         l3 AS (SELECT a.node, b.comp FROM p3 a JOIN p3 b ON a.comp = b.node),
+         n4 AS (SELECT e.dst AS node, MIN(l.comp) AS mc
+                FROM e JOIN l3 l ON e.src = l.node GROUP BY e.dst),
+         p4 AS (SELECT l.node, LEAST(l.comp, COALESCE(n4.mc, l.comp)) AS comp
+                FROM l3 l LEFT JOIN n4 USING (node)),
+         l4 AS (SELECT a.node, b.comp FROM p4 a JOIN p4 b ON a.comp = b.node)
+         SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM l4 GROUP BY comp ORDER BY n_nodes DESC, comp LIMIT 20""",
     "rec_item_sim" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          cnt AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM op GROUP BY p),

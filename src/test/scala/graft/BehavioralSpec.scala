@@ -64,6 +64,30 @@ class BehavioralSpec extends AnyFunSuite {
     assert(ranks === ranks.sorted.reverse)
   }
 
+  test("cc label-prop: exact components at the schedule's reach; sizes partition the node set") {
+    import spark.implicits._
+    import graft.queries.Behavioral
+    // a 16-node path (distance 15 from the min-label end — inside the
+    // 4-round propagate+jump reach) plus a disjoint pair: exact CC labels
+    val pathE = (1L until 16L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val pairE = Seq((100L, 101L), (101L, 100L))
+    val edges = (pathE ++ pairE).toDF("src", "dst")
+    val labels = Behavioral.ccLabelProp(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 18)
+    (1L to 16L).foreach(n => assert(labels(n) === 1L, s"node $n -> ${labels(n)}"))
+    assert(labels(100L) === 100L && labels(101L) === 100L)
+    // the co-purchase report: component sizes cover ≤ the node count, each
+    // component id is a member node id (labels are node ids by construction)
+    val rows = run("graph_cc_labelprop").collect()
+    assert(rows.nonEmpty)
+    val sizes = rows.map(_.getLong(1)).toSeq
+    assert(sizes === sizes.sorted.reverse)
+    val nNodes = run("graph_degree_stats").collect()
+      .map(r => r.getLong(1)).sum
+    assert(sizes.sum <= nNodes)
+  }
+
   test("degree stats: handshake lemma — sum(deg*n_nodes) counts each edge twice") {
     import org.apache.spark.sql.functions._
     val rows = run("graph_degree_stats").collect()
