@@ -126,7 +126,7 @@ object Bench {
     val listener = new MaxTaskListener
     spark.sparkContext.addSparkListener(listener)
     val family = Seq("dedup_exact", "clean_boilerplate", "dedup_simhash_pairs",
-      "dedup_winnow_pairs", "text_nb_calibration", "diag_skew")
+      "dedup_winnow_pairs", "text_nb_calibration", "diag_skew", "passage_spans")
     val entries = family.map { name =>
       listener.reset()
       val t0 = System.nanoTime()

@@ -33,7 +33,11 @@ class SoakSpec extends AnyFunSuite {
     "dedup_simhash_pairs" -> 0.3,
     "dedup_winnow_pairs" -> 4.5,
     "text_nb_calibration" -> 5.5,
-    "diag_skew" -> 0.1)
+    "diag_skew" -> 0.1,
+    // hot twins are the span kernel's worst case — EVERY window duplicated,
+    // the dup set at its maximum — yet shuffles stay (hash, doc_id, pos);
+    // measured 1.37 MB on this corpus
+    "passage_spans" -> 7.0)
 
   test("no soak-family query funnels the hot-twin corpus through one task") {
     val dir = Bench.soakCorpus(spark, "/root/testdata/sf0.001", copies = 5)
