@@ -228,7 +228,9 @@ object Bench {
     // with output rows still linear (≈ one merged span per doc)
     "passage" -> Seq("passage_spans"),
     "behavioral" -> Seq("win_sessionize", "evt_attribution"),
-    "graph" -> Seq("graph_triangles"))
+    // triangles = the quadratic-risk closure; cc = the iterative-join
+    // ladder (8 equi-joins + 4 min aggs over the same edge frame)
+    "graph" -> Seq("graph_triangles", "graph_cc_labelprop"))
 
   /** Queries whose OUTPUT is quadratic in `copies` by corpus construction
     * (every copy is a near-duplicate of the same base doc, so each base

