@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws}
 
 import graft.operators.Normalizer
 import graft.testkit.EraFixtures
@@ -69,6 +69,13 @@ object EraOracle {
       mb.toDF().filter(col("body.execution_payload").isNotNull)
         .select(col("slot"),
           col("body.execution_payload.timestamp").as("payload_ts")))
+    // era-state fixture: the RAW append-only event log. The state SQL
+    // oracles recompute the latest-state argmax from it independently,
+    // so the dedup semantics (not just the exported rows) are checked.
+    write("era_completion_log")(
+      EraStateFixture.manager(spark).log
+        .withColumn("datasets_processed",
+          concat_ws(",", col("datasets_processed"))))
   }
 
   /** One DuckDB statement per era query, mirroring the Spark plans in
@@ -270,6 +277,130 @@ object EraOracle {
       // standalone oracles for the SQL-text surface queries with no
       // DataFrame twin (verbatim CLICKHOUSE.md shapes over wide_blocks /
       // the request tables)
+      // era-state surface: DuckDB recomputes the latest-state argmax from
+      // the RAW exported event log (insert_version DESC, recorded_at DESC,
+      // writer_id DESC — the eraStatus window), then applies the documented
+      // query — an independent check of the ReplacingMergeTree-FINAL
+      // semantics, not a passthrough.
+      "era_sql_state_status" ->
+        s"""WITH latest AS (
+             SELECT *, row_number() OVER (PARTITION BY network, era_number
+               ORDER BY insert_version DESC, recorded_at DESC, writer_id DESC) AS rn
+             FROM ${t("era_completion_log")})
+           SELECT status, CAST(COUNT(*) AS BIGINT) AS era_count,
+                  CAST(SUM(total_records) AS BIGINT) AS total_records
+           FROM latest WHERE rn = 1 AND network = 'gnosis'
+           GROUP BY status ORDER BY status""",
+      "era_sql_state_recent" ->
+        s"""WITH latest AS (
+             SELECT *, row_number() OVER (PARTITION BY network, era_number
+               ORDER BY insert_version DESC, recorded_at DESC, writer_id DESC) AS rn
+             FROM ${t("era_completion_log")})
+           SELECT era_number, status, total_records,
+                  recorded_at AS completed_at, error_message
+           FROM latest WHERE rn = 1 AND network = 'gnosis'
+           ORDER BY era_number DESC""",
+      "era_sql_state_failed" ->
+        s"""WITH latest AS (
+             SELECT *, row_number() OVER (PARTITION BY network, era_number
+               ORDER BY insert_version DESC, recorded_at DESC, writer_id DESC) AS rn
+             FROM ${t("era_completion_log")})
+           SELECT era_number, retry_count, error_message
+           FROM latest WHERE rn = 1 AND network = 'gnosis' AND status = 'failed'
+           ORDER BY era_number""",
+      "era_sql_state_perf" ->
+        s"""SELECT CAST(date_trunc('hour', recorded_at) AS TIMESTAMP) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS events,
+           CAST(COUNT(*) FILTER (WHERE status = 'completed') AS BIGINT) AS eras_completed,
+           ROUND(AVG(retry_count), 4) AS avg_retries,
+           CAST(COUNT(*) FILTER (WHERE status = 'failed') AS BIGINT) AS failed,
+           CAST(SUM(total_records) AS BIGINT) AS total_rows
+           FROM ${t("era_completion_log")}
+           GROUP BY hour ORDER BY hour""",
+      "era_sql_deposit_trends" ->
+        s"""SELECT CAST(date_trunc('day', timestamp_utc) AS TIMESTAMP) AS day,
+           CAST(COUNT(*) AS BIGINT) AS deposit_requests,
+           CAST(SUM(amount) AS BIGINT) AS total_amount_gwei,
+           CAST(COUNT(DISTINCT pubkey) AS BIGINT) AS unique_validators
+           FROM ${t("deposit_requests")}
+           GROUP BY day ORDER BY day""",
+      "era_sql_consolidation_addresses" ->
+        s"""SELECT source_address,
+           CAST(COUNT(*) AS BIGINT) AS consolidation_count,
+           CAST(COUNT(DISTINCT source_pubkey) AS BIGINT) AS validators_consolidated,
+           CAST(COUNT(DISTINCT target_pubkey) AS BIGINT) AS target_validators,
+           MIN(timestamp_utc) AS first_consolidation,
+           MAX(timestamp_utc) AS last_consolidation
+           FROM ${t("consolidation_requests")}
+           GROUP BY source_address
+           ORDER BY consolidation_count DESC, source_address
+           LIMIT 20""",
+      "era_sql_consolidation_efficiency" ->
+        s"""SELECT source_address,
+           CAST(COUNT(*) AS BIGINT) AS total_consolidations,
+           CAST(COUNT(DISTINCT source_pubkey) AS BIGINT) AS source_validators,
+           CAST(COUNT(DISTINCT target_pubkey) AS BIGINT) AS target_validators,
+           ROUND(COUNT(DISTINCT source_pubkey) * CAST(1.0 AS DOUBLE)
+                 / COUNT(DISTINCT target_pubkey), 2) AS consolidation_ratio
+           FROM ${t("consolidation_requests")}
+           GROUP BY source_address
+           HAVING COUNT(*) >= 1
+           ORDER BY consolidation_ratio DESC, source_address
+           LIMIT 20""",
+      "era_sql_tx_hourly" ->
+        s"""WITH hourly AS (
+             SELECT CAST(hour(timestamp_utc) AS BIGINT) AS hour,
+                    CAST(COUNT(*) AS BIGINT) AS transaction_count
+             FROM ${t("transactions")} GROUP BY hour),
+           a AS (SELECT ROUND(AVG(transaction_count), 4) AS avg_hourly_txs FROM hourly)
+           SELECT hour, transaction_count, avg_hourly_txs
+           FROM hourly CROSS JOIN a
+           ORDER BY hour""",
+      "era_sql_gas_utilization" ->
+        s"""SELECT b.slot,
+           ep.gas_limit, ep.gas_used,
+           ROUND((ep.gas_used * CAST(100.0 AS DOUBLE)) / ep.gas_limit, 2)
+             AS gas_utilization_percent,
+           ep.base_fee_per_gas,
+           CAST(COUNT(tx.transaction_hash) AS BIGINT) AS transaction_count
+           FROM ${t("blocks")} b
+           JOIN ${t("execution_payloads")} ep ON b.slot = ep.slot
+           LEFT JOIN ${t("transactions")} tx ON b.slot = tx.slot
+           WHERE ep.gas_used > 0
+           GROUP BY b.slot, ep.gas_limit, ep.gas_used, ep.base_fee_per_gas
+           ORDER BY gas_utilization_percent DESC, b.slot
+           LIMIT 100""",
+      "era_sql_health_freshness" ->
+        s"""SELECT tbl, MAX(timestamp_utc) AS latest_data,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM (
+             SELECT 'blocks' AS tbl, timestamp_utc FROM ${t("blocks")}
+             UNION ALL SELECT 'transactions', timestamp_utc FROM ${t("transactions")}
+             UNION ALL SELECT 'attestations', timestamp_utc FROM ${t("attestations")}
+             UNION ALL SELECT 'withdrawals', timestamp_utc FROM ${t("withdrawals")}
+             UNION ALL SELECT 'deposit_requests', timestamp_utc FROM ${t("deposit_requests")}
+             UNION ALL SELECT 'withdrawal_requests', timestamp_utc FROM ${t("withdrawal_requests")}
+             UNION ALL SELECT 'consolidation_requests', timestamp_utc FROM ${t("consolidation_requests")}
+           ) u
+           GROUP BY tbl ORDER BY tbl""",
+      "era_sql_data_quality" ->
+        s"""SELECT 'blocks_with_zero_timestamp' AS issue, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ${t("blocks")}
+           WHERE timestamp_utc = TIMESTAMP '1970-01-01 00:00:00' AND slot > 0
+           UNION ALL
+           SELECT 'execution_payloads_without_blocks', CAST(COUNT(*) AS BIGINT)
+           FROM ${t("execution_payloads")} ep LEFT JOIN ${t("blocks")} b ON ep.slot = b.slot
+           WHERE b.slot IS NULL
+           UNION ALL
+           SELECT 'deposit_requests_with_empty_pubkey', CAST(COUNT(*) AS BIGINT)
+           FROM ${t("deposit_requests")} WHERE pubkey = ''
+           UNION ALL
+           SELECT 'withdrawal_requests_with_zero_amount', CAST(COUNT(*) AS BIGINT)
+           FROM ${t("withdrawal_requests")} WHERE amount = 0
+           UNION ALL
+           SELECT 'consolidation_requests_same_source_target', CAST(COUNT(*) AS BIGINT)
+           FROM ${t("consolidation_requests")} WHERE source_pubkey = target_pubkey
+           ORDER BY issue""",
       "era_sql_block_production" ->
         s"""SELECT proposer_index, CAST(COUNT(*) AS BIGINT) AS blocks_proposed,
            ROUND(AVG(attestation_count), 4) AS avg_attestations,

@@ -53,6 +53,21 @@ object EraViews {
     s.sql(text)
   }
 
+  /** Register the era-state bookkeeping views: `era_completion` is the
+    * latest-state read (the reference's argmax-by-version semantics —
+    * ClickHouse ReplacingMergeTree FINAL), `era_completion_log` the raw
+    * append-only event log (what the performance query scans). */
+  def registerState(spark: SparkSession): Unit = {
+    val mgr = EraStateFixture.manager(spark)
+    mgr.eraStatus.createOrReplaceTempView("era_completion")
+    mgr.log.createOrReplaceTempView("era_completion_log")
+  }
+
+  private def sqlState(s: SparkSession, text: String): DataFrame = {
+    registerState(s)
+    s.sql(text)
+  }
+
   /** CLICKHOUSE.md:386-399 — daily activity (toStartOfDay → date_trunc). */
   val DailyActivitySql: String =
     """SELECT date_trunc('day', timestamp_utc) AS day,
@@ -231,9 +246,185 @@ object EraViews {
       |FROM consolidation_requests
       |ORDER BY total_requests DESC, request_type""".stripMargin
 
+  /** CLICKHOUSE.md:385-394 — deposit request trends by day. */
+  val DepositTrendsSql: String =
+    """SELECT date_trunc('day', timestamp_utc) AS day,
+      |       count(*) AS deposit_requests,
+      |       sum(amount) AS total_amount_gwei,
+      |       count(DISTINCT pubkey) AS unique_validators
+      |FROM deposit_requests
+      |GROUP BY day
+      |ORDER BY day""".stripMargin
+
+  /** CLICKHOUSE.md:396-408 — top addresses by consolidation requests
+    * (deterministic address tie-break added to the documented ORDER BY). */
+  val ConsolidationAddressesSql: String =
+    """SELECT source_address,
+      |       count(*) AS consolidation_count,
+      |       count(DISTINCT source_pubkey) AS validators_consolidated,
+      |       count(DISTINCT target_pubkey) AS target_validators,
+      |       min(timestamp_utc) AS first_consolidation,
+      |       max(timestamp_utc) AS last_consolidation
+      |FROM consolidation_requests
+      |GROUP BY source_address
+      |ORDER BY consolidation_count DESC, source_address
+      |LIMIT 20""".stripMargin
+
+  /** CLICKHOUSE.md:461-473 — validator consolidation efficiency. The
+    * documented `HAVING total_consolidations >= 5` production threshold is
+    * lowered to `>= 1`: the fixture corpus holds a handful of requests and
+    * the gate's value is the ratio semantics, not the cutoff (same spirit
+    * as dropping the `now() − INTERVAL` guards). */
+  val ConsolidationEfficiencySql: String =
+    """SELECT source_address,
+      |       count(*) AS total_consolidations,
+      |       count(DISTINCT source_pubkey) AS source_validators,
+      |       count(DISTINCT target_pubkey) AS target_validators,
+      |       round(count(DISTINCT source_pubkey) * cast(1.0 AS DOUBLE)
+      |             / count(DISTINCT target_pubkey), 2) AS consolidation_ratio
+      |FROM consolidation_requests
+      |GROUP BY source_address
+      |HAVING count(*) >= 1
+      |ORDER BY consolidation_ratio DESC, source_address
+      |LIMIT 20""".stripMargin
+
+  /** CLICKHOUSE.md:526-535 — transaction patterns by hour of day. The
+    * documented `avg(transaction_count) OVER ()` is an all-rows window
+    * (one partition); restated as a scalar aggregate cross-joined back —
+    * the blob-patterns discipline: identical values, no single-partition
+    * Exchange. */
+  val TxHourlySql: String =
+    """WITH hourly AS (
+      |  SELECT cast(hour(timestamp_utc) AS BIGINT) AS hour,
+      |         count(*) AS transaction_count
+      |  FROM transactions
+      |  GROUP BY hour),
+      |a AS (SELECT round(avg(transaction_count), 4) AS avg_hourly_txs FROM hourly)
+      |SELECT hour, transaction_count, avg_hourly_txs
+      |FROM hourly CROSS JOIN a
+      |ORDER BY hour""".stripMargin
+
+  /** CLICKHOUSE.md:537-551 — per-block gas utilization: blocks ⋈
+    * execution_payloads (1:1 on slot) LEFT ⋈ transactions for the count —
+    * the documented three-way join verbatim, slot tie-break added. */
+  val GasUtilizationSql: String =
+    """SELECT b.slot,
+      |       ep.gas_limit, ep.gas_used,
+      |       round((ep.gas_used * cast(100.0 AS DOUBLE)) / ep.gas_limit, 2)
+      |         AS gas_utilization_percent,
+      |       ep.base_fee_per_gas,
+      |       count(tx.transaction_hash) AS transaction_count
+      |FROM blocks b
+      |JOIN execution_payloads ep ON b.slot = ep.slot
+      |LEFT JOIN transactions tx ON b.slot = tx.slot
+      |WHERE ep.gas_used > 0
+      |GROUP BY b.slot, ep.gas_limit, ep.gas_used, ep.base_fee_per_gas
+      |ORDER BY gas_utilization_percent DESC, b.slot
+      |LIMIT 100""".stripMargin
+
+  /** CLICKHOUSE.md:879-901 — ingestion health check: per-table data
+    * freshness + row counts through one multi-table UNION (the `today()`
+    * guard dropped: the fixture corpus is historical). */
+  val HealthFreshnessSql: String =
+    """SELECT tbl, max(timestamp_utc) AS latest_data, count(*) AS n_rows
+      |FROM (
+      |  SELECT 'blocks' AS tbl, timestamp_utc FROM blocks
+      |  UNION ALL SELECT 'transactions', timestamp_utc FROM transactions
+      |  UNION ALL SELECT 'attestations', timestamp_utc FROM attestations
+      |  UNION ALL SELECT 'withdrawals', timestamp_utc FROM withdrawals
+      |  UNION ALL SELECT 'deposit_requests', timestamp_utc FROM deposit_requests
+      |  UNION ALL SELECT 'withdrawal_requests', timestamp_utc FROM withdrawal_requests
+      |  UNION ALL SELECT 'consolidation_requests', timestamp_utc FROM consolidation_requests
+      |) u
+      |GROUP BY tbl
+      |ORDER BY tbl""".stripMargin
+
+  /** CLICKHOUSE.md:914-952 — the documented data-quality audit: five
+    * issue probes UNIONed into one report (zero-timestamp blocks, orphan
+    * execution payloads via the LEFT-JOIN-null anti shape, empty deposit
+    * pubkeys, zero-amount withdrawal requests, self-targeted
+    * consolidations). Counts are expected to be zero on healthy data —
+    * the value gate pins that they ARE zero on the fixture corpus, and
+    * that both engines agree on the probe semantics. */
+  val DataQualitySql: String =
+    """SELECT 'blocks_with_zero_timestamp' AS issue, count(*) AS n
+      |FROM blocks
+      |WHERE timestamp_utc = timestamp'1970-01-01 00:00:00' AND slot > 0
+      |UNION ALL
+      |SELECT 'execution_payloads_without_blocks', count(*)
+      |FROM execution_payloads ep LEFT JOIN blocks b ON ep.slot = b.slot
+      |WHERE b.slot IS NULL
+      |UNION ALL
+      |SELECT 'deposit_requests_with_empty_pubkey', count(*)
+      |FROM deposit_requests WHERE pubkey = ''
+      |UNION ALL
+      |SELECT 'withdrawal_requests_with_zero_amount', count(*)
+      |FROM withdrawal_requests WHERE amount = 0
+      |UNION ALL
+      |SELECT 'consolidation_requests_same_source_target', count(*)
+      |FROM consolidation_requests WHERE source_pubkey = target_pubkey
+      |ORDER BY issue""".stripMargin
+
+  /** CLICKHOUSE.md:347-354 — era completion status summary (the A5
+    * `summary` operator as the documented SQL text). */
+  val StateStatusSql: String =
+    """SELECT status,
+      |       count(*) AS era_count,
+      |       sum(total_records) AS total_records
+      |FROM era_completion
+      |WHERE network = 'gnosis'
+      |GROUP BY status
+      |ORDER BY status""".stripMargin
+
+  /** CLICKHOUSE.md:356-366 — recent processing activity (the rolling
+    * `processing_started_at` guard dropped: fixture history; recorded_at
+    * stands in for the reference's completed_at column). */
+  val StateRecentSql: String =
+    """SELECT era_number, status, total_records,
+      |       recorded_at AS completed_at, error_message
+      |FROM era_completion
+      |WHERE network = 'gnosis'
+      |ORDER BY era_number DESC""".stripMargin
+
+  /** CLICKHOUSE.md:368-378 — failed eras needing attention (latest state
+    * IS failed — eras that failed then completed on retry don't appear,
+    * the reference's semantics). */
+  val StateFailedSql: String =
+    """SELECT era_number, retry_count, error_message
+      |FROM era_completion
+      |WHERE network = 'gnosis' AND status = 'failed'
+      |ORDER BY era_number""".stripMargin
+
+  /** CLICKHOUSE.md:902-912 — processing performance by hour. Runs over the
+    * raw event log (every attempt is an event, the documented table
+    * semantics) rather than the latest-state view. */
+  val StatePerfSql: String =
+    """SELECT date_trunc('hour', recorded_at) AS hour,
+      |       count(*) AS events,
+      |       count_if(status = 'completed') AS eras_completed,
+      |       round(avg(retry_count), 4) AS avg_retries,
+      |       count_if(status = 'failed') AS failed,
+      |       sum(total_records) AS total_rows
+      |FROM era_completion_log
+      |GROUP BY hour
+      |ORDER BY hour""".stripMargin
+
   /** The SQL-text query corpus: each runs through `spark.sql` against the
     * registered views and carries the same oracle as its DataFrame twin. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "era_sql_state_status" -> ((s, _) => sqlState(s, StateStatusSql)),
+    "era_sql_state_recent" -> ((s, _) => sqlState(s, StateRecentSql)),
+    "era_sql_state_failed" -> ((s, _) => sqlState(s, StateFailedSql)),
+    "era_sql_state_perf" -> ((s, _) => sqlState(s, StatePerfSql)),
+    "era_sql_deposit_trends" -> ((s, _) => sql(s, DepositTrendsSql)),
+    "era_sql_consolidation_addresses" ->
+      ((s, _) => sql(s, ConsolidationAddressesSql)),
+    "era_sql_consolidation_efficiency" ->
+      ((s, _) => sql(s, ConsolidationEfficiencySql)),
+    "era_sql_tx_hourly" -> ((s, _) => sql(s, TxHourlySql)),
+    "era_sql_gas_utilization" -> ((s, _) => sql(s, GasUtilizationSql)),
+    "era_sql_health_freshness" -> ((s, _) => sql(s, HealthFreshnessSql)),
+    "era_sql_data_quality" -> ((s, _) => sql(s, DataQualitySql)),
     "era_sql_daily_activity" -> ((s, _) => sql(s, DailyActivitySql)),
     "era_sql_slot_gaps" -> ((s, _) => sql(s, SlotGapsSql)),
     "era_sql_attestation_participation" ->

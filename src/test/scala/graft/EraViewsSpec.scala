@@ -65,6 +65,47 @@ class EraViewsSpec extends AnyFunSuite {
     assert(gRows.map(r => gi.map(r)) === eRows.map(r => ei.map(r)))
   }
 
+  test("analysis-chapter SQL additions produce non-empty, well-typed results") {
+    // standalone (no DataFrame twin) — the DuckDB oracle is their value
+    // gate; here we pin non-emptiness and the key invariants
+    Seq("era_sql_deposit_trends", "era_sql_consolidation_addresses",
+        "era_sql_consolidation_efficiency", "era_sql_tx_hourly",
+        "era_sql_gas_utilization").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, TestSpark.sf)
+      assert(df.count() > 0, s"$name is empty on the fixture corpus")
+    }
+    // gas utilization: percent bounded and payload join 1:1 on slot
+    val gas = SparkEntry.queries("era_sql_gas_utilization")(spark, TestSpark.sf)
+    gas.collect().foreach { r =>
+      val pct = r.getAs[Double]("gas_utilization_percent")
+      assert(pct > 0.0 && pct <= 100.0, s"gas pct out of range: $pct")
+    }
+  }
+
+  test("era-state SQL surface agrees with the state-manager operators") {
+    import graft.queries.EraStateFixture
+    val mgr = EraStateFixture.manager(spark)
+    // status summary (CLICKHOUSE.md:347) == the A5 summary operator
+    val viaSql = SparkEntry.queries("era_sql_state_status")(spark, TestSpark.sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaOp = mgr.summary(EraStateFixture.Network)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaSql === viaOp)
+    // the history has both a terminal failure and a retried-then-completed
+    // era, so every documented report is non-trivial
+    val failed = SparkEntry.queries("era_sql_state_failed")(spark, TestSpark.sf)
+      .collect()
+    assert(failed.length === 1 && failed.head.getAs[Long]("retry_count") >= 1L)
+    val recent = SparkEntry.queries("era_sql_state_recent")(spark, TestSpark.sf)
+    // latest-state view: exactly one row per fixture era, newest first
+    val eras = recent.collect().map(_.getAs[Long]("era_number")).toSeq
+    assert(eras === eras.sorted.reverse && eras.distinct.size === eras.size)
+    // perf query scans the RAW log: events ≥ one start + one terminal per era
+    val perf = SparkEntry.queries("era_sql_state_perf")(spark, TestSpark.sf)
+      .collect()
+    assert(perf.map(_.getAs[Long]("events")).sum >= 2L * eras.size)
+  }
+
   test("the SQL surface reuses the shared decode (no second era scan)") {
     EraViews.register(spark)
     val plan = spark.sql("SELECT count(*) FROM attestations")
