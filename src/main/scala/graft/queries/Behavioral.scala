@@ -501,31 +501,38 @@ object Behavioral {
          FROM deg GROUP BY deg ORDER BY deg""",
     // 4 unrolled rounds of (min-neighbor propagate, pointer jump) —
     // mirrors ccLabelProp exactly, including the jump self-join per round
+    // Every CTE is MATERIALIZED: each round's frame is consumed twice
+    // (the jump self-join) and feeds the next round twice more, so an
+    // inlining planner re-expands the subtree 2^rounds times — the same
+    // lazy-plan doubling the Spark side cuts with localCheckpoint. DuckDB
+    // 0.10+ inlines single-reference CTEs by default and at sf0.1 the
+    // inlined unroll spilled >70 GB of temp before failing; materialized,
+    // each round is computed once, mirroring the engine's plan.
     "graph_cc_labelprop" ->
-      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         e AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
                FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
-         l0 AS (SELECT DISTINCT src AS node, src AS comp FROM e),
-         n1 AS (SELECT e.dst AS node, MIN(l.comp) AS mc
+         l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS comp FROM e),
+         n1 AS MATERIALIZED (SELECT e.dst AS node, MIN(l.comp) AS mc
                 FROM e JOIN l0 l ON e.src = l.node GROUP BY e.dst),
-         p1 AS (SELECT l.node, LEAST(l.comp, COALESCE(n1.mc, l.comp)) AS comp
+         p1 AS MATERIALIZED (SELECT l.node, LEAST(l.comp, COALESCE(n1.mc, l.comp)) AS comp
                 FROM l0 l LEFT JOIN n1 USING (node)),
-         l1 AS (SELECT a.node, b.comp FROM p1 a JOIN p1 b ON a.comp = b.node),
-         n2 AS (SELECT e.dst AS node, MIN(l.comp) AS mc
+         l1 AS MATERIALIZED (SELECT a.node, b.comp FROM p1 a JOIN p1 b ON a.comp = b.node),
+         n2 AS MATERIALIZED (SELECT e.dst AS node, MIN(l.comp) AS mc
                 FROM e JOIN l1 l ON e.src = l.node GROUP BY e.dst),
-         p2 AS (SELECT l.node, LEAST(l.comp, COALESCE(n2.mc, l.comp)) AS comp
+         p2 AS MATERIALIZED (SELECT l.node, LEAST(l.comp, COALESCE(n2.mc, l.comp)) AS comp
                 FROM l1 l LEFT JOIN n2 USING (node)),
-         l2 AS (SELECT a.node, b.comp FROM p2 a JOIN p2 b ON a.comp = b.node),
-         n3 AS (SELECT e.dst AS node, MIN(l.comp) AS mc
+         l2 AS MATERIALIZED (SELECT a.node, b.comp FROM p2 a JOIN p2 b ON a.comp = b.node),
+         n3 AS MATERIALIZED (SELECT e.dst AS node, MIN(l.comp) AS mc
                 FROM e JOIN l2 l ON e.src = l.node GROUP BY e.dst),
-         p3 AS (SELECT l.node, LEAST(l.comp, COALESCE(n3.mc, l.comp)) AS comp
+         p3 AS MATERIALIZED (SELECT l.node, LEAST(l.comp, COALESCE(n3.mc, l.comp)) AS comp
                 FROM l2 l LEFT JOIN n3 USING (node)),
-         l3 AS (SELECT a.node, b.comp FROM p3 a JOIN p3 b ON a.comp = b.node),
-         n4 AS (SELECT e.dst AS node, MIN(l.comp) AS mc
+         l3 AS MATERIALIZED (SELECT a.node, b.comp FROM p3 a JOIN p3 b ON a.comp = b.node),
+         n4 AS MATERIALIZED (SELECT e.dst AS node, MIN(l.comp) AS mc
                 FROM e JOIN l3 l ON e.src = l.node GROUP BY e.dst),
-         p4 AS (SELECT l.node, LEAST(l.comp, COALESCE(n4.mc, l.comp)) AS comp
+         p4 AS MATERIALIZED (SELECT l.node, LEAST(l.comp, COALESCE(n4.mc, l.comp)) AS comp
                 FROM l3 l LEFT JOIN n4 USING (node)),
-         l4 AS (SELECT a.node, b.comp FROM p4 a JOIN p4 b ON a.comp = b.node)
+         l4 AS MATERIALIZED (SELECT a.node, b.comp FROM p4 a JOIN p4 b ON a.comp = b.node)
          SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM l4 GROUP BY comp ORDER BY n_nodes DESC, comp LIMIT 20""",
     "rec_item_sim" ->
