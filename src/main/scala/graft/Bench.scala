@@ -153,8 +153,11 @@ object Bench {
     * collapsing onto byte-twins) and nudges every embedding dimension by a
     * copy-dependent epsilon (fresh cosine structure, so cells/buckets
     * spread instead of stacking). Embedding ids are renumbered contiguously
-    * after the subsample so the query (`vec_id < nQueries`) and centroid
-    * (`[100, 100+k)`) id ranges stay populated at every scale. Base is 1/8
+    * after the subsample, then INTERLEAVED across copies (vec_id·copies +
+    * copy), so the query (`vec_id < nQueries`) and centroid
+    * (`[100, 100+k)`) id ranges are FULLY populated at every scale —
+    * including deep rungs where k = centroidCount(copies·B) outgrows the
+    * base subsample size B. Base is 1/8
     * of the bench corpus so the 64× rung lands at 8× the LARGEST
     * driver-provided corpus — measured scale evidence past sf0.1, not
     * plan-shape prose. */
@@ -188,10 +191,16 @@ object Bench {
         embAll.filter(col("vec_id") % 8 === 0)
           .withColumn("vec_id", row_number().over(w).cast("long") - 1)
       else embAll
+    // ids are INTERLEAVED (vec_id·copies + copy), not copy-shifted: the
+    // id space stays contiguous [0, copies·B), so the centroid range
+    // [100, 100+k) is genuinely populated at EVERY rung even when
+    // k = centroidCount(copies·B) outgrows the base subsample size B —
+    // under the old copy-shift only copy 0's B ids sat below the shift,
+    // so deep rungs silently measured min(k, B−100) real centroids
     emb0.crossJoin(copyDim)
       .withColumn("embedding", expr(
         "transform(embedding, (x, d) -> cast(x + ((d * 31 + copy) % 7 - 3) * cast(0.01 as double) as float))"))
-      .withColumn("vec_id", col("vec_id") + col("copy") * 100000000L)
+      .withColumn("vec_id", col("vec_id") * copies + col("copy"))
       .drop("copy")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // events: whole USERS sampled (sessions/attribution windows must see a
@@ -260,6 +269,25 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_RAMP").contains("deep")) Seq(1, 8, 64, 512)
       else Seq(1, 8, 64)
     val dirs = scales.map(c => c -> rampCorpus(spark, sfDir, c)).toMap
+    try rampMeasured(spark, sfDir, scales, dirs)
+    finally
+      // rung corpora are multi-GB at the deep scales and /tmp residue
+      // worsens this sandbox's writeback stalls — delete them once the
+      // last measurement that reads them is done
+      dirs.values.foreach(deleteRecursively)
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.util.Comparator
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
+  private def rampMeasured(spark: SparkSession, sfDir: String,
+      scales: Seq[Int], dirs: Map[Int, String]): String = {
     val perQuery: Seq[(String, String, Seq[(Double, Long)])] = rampFamilies.flatMap {
       case (fam, qs) => qs.map { q =>
         val qScales =
@@ -290,11 +318,28 @@ object Bench {
     def r3(d: Double) = math.rint(d * 1000) / 1000
     def growth(secs: Seq[Double]): Seq[Double] =
       secs.sliding(2).map { case Seq(a, b) => r3(b / (8 * a)) }.toSeq
+    // Output-normalized step growth: time growth divided by the LARGER of
+    // the input scale factor (8) and the measured output-rows growth —
+    // time may legitimately track input volume OR produced output,
+    // whichever dominates; growth beyond BOTH names a real compute defect.
+    // This is the division the raw step_growth made the reader do by hand
+    // for the quadratic-output pair queries (time growth 1.3–1.5 with rows
+    // grown 70× is output-driven; the same time growth at flat rows is
+    // not). Gate: ≤ ~1 per step for every family.
+    def outNormGrowth(runs: Seq[(Double, Long)]): Seq[Double] =
+      runs.sliding(2).map { case Seq((sa, ra), (sb, rb)) =>
+        val rowsGrowth = rb.toDouble / math.max(1L, ra)
+        r3(sb / (sa * math.max(8.0, rowsGrowth)))
+      }.toSeq
+    def secPer1kRows(runs: Seq[(Double, Long)]): Seq[Double] =
+      runs.map { case (s, r) => r3(s * 1000.0 / math.max(1L, r)) }
     val fullJson = perQuery.map { case (_, q, runs) =>
       val secs = runs.map(_._1)
       s""""$q":{"sec":[${secs.map(r3).mkString(",")}],""" +
         s""""rows":[${runs.map(_._2).mkString(",")}],""" +
-        s""""step_growth":[${growth(secs).mkString(",")}]}"""
+        s""""sec_per_1k_rows":[${secPer1kRows(runs).mkString(",")}],""" +
+        s""""step_growth":[${growth(secs).mkString(",")}],""" +
+        s""""out_norm_growth":[${outNormGrowth(runs).mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val rampArtifact =
       if (scales.last > 64) "BENCH_RAMP_DEEP.json" else "BENCH_RAMP_FULL.json"
@@ -313,17 +358,25 @@ object Bench {
         val denom = 8 * both.map(_(i)._1).sum
         if (denom == 0.0) 0.0 else r3(both.map(_(i + 1)._1).sum / denom)
       }
-      s""""$fam":{"sec":[${famSecs.map(r3).mkString(",")}],"step_growth":[${famSteps.mkString(",")}]}"""
+      val famNorm = scales.indices.dropRight(1).map { i =>
+        val both = famRuns.filter(_.length > i + 1)
+        val (sa, ra) = (both.map(_(i)._1).sum, both.map(_(i)._2).sum)
+        val (sb, rb) = (both.map(_(i + 1)._1).sum, both.map(_(i + 1)._2).sum)
+        val rowsGrowth = rb.toDouble / math.max(1L, ra)
+        if (sa == 0.0) 0.0 else r3(sb / (sa * math.max(8.0, rowsGrowth)))
+      }
+      s""""$fam":{"sec":[${famSecs.map(r3).mkString(",")}],"step_growth":[${famSteps.mkString(",")}],"out_norm_growth":[${famNorm.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     // the offender-naming entry: the steepest FINAL step (the 8×→64× rung,
     // where fixed job overhead no longer flatters the ratio), with the
     // same step's output-rows growth for the output-driven-or-not verdict
-    val (wq, wg, wr) = perQuery.map { case (_, q, runs) =>
+    val (wq, wg, wr, wn) = perQuery.map { case (_, q, runs) =>
       (q, growth(runs.map(_._1)).last,
-        r3(runs.last._2.toDouble / math.max(1L, runs(runs.size - 2)._2)))
+        r3(runs.last._2.toDouble / math.max(1L, runs(runs.size - 2)._2)),
+        outNormGrowth(runs).last)
     }.maxBy(_._2)
     s"""{"scales":[${scales.mkString(",")}],"base":"$sfDir/8","families":$famJson,""" +
-      s""""worst_final_step":{"query":"$wq","growth":$wg,"rows_growth":$wr}}"""
+      s""""worst_final_step":{"query":"$wq","growth":$wg,"rows_growth":$wr,"out_norm_growth":$wn}}"""
   }
 
   def main(args: Array[String]): Unit = {

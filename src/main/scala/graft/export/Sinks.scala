@@ -224,7 +224,18 @@ object Sinks {
               }
             })
           }
-          futures.map { case (name, f) => name -> f.get() }
+          try futures.map { case (name, f) => name -> f.get() }
+          catch {
+            case e: Throwable =>
+              // Quiescent failure: a straggler write job left running after
+              // the export reports failure would keep emitting files while
+              // the caller cleans up. Cancel what hasn't started, interrupt
+              // what has, and wait for the pool to drain before rethrowing.
+              futures.foreach { case (_, f) => f.cancel(true) }
+              pool.shutdownNow()
+              pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+              throw e
+          }
         } finally pool.shutdown()
       }
     val (stem, _) = splitExt(baseOutput)

@@ -46,4 +46,61 @@ object StagedExport {
     Sinks.exportSeparateFilesTimed(Normalizer.allDatasets(staged),
       baseOutput, parallelism = parallelism)
   }
+
+  /** Stage once, then write the full AT-REST WAREHOUSE: every normalized
+    * table (plus the wide shape) as an era-partitioned parquet directory
+    * `<warehouseDir>/<table>/era_number=N/` — the
+    * [[Sinks.writePartitionedByEra]] layout
+    * [[graft.queries.EraViews]]`.registerWarehouse` binds SQL views to,
+    * closing the reference's paste-SQL-against-exported-tables contract
+    * (docs/CLICKHOUSE.md:340+ assumes ClickHouse tables at rest). Same
+    * staged fan-out discipline as [[exportAll]]: one columnar stage, then
+    * concurrent nested-schema-pruned partitioned writes from a bounded
+    * pool, quiescent on failure. */
+  def exportWarehouse(blocks: Dataset[DecodedBlock], stageDir: String,
+      warehouseDir: String, parallelism: Int = 16,
+      stageFiles: Int = 32, stageCodec: String = "zstd"): Unit = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.toDF().coalesce(stageFiles)
+      .write.mode("overwrite").option("compression", stageCodec).parquet(stageDir)
+    val staged = spark.read.parquet(stageDir).as[DecodedBlock]
+    // The child tables' canonical schemas don't carry the partition key;
+    // attach it ARITHMETICALLY (era = slot div slots_per_historical_root,
+    // the reference's own era↔slot identity — EraSlots.eraOfSlot) rather
+    // than joining the blocks frame back in: a narrow per-row projection
+    // instead of a slot-equi join whose build side is the whole block
+    // archive at 100 TB. The identity is per-network, so a warehouse is
+    // single-network by construction (the reference exports per network
+    // too); the decode-vs-arithmetic agreement is spec-pinned.
+    val nets = staged.select(org.apache.spark.sql.functions.col("network"))
+      .distinct().collect().map(_.getString(0))
+    require(nets.length == 1,
+      s"warehouse export is per-network; corpus has ${nets.mkString(", ")}")
+    val spr = graft.config.Networks(nets.head).slotsPerHistoricalRoot
+    def withEra(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("era_number",
+        org.apache.spark.sql.functions.expr(s"slot div $spr"))
+    val tables = Normalizer.allDatasets(staged).toSeq.sortBy(_._1)
+      .map { case (n, df) => n -> withEra(df) } :+
+      ("wide_blocks" -> Normalizer.wideBlocksWithEra(staged))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, tables.size))
+    try {
+      val futures = tables.map { case (name, df) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit =
+            Sinks.writePartitionedByEra(df, s"$warehouseDir/$name")
+        })
+      }
+      try futures.foreach(_.get())
+      catch {
+        case e: Throwable =>
+          futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+          throw e
+      }
+    } finally pool.shutdown()
+  }
 }

@@ -342,6 +342,13 @@ object Normalizer {
     * (export/base.py:59-153): projection + count columns + JSON-embedded
     * children. */
   def wideBlocks(blocks: Dataset[DecodedBlock]): DataFrame =
+    wideBlocksWithEra(blocks).drop("era_number")
+
+  /** [[wideBlocks]] + the `era_number` partition key appended — the shape
+    * the at-rest warehouse stores ([[graft.export.StagedExport.exportWarehouse]]
+    * partitions every table by era; the wide projection is the only one
+    * that doesn't already carry the key). */
+  def wideBlocksWithEra(blocks: Dataset[DecodedBlock]): DataFrame =
     blocks.select(
       col("slot"),
       col("proposer_index"),
@@ -393,5 +400,6 @@ object Normalizer {
       coalesce(size(col("body.execution_payload.withdrawals")), lit(0)).cast("long").as("withdrawal_count"),
       coalesce(size(col("body.execution_requests.deposits")), lit(0)).cast("long").as("deposit_request_count"),
       coalesce(size(col("body.execution_requests.withdrawals")), lit(0)).cast("long").as("withdrawal_request_count"),
-      coalesce(size(col("body.execution_requests.consolidations")), lit(0)).cast("long").as("consolidation_request_count"))
+      coalesce(size(col("body.execution_requests.consolidations")), lit(0)).cast("long").as("consolidation_request_count"),
+      col("era_number"))
 }

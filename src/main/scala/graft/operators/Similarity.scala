@@ -275,6 +275,7 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    driverCollectRows.addAndGet(coarse.length)
     require(coarse.nonEmpty, "two-level coarse centroid set is empty")
     // (2) fine→coarse grouping, distributed over the k-row frame
     val fineGrp = bestCentroid(
@@ -288,6 +289,7 @@ object Similarity {
     val radii: Map[Long, Double] = fineGrp.groupBy(col("grp"))
       .agg(min(col("gcos")).as("mcos"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    driverCollectRows.addAndGet(radii.size)
     // groups with no members (a duplicate coarse vector losing its own
     // tie-break) simply never get probed — their members live elsewhere
     val coarseRad = coarse.flatMap { case (cid, cvec, csq) =>
@@ -513,23 +515,63 @@ object Similarity {
     * the trained centroids stay value-verifiable. */
   val MaxMembersPerCell = 256
 
-  def kmeansCentroids(emb: DataFrame, iters: Int = 2,
-      maxMembersPerCell: Int = MaxMembersPerCell): Array[(Long, Seq[Double], Double)] = {
-    val prep = prepared(emb)
-    kmeansCentroids(prep, collectCentroids(prep), iters, maxMembersPerCell)
+  /** Test seam: rows materialized on the driver by the training/assignment
+    * path since the last reset. Every driver collect in the k-means family
+    * routes its row count through here, so a spec can run one training
+    * iteration at k > [[FlatCentroidMax]] and assert the total driver
+    * state stayed O(√k) — the gate that keeps the r10 flat-assignment
+    * regression (O(N/256) means collected per iteration) from coming
+    * back. Zero-cost in production (one atomic add per collect). */
+  private[graft] val driverCollectRows = new java.util.concurrent.atomic.AtomicLong
+
+  private def ledger[T](rows: Long)(value: T): T = {
+    driverCollectRows.addAndGet(rows); value
   }
 
-  private def kmeansCentroids(prep: DataFrame,
-      init: Array[(Long, Seq[Double], Double)], iters: Int,
-      maxMembersPerCell: Int): Array[(Long, Seq[Double], Double)] = {
-    var cents = init
-    require(cents.nonEmpty, "IVF centroid set is empty")
-    val dims = cents.head._2.size
+  /** Scale-dispatching cell assignment from a centroid FRAME — the
+    * training-loop twin of [[withIvfCellAtScale]]: collects the frame into
+    * the flat argmax only while k ≤ [[FlatCentroidMax]] (driver state
+    * bounded by the constant, the measured-crossover flat regime), and
+    * runs [[bestCentroidTwoLevel]] past it, where the frame never
+    * materializes on the driver. Returns v's columns + `cell`. */
+  private def assignFromFrame(v: DataFrame, centDf: DataFrame, k: Int): DataFrame = {
+    val best =
+      if (k <= FlatCentroidMax) {
+        val cents = centDf.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          .sortBy(_._1)
+        ledger(cents.length)(bestCentroid(v, cents))
+      } else bestCentroidTwoLevel(v, centDf, k)
+    best.withColumn("cell", -col("best").getField("ncid")).drop("best")
+  }
+
+  /** Lloyd's k-means refinement over a centroid FRAME — fully distributed:
+    * per iteration, one scale-dispatched assignment pass over the corpus,
+    * one bounded-sample membership aggregation computing per-cell means,
+    * and one k-row equi-join folding the new means back into the artifact.
+    * NOTHING corpus- or k-sized ever lands on the driver: past
+    * [[FlatCentroidMax]] the assignment is [[bestCentroidTwoLevel]]
+    * (O(√k) coarse rows are the only driver state) and the means stay a
+    * DataFrame joined back by centroid_id — the shape that trains at
+    * FAISS/SemDeDup scale (k = 50k) where the r10 loop's per-iteration
+    * k-row collect would have been O(N/256) driver state. Each iteration
+    * ends in a localCheckpoint: the artifact is k rows, and the cut stops
+    * the assign→join lineage from nesting across iterations (the
+    * ccLabelProp discipline). Means are ordered folds over members sorted
+    * by vec_id (sort_array before the fold), so the trained doubles are
+    * bit-identical in any IEEE engine and across plans — the DuckDB
+    * oracle verifies the training value-for-value. Empty cells keep their
+    * previous centroid (the left-join coalesce). */
+  private[graft] def kmeansCentroidFrame(prep: DataFrame, init: DataFrame,
+      k: Int, iters: Int, maxMembersPerCell: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(prep.sparkSession)
+    val dims = ledger(1)(init.select(size(col("cvec"))).first().getInt(0))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell"))
       .orderBy(call_function("hash64", col("vec_id").cast("string")), col("vec_id"))
+    var centDf = init
     (1 to iters).foreach { _ =>
-      val means = withIvfCell(prep, cents)
+      val means = assignFromFrame(prep, centDf, k)
         // bounded deterministic sample BEFORE the membership collect — the
         // row_number window and the groupBy hash on the same cell key, so
         // the filter adds no extra Exchange
@@ -537,36 +579,55 @@ object Similarity {
         .filter(col("srn") <= maxMembersPerCell)
         .groupBy(col("cell"))
         .agg(expr("sort_array(collect_list(struct(vec_id, vec)))").as("ms"))
-        .select(col("cell"), expr(
+        .select(col("cell").as("centroid_id"), expr(
           s"""transform(sequence(0, ${dims - 1}),
              |  d -> aggregate(ms, cast(0 as double), (acc, m) -> acc + m.vec[d])
-             |       / size(ms))""".stripMargin).as("cvec"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
-      cents = cents.map { case (cid, old, _) =>
-        val nv = means.getOrElse(cid, old)
-        (cid, nv, nv.foldLeft(0.0)((acc, x) => acc + x * x))
-      }
+             |       / size(ms))""".stripMargin).as("mvec"))
+      centDf = centDf.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("mvec"), col("cvec")).as("cvec"))
+        // same left fold the driver loop ran (foldLeft acc + x·x), so the
+        // squared norms are bit-identical to the r10 values
+        .withColumn("csq",
+          expr("aggregate(cvec, cast(0 as double), (acc, x) -> acc + x * x)"))
+        .localCheckpoint()
     }
-    cents
+    centDf
+  }
+
+  /** Array-API wrapper over [[kmeansCentroidFrame]] for callers that
+    * consume the trained set as driver-side literals (small-k pipelines,
+    * the streaming literal path). The terminal collect is the API's
+    * contract, not training state — training itself never materializes
+    * the frame. */
+  def kmeansCentroids(emb: DataFrame, iters: Int = 2,
+      maxMembersPerCell: Int = MaxMembersPerCell): Array[(Long, Seq[Double], Double)] = {
+    val prep = prepared(emb)
+    val k = centroidCount(prep.count())
+    kmeansCentroidFrame(prep, centroidFrame(prep, k), k, iters, maxMembersPerCell)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
   }
 
   /** Trained-centroid summary for the oracle gate: one row per
     * (cell, dim) with the rounded centroid coordinate and the cell's final
-    * member count — value-verifies the whole training loop. */
+    * member count — value-verifies the whole training loop. Frame-based
+    * end to end: the trained artifact is posexploded distributed and the
+    * final assignment pass is scale-dispatched, so the entry works
+    * unchanged in the large-k regime. */
   def kmeansCells(emb: DataFrame, iters: Int = 2): DataFrame = {
     val prep = prepared(emb)
-    val cents = kmeansCentroids(prep, collectCentroids(prep), iters,
+    val k = centroidCount(prep.count())
+    val trained = kmeansCentroidFrame(prep, centroidFrame(prep, k), k, iters,
       MaxMembersPerCell)
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val centroidRows = cents.toSeq.flatMap { case (cid, cvec, _) =>
-      cvec.zipWithIndex.map { case (v, d) => (cid, d.toLong, v) }
-    }.toDF("cell", "dim", "centroid_val")
-    val sizes = withIvfCell(prep, cents)
+    val sizes = assignFromFrame(prep, trained, k)
       .groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
-    centroidRows
+    trained
+      .select(col("centroid_id").as("cell"),
+        posexplode(col("cvec")).as(Seq("dim", "centroid_val")))
       .join(broadcast(sizes), Seq("cell"), "left")
-      .select(col("cell"), col("dim"),
+      .select(col("cell"), col("dim").cast("long").as("dim"),
         round(col("centroid_val"), 6).as("centroid_val"),
         coalesce(col("n_members"), lit(0L)).as("n_members"))
       .orderBy(col("cell"), col("dim"))

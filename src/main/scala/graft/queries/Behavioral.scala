@@ -35,6 +35,41 @@ object Behavioral {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Registry of the per-corpus persisted graph frames below, keyed by
+    * (corpus dir, kind). The cache manager already dedups identical plans,
+    * so within one corpus the five graph queries share one entry — but a
+    * long-lived session that walks MANY corpora would otherwise accumulate
+    * one permanently-cached edge frame per directory. Lifecycle: when a
+    * frame for a NEW dir is requested, entries for every other dir are
+    * unpersisted (non-blocking) and dropped — a session processes one
+    * corpus at a time, which is exactly the bench's and the CLI's shape.
+    * [[clearGraphCaches]] is the explicit hook for callers that want the
+    * memory back immediately. */
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Unpersist and forget every cached graph frame (all corpora). */
+  def clearGraphCaches(): Unit = synchronized {
+    corpusCache.values.foreach(_.unpersist(blocking = false))
+    corpusCache.clear()
+  }
+
+  private def cachedFrame(dir: String, kind: String)(build: => DataFrame): DataFrame =
+    synchronized {
+      val stale = corpusCache.keys.filter(_._1 != dir).toSeq
+      stale.foreach { k =>
+        corpusCache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+      val df = corpusCache.getOrElseUpdate((dir, kind),
+        build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // An external cacheManager.clearCache() (the bench does this between
+      // rungs) drops the storage but leaves the registry entry; re-assert
+      // the level so a registry hit is always actually cached.
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }
+
   /** Distinct (order, part) basket projection — the shared input of every
     * co-purchase graph query — persisted MEMORY_AND_DISK. Five queries
     * build this identical frame (and the self-joins below read it twice
@@ -42,9 +77,10 @@ object Behavioral {
     * all of them share ONE materialization per corpus and repeat
     * invocations reuse it instead of re-running the scan + distinct. */
   private def orderParts(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedFrame(dir, "orderParts") {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    }
 
   /** Directed co-purchase edge list (parts sharing an order ⇒ edge both
     * ways) WITH each source's out-degree: `(src, dst, deg)`, persisted
@@ -63,11 +99,12 @@ object Behavioral {
     * to disk instead of recomputation. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val op = orderParts(s, dir)
-    val e = op.as("a").join(op.as("b"),
-        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-      .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
-    e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cachedFrame(dir, "coPurchaseEdges") {
+      val e = op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src"))
+    }
   }
 
   /** Connected-component labels by min-label propagation WITH pointer

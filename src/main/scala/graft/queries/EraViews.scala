@@ -48,6 +48,45 @@ object EraViews {
   def register(spark: SparkSession): Unit =
     register(spark, EraQueries.blocks(spark))
 
+  /** Bind the SAME views to an AT-REST warehouse directory — the layout
+    * [[graft.export.StagedExport.exportWarehouse]] writes (one
+    * era-partitioned parquet directory per table under `dir`). This is
+    * the other half of the reference's SQL contract: its users paste SQL
+    * against the EXPORTED tables (docs/CLICKHOUSE.md:340-920 assumes
+    * ClickHouse tables on disk), not against an in-session decode — so an
+    * engine swap needs `spark.sql(text)` to run against the warehouse with
+    * no decode in sight. Every `era_sql_*` text here runs unchanged.
+    *
+    * Schema alignment: each view is projected onto the table's canonical
+    * decode schema (derived from an EMPTY dataset — no decode executes)
+    * with `era_number` appended as the LAST column, because `partitionBy`
+    * moves the key to directory names whose read-back type is
+    * directory-inferred (INT, not the decode's BIGINT). The cast/reorder
+    * is a narrow projection; era-ranged predicates still prune partitions
+    * through the cast (UnwrapCastInBinaryComparison strips it before
+    * partition pruning — plan-asserted in `EraWarehouseSpec`). The
+    * partition key stays visible in every view — `WHERE era_number = N`
+    * is the at-rest contract's point-lookup idiom. */
+  def registerWarehouse(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = spark.emptyDataset[DecodedBlock]
+    def bind(name: String, canonical: org.apache.spark.sql.types.StructType): Unit = {
+      val path = s"$dir/$name"
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+        s"warehouse table missing at $path — expected the " +
+          "StagedExport.exportWarehouse layout (<dir>/<table>/era_number=N/)")
+      val ordered = canonical.fields.toSeq.filterNot(_.name == "era_number")
+        .map(f => col(f.name).cast(f.dataType).as(f.name)) :+
+        col("era_number").cast("long").as("era_number")
+      spark.read.parquet(path).select(ordered: _*).createOrReplaceTempView(name)
+    }
+    Normalizer.datasetNames.foreach { name =>
+      bind(name, Normalizer.dataset(empty, name).schema)
+    }
+    bind(WideBlocksView, Normalizer.wideBlocksWithEra(empty).schema)
+  }
+
   private def sql(s: SparkSession, text: String): DataFrame = {
     register(s)
     s.sql(text)

@@ -27,7 +27,7 @@ object CcProfile {
       .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var t0 = System.nanoTime()
-    println(s"[cc] edges: ${e.count()} rows in ${(System.nanoTime() - t0) / 1e9}%s s")
+    println(f"[cc] edges: ${e.count()} rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     for (r <- 0 to 4) {
       t0 = System.nanoTime()
       val n = graft.queries.Behavioral.ccLabelProp(e, r)

@@ -189,6 +189,42 @@ class CellCapSpec extends AnyFunSuite {
     assert(two === flat)
   }
 
+  test("k-means training at k > FlatCentroidMax keeps driver state O(√k)") {
+    import spark.implicits._
+    // the r10 regression this gates: the training loop used to collect the
+    // k-row per-cell means table every iteration — O(N/256) driver state.
+    // The frame-based loop's only driver rows past FlatCentroidMax are the
+    // two-level assignment's coarse set + group radii (each ⌈√k⌉) and the
+    // 1-row dims probe, all routed through the driverCollectRows ledger.
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
+    val prep = spark.range(3000)
+      .map { id => (id, id % 5, vec(id)) }
+      .toDF("vec_id", "label", "vec")
+      .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
+      .filter(col("sq") > 0)
+    val k = 1500
+    assert(k > Similarity.FlatCentroidMax)
+    val init = Similarity.centroidFrame(prep, k)
+    Similarity.driverCollectRows.set(0L)
+    val trained = Similarity.kmeansCentroidFrame(prep, init, k, iters = 1,
+      maxMembersPerCell = 256)
+    val nTrained = trained.count()
+    val collected = Similarity.driverCollectRows.get()
+    val sqrtK = math.ceil(math.sqrt(k.toDouble)).toLong
+    val bound = 4 * sqrtK + 8
+    assert(collected <= bound,
+      s"training collected $collected driver rows; O(√k) bound is $bound (k=$k)")
+    assert(collected > 0L, "ledger saw no collects — the seam is unwired")
+    // the artifact itself stays k rows and the update actually ran: at
+    // least one centroid moved from its init vector
+    assert(nTrained >= k - 10L) // a few ids may fall to the zero-norm filter
+    val moved = trained.as("t")
+      .join(init.as("i"), Seq("centroid_id"))
+      .filter(col("t.cvec") =!= col("i.cvec")).count()
+    assert(moved > 0L, "no centroid moved — the update step is inert")
+  }
+
   test("pair work per block is bounded: capped self-join emits ≤ cap·(cap−1) pairs per block") {
     val cap = 64
     val v = spark.range(500).select(col("id").as("vec_id"), lit(0L).as("cell"))
