@@ -379,6 +379,56 @@ object Bench {
       s""""worst_final_step":{"query":"$wq","growth":$wg,"rows_growth":$wr,"out_norm_growth":$wn}}"""
   }
 
+  /** Era-domain scale ramp (closes the "scale story above one fixture
+    * corpus" gap): decode + staged 15-table export at 1×/4×/16× of a
+    * 12k-block era archive — the top rung is 384 era files / ~197k blocks
+    * / ~2.4 GB, 2× the deep decode corpus — with per-4×-step growth
+    * factors (sec[i+1] / (4·sec[i]); 1.0 = perfectly linear). One era
+    * FILE = one scan partition, so the archive fans out exactly `files`
+    * ways at every rung — `scan_partitions` is recorded next to `files`
+    * so a reader can check the parallelism claim, not take it on faith.
+    * Both measurements are best-of-2 per rung (this sandbox's parquet
+    * write path occasionally stalls 10–20× on page-cache writeback; a
+    * stalled single run would fake a superlinear step). Corpora are
+    * marker-cached under target/ (generated once per machine); the ETL
+    * outputs are temp dirs deleted per run. */
+  private def eraRamp(spark: SparkSession): String = {
+    val rungs = Seq(4, 16, 64) // filesPerFork; ×6 forks, 512 blocks/file
+    def r3(d: Double) = math.rint(d * 1000) / 1000
+    val per = rungs.map { fpf =>
+      val (dir, _) = graft.testkit.BenchEras.ensureGenerated(
+        dir = s"target/bench-eras-ramp$fpf", filesPerFork = fpf,
+        blocksPerFile = 512)
+      val records = spark.read.format("era").load(dir)
+      val parts = records.rdd.getNumPartitions
+      var blocks = 0L
+      System.gc()
+      val decodeSec = best(2) {
+        blocks = graft.operators.Normalizer.decodeBlocks(records).count()
+      }
+      val etlSec = best(2) {
+        val stage = java.nio.file.Files.createTempDirectory("graft-era-ramp-stage").toString
+        val out = java.nio.file.Files.createTempDirectory("graft-era-ramp-out").toString
+        try graft.export.StagedExport.exportAll(
+          graft.operators.Normalizer.decodeBlocks(records),
+          s"$stage/blocks", s"$out/out.parquet")
+        finally { deleteRecursively(stage); deleteRecursively(out) }
+      }
+      (fpf * 6, parts, blocks, decodeSec, etlSec)
+    }
+    def growth(xs: Seq[Double]) =
+      xs.sliding(2).map { case Seq(a, b) => r3(b / (4 * a)) }.toSeq
+    val decodeSecs = per.map(_._4)
+    val etlSecs = per.map(_._5)
+    s"""{"scales":[1,4,16],"files":[${per.map(_._1).mkString(",")}],""" +
+      s""""scan_partitions":[${per.map(_._2).mkString(",")}],""" +
+      s""""blocks":[${per.map(_._3).mkString(",")}],""" +
+      s""""decode_sec":[${decodeSecs.map(r3).mkString(",")}],""" +
+      s""""decode_step_growth":[${growth(decodeSecs).mkString(",")}],""" +
+      s""""etl_sec":[${etlSecs.map(r3).mkString(",")}],""" +
+      s""""etl_step_growth":[${growth(etlSecs).mkString(",")}]}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -486,6 +536,12 @@ object Bench {
       else try ramp(spark, sfDir)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
 
+    // era-domain scale ramp (shares the SPARK_GRAFT_RAMP=0 kill switch)
+    val eraRampJson =
+      if (sys.env.get("SPARK_GRAFT_RAMP").contains("0")) "{}"
+      else try eraRamp(spark)
+      catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
+
     // second decode measurement AFTER the sweep+soak: pre/post decode drift
     // on identical code+data within one process bounds the within-run noise.
     System.gc()
@@ -547,7 +603,7 @@ object Bench {
         s""","etl_blocks":$etlBlocks""" +
         s""","etl_per_table_sec":${etlPerTable.toSeq.sortBy(-_._2._2)
           .map { case (n, (_, s)) => s""""$n":${r3(s)}""" }.mkString("{", ",", "}")}""" +
-        s""","soak":$soakJson,"ramp":$rampJson}""")
+        s""","soak":$soakJson,"ramp":$rampJson,"era_ramp":$eraRampJson}""")
     spark.stop()
   }
 }

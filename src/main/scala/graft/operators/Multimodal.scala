@@ -27,12 +27,19 @@ case class MediaFeatures(
  * The Spark-side plumbing is real — typed `Dataset[MediaRow]`,
  * `mapPartitions` batch iteration (one decoder instantiation per partition,
  * the shape a JNI/FFI media codec needs), explode for frame sampling,
- * binary-safe schemas. The *codec itself* is a STUB: this container has no
- * image/audio libraries, so `decodeAndFeaturize` computes a deterministic
- * fake feature vector (per-chunk byte checksums) where a real pipeline
- * would call e.g. libjpeg/ffmpeg. The stub is deterministic and
- * byte-defined, so even this stage is value-verified against the DuckDB
- * oracle.
+ * binary-safe schemas. The codec story splits by kind:
+ *  - **image rows carry REAL PNGs and take a REAL decode**: payloads are
+ *    deterministic synthetic PNGs (pixel channels are a closed-form
+ *    function of (media_id, x, y)) and `decodeAndFeaturize` runs them
+ *    through `javax.imageio.ImageIO` — an actual compressed-image decode,
+ *    JDK-only. Because PNG is lossless, the decoded pixel statistics must
+ *    equal the generator's closed form, which is exactly what the DuckDB
+ *    oracle computes — so the oracle gate value-verifies a genuine
+ *    encode→decode round trip, not a checksum of opaque bytes.
+ *  - **audio/video stay a STUB**: this container has no audio/video
+ *    libraries, so those kinds keep the deterministic per-chunk byte
+ *    checksum where a real pipeline would call ffmpeg — byte-defined, so
+ *    still oracle-verified.
  *
  * Scale: media rows are large (payload-dominated). Everything here is a
  * narrow map — no shuffle; at 100 TB the payload column stays columnar
@@ -43,17 +50,64 @@ object Multimodal {
 
   val FeatureDims = 8
 
-  /** Derive a deterministic media table from the `documents` corpus: the
-    * text bytes play the role of an opaque media payload. */
+  /** Per-channel (xMult, yMult) for the synthetic raster: channel value at
+    * (x, y) = (media_id % 251 + xMult·x + yMult·y) % 256 for R, G, B.
+    * Shared with the DuckDB oracle builders so the closed form and the
+    * PNG generator cannot silently desynchronize. */
+  val ChannelMults: Seq[(Int, Int)] = Seq((3, 5), (7, 11), (13, 17))
+
+  /** The closed-form pixel channel (see [[ChannelMults]]). */
+  def pixelValue(mediaId: Long, xm: Int, ym: Int, x: Int, y: Int): Int =
+    (((mediaId % 251) + xm.toLong * x + ym.toLong * y) % 256).toInt
+
+  /** Encode the synthetic raster for `mediaId` as a real PNG. */
+  private[graft] def pngBytes(mediaId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = pixelValue(mediaId, 3, 5, x, y)
+        val g = pixelValue(mediaId, 7, 11, x, y)
+        val b = pixelValue(mediaId, 13, 17, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val pngPayload =
+    udf((id: Long, w: Int, h: Int) => pngBytes(id, w, h))
+
+  /** Derive a deterministic media table from the `documents` corpus:
+    * image rows get a synthetic PNG payload ([[pngBytes]]); audio/video
+    * keep the text bytes as an opaque stand-in payload. The conditional
+    * keeps the PNG encoder out of metadata-only plans — a query that
+    * never touches `payload` (or touches it only behind a kind guard)
+    * never runs the encoder. */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
       element_at(typedLit(Seq("image", "audio", "video")),
         (col("doc_id") % 3).cast("int") + 1).as("kind"),
-      trim(col("text")).cast("binary").as("payload"),
+      trim(col("text")).cast("binary").as("raw_payload"),
       (lit(32) + col("n_chars") % 97).cast("int").as("width"),
       (lit(32) + col("n_chars") % 53).cast("int").as("height"),
       (col("n_chars") * 40).cast("long").as("duration_ms"))
+    .select(
+      col("media_id"),
+      col("kind"),
+      when(col("kind") === "image",
+        pngPayload(col("media_id"), col("width"), col("height")))
+        .otherwise(col("raw_payload")).as("payload"),
+      col("width"),
+      col("height"),
+      col("duration_ms"))
 
   def mediaDataset(docs: DataFrame): Dataset[MediaRow] = {
     val spark = docs.sparkSession
@@ -61,32 +115,74 @@ object Multimodal {
     mediaTable(docs).as[MediaRow]
   }
 
-  /** STUB decode + feature extraction. A real implementation decodes the
-    * payload with a media library and emits embeddings; here the "decode"
-    * is a deterministic per-chunk checksum so the plumbing (typed
-    * mapPartitions over binary, fixed-width feature output) is exercised
-    * and verifiable end-to-end. */
+  /** Decode + feature extraction. Image rows take a REAL codec pass:
+    * `ImageIO.read` decompresses the PNG payload and the features are
+    * decoded-pixel statistics — [width, height, meanR, meanG, meanB,
+    * meanLuma, minLuma, maxLuma] (luma = 0.299R + 0.587G + 0.114B;
+    * channel means are exact integer sums divided once, so the doubles
+    * are order-independent and bit-stable; meanLuma is the linear
+    * combination of the channel means, computed identically in the
+    * oracle). Audio/video keep the deterministic per-chunk byte checksum
+    * stub (no audio/video libraries in this environment — a real pipeline
+    * swaps in ffmpeg here); `n_bytes` reports DECODED content size for
+    * images (w·h·3 from the decoded raster — evidence the decode ran)
+    * and payload size for the stubbed kinds. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
-      // per-partition init — where a real codec/context would be created once
+      // per-partition init — where a real codec/context would be created
+      // once; for ImageIO: keep the decoder off its disk-backed cache
+      javax.imageio.ImageIO.setUseCache(false)
       rows.map { m =>
-        val bytes = m.payload
-        val n = bytes.length
-        val chunkLen = math.max((n + FeatureDims - 1) / FeatureDims, 1)
-        val feats = Array.tabulate(FeatureDims) { j =>
-          val from = j * chunkLen
-          val until = math.min(from + chunkLen, n)
-          if (from >= n) 0.0
-          else {
-            var s = 0L
-            var i = from
-            while (i < until) { s += (bytes(i) & 0xff); i += 1 }
-            (s % 1000L) / 999.0
+        if (m.kind == "image") {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, s"media ${m.media_id}: payload is not a decodable image")
+          val w = img.getWidth
+          val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var minL = Double.MaxValue; var maxL = Double.MinValue
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sr += r; sg += g; sb += b
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              if (luma < minL) minL = luma
+              if (luma > maxL) maxL = luma
+              x += 1
+            }
+            y += 1
           }
+          val n = w.toLong * h
+          val mr = sr.toDouble / n
+          val mg = sg.toDouble / n
+          val mb = sb.toDouble / n
+          MediaFeatures(m.media_id, m.kind, n * 3,
+            Array(w.toDouble, h.toDouble, mr, mg, mb,
+              0.299 * mr + 0.587 * mg + 0.114 * mb, minL, maxL))
+        } else {
+          val bytes = m.payload
+          val n = bytes.length
+          val chunkLen = math.max((n + FeatureDims - 1) / FeatureDims, 1)
+          val feats = Array.tabulate(FeatureDims) { j =>
+            val from = j * chunkLen
+            val until = math.min(from + chunkLen, n)
+            if (from >= n) 0.0
+            else {
+              var s = 0L
+              var i = from
+              while (i < until) { s += (bytes(i) & 0xff); i += 1 }
+              (s % 1000L) / 999.0
+            }
+          }
+          MediaFeatures(m.media_id, m.kind, n.toLong, feats)
         }
-        MediaFeatures(m.media_id, m.kind, n.toLong, feats)
       }
     }
   }
@@ -101,13 +197,19 @@ object Multimodal {
   }
 
   /** Metadata-only rollup — at rest this prunes the payload column
-    * entirely (check ReadSchema in the plan). */
+    * entirely (check ReadSchema in the plan). `total_bytes` reports
+    * logical CONTENT size: the decoded raster (w·h·3) for images — a pure
+    * metadata computation, so the rollup never touches the PNG bytes —
+    * and payload size for the stubbed kinds (whose payload IS the
+    * content). */
   def metaSummary(docs: DataFrame): DataFrame =
     mediaTable(docs)
       .groupBy(col("kind"))
       .agg(
         count(lit(1)).as("n"),
-        sum(octet_length(col("payload"))).as("total_bytes"),
+        sum(when(col("kind") === "image",
+            col("width").cast("long") * col("height") * 3L)
+          .otherwise(octet_length(col("payload")).cast("long"))).as("total_bytes"),
         round(avg(col("width")), 4).as("avg_width"),
         round(avg(col("height")), 4).as("avg_height"),
         round(avg(col("duration_ms")), 4).as("avg_duration_ms"))

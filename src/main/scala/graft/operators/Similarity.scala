@@ -534,7 +534,7 @@ object Similarity {
     * bounded by the constant, the measured-crossover flat regime), and
     * runs [[bestCentroidTwoLevel]] past it, where the frame never
     * materializes on the driver. Returns v's columns + `cell`. */
-  private def assignFromFrame(v: DataFrame, centDf: DataFrame, k: Int): DataFrame = {
+  private[graft] def assignFromFrame(v: DataFrame, centDf: DataFrame, k: Int): DataFrame = {
     val best =
       if (k <= FlatCentroidMax) {
         val cents = centDf.collect()

@@ -449,6 +449,11 @@ object EraOracle {
     * reference, so the two surfaces can never drift apart silently. */
   private val sqlSurfaceTwins: Map[String, String] = Map(
     "era_sql_daily_activity" -> "era_daily_activity",
+    // warehouse-backed runs of the same texts: identical oracle — the
+    // at-rest layout must answer exactly what the in-session decode does
+    "era_sql_wh_daily_activity" -> "era_daily_activity",
+    "era_sql_wh_attestation_participation" -> "era_attestation_participation",
+    "era_sql_wh_exits_monthly" -> "era_exits_monthly",
     "era_sql_slot_gaps" -> "era_slot_gaps",
     "era_sql_attestation_participation" -> "era_attestation_participation",
     "era_sql_exits_monthly" -> "era_exits_monthly",

@@ -92,6 +92,35 @@ object EraViews {
     s.sql(text)
   }
 
+  /** Lazily-built fixture WAREHOUSE (the exportWarehouse layout in a temp
+    * directory, one per JVM, removed on exit): the `era_sql_wh_*` queries
+    * run the SAME ClickHouse-derived texts against the AT-REST views, so
+    * the driver's oracle gate checks the full contract end to end —
+    * decode → partitioned export → SQL over the exported tables — not
+    * just the in-session half. */
+  @volatile private var fixtureWarehouse: String = _
+  private def warehouseDir(s: SparkSession): String = synchronized {
+    if (fixtureWarehouse == null) {
+      val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
+      graft.export.StagedExport.exportWarehouse(EraQueries.blocks(s),
+        s"$root/stage", s"$root/wh", parallelism = 8, stageFiles = 8)
+      sys.addShutdownHook {
+        import java.nio.file.{Files, Paths}
+        val p = Paths.get(root)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+      }
+      fixtureWarehouse = s"$root/wh"
+    }
+    fixtureWarehouse
+  }
+
+  private def sqlWarehouse(s: SparkSession, text: String): DataFrame = {
+    registerWarehouse(s, warehouseDir(s))
+    s.sql(text)
+  }
+
   /** Register the era-state bookkeeping views: `era_completion` is the
     * latest-state read (the reference's argmax-by-version semantics —
     * ClickHouse ReplacingMergeTree FINAL), `era_completion_log` the raw
@@ -468,6 +497,13 @@ object EraViews {
     "era_sql_slot_gaps" -> ((s, _) => sql(s, SlotGapsSql)),
     "era_sql_attestation_participation" ->
       ((s, _) => sql(s, AttestationParticipationSql)),
+    // the same texts against the AT-REST warehouse views — the
+    // paste-SQL-against-exported-tables half of the reference contract,
+    // oracle-gated with the identical DuckDB SQL as the decode-backed twins
+    "era_sql_wh_daily_activity" -> ((s, _) => sqlWarehouse(s, DailyActivitySql)),
+    "era_sql_wh_attestation_participation" ->
+      ((s, _) => sqlWarehouse(s, AttestationParticipationSql)),
+    "era_sql_wh_exits_monthly" -> ((s, _) => sqlWarehouse(s, ExitsMonthlySql)),
     "era_sql_exits_monthly" -> ((s, _) => sql(s, ExitsMonthlySql)),
     "era_sql_tx_fee_recipients" -> ((s, _) => sql(s, TxFeeRecipientsSql)),
     "era_sql_sync_participation" -> ((s, _) => sql(s, SyncParticipationSql)),

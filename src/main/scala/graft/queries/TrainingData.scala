@@ -338,6 +338,16 @@ object TrainingData {
   private val stopArr =
     s"[${TextAnalysis.Stopwords.map(s => s"'$s'").mkString(",")}]"
 
+  /** Synthetic-raster channel expressions (mirrors Multimodal.pixelValue /
+    * ChannelMults — interpolated from the operator's constants so the
+    * generator and the oracle cannot desynchronize). */
+  private val imgChannelCols: String = {
+    val Seq((rx, ry), (gx, gy), (bx, by)) = Multimodal.ChannelMults
+    Seq(("r", rx, ry), ("g", gx, gy), ("b", bx, by)).map { case (c, xm, ym) =>
+      s"(((media_id % 251) + $xm * x.i + $ym * y.j) % 256)::BIGINT AS $c"
+    }.mkString(",\n         ")
+  }
+
   /** f0..f7 checksum features (mirrors Multimodal.decodeAndFeaturize). */
   private val featureCols: String = (0 until Multimodal.FeatureDims).map { j =>
     val sum = fold(
@@ -2571,20 +2581,52 @@ object TrainingData {
     "mm_decode_meta" ->
       s"""WITH $mediaCte
          |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
-         |       CAST(SUM(strlen(payload)) AS BIGINT) AS total_bytes,
+         |       CAST(SUM(CASE WHEN kind = 'image'
+         |                     THEN width::BIGINT * height * 3
+         |                     ELSE strlen(payload) END) AS BIGINT) AS total_bytes,
          |       ROUND(AVG(width), 4) AS avg_width,
          |       ROUND(AVG(height), 4) AS avg_height,
          |       ROUND(AVG(duration_ms), 4) AS avg_duration_ms
          |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
 
+    // Image rows: the Spark side ImageIO-decodes a real PNG; PNG is
+    // lossless, so the decoded pixel statistics must equal the synthetic
+    // raster's closed form, which is what this computes — green here IS
+    // the proof the codec round trip recovered every pixel. Coefficients
+    // forced ::DOUBLE (DuckDB parses bare 0.299 as DECIMAL) so the luma
+    // arithmetic is the identical IEEE expression the operator runs.
     "mm_features" ->
       s"""WITH $mediaCte,
+         |xs AS (SELECT unnest(range(0, 32 + 97)) AS i),
+         |ys AS (SELECT unnest(range(0, 32 + 53)) AS j),
+         |px AS (
+         |  SELECT media_id,
+         |         $imgChannelCols
+         |  FROM m, xs x, ys y
+         |  WHERE m.kind = 'image' AND x.i < m.width AND y.j < m.height),
+         |ist AS (
+         |  SELECT media_id,
+         |         SUM(r)::DOUBLE / COUNT(*) AS mr,
+         |         SUM(g)::DOUBLE / COUNT(*) AS mg,
+         |         SUM(b)::DOUBLE / COUNT(*) AS mb,
+         |         MIN(0.299::DOUBLE * r + 0.587::DOUBLE * g + 0.114::DOUBLE * b) AS minl,
+         |         MAX(0.299::DOUBLE * r + 0.587::DOUBLE * g + 0.114::DOUBLE * b) AS maxl
+         |  FROM px GROUP BY media_id),
+         |img AS (
+         |  SELECT m.media_id, m.kind,
+         |         (m.width::BIGINT * m.height * 3) AS n_bytes,
+         |         ROUND(m.width::DOUBLE, 6) AS f0, ROUND(m.height::DOUBLE, 6) AS f1,
+         |         ROUND(mr, 6) AS f2, ROUND(mg, 6) AS f3, ROUND(mb, 6) AS f4,
+         |         ROUND(0.299::DOUBLE * mr + 0.587::DOUBLE * mg + 0.114::DOUBLE * mb, 6) AS f5,
+         |         ROUND(minl, 6) AS f6, ROUND(maxl, 6) AS f7
+         |  FROM m JOIN ist USING (media_id)),
          |m2 AS (SELECT media_id, kind, payload, strlen(payload) AS n,
          |              greatest((strlen(payload) + 7) // 8, 1) AS cl
-         |       FROM m)
-         |SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+         |       FROM m WHERE kind <> 'image'),
+         |av AS (SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
          |       $featureCols
-         |FROM m2 ORDER BY media_id""".stripMargin,
+         |       FROM m2)
+         |SELECT * FROM img UNION ALL SELECT * FROM av ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH $mediaCte,

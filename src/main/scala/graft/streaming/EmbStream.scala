@@ -49,6 +49,38 @@ object EmbStream {
       .drop("best", "vec", "sq")
   }
 
+  /** Large-artifact ingest — the seam [[withCell]]'s guard points at when
+    * the centroid set outgrows the literal plan: assignment happens INSIDE
+    * `foreachBatch`, where each micro-batch is a bounded BATCH frame, so
+    * the full scale-dispatched kernel applies unchanged (broadcast argmax
+    * while k ≤ FlatCentroidMax, the exact two-level plan past it — O(√k)
+    * driver state, centroid table never collected). A stream against a
+    * production-sized artifact (FAISS-scale k) therefore ingests instead
+    * of erroring, and stays bit-identical to the batch assignment — same
+    * kernel, same (score, −id) tie-break; spec-pinned against the flat
+    * argmax. `sink` receives each assigned micro-batch (input columns +
+    * `cell`) with its batch id — the per-batch append to the
+    * cell-partitioned table at rest. */
+  def ingestLargeK(embs: DataFrame, centDf: DataFrame, k: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    embs.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(assignBatch(batch.toDF(), centDf, k), batchId)
+      }.start()
+
+  /** The batch-side assignment [[ingestLargeK]] shares with an offline
+    * backfill: prep + scale-dispatched cell assignment from the centroid
+    * FRAME. Output: input columns + `cell`. */
+  def assignBatch(batch: DataFrame, centDf: DataFrame, k: Int): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(batch.sparkSession)
+    val prepped = batch
+      .withColumn("vec", col("embedding").cast("array<double>"))
+      .withColumn("sq", graft.functions.VectorMath.normSq("vec"))
+      .filter(col("sq") > 0)
+    graft.operators.Similarity.assignFromFrame(prepped, centDf, k)
+      .drop("vec", "sq")
+  }
+
   /** Per-(window, cell) ingest accounting with an occupancy alarm: arriving
     * vectors are assigned via [[withCell]] and counted per tumbling window;
     * a cell ingesting more than `hotCellThreshold` vectors in one window is

@@ -88,6 +88,23 @@ class BehavioralSpec extends AnyFunSuite {
     assert(sizes.sum <= nNodes)
   }
 
+  test("cc convergence flag: active final round reports false, quiet one true") {
+    import spark.implicits._
+    import graft.queries.Behavioral
+    // the reach-boundary path: distance 15 resolves exactly IN round 4, so
+    // the schedule is exact but still actively changing labels — a caller
+    // must NOT read exactness as convergence
+    val pathE = (1L until 16L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = pathE.toDF("src", "dst")
+    val (l4, c4) = Behavioral.ccLabelPropRun(edges, rounds = 4)
+    assert(!c4, "round 4 still moved labels on the boundary path")
+    assert(l4.collect().forall(_.getLong(1) === 1L)) // yet already exact
+    // one more sweep is a witnessed no-op
+    val (l5, c5) = Behavioral.ccLabelPropRun(edges, rounds = 5)
+    assert(c5, "round 5 changed nothing and must witness the fixed point")
+    assert(l5.collect().forall(_.getLong(1) === 1L))
+  }
+
   test("degree stats: handshake lemma — sum(deg*n_nodes) counts each edge twice") {
     import org.apache.spark.sql.functions._
     val rows = run("graph_degree_stats").collect()

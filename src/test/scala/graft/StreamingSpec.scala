@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -147,6 +148,58 @@ class StreamingSpec extends AnyFunSuite {
       .select("vec_id", "cell")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(assigned === Map(1L -> 0L, 4L -> 1L))
+  }
+
+  test("large-k ingest: foreachBatch two-level assignment equals the flat batch argmax") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.{EmbStream, StreamEmb}
+    import graft.operators.Similarity
+    // a production-sized artifact: k far past LiteralCentroidMax (the
+    // literal withCell refuses it — guard-tested below) and past
+    // FlatCentroidMax, so the per-batch assignment runs the exact
+    // two-level plan with O(√k) driver state
+    val k = 1500
+    assert(k > Similarity.FlatCentroidMax)
+    def dvec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
+    val cents = (0 until k).map { c =>
+      val cv = dvec(c * 977L + 3)
+      (c.toLong, cv, cv.map(x => x * x).sum)
+    }
+    val centDf = cents.toDF("centroid_id", "cvec", "csq")
+    def emb(id: Long) = StreamEmb(id, dvec(id).map(_.toFloat), (id % 5).toInt,
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + id * 1000L))
+    val out = scala.collection.mutable.Map.empty[Long, Long]
+    val mem = MemoryStream[StreamEmb]
+    val q = EmbStream.ingestLargeK(mem.toDF(), centDf, k) { (df, _) =>
+      df.select("vec_id", "cell").collect()
+        .foreach(r => out.synchronized { out(r.getLong(0)) = r.getLong(1) })
+    }
+    try {
+      mem.addData((0L until 250L).map(emb): _*)
+      q.processAllAvailable()
+      mem.addData((250L until 300L).map(emb): _*) // a second micro-batch
+      q.processAllAvailable()
+    } finally q.stop()
+    // ground truth: the FLAT broadcast argmax over the identical
+    // (float-widened) vectors — an independent plan, bit-identical by the
+    // two-level exactness property
+    val v = (0L until 300L)
+      .map(id => (id, dvec(id).map(_.toFloat).map(_.toDouble)))
+      .toDF("vec_id", "vec")
+      .withColumn("sq", graft.functions.VectorMath.normSq("vec"))
+      .filter(col("sq") > 0)
+    val flat = Similarity.bestCentroid(v, cents.toArray, literal = false)
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty && out.toMap === flat)
+    // and the literal path still refuses an artifact this size
+    val err = intercept[IllegalArgumentException] {
+      EmbStream.withCell(Seq(emb(0)).toDF(),
+        cents.toArray.map { case (id, cv, sq) => (id, cv, sq) })
+    }
+    assert(err.getMessage.contains("two-level"))
   }
 
   test("streaming exact dedup emits only the first copy of each content digest") {

@@ -651,15 +651,45 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal stub decode is deterministic and batch-shaped") {
+  test("multimodal decode is deterministic and batch-shaped; image rows carry real decoded stats") {
     val f1 = Multimodal.featuresFlat(docs).collect()
     val f2 = Multimodal.featuresFlat(docs.repartition(7)).collect()
     assert(f1.map(_.toSeq).toSet === f2.map(_.toSeq).toSet) // partitioning-invariant
     f1.foreach { r =>
-      (3 until 11).foreach { i =>
-        val v = r.getDouble(i)
-        assert(v >= 0.0 && v <= 1.0)
+      if (r.getString(1) == "image") {
+        // f0/f1 are the ImageIO-decoded dimensions; n_bytes the raster size
+        val w = r.getDouble(3); val h = r.getDouble(4)
+        assert(w >= 32.0 && h >= 32.0)
+        assert(r.getLong(2) === (w * h * 3).toLong)
+        // channel means and luma extrema live on the pixel scale
+        (5 until 11).foreach { i =>
+          val v = r.getDouble(i)
+          assert(v >= 0.0 && v < 256.0)
+        }
+        assert(r.getDouble(9) <= r.getDouble(10)) // minLuma ≤ maxLuma
+      } else {
+        (3 until 11).foreach { i =>
+          val v = r.getDouble(i)
+          assert(v >= 0.0 && v <= 1.0)
+        }
       }
+    }
+  }
+
+  test("PNG round trip: ImageIO decode recovers the synthetic raster exactly") {
+    // lossless-codec ground truth, no Spark in the loop: encode the
+    // closed-form raster, decode it back, compare every pixel
+    val (id, w, h) = (42L, 37, 21)
+    val png = Multimodal.pngBytes(id, w, h)
+    assert(png.take(8).map(_ & 0xff).toSeq === Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "payload is not a real PNG stream")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) === Multimodal.pixelValue(id, 3, 5, x, y))
+      assert(((rgb >> 8) & 0xff) === Multimodal.pixelValue(id, 7, 11, x, y))
+      assert((rgb & 0xff) === Multimodal.pixelValue(id, 13, 17, x, y))
     }
   }
 
