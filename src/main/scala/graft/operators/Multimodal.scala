@@ -36,10 +36,16 @@ case class MediaFeatures(
  *    equal the generator's closed form, which is exactly what the DuckDB
  *    oracle computes — so the oracle gate value-verifies a genuine
  *    encode→decode round trip, not a checksum of opaque bytes.
- *  - **audio/video stay a STUB**: this container has no audio/video
- *    libraries, so those kinds keep the deterministic per-chunk byte
- *    checksum where a real pipeline would call ffmpeg — byte-defined, so
- *    still oracle-verified.
+ *  - **audio rows carry REAL WAVs and take a REAL decode**: payloads are
+ *    synthetic 16-bit PCM mono WAV files (sample i is a closed-form
+ *    function of media_id) and `decodeAndFeaturize` runs them through
+ *    `javax.sound.sampled.AudioSystem` — an actual audio-container
+ *    decode, JDK-only. PCM is lossless, so the decoded sample statistics
+ *    must equal the generator's closed form, which the DuckDB oracle
+ *    computes independently.
+ *  - **video stays a STUB**: the JDK has no video codec and this container
+ *    has no ffmpeg, so video rows keep the deterministic per-chunk byte
+ *    checksum — byte-defined, so still oracle-verified.
  *
  * Scale: media rows are large (payload-dominated). Everything here is a
  * narrow map — no shuffle; at 100 TB the payload column stays columnar
@@ -84,12 +90,56 @@ object Multimodal {
   private val pngPayload =
     udf((id: Long, w: Int, h: Int) => pngBytes(id, w, h))
 
+  /** Audio closed form, shared with the DuckDB oracle builders: the track
+    * for `media_id` has `AudioBaseSamples + media_id % AudioSampleMod`
+    * 16-bit samples, and sample i is
+    * `(media_id % 65521 + 73·i² + 131·i) % 65536 − 32768`. */
+  val AudioBaseSamples = 400
+  val AudioSampleMod = 251
+  val AudioSampleRate = 8000f
+
+  def audioSampleCount(mediaId: Long): Int =
+    (AudioBaseSamples + mediaId % AudioSampleMod).toInt
+
+  def audioSampleValue(mediaId: Long, i: Int): Int =
+    (((mediaId % 65521) + 73L * i * i + 131L * i) % 65536L - 32768L).toInt
+
+  /** The same closed form as a SQL expression over a `media_id` column and
+    * the sample-index expression `iExpr` — interpolated into the DuckDB
+    * oracle so the generator and the oracle share one formula. */
+  def audioSampleValueSql(iExpr: String): String =
+    s"((media_id % 65521) + 73 * $iExpr * $iExpr + 131 * $iExpr) % 65536 - 32768"
+
+  /** Encode the synthetic track for `mediaId` as a real WAV container
+    * (RIFF header + 16-bit little-endian PCM) via `javax.sound.sampled`. */
+  private[graft] def wavBytes(mediaId: Long): Array[Byte] = {
+    val n = audioSampleCount(mediaId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = audioSampleValue(mediaId, i)
+      pcm(i * 2) = (v & 0xff).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      AudioSampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val wavPayload = udf((id: Long) => wavBytes(id))
+
   /** Derive a deterministic media table from the `documents` corpus:
-    * image rows get a synthetic PNG payload ([[pngBytes]]); audio/video
-    * keep the text bytes as an opaque stand-in payload. The conditional
-    * keeps the PNG encoder out of metadata-only plans — a query that
-    * never touches `payload` (or touches it only behind a kind guard)
-    * never runs the encoder. */
+    * image rows get a synthetic PNG payload ([[pngBytes]]), audio rows a
+    * synthetic WAV payload ([[wavBytes]]); video keeps the text bytes as
+    * an opaque stand-in payload. The conditional keeps the encoders out
+    * of metadata-only plans — a query that never touches `payload` (or
+    * touches it only behind a kind guard) never runs them. */
   def mediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").as("media_id"),
@@ -104,6 +154,7 @@ object Multimodal {
       col("kind"),
       when(col("kind") === "image",
         pngPayload(col("media_id"), col("width"), col("height")))
+        .when(col("kind") === "audio", wavPayload(col("media_id")))
         .otherwise(col("raw_payload")).as("payload"),
       col("width"),
       col("height"),
@@ -122,11 +173,17 @@ object Multimodal {
     * channel means are exact integer sums divided once, so the doubles
     * are order-independent and bit-stable; meanLuma is the linear
     * combination of the channel means, computed identically in the
-    * oracle). Audio/video keep the deterministic per-chunk byte checksum
-    * stub (no audio/video libraries in this environment — a real pipeline
-    * swaps in ffmpeg here); `n_bytes` reports DECODED content size for
-    * images (w·h·3 from the decoded raster — evidence the decode ran)
-    * and payload size for the stubbed kinds. */
+    * oracle). Audio rows take a REAL codec pass too: `AudioSystem`
+    * parses the WAV container, the PCM frames are read back and the
+    * features are decoded-sample statistics — [n_samples, sampleRate,
+    * mean, meanAbs, min, max, zeroCrossings, rms] (integer sums divided
+    * once; rms is one sqrt of an exact ratio — the identical IEEE
+    * expression the oracle runs). Video keeps the deterministic
+    * per-chunk byte checksum stub (no video codec in the JDK or this
+    * environment — a real pipeline swaps in ffmpeg here); `n_bytes`
+    * reports DECODED content size for images (w·h·3) and audio (2·frames
+    * from the decoded stream — evidence the decode ran) and payload size
+    * for the stubbed kind. */
   def decodeAndFeaturize(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -166,6 +223,32 @@ object Multimodal {
           MediaFeatures(m.media_id, m.kind, n * 3,
             Array(w.toDouble, h.toDouble, mr, mg, mb,
               0.299 * mr + 0.587 * mg + 0.114 * mb, minL, maxL))
+        } else if (m.kind == "audio") {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+            !fmt.isBigEndian, s"media ${m.media_id}: unexpected decoded format $fmt")
+          val pcm = ais.readAllBytes()
+          ais.close()
+          val n = pcm.length / 2
+          var sum = 0L; var sumAbs = 0L; var sumSq = 0L
+          var minV = Int.MaxValue; var maxV = Int.MinValue
+          var zc = 0L; var prev = 0; var i = 0
+          while (i < n) {
+            val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+            sum += v; sumAbs += math.abs(v).toLong; sumSq += v.toLong * v
+            if (v < minV) minV = v
+            if (v > maxV) maxV = v
+            if (i > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) zc += 1
+            prev = v
+            i += 1
+          }
+          MediaFeatures(m.media_id, m.kind, n.toLong * 2,
+            Array(n.toDouble, fmt.getSampleRate.toDouble,
+              sum.toDouble / n, sumAbs.toDouble / n,
+              minV.toDouble, maxV.toDouble, zc.toDouble,
+              math.sqrt(sumSq.toDouble / n)))
         } else {
           val bytes = m.payload
           val n = bytes.length
@@ -198,10 +281,10 @@ object Multimodal {
 
   /** Metadata-only rollup — at rest this prunes the payload column
     * entirely (check ReadSchema in the plan). `total_bytes` reports
-    * logical CONTENT size: the decoded raster (w·h·3) for images — a pure
-    * metadata computation, so the rollup never touches the PNG bytes —
-    * and payload size for the stubbed kinds (whose payload IS the
-    * content). */
+    * logical CONTENT size: the decoded raster (w·h·3) for images and the
+    * PCM frames (2·samples) for audio — pure metadata computations, so
+    * the rollup never touches the encoded bytes — and payload size for
+    * the stubbed video kind (whose payload IS the content). */
   def metaSummary(docs: DataFrame): DataFrame =
     mediaTable(docs)
       .groupBy(col("kind"))
@@ -209,6 +292,8 @@ object Multimodal {
         count(lit(1)).as("n"),
         sum(when(col("kind") === "image",
             col("width").cast("long") * col("height") * 3L)
+          .when(col("kind") === "audio",
+            (lit(AudioBaseSamples) + col("media_id") % AudioSampleMod) * 2L)
           .otherwise(octet_length(col("payload")).cast("long"))).as("total_bytes"),
         round(avg(col("width")), 4).as("avg_width"),
         round(avg(col("height")), 4).as("avg_height"),

@@ -676,6 +676,58 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard two-leg
+    * retriever shape (BM25 lexical + embedding semantic, RRF-fused): each
+    * leg ranks the corpus against the SAME query (the fixed
+    * [[TextAnalysis.Bm25Terms]] text — the semantic leg embeds it with the
+    * same feature-hashing bridge the corpus vectors use), the top `legK`
+    * of each leg meet in a full-outer join on doc_id, and the fused score
+    * is Σ 1/(rrfK + rank) over the legs the doc appears in (Cormack et
+    * al.'s RRF, rrfK = 60). Docs absent from a leg report rank −1.
+    *
+    * Scale shape: each leg ends in a global top-k
+    * (TakeOrderedAndProject — per-partition truncation before one k-row
+    * merge), so the only frames past the legs are 2×legK rows; the fusion
+    * join and the final sort are driver-trivial. The corpus is scanned
+    * twice (once per leg) — at 100 TB the legs share nothing but the scan,
+    * so they parallelize as two independent jobs over the same at-rest
+    * data. */
+  val RrfLegK = 50
+  val RrfConst = 60
+
+  def hybridRrfTopK(docs: DataFrame, k: Int = 20, legK: Int = RrfLegK,
+      rrfK: Int = RrfConst, dims: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ranks are assigned AFTER the distributed top-legK truncation; the
+    // row_number windows below therefore sort ≤legK rows on one partition
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25Scores(docs, topK = legK)
+      .withColumn("lex_rank", row_number().over(wLex))
+    val queryText = TextAnalysis.Bm25Terms.mkString(" ")
+    val qv = hashedDense(Seq((-1L, queryText)).toDF("doc_id", "text"), dims)
+      .select(col("vec").as("qvec"), col("sq").as("qsq"))
+    val wSem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("doc_id"))
+    val sem = hashedDense(docs.select(col("doc_id"), col("text")), dims)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", VectorMath.dot("vec", "qvec") / sqrt(col("sq") * col("qsq")))
+      .orderBy(col("cos").desc, col("doc_id")).limit(legK)
+      .withColumn("sem_rank", row_number().over(wSem))
+    lex.select(col("doc_id"), col("lex_rank"))
+      .join(sem.select(col("doc_id"), col("sem_rank")), Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)), 6))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"),
+        coalesce(col("lex_rank").cast("long"), lit(-1L)).as("lex_rank"),
+        coalesce(col("sem_rank").cast("long"), lit(-1L)).as("sem_rank"),
+        col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+  }
+
   /** Greedy k-center (farthest-point-first) coreset selection — the
     * diversity-pruning primitive behind D4-style data curation: pick the
     * vector farthest (cosine distance) from everything selected so far,

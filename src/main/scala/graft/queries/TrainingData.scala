@@ -136,6 +136,7 @@ object TrainingData {
     "sim_dim_stats" -> ((s, dir) => Similarity.dimStats(emb(s, dir))),
     "sim_pair_stats" -> ((s, dir) => Similarity.pairStats(emb(s, dir))),
     "sim_doc_topk" -> ((s, dir) => Similarity.hashedDocTopK(docs(s, dir))),
+    "ret_hybrid_rrf" -> ((s, dir) => Similarity.hybridRrfTopK(docs(s, dir))),
     "sim_topk_lsh" -> ((s, dir) => Similarity.lshTopK(emb(s, dir))),
     "sim_topk_lsh_mp" -> ((s, dir) => Similarity.lshMultiProbeTopK(emb(s, dir))),
     "sim_topk_ivf" -> ((s, dir) => Similarity.ivfTopK(emb(s, dir))),
@@ -2445,6 +2446,72 @@ object TrainingData {
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 
+    // Hybrid retrieval: BM25 leg (identical expressions to text_bm25) +
+    // semantic leg (identical hashed-dense/cosine expressions to
+    // sim_doc_topk, query vector built from the same fixed query text),
+    // fused with reciprocal-rank fusion over the top-legK of each leg.
+    "ret_hybrid_rrf" -> {
+      val cells = (0 until 16)
+        .map(d => s"SUM(CASE WHEN dim = $d THEN val ELSE 0 END)")
+        .mkString("[", ", ", "]::DOUBLE[]")
+      val qterms = TextAnalysis.Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      val legK = Similarity.RrfLegK
+      val rrfK = Similarity.RrfConst
+      s"""WITH $baseCte,
+         |t AS (SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM base),
+         |stats AS (
+         |  SELECT COUNT(*)::DOUBLE AS n_docs, SUM(dl) AS sum_dl,
+         |         ${TextAnalysis.Bm25Terms.map(t =>
+              s"SUM(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)::DOUBLE AS df_$t")
+              .mkString(",\n         ")}
+         |  FROM t),
+         |tf AS (
+         |  SELECT t.doc_id, t.dl, s.n_docs, s.sum_dl,
+         |         ${TextAnalysis.Bm25Terms.map(t => s"s.df_$t AS df_$t").mkString(", ")},
+         |         ${TextAnalysis.Bm25Terms.map(t =>
+              s"len(list_filter(toks, x -> x = '$t'))::DOUBLE AS tf_$t")
+              .mkString(",\n         ")}
+         |  FROM t, stats s),
+         |scored AS (
+         |  SELECT doc_id,
+         |         ROUND(${TextAnalysis.Bm25Terms.map(bm25Term).mkString("\n         + ")}, 4) AS bm25
+         |  FROM tf),
+         |lex AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |  FROM scored WHERE bm25 > 0 QUALIFY lex_rank <= $legK),
+         |f AS (
+         |  SELECT doc_id, ${h64("tok")} % 16 AS dim,
+         |         CASE WHEN ${h64("'s#' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) x WHERE tok <> ''),
+         |fh AS (SELECT doc_id, dim, SUM(sgn) AS val FROM f GROUP BY 1, 2),
+         |dense AS (SELECT doc_id, $cells AS vec FROM fh GROUP BY doc_id),
+         |vv AS (
+         |  SELECT doc_id, vec, ${dotD("vec", "vec", 16)} AS sq FROM dense
+         |  WHERE ${dotD("vec", "vec", 16)} > 0.0),
+         |qf AS (
+         |  SELECT ${h64("tok")} % 16 AS dim,
+         |         CASE WHEN ${h64("'s#' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT unnest($qterms) AS tok) qt),
+         |qfh AS (SELECT dim, SUM(sgn) AS val FROM qf GROUP BY dim),
+         |qv AS (SELECT $cells AS qvec FROM qfh),
+         |qvn AS (SELECT qvec, ${dotD("qvec", "qvec", 16)} AS qsq FROM qv),
+         |cs AS (
+         |  SELECT vv.doc_id,
+         |         ${dotD("vv.vec", "q.qvec", 16)} / sqrt(vv.sq * q.qsq) AS cos
+         |  FROM vv, qvn q),
+         |sem AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+         |  FROM cs QUALIFY sem_rank <= $legK),
+         |fu AS (
+         |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+         |         ROUND(COALESCE(1.0::DOUBLE / ($rrfK + l.lex_rank), 0.0::DOUBLE)
+         |             + COALESCE(1.0::DOUBLE / ($rrfK + s.sem_rank), 0.0::DOUBLE), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, COALESCE(lex_rank, -1)::BIGINT AS lex_rank,
+         |       COALESCE(sem_rank, -1)::BIGINT AS sem_rank, rrf
+         |FROM fu ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+    },
+
     "sim_topk_brute" ->
       s"""WITH $vecCte,
          |q AS (SELECT vec_id AS query_id, vec AS qvec, sq AS qsq FROM vn WHERE vec_id < 5),
@@ -2583,6 +2650,8 @@ object TrainingData {
          |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
          |       CAST(SUM(CASE WHEN kind = 'image'
          |                     THEN width::BIGINT * height * 3
+         |                     WHEN kind = 'audio'
+         |                     THEN (${Multimodal.AudioBaseSamples} + media_id % ${Multimodal.AudioSampleMod}) * 2
          |                     ELSE strlen(payload) END) AS BIGINT) AS total_bytes,
          |       ROUND(AVG(width), 4) AS avg_width,
          |       ROUND(AVG(height), 4) AS avg_height,
@@ -2595,6 +2664,10 @@ object TrainingData {
     // the proof the codec round trip recovered every pixel. Coefficients
     // forced ::DOUBLE (DuckDB parses bare 0.299 as DECIMAL) so the luma
     // arithmetic is the identical IEEE expression the operator runs.
+    // Audio rows: same structure — the Spark side AudioSystem-decodes a
+    // real WAV, and the sample statistics here come from the shared
+    // closed form (audioSampleValueSql), so green proves the PCM round
+    // trip recovered every sample.
     "mm_features" ->
       s"""WITH $mediaCte,
          |xs AS (SELECT unnest(range(0, 32 + 97)) AS i),
@@ -2620,13 +2693,41 @@ object TrainingData {
          |         ROUND(0.299::DOUBLE * mr + 0.587::DOUBLE * mg + 0.114::DOUBLE * mb, 6) AS f5,
          |         ROUND(minl, 6) AS f6, ROUND(maxl, 6) AS f7
          |  FROM m JOIN ist USING (media_id)),
+         |sm AS (
+         |  SELECT media_id, (${Multimodal.AudioBaseSamples} + media_id % ${Multimodal.AudioSampleMod})::BIGINT AS ns,
+         |         unnest(range(0, ${Multimodal.AudioBaseSamples} + media_id % ${Multimodal.AudioSampleMod})) AS i
+         |  FROM m WHERE kind = 'audio'),
+         |sv AS (
+         |  SELECT media_id, ns, i,
+         |         ${Multimodal.audioSampleValueSql("i")} AS v,
+         |         CASE WHEN i > 0 THEN ${Multimodal.audioSampleValueSql("(i-1)")} END AS pv
+         |  FROM sm),
+         |ast AS (
+         |  SELECT media_id, MAX(ns) AS ns,
+         |         SUM(v)::DOUBLE / COUNT(*) AS mean,
+         |         SUM(abs(v))::DOUBLE / COUNT(*) AS meanabs,
+         |         MIN(v) AS minv, MAX(v) AS maxv,
+         |         SUM(CASE WHEN pv IS NOT NULL
+         |                   AND ((pv < 0 AND v >= 0) OR (pv >= 0 AND v < 0))
+         |                  THEN 1 ELSE 0 END) AS zc,
+         |         sqrt(SUM(v*v)::DOUBLE / COUNT(*)) AS rms
+         |  FROM sv GROUP BY media_id),
+         |aud AS (
+         |  SELECT m.media_id, m.kind, (a.ns * 2)::BIGINT AS n_bytes,
+         |         ROUND(a.ns::DOUBLE, 6) AS f0,
+         |         ROUND(${Multimodal.AudioSampleRate.toDouble}::DOUBLE, 6) AS f1,
+         |         ROUND(mean, 6) AS f2, ROUND(meanabs, 6) AS f3,
+         |         ROUND(minv::DOUBLE, 6) AS f4, ROUND(maxv::DOUBLE, 6) AS f5,
+         |         ROUND(zc::DOUBLE, 6) AS f6, ROUND(rms, 6) AS f7
+         |  FROM m JOIN ast a USING (media_id)),
          |m2 AS (SELECT media_id, kind, payload, strlen(payload) AS n,
          |              greatest((strlen(payload) + 7) // 8, 1) AS cl
-         |       FROM m WHERE kind <> 'image'),
+         |       FROM m WHERE kind = 'video'),
          |av AS (SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
          |       $featureCols
          |       FROM m2)
-         |SELECT * FROM img UNION ALL SELECT * FROM av ORDER BY media_id""".stripMargin,
+         |SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM av
+         |ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       s"""WITH $mediaCte,

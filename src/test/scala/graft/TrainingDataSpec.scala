@@ -503,6 +503,29 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid RRF fuses the two legs' ranks and orders by the fused score") {
+    val rows = Similarity.hybridRrfTopK(docs).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val rrfs = rows.map(_.getDouble(3))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+    // a doc lexically AND semantically top-ranked must beat any single-leg doc
+    // of the same best rank; structurally: every fused score re-derives from
+    // the reported ranks, and ranks stay inside their leg's truncation
+    rows.foreach { r =>
+      val lex = r.getLong(1); val sem = r.getLong(2)
+      assert(lex == -1 || (lex >= 1 && lex <= Similarity.RrfLegK))
+      assert(sem == -1 || (sem >= 1 && sem <= Similarity.RrfLegK))
+      assert(lex != -1 || sem != -1)
+      val expected =
+        (if (lex == -1) 0.0 else 1.0 / (Similarity.RrfConst + lex)) +
+        (if (sem == -1) 0.0 else 1.0 / (Similarity.RrfConst + sem))
+      assert(math.abs(r.getDouble(3) - expected) < 1e-6)
+    }
+    // determinism under physical layout
+    val again = Similarity.hybridRrfTopK(docs.repartition(7)).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("greedy k-center: distinct centers, non-increasing radii, correct first pick") {
     val rows = Similarity.kcenterSelect(emb, k = 6).collect()
     assert(rows.length === 6)
@@ -651,7 +674,7 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal decode is deterministic and batch-shaped; image rows carry real decoded stats") {
+  test("multimodal decode is deterministic and batch-shaped; image/audio rows carry real decoded stats") {
     val f1 = Multimodal.featuresFlat(docs).collect()
     val f2 = Multimodal.featuresFlat(docs.repartition(7)).collect()
     assert(f1.map(_.toSeq).toSet === f2.map(_.toSeq).toSet) // partitioning-invariant
@@ -667,12 +690,41 @@ class TrainingDataSpec extends AnyFunSuite {
           assert(v >= 0.0 && v < 256.0)
         }
         assert(r.getDouble(9) <= r.getDouble(10)) // minLuma ≤ maxLuma
+      } else if (r.getString(1) == "audio") {
+        // f0 = decoded frame count, f1 = decoded sample rate; n_bytes the
+        // PCM size — all read back from the real AudioSystem decode
+        val id = r.getLong(0)
+        assert(r.getDouble(3) === Multimodal.audioSampleCount(id).toDouble)
+        assert(r.getDouble(4) === Multimodal.AudioSampleRate.toDouble)
+        assert(r.getLong(2) === Multimodal.audioSampleCount(id).toLong * 2)
+        assert(r.getDouble(7) >= -32768.0 && r.getDouble(8) <= 32767.0) // min/max on the s16 scale
+        assert(r.getDouble(7) <= r.getDouble(8))
+        assert(r.getDouble(10) >= 0.0) // rms
       } else {
         (3 until 11).foreach { i =>
           val v = r.getDouble(i)
           assert(v >= 0.0 && v <= 1.0)
         }
       }
+    }
+  }
+
+  test("WAV round trip: AudioSystem decode recovers the synthetic samples exactly") {
+    // lossless-codec ground truth, no Spark in the loop: encode the
+    // closed-form track, decode it back, compare every sample
+    val id = 43L // 43 % 3 == 1 → an audio row in mediaTable
+    val wav = Multimodal.wavBytes(id)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF", "payload is not a real WAV stream")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate === Multimodal.AudioSampleRate)
+    val pcm = ais.readAllBytes()
+    val n = Multimodal.audioSampleCount(id)
+    assert(pcm.length === n * 2)
+    for (i <- 0 until n) {
+      val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt
+      assert(v === Multimodal.audioSampleValue(id, i), s"sample $i")
     }
   }
 
