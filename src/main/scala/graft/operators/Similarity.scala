@@ -220,13 +220,16 @@ object Similarity {
     * grows k linearly with the corpus (k ≈ N/256), so flat assignment
     * work is O(N·k) = O(N²/256) — a quadratic tail — while
     * [[bestCentroidTwoLevel]] is O(N·√k) with O(√k) driver state and
-    * broadcasts. The threshold sits at the MEASURED compute crossover
-    * (512× deep ramp, BENCH_RAMP_DEEP.json): at k = 313 flat still wins
-    * (2.7 s vs 3.4 s), at k = 2,500 two-level wins 3× (8.4 s vs 25.9 s,
-    * and the flat step-growth curve had turned superlinear at 1.215);
-    * 1,024 splits the bracket. Broadcast size is secondary — at this k
-    * the table is only ~0.5 MB — the quadratic distance work is what
-    * turns first. */
+    * broadcasts. The threshold sits at the MEASURED compute crossover,
+    * re-bracketed r11 on a FULLY-POPULATED centroid range after the
+    * interleaved-id ramp fix ([[graft.tools.CrossoverProbe]], best-of-2,
+    * exactness mismatch=0 at every rung): flat wins at k = 250/500/1,000
+    * (0.5 vs 1.8 s, 1.8 vs 4.7 s, 6.7 vs 9.1 s) and two-level wins at
+    * k = 2,000 (21.3 vs 30.2 s), with flat's measured growth ×3.7–4.5
+    * per doubling (O(N·k) predicts ×4) and two-level's ×1.9–2.7
+    * (O(N·√k) predicts ×2.83) — 1,024 splits the bracket. Broadcast
+    * size is secondary — at this k the table is only ~0.5 MB — the
+    * quadratic distance work is what turns first. */
   val FlatCentroidMax = 1024
 
   /** Exact two-level (hierarchical) nearest-centroid assignment — the
