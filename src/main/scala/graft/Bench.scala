@@ -277,7 +277,9 @@ object Bench {
       dirs.values.foreach(deleteRecursively)
   }
 
-  private def deleteRecursively(path: String): Unit = {
+  /** Shared temp-dir cleanup (also used by tools and the fixture-warehouse
+    * shutdown hook — one hardening site, not three copies). */
+  private[graft] def deleteRecursively(path: String): Unit = {
     import java.nio.file.{Files, Paths}
     import java.util.Comparator
     val p = Paths.get(path)
@@ -325,11 +327,18 @@ object Bench {
     // This is the division the raw step_growth made the reader do by hand
     // for the quadratic-output pair queries (time growth 1.3–1.5 with rows
     // grown 70× is output-driven; the same time growth at flat rows is
-    // not). Gate: ≤ ~1 per step for every family.
+    // not). Gate: ≤ ~1 per step for every family — EXCEPT the ANN rungs
+    // where k = centroidCount ∝ N makes the exact IVF index BUILD
+    // inherently superlinear (O(N·k) flat / O(N·√k) two-level, measured
+    // against theory in tools/CrossoverProbe; see BENCH_NOTES): those
+    // rungs re-build the index per measurement by design, and the
+    // production shape amortizes the build (at-rest assignment artifact,
+    // delta-only streaming ingest).
     def outNormGrowth(runs: Seq[(Double, Long)]): Seq[Double] =
       runs.sliding(2).map { case Seq((sa, ra), (sb, rb)) =>
         val rowsGrowth = rb.toDouble / math.max(1L, ra)
-        r3(sb / (sa * math.max(8.0, rowsGrowth)))
+        if (sa == 0.0) 0.0 // same zero-rung guard as the family twin: no Infinity in the JSON
+        else r3(sb / (sa * math.max(8.0, rowsGrowth)))
       }.toSeq
     def secPer1kRows(runs: Seq[(Double, Long)]): Seq[Double] =
       runs.map { case (s, r) => r3(s * 1000.0 / math.max(1L, r)) }

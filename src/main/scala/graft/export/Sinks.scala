@@ -211,32 +211,16 @@ object Sinks {
           name -> (rows, (System.nanoTime() - t0) / 1e9)
         }
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(parallelism, entries.size))
-        try {
-          val futures = entries.map { case (name, df) =>
-            name -> pool.submit(new java.util.concurrent.Callable[(Long, Double)] {
-              def call(): (Long, Double) = {
-                val t0 = System.nanoTime()
-                val rows =
-                  write(df, datasetFilename(baseOutput, name), singleFile, metadata)
-                (rows, (System.nanoTime() - t0) / 1e9)
-              }
-            })
+        val spark = entries.head._2.sparkSession
+        val results = runQuiescent(spark, parallelism, entries.map {
+          case (name, df) => () => {
+            val t0 = System.nanoTime()
+            val rows =
+              write(df, datasetFilename(baseOutput, name), singleFile, metadata)
+            (rows, (System.nanoTime() - t0) / 1e9)
           }
-          try futures.map { case (name, f) => name -> f.get() }
-          catch {
-            case e: Throwable =>
-              // Quiescent failure: a straggler write job left running after
-              // the export reports failure would keep emitting files while
-              // the caller cleans up. Cancel what hasn't started, interrupt
-              // what has, and wait for the pool to drain before rethrowing.
-              futures.foreach { case (_, f) => f.cancel(true) }
-              pool.shutdownNow()
-              pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
-              throw e
-          }
-        } finally pool.shutdown()
+        })
+        entries.map(_._1).zip(results)
       }
     val (stem, _) = splitExt(baseOutput)
     val summary = timed.map { case (n, (c, _)) => s"$n: $c records" }
@@ -246,6 +230,43 @@ object Sinks {
     Files.write(summaryPath, summary.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     timed.toMap
+  }
+
+  /** Run `tasks` on a bounded pool and return their results in task order;
+    * on the FIRST failure make the fan-out quiescent before rethrowing.
+    * Interrupting a submitter thread only unblocks its job await — the
+    * already-launched Spark job keeps running and emitting files — so
+    * every task runs under one shared JOB GROUP and the failure path
+    * cancels the group (killing in-flight tasks), cancels the undone
+    * futures, and drains the pool. A caller that records the failure and
+    * starts cleaning up therefore never races stray write jobs. Shared by
+    * [[exportSeparateFilesTimed]] and
+    * [[graft.export.StagedExport.exportWarehouse]]. */
+  private[export] def runQuiescent[T](spark: org.apache.spark.sql.SparkSession,
+      parallelism: Int, tasks: Seq[() => T]): Seq[T] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, tasks.size)))
+    val group = s"graft-export-${java.util.UUID.randomUUID()}"
+    try {
+      val futures = tasks.map { t =>
+        pool.submit(new java.util.concurrent.Callable[T] {
+          def call(): T = {
+            spark.sparkContext.setJobGroup(group, "graft export fan-out",
+              interruptOnCancel = true)
+            try t() finally spark.sparkContext.clearJobGroup()
+          }
+        })
+      }
+      try futures.map(_.get())
+      catch {
+        case e: Throwable =>
+          futures.foreach(_.cancel(true))
+          spark.sparkContext.cancelJobGroup(group)
+          pool.shutdownNow()
+          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
+          throw e
+      }
+    } finally pool.shutdown()
   }
 
   /** S15: batched JDBC sink with the reference's retry discipline

@@ -84,23 +84,9 @@ object StagedExport {
     val tables = Normalizer.allDatasets(staged).toSeq.sortBy(_._1)
       .map { case (n, df) => n -> withEra(df) } :+
       ("wide_blocks" -> Normalizer.wideBlocksWithEra(staged))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(parallelism, tables.size))
-    try {
-      val futures = tables.map { case (name, df) =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit =
-            Sinks.writePartitionedByEra(df, s"$warehouseDir/$name")
-        })
-      }
-      try futures.foreach(_.get())
-      catch {
-        case e: Throwable =>
-          futures.foreach(_.cancel(true))
-          pool.shutdownNow()
-          pool.awaitTermination(5, java.util.concurrent.TimeUnit.MINUTES)
-          throw e
-      }
-    } finally pool.shutdown()
+    Sinks.runQuiescent(spark, parallelism, tables.map { case (name, df) =>
+      () => Sinks.writePartitionedByEra(df, s"$warehouseDir/$name")
+    })
+    ()
   }
 }

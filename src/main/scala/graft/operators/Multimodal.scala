@@ -70,13 +70,14 @@ object Multimodal {
   private[graft] def pngBytes(mediaId: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val Seq((rx, ry), (gx, gy), (bx, by)) = ChannelMults
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = pixelValue(mediaId, 3, 5, x, y)
-        val g = pixelValue(mediaId, 7, 11, x, y)
-        val b = pixelValue(mediaId, 13, 17, x, y)
+        val r = pixelValue(mediaId, rx, ry, x, y)
+        val g = pixelValue(mediaId, gx, gy, x, y)
+        val b = pixelValue(mediaId, bx, by, x, y)
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }

@@ -265,9 +265,22 @@ object Similarity {
     * flat argmax including the tie-break — gated by `CellCapSpec` and the
     * `sim_ivf_twolevel` oracle, whose DuckDB side computes the flat
     * assignment). */
-  private[graft] def bestCentroidTwoLevel(v: DataFrame, centDf: DataFrame,
-      k: Int, eps: Double = 1e-9): DataFrame = {
-    val spark = v.sparkSession
+  /** The reusable two-level quantizer structure — everything
+    * [[bestCentroidTwoLevel]] derives from `(centDf, k)` alone, so a
+    * caller that assigns MANY frames against one centroid artifact (the
+    * streaming micro-batch path) builds it once instead of re-collecting
+    * the coarse set and re-running the fine-grouping job per batch. */
+  private[graft] case class TwoLevelIndex(
+      coarse: Array[(Long, Seq[Double], Double)],
+      fineGrp: DataFrame,
+      coarseRad: DataFrame)
+
+  /** Derive the quantizer structure (steps 1–2 of the two-level plan).
+    * `fineGrp` is localCheckpointed: it is k rows, it feeds BOTH the radii
+    * aggregation and every assignment's fine join, and the cut also stops
+    * a long-lived stream from re-deriving the grouping lineage per batch. */
+  private[graft] def buildTwoLevelIndex(centDf: DataFrame, k: Int): TwoLevelIndex = {
+    val spark = centDf.sparkSession
     import spark.implicits._
     val G = math.ceil(math.sqrt(k.toDouble)).toInt
     val stride = math.ceil(k.toDouble / G).toInt
@@ -289,6 +302,7 @@ object Similarity {
         col("sq").as("csq"),
         (-col("best").getField("ncid")).as("grp"),
         col("best").getField("s").as("gcos"))
+      .localCheckpoint()
     val radii: Map[Long, Double] = fineGrp.groupBy(col("grp"))
       .agg(min(col("gcos")).as("mcos"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -298,6 +312,19 @@ object Similarity {
     val coarseRad = coarse.flatMap { case (cid, cvec, csq) =>
       radii.get(cid).map(m => (cid, cvec, csq, m))
     }.toSeq.toDF("grp", "gvec", "gsq", "mcos")
+    TwoLevelIndex(coarse, fineGrp, coarseRad)
+  }
+
+  private[graft] def bestCentroidTwoLevel(v: DataFrame, centDf: DataFrame,
+      k: Int, eps: Double = 1e-9): DataFrame =
+    bestCentroidTwoLevel(v, buildTwoLevelIndex(centDf, k), eps)
+
+  /** Steps 3–4 of the two-level plan against a prebuilt quantizer. */
+  private[graft] def bestCentroidTwoLevel(v: DataFrame, idx: TwoLevelIndex,
+      eps: Double): DataFrame = {
+    val coarse = idx.coarse
+    val fineGrp = idx.fineGrp
+    val coarseRad = idx.coarseRad
     // (3) LB pass (narrow argmax vs G rows) + ball-cover probe expansion
     val withLb = bestCentroid(v, coarse)
       .withColumn("lb", col("best").getField("s")).drop("best")
@@ -537,16 +564,29 @@ object Similarity {
     * bounded by the constant, the measured-crossover flat regime), and
     * runs [[bestCentroidTwoLevel]] past it, where the frame never
     * materializes on the driver. Returns v's columns + `cell`. */
-  private[graft] def assignFromFrame(v: DataFrame, centDf: DataFrame, k: Int): DataFrame = {
-    val best =
-      if (k <= FlatCentroidMax) {
-        val cents = centDf.collect()
-          .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-          .sortBy(_._1)
-        ledger(cents.length)(bestCentroid(v, cents))
-      } else bestCentroidTwoLevel(v, centDf, k)
-    best.withColumn("cell", -col("best").getField("ncid")).drop("best")
-  }
+  private[graft] def assignFromFrame(v: DataFrame, centDf: DataFrame, k: Int): DataFrame =
+    frameAssigner(centDf, k)(v)
+
+  /** A REUSABLE assigner closed over the scale-dispatched artifact
+    * representation: the flat collected table while k ≤ [[FlatCentroidMax]]
+    * (collected ONCE, at closure build), the prebuilt [[TwoLevelIndex]]
+    * past it. A caller assigning many frames against one centroid artifact
+    * — the streaming micro-batch ingest — pays the index derivation once
+    * and only the assignment jobs per frame; single-shot callers go
+    * through [[assignFromFrame]] and see identical results (same kernels,
+    * same tie-break). */
+  private[graft] def frameAssigner(centDf: DataFrame, k: Int): DataFrame => DataFrame =
+    if (k <= FlatCentroidMax) {
+      val cents = centDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+      v => ledger(cents.length)(bestCentroid(v, cents))
+        .withColumn("cell", -col("best").getField("ncid")).drop("best")
+    } else {
+      val idx = buildTwoLevelIndex(centDf, k)
+      v => bestCentroidTwoLevel(v, idx, eps = 1e-9)
+        .withColumn("cell", -col("best").getField("ncid")).drop("best")
+    }
 
   /** Lloyd's k-means refinement over a centroid FRAME — fully distributed:
     * per iteration, one scale-dispatched assignment pass over the corpus,
@@ -568,7 +608,10 @@ object Similarity {
   private[graft] def kmeansCentroidFrame(prep: DataFrame, init: DataFrame,
       k: Int, iters: Int, maxMembersPerCell: Int): DataFrame = {
     graft.GraftExtensions.ensureRegistered(prep.sparkSession)
-    val dims = ledger(1)(init.select(size(col("cvec"))).first().getInt(0))
+    val dimRows = init.select(size(col("cvec"))).take(1)
+    require(dimRows.nonEmpty,
+      "IVF centroid set is empty — the corpus has no vectors in the centroid id range")
+    val dims = ledger(1)(dimRows.head.getInt(0))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell"))
       .orderBy(call_function("hash64", col("vec_id").cast("string")), col("vec_id"))
@@ -723,12 +766,11 @@ object Similarity {
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
         coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)), 6))
-      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
       .select(col("doc_id"),
         coalesce(col("lex_rank").cast("long"), lit(-1L)).as("lex_rank"),
         coalesce(col("sem_rank").cast("long"), lit(-1L)).as("sem_rank"),
         col("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
   }
 
   /** Greedy k-center (farthest-point-first) coreset selection — the

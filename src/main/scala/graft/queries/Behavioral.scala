@@ -60,6 +60,13 @@ object Behavioral {
       stale.foreach { k =>
         corpusCache.remove(k).foreach(_.unpersist(blocking = false))
       }
+      // the registry outlives SparkSessions (it's object state): a hit
+      // bound to a STOPPED context would throw on first use, so validate
+      // and rebuild instead of handing back a dead frame
+      corpusCache.get((dir, kind)).foreach { cached =>
+        if (cached.sparkSession.sparkContext.isStopped)
+          corpusCache.remove((dir, kind))
+      }
       val df = corpusCache.getOrElseUpdate((dir, kind),
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // An external cacheManager.clearCache() (the bench does this between

@@ -76,10 +76,20 @@ object EraViews {
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
         s"warehouse table missing at $path — expected the " +
           "StagedExport.exportWarehouse layout (<dir>/<table>/era_number=N/)")
-      val ordered = canonical.fields.toSeq.filterNot(_.name == "era_number")
-        .map(f => col(f.name).cast(f.dataType).as(f.name)) :+
+      // read with the EXPLICIT canonical schema (+ the era_number partition
+      // key): schema inference would (a) pay a footer-listing pass per
+      // table per registration and (b) throw "Unable to infer schema" for
+      // a table that was legitimately EMPTY at export time — partitionBy
+      // of zero rows emits only _SUCCESS, no part files — even though the
+      // canonical schema is known right here
+      val dataFields = canonical.fields.toSeq.filterNot(_.name == "era_number")
+      val readSchema = org.apache.spark.sql.types.StructType(
+        dataFields :+ org.apache.spark.sql.types.StructField(
+          "era_number", org.apache.spark.sql.types.LongType))
+      val ordered = dataFields.map(f => col(f.name).as(f.name)) :+
         col("era_number").cast("long").as("era_number")
-      spark.read.parquet(path).select(ordered: _*).createOrReplaceTempView(name)
+      spark.read.schema(readSchema).parquet(path)
+        .select(ordered: _*).createOrReplaceTempView(name)
     }
     Normalizer.datasetNames.foreach { name =>
       bind(name, Normalizer.dataset(empty, name).schema)
@@ -104,13 +114,7 @@ object EraViews {
       val root = java.nio.file.Files.createTempDirectory("graft-wh").toString
       graft.export.StagedExport.exportWarehouse(EraQueries.blocks(s),
         s"$root/stage", s"$root/wh", parallelism = 8, stageFiles = 8)
-      sys.addShutdownHook {
-        import java.nio.file.{Files, Paths}
-        val p = Paths.get(root)
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-      }
+      sys.addShutdownHook(graft.Bench.deleteRecursively(root))
       fixtureWarehouse = s"$root/wh"
     }
     fixtureWarehouse

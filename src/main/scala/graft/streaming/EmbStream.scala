@@ -62,22 +62,30 @@ object EmbStream {
     * `cell`) with its batch id — the per-batch append to the
     * cell-partitioned table at rest. */
   def ingestLargeK(embs: DataFrame, centDf: DataFrame, k: Int)(
-      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    graft.GraftExtensions.ensureRegistered(embs.sparkSession)
+    // the quantizer is a FIXED artifact for the stream's lifetime: build it
+    // once here (coarse collect + fine-grouping job), so each micro-batch
+    // pays only the assignment jobs — not a per-batch index re-derivation
+    val assign = graft.operators.Similarity.frameAssigner(centDf, k)
     embs.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        sink(assignBatch(batch.toDF(), centDf, k), batchId)
+        sink(assign(prepBatch(batch.toDF())).drop("vec", "sq"), batchId)
       }.start()
+  }
+
+  private def prepBatch(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("vec", col("embedding").cast("array<double>"))
+      .withColumn("sq", graft.functions.VectorMath.normSq("vec"))
+      .filter(col("sq") > 0)
 
   /** The batch-side assignment [[ingestLargeK]] shares with an offline
     * backfill: prep + scale-dispatched cell assignment from the centroid
     * FRAME. Output: input columns + `cell`. */
   def assignBatch(batch: DataFrame, centDf: DataFrame, k: Int): DataFrame = {
     graft.GraftExtensions.ensureRegistered(batch.sparkSession)
-    val prepped = batch
-      .withColumn("vec", col("embedding").cast("array<double>"))
-      .withColumn("sq", graft.functions.VectorMath.normSq("vec"))
-      .filter(col("sq") > 0)
-    graft.operators.Similarity.assignFromFrame(prepped, centDf, k)
+    graft.operators.Similarity.assignFromFrame(prepBatch(batch), centDf, k)
       .drop("vec", "sq")
   }
 

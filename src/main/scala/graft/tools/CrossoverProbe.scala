@@ -67,12 +67,7 @@ object CrossoverProbe {
         println(f"CROSSOVER copies=$copies n=$n k=$k " +
           f"flat=$flatSec%.2f s two=$twoSec%.2f s rows=$cFlat/$cTwo mismatch=$mismatches")
         prep.unpersist()
-      } finally {
-        val p = java.nio.file.Paths.get(dir)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      } finally graft.Bench.deleteRecursively(dir)
     }
     spark.stop()
   }

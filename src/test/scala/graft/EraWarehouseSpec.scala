@@ -114,4 +114,22 @@ class EraWarehouseSpec extends AnyFunSuite {
       "attestations").count()
     assert(n === expected && n > 0L)
   }
+
+  test("a warehouse with a legitimately EMPTY table still binds and queries") {
+    // a phase0-only corpus has no withdrawals/bls_changes/execution
+    // requests — partitionBy of zero rows writes only _SUCCESS, and the
+    // explicit-schema read must bind those tables as empty views instead
+    // of dying in schema inference
+    val root = Files.createTempDirectory("era-warehouse-empty").toString
+    val phase0 = EraQueries.blocks(spark).filter(col("era_number") === 0L)
+    assert(phase0.count() > 0, "fixture corpus must contain era-0 (phase0) blocks")
+    StagedExport.exportWarehouse(phase0, s"$root/stage", s"$root/wh",
+      parallelism = 8, stageFiles = 4)
+    EraViews.registerWarehouse(spark, s"$root/wh")
+    val w = spark.sql("SELECT count(*) AS n FROM withdrawals").head().getLong(0)
+    assert(w === 0L, "phase0 corpus must yield an empty withdrawals table")
+    // and the non-empty tables still answer
+    val b = spark.sql("SELECT count(*) AS n FROM blocks").head().getLong(0)
+    assert(b === phase0.count())
+  }
 }
