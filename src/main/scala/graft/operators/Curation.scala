@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
-  /** Portable per-doc split hash: hash64("<doc_id>#<salt>") ∈ [0, 2^60). */
-  private def splitHash(salt: String): Column =
-    call_function("hash64", concat(col("doc_id").cast("string"), lit("#" + salt)))
+  /** Portable per-id split hash: hash64("<id>#<salt>") ∈ [0, 2^60) — the
+    * ONE home of the split-hash convention (doc split, leakage audits,
+    * epoch stochastic rounding all derive from it; the DuckDB oracles
+    * mirror the same formula). */
+  private def splitHash(salt: String, id: Column = col("doc_id")): Column =
+    call_function("hash64", concat(id.cast("string"), lit("#" + salt)))
 
   /** Quality-aware keeper per duplicate cluster: join the MinHash-LSH
     * connected components with quality scores and keep the member with the
@@ -72,12 +75,15 @@ object Curation {
       when(splitHash(salt) % 1000 < valPermille, "val").otherwise("train"))
   }
 
-  /** Per-(lang, split) corpus accounting over the split assignment. */
+  /** Per-(lang, split) corpus accounting over the split assignment.
+    * n_tokens is computed INLINE on the same scan (size of the token
+    * array) — joining tokenCounts back on doc_id would re-scan and
+    * re-shuffle the corpus just to glue a column the row already
+    * derives. */
   def splitSummary(docs: DataFrame, valPermille: Int = 100,
       salt: String = "split1"): DataFrame =
-    withSplit(docs, valPermille, salt)
-      .join(TextAnalysis.tokenCounts(docs).select(col("doc_id"), col("n_tokens")),
-        Seq("doc_id"))
+    TextAnalysis.withTokens(withSplit(docs, valPermille, salt))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy(col("lang"), col("split"))
@@ -257,7 +263,9 @@ object Curation {
     * — and the floor to integer basis points — are engine-exact. */
   def temperatureRatesBp(docs: DataFrame, targetShare: Double = 0.5): Map[String, Int] = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      // null-safe sort: a NULL lang stratum must not NPE the driver fold
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(t => Option(t._1).getOrElse(""))
     val totN = counts.map(_._2).sum.toDouble
     val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
     counts.map { case (l, n) =>
@@ -287,7 +295,9 @@ object Curation {
     val counts = TextAnalysis.withTokens(docs)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      // null-safe sort: a NULL source stratum must not NPE the driver fold
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(t => Option(t._1).getOrElse(""))
     val tot = counts.map(_._2).sum.toDouble
     val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
     counts.map { case (src, n) =>
@@ -319,8 +329,7 @@ object Curation {
       .withColumn("epochs_micro", rateCol)
       .withColumn("n_emit",
         expr("epochs_micro div 1000000L") +
-          when(call_function("hash64",
-            concat(col("doc_id").cast("string"), lit("#" + salt))) % 1000000L <
+          when(splitHash(salt) % 1000000L <
             col("epochs_micro") % 1000000L, 1L).otherwise(0L))
       .groupBy(col("source"))
       .agg(
@@ -466,9 +475,7 @@ object Curation {
       salt: String = "split1"): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     def splitOf(c: Column): Column =
-      when(call_function("hash64",
-        concat(c.cast("string"), lit("#" + salt))) % 1000 < valPermille, "val")
-        .otherwise("train")
+      when(splitHash(salt, c) % 1000 < valPermille, "val").otherwise("train")
     Dedup.minhashLshPairs(docs)
       .withColumn("split_a", splitOf(col("doc_a")))
       .withColumn("split_b", splitOf(col("doc_b")))
@@ -497,9 +504,7 @@ object Curation {
   def groupedSplitLeakage(docs: DataFrame, valPermille: Int = 100,
       srcValPermille: Int = 300, salt: String = "split1"): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
-    def docVal(c: Column): Column =
-      call_function("hash64",
-        concat(c.cast("string"), lit("#" + salt))) % 1000 < valPermille
+    def docVal(c: Column): Column = splitHash(salt, c) % 1000 < valPermille
     def srcVal(c: Column): Column =
       call_function("hash64",
         concat(lit("src#"), c, lit("#" + salt))) % 1000 < srcValPermille
@@ -712,11 +717,8 @@ object Curation {
     * the exact integer `round(q·10⁴)` and divides once. */
   def sourceScorecard(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"), col("lang"), col("source"))
-    val mirror = base.filter(col("doc_id") % 13 === 0)
-      .withColumn("doc_id", col("doc_id") + 200000)
-      .withColumn("source", lit("mirror"))
     val scored = TextAnalysis.withGopherFlags(
-      TextAnalysis.withQualityScore(base.unionByName(mirror)))
+      TextAnalysis.withQualityScore(Dedup.withMirrorSource(base)))
       .select(
         md5(col("text")).as("digest"), col("source"),
         round(col("quality_score") * 1e4).cast("long").as("q_e4"),

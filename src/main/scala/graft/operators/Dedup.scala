@@ -157,22 +157,34 @@ object Dedup {
     * Mean Jaccard aggregates the exact integer `round(j·10⁴)`. */
   def thresholdSweep(docs: DataFrame,
       thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9)): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = thresholds.min
+    // membership tests run on the UNROUNDED jaccard — the same predicate
+    // ngramJaccard(t) ships — so a pair at 0.59996 (display j4 = 0.6) does
+    // NOT count toward threshold 0.6; only display values round
     val pairs = ngramCandidates(docs, base)
       .withColumn("common", call_function("sorted_overlap", col("shl_a"), col("shl_b")))
       .withColumn("jaccard",
         col("common").cast("double") / (col("nsh_a") + col("nsh_b") - col("common")))
       .filter(col("jaccard") >= base)
-      .select(round(col("jaccard"), 4).as("j4"))
-    pairs
-      .select(col("j4"),
+      .select(col("jaccard"), round(col("jaccard"), 4).as("j4"))
+    val counted = pairs
+      .select(col("jaccard"), col("j4"),
         explode(array(thresholds.map(t => lit(t)): _*)).as("threshold"))
-      .filter(col("j4") >= col("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
       .groupBy(col("threshold"))
       .agg(
         count(lit(1)).as("n_pairs"),
         round(sum(round(col("j4") * 1e4).cast("long")).cast("double") /
           (count(lit(1)) * 1e4), 4).as("mean_jaccard"))
+    // every requested threshold reports — a setting that flags NOTHING is
+    // exactly the row the "which threshold do I ship" reader needs to see
+    thresholds.toDF("threshold")
+      .join(counted, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("mean_jaccard"))
       .orderBy(col("threshold"))
   }
 
@@ -180,6 +192,14 @@ object Dedup {
 
   val MinhashK = 12
   val MinhashBands = 3 // 3 bands × 4 rows
+
+  /** MinHash signature-agreement Jaccard estimate over two signature
+    * columns: matching positions / k. One home for the metric, shared by
+    * the pair path and the incremental snapshot gate (and the DuckDB
+    * oracle mirrors), so they cannot drift apart. */
+  private def estJaccard(sigA: String, sigB: String) =
+    expr(s"""size(filter(zip_with($sigA, $sigB, (x, y) -> x = y), v -> v))
+             | / cast($MinhashK as double)""".stripMargin)
 
   /** Per-doc MinHash signature: k portable hash functions, each the min over
     * the shingle set of hash64(shingle || '#' || i). Computed by the native
@@ -222,9 +242,7 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct() // a pair can collide in >1 band
-      .withColumn("est_jaccard",
-        expr(s"""size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))
-                 | / cast($MinhashK as double)""".stripMargin))
+      .withColumn("est_jaccard", estJaccard("sig_a", "sig_b"))
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -380,15 +398,29 @@ object Dedup {
     * digest key (no broadcast, no second corpus pass), then a
     * source-cardinality aggregation — #sources rows out, text never
     * shuffles. */
-  def dupBySource(docs: DataFrame): DataFrame = {
-    val base = docs.select(col("doc_id"), col("text"), col("source"))
+  /** docs ∪ a deterministic 'mirror' source copy (doc_id%13==0 → +200000,
+    * source = "mirror"): the injected cross-source duplicates the
+    * per-source reports observe. ONE home for the convention — shared by
+    * [[dupBySource]], [[graft.operators.Curation.sourceScorecard]], and
+    * interpolation-free but mirrored in their DuckDB oracles. */
+  private[graft] def withMirrorSource(base: DataFrame): DataFrame = {
     val mirror = base.filter(col("doc_id") % 13 === 0)
       .withColumn("doc_id", col("doc_id") + 200000)
       .withColumn("source", lit("mirror"))
+    base.unionByName(mirror)
+  }
+
+  def dupBySource(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), col("source"))
     // digest computed narrowly, text dropped BEFORE any shuffle — every
-    // Exchange in this plan carries (digest, source) only
-    val all = base.unionByName(mirror)
-      .select(md5(col("text")).as("digest"), col("source"))
+    // Exchange in this plan carries (digest, source) only. Digest the
+    // trim-coalesced text: the SAME content convention exact() observes
+    // (via withTokens), so this per-source report describes the dedup it
+    // claims to — raw md5(text) would call space-padded twins distinct and
+    // silently drop null-text docs from their source's n_docs (null digest
+    // never matches the inner join)
+    val all = withMirrorSource(base)
+      .select(md5(coalesce(trim(col("text")), lit(""))).as("digest"), col("source"))
     val perDigest = all.groupBy(col("digest"))
       .agg(countDistinct(col("source")).as("n_sources"),
         count(lit(1)).as("n_copies"))
@@ -592,7 +624,15 @@ object Dedup {
     * centrality break by vec_id (lower id wins).
     *
     * The rule here is the single-pass pairwise form: x is dropped iff some
-    * same-cell y with cos(x,y) ≥ τ ranks below x on (cent_cos, vec_id).
+    * y in x's CELL-BLOCK with cos(x,y) ≥ τ ranks below x on
+    * (cent_cos, vec_id). The comparison scope is [[Similarity.withCellBlock]]'s
+    * deterministic ≤256-member sub-block of the cell, not the whole cell:
+    * that bounds the worst-case pair work per task (an adversarial corpus
+    * piling onto one centroid stays ≤ cap² per block instead of m²) at the
+    * cost of never comparing duplicates that straddle a block boundary
+    * within an over-full cell — the same bounded-recall trade SemDeDup
+    * itself makes by fixing k and ε per cluster. Cells at their expected
+    * occupancy (k = N/256) fit one block, where the rule IS whole-cell.
     * For transitively-closed duplicate cliques this keeps exactly the
     * paper's one representative; across a non-transitive chain it is
     * slightly more aggressive (both ends of the chain can survive, the
@@ -791,9 +831,7 @@ object Dedup {
       .join(snapBands.as("b"), Seq("band", "band_key"))
       .select(col("doc_id"), col("sig"), col("snap_sig"))
       .distinct() // a pair can collide in >1 band
-      .withColumn("est",
-        expr(s"""size(filter(zip_with(sig, snap_sig, (x, y) -> x = y), v -> v))
-                 | / cast($MinhashK as double)""".stripMargin))
+      .withColumn("est", estJaccard("sig", "snap_sig"))
       .filter(col("est") >= estThreshold)
       .groupBy(col("doc_id"))
       .agg(max(col("est")).as("best_est"))

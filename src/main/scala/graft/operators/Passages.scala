@@ -172,8 +172,13 @@ object Passages {
       .agg(count_distinct(col("doc_id")).as("n_docs_affected"),
         count(lit(1)).as("n_spans"),
         coalesce(sum(col("span_words")), lit(0L)).as("dup_words"))
+    // word count uses the SAME whitespace-skipping convention as the
+    // word_ngrams kernel the span positions come from: a bare
+    // split(trim(text)) keeps a leading empty token on tab/newline-headed
+    // text (SQL trim strips spaces only) and counts [""] = 1 for empty docs
     val totals = corpus.select(
-      sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_words"))
+      sum(size(expr("filter(split(text, '\\\\s+'), t -> t <> '')")).cast("long"))
+        .as("total_words"))
     spans.crossJoin(broadcast(totals))
       .select(col("n_docs_affected"), col("n_spans"), col("dup_words"),
         round(col("dup_words").cast("double") / col("total_words"), 4)
@@ -200,7 +205,13 @@ object Passages {
       .agg(collect_list(
         struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
     corpus
-      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      // tokenize exactly as the word_ngrams kernel the span POSITIONS came
+      // from (skip ALL whitespace runs, no empty tokens): split(trim(...))
+      // would keep a leading "" on tab/newline-headed text and shift every
+      // 1-based span position off by one — the excision would cut the
+      // wrong words, and identically on the oracle side, so only this
+      // alignment (not the value gate) catches it
+      .withColumn("toks", expr("filter(split(text, '\\\\s+'), t -> t <> '')"))
       .join(spans, Seq("doc_id"), "left")
       // keep token positions covered by NO span; span order in the
       // collected array is irrelevant (pure membership test)

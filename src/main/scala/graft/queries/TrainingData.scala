@@ -1249,7 +1249,7 @@ object TrainingData {
          |sp AS (SELECT doc_id,
          |              MAX(pos) + ${graft.operators.Passages.PassageN - 1} - MIN(pos) + 1 AS span_words
          |       FROM isl GROUP BY doc_id, island),
-         |tw AS (SELECT SUM(len(toks)) AS total_words FROM aug)
+         |tw AS (SELECT SUM(len(list_filter(toks, t -> t <> ''))) AS total_words FROM aug)
          |SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_affected,
          |       CAST(COUNT(*) AS BIGINT) AS n_spans,
          |       CAST(COALESCE(SUM(span_words), 0) AS BIGINT) AS dup_words,
@@ -1264,19 +1264,22 @@ object TrainingData {
          |        FROM isl GROUP BY doc_id, island),
          |spl AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
          |        FROM spd GROUP BY doc_id),
+         |exf AS (
+         |  SELECT a.doc_id, list_filter(a.toks, t -> t <> '') AS ftoks, p.spans
+         |  FROM aug a LEFT JOIN spl p USING (doc_id)),
          |ex AS (
-         |  SELECT a.doc_id, a.toks,
-         |         CASE WHEN p.spans IS NULL THEN a.toks
+         |  SELECT doc_id, ftoks,
+         |         CASE WHEN spans IS NULL THEN ftoks
          |              ELSE list_transform(
-         |                     list_filter(range(1, len(a.toks) + 1),
-         |                       i -> len(list_filter(p.spans,
+         |                     list_filter(range(1, len(ftoks) + 1),
+         |                       i -> len(list_filter(spans,
          |                              sp -> i >= sp.s AND i <= sp.e)) = 0),
-         |                     i -> a.toks[i::INT]) END AS kept
-         |  FROM aug a LEFT JOIN spl p USING (doc_id))
+         |                     i -> ftoks[i::INT]) END AS kept
+         |  FROM exf)
          |SELECT doc_id,
-         |       CAST(len(toks) AS BIGINT) AS n_words,
+         |       CAST(len(ftoks) AS BIGINT) AS n_words,
          |       CAST(len(kept) AS BIGINT) AS kept_words,
-         |       CAST(len(toks) - len(kept) AS BIGINT) AS removed_words,
+         |       CAST(len(ftoks) - len(kept) AS BIGINT) AS removed_words,
          |       md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_digest
          |FROM ex ORDER BY doc_id""".stripMargin,
 
@@ -1786,7 +1789,7 @@ object TrainingData {
       """WITH b AS (SELECT doc_id, text, source FROM documents),
         |m AS (SELECT doc_id + 200000 AS doc_id, text, 'mirror' AS source
         |      FROM b WHERE doc_id % 13 = 0),
-        |a AS (SELECT doc_id, text, source, md5(text) AS digest
+        |a AS (SELECT doc_id, text, source, md5(COALESCE(trim(text), '')) AS digest
         |      FROM (SELECT * FROM b UNION ALL SELECT * FROM m)),
         |pd AS (SELECT digest, COUNT(DISTINCT source) AS n_sources,
         |         COUNT(*) AS n_copies
@@ -1888,20 +1891,27 @@ object TrainingData {
          |  FROM sh),
          |shn AS (SELECT doc_id, lang, tok0, shl, len(shl) AS nsh FROM shh),
          |pj AS (
-         |  SELECT ROUND(len(list_intersect(a.shl, b.shl))::DOUBLE
+         |  SELECT len(list_intersect(a.shl, b.shl))::DOUBLE
+         |           / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))) AS j,
+         |         ROUND(len(list_intersect(a.shl, b.shl))::DOUBLE
          |           / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))), 4) AS j4
          |  FROM shn a JOIN shn b
          |    ON a.lang = b.lang AND a.tok0 = b.tok0 AND a.doc_id < b.doc_id
          |  WHERE len(list_intersect(a.shl, b.shl))::DOUBLE
          |        / (a.nsh + b.nsh - len(list_intersect(a.shl, b.shl))) >= 0.5),
+         |th AS (SELECT unnest([0.5::DOUBLE, 0.6::DOUBLE,
+         |         0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS threshold),
          |sw AS (SELECT t.threshold, j4
-         |       FROM pj CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.6::DOUBLE,
-         |         0.7::DOUBLE, 0.8::DOUBLE, 0.9::DOUBLE]) AS threshold) t
-         |       WHERE j4 >= t.threshold)
-         |SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       FROM pj CROSS JOIN th t
+         |       WHERE pj.j >= t.threshold),
+         |ag AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |       ROUND(CAST(SUM(CAST(ROUND(j4 * 10000) AS BIGINT)) AS BIGINT)::DOUBLE
          |             / (COUNT(*) * 10000.0), 4) AS mean_jaccard
-         |FROM sw GROUP BY threshold ORDER BY threshold""".stripMargin,
+         |       FROM sw GROUP BY threshold)
+         |SELECT t.threshold, CAST(COALESCE(ag.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |       ag.mean_jaccard
+         |FROM th t LEFT JOIN ag ON t.threshold = ag.threshold
+         |ORDER BY t.threshold""".stripMargin,
 
     "cur_split_grouped" ->
       s"""WITH $baseCte, $augCte, $shCte, $sigCte,

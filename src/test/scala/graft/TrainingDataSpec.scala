@@ -993,6 +993,18 @@ class TrainingDataSpec extends AnyFunSuite {
     val exInner = Passages.excisedRaw(inner).collect().head
     assert(exInner.getLong(3) === 16L)
     assert(exInner.getString(4) === hex("x1 x2 x3"))
+    // tab/newline-headed text: the excision tokenizer must skip ALL leading
+    // whitespace like the word_ngrams kernel the span positions come from —
+    // split(trim(text)) would keep a leading "" and shift every span one
+    // word right, cutting the wrong tokens
+    val tabbed = Seq(
+      (20L, "\t" + rep + " y1 y2 y3", "en"),
+      (21L, "\n " + rep + " z1 z2 z3", "en")).toDF("doc_id", "text", "lang")
+    val exTab = Passages.excisedRaw(tabbed).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(exTab(20L).getLong(1) === 11L, "n_words must not count a phantom empty token")
+    assert(exTab(20L).getLong(3) === 8L && exTab(20L).getString(4) === hex("y1 y2 y3"))
+    assert(exTab(21L).getLong(3) === 8L && exTab(21L).getString(4) === hex("z1 z2 z3"))
   }
 
   test("corpus shuffle: deterministic, seed-sensitive, shards consistent and balanced") {
