@@ -221,10 +221,14 @@ object TextAnalysis {
       .crossJoin(broadcast(priors))
       .select(
         col("doc_id"), col("keep").as("label"),
-        (col("sk") + round(-log(col("n_keep").cast("double") /
-          col("n_docs").cast("double")) * 1e6).cast("long")).as("nll_keep"),
-        (col("st") + round(-log((col("n_docs") - col("n_keep")).cast("double") /
-          col("n_docs").cast("double")) * 1e6).cast("long")).as("nll_toss"))
+        // priors are Laplace-smoothed like the token likelihoods: a corpus
+        // whose Gopher labels are uniform (n_keep = 0 or = n_docs) would
+        // otherwise evaluate ln(0) — NULL in Spark, an ERROR in DuckDB —
+        // and silently empty the downstream calibration report
+        (col("sk") + round(-log((col("n_keep") + 1).cast("double") /
+          (col("n_docs") + 2).cast("double")) * 1e6).cast("long")).as("nll_keep"),
+        (col("st") + round(-log((col("n_docs") - col("n_keep") + 1).cast("double") /
+          (col("n_docs") + 2).cast("double")) * 1e6).cast("long")).as("nll_toss"))
       .withColumn("pred", col("nll_keep") <= col("nll_toss"))
       .orderBy(col("doc_id"))
   }
@@ -241,11 +245,14 @@ object TextAnalysis {
 
   /** Language ID: score = marker-token hits per language, prediction =
     * argmax with alphabetical tie-break; output is the (actual, predicted)
-    * confusion matrix. */
-  /** Adds `pred_lang` (marker-scored language prediction, deterministic
-    * alphabetical tie-break) — the per-document tagging entry point a
-    * pipeline runs when ingested documents carry no language label; a
-    * fully narrow projection, so it streams as-is. */
+    * confusion matrix.
+    *
+    * Adds `pred_lang` (marker-scored language prediction, deterministic
+    * alphabetical tie-break; `und` when NO marker of any language hits —
+    * an all-zero score row carries no signal and must not default to the
+    * alphabetically-first language) — the per-document tagging entry
+    * point a pipeline runs when ingested documents carry no language
+    * label; a fully narrow projection, so it streams as-is. */
   def withPredictedLang(docs: DataFrame): DataFrame = {
     val scored = LangMarkers.foldLeft(withTokens(docs)) { case (df, (code, markers)) =>
       val arr = s"array(${markers.map(m => s"'$m'").mkString(",")})"
@@ -258,7 +265,9 @@ object TextAnalysis {
     val predLadder = LangMarkers.reverse.foldLeft(lit("und")) { case (els, (code, _)) =>
       when(col(s"s_$code") === best, lit(code)).otherwise(els)
     }
-    scored.withColumn("pred_lang", predLadder)
+    // zero-hit guard: best always equals SOME score, so without it the
+    // ladder's first arm fires on all-zero rows and 'und' is unreachable
+    scored.withColumn("pred_lang", when(best === 0, lit("und")).otherwise(predLadder))
   }
 
   def langIdConfusion(docs: DataFrame): DataFrame = {
@@ -276,6 +285,7 @@ object TextAnalysis {
   def vocabulary(docs: DataFrame, k: Int = 50): DataFrame =
     withTokens(docs)
       .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "") // empty docs tokenize to [""] — not vocabulary
       .groupBy(col("token"))
       .agg(
         count(lit(1)).as("occurrences"),
@@ -454,17 +464,30 @@ object TextAnalysis {
         .as("pts"))
       .select(
         size(col("pts")).cast("double").as("n"),
-        expr(foldSum("ln(cast(i as double))")).as("sx"),
-        expr(foldSum("ln(cast(-element_at(pts, i).nc as double))")).as("sy"),
-        expr(foldSum("ln(cast(i as double)) * ln(cast(i as double))")).as("sxx"),
-        expr(foldSum("ln(cast(i as double)) * ln(cast(-element_at(pts, i).nc as double))"))
+        // folds only run with ≥2 points: sequence(1, 0) is DESCENDING
+        // [1, 0] (not empty), so an empty vocabulary would index
+        // element_at(pts, 0) — `when` keeps the fold unevaluated instead
+        when(size(col("pts")) >= 2,
+          expr(foldSum("ln(cast(i as double))"))).as("sx"),
+        when(size(col("pts")) >= 2,
+          expr(foldSum("ln(cast(-element_at(pts, i).nc as double))"))).as("sy"),
+        when(size(col("pts")) >= 2,
+          expr(foldSum("ln(cast(i as double)) * ln(cast(i as double))"))).as("sxx"),
+        when(size(col("pts")) >= 2,
+          expr(foldSum("ln(cast(i as double)) * ln(cast(-element_at(pts, i).nc as double))")))
           .as("sxy"))
       .select(
         col("n").cast("long").as("n_fit"),
-        round((col("sxy") - col("sx") * col("sy") / col("n")) /
-          (col("sxx") - col("sx") * col("sx") / col("n")), 4).as("slope"),
-        round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n")) /
-          (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx")) / col("n"), 4)
+        // a regression needs ≥2 points with nonzero x-variance: on an
+        // empty/1-token vocabulary the folds would index element_at(pts, 0)
+        // (sequence(1, 0) is DESCENDING [1, 0]) or divide by zero variance
+        when(col("n") >= 2,
+          round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")), 4))
+          .as("slope"),
+        when(col("n") >= 2,
+          round((col("sy") - (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (col("sxx") - col("sx") * col("sx") / col("n")) * col("sx")) / col("n"), 4))
           .as("intercept"))
   }
 
@@ -706,6 +729,11 @@ object TextAnalysis {
     * standard persist-the-collapsed-frame step, a few bytes per document. */
   def nbCalibration(docs: DataFrame, buckets: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // lifecycle: the persist entry is plan-keyed, so repeat invocations on
+    // one corpus share a single materialization; a long-lived session that
+    // walks MANY corpora reclaims the accumulated entries via
+    // spark.catalog.clearCache() (the bench does exactly this between ramp
+    // rungs) — the same contract Behavioral.clearGraphCaches documents
     val scored = nbQuality(docs)
       .withColumn("margin", col("nll_toss") - col("nll_keep"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -775,6 +803,8 @@ object TextAnalysis {
     * exact. */
   def ccnetBuckets(docs: DataFrame, buckets: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // lifecycle: plan-keyed entry per corpus; multi-corpus sessions reclaim
+    // via spark.catalog.clearCache() (see nbCalibration's note)
     val scored = unigramScores(docs)
       .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
       .withColumn("key", round(col("avg_nll") * 1e4).cast("long"))

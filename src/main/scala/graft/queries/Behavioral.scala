@@ -48,17 +48,22 @@ object Behavioral {
   private val corpusCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  /** Unpersist and forget every cached graph frame (all corpora). */
+  /** Unpersist (live frames only) and forget every cached graph frame. */
   def clearGraphCaches(): Unit = synchronized {
-    corpusCache.values.foreach(_.unpersist(blocking = false))
+    corpusCache.values.foreach(safeUnpersist)
     corpusCache.clear()
   }
+
+  /** unpersist is itself a block-manager call — on a frame whose context
+    * was stopped it throws, so every eviction path must check first. */
+  private def safeUnpersist(df: DataFrame): Unit =
+    if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
 
   private def cachedFrame(dir: String, kind: String)(build: => DataFrame): DataFrame =
     synchronized {
       val stale = corpusCache.keys.filter(_._1 != dir).toSeq
       stale.foreach { k =>
-        corpusCache.remove(k).foreach(_.unpersist(blocking = false))
+        corpusCache.remove(k).foreach(safeUnpersist)
       }
       // the registry outlives SparkSessions (it's object state): a hit
       // bound to a STOPPED context would throw on first use, so validate
@@ -385,8 +390,7 @@ object Behavioral {
         .join(ranked.select(col("n").as("v"), col("rk").as("rv")), Seq("v"))
         .select(
           when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("src"),
-          when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("dst"),
-          when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rdst"))
+          when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("dst"))
       // adjacency-intersection closure (not a wedge self-join): for the
       // oriented edge a→b every closing c sits in N+(a) ∩ N+(b), and the
       // a < b < c ordering makes edge (a,b) the unique counting site per
@@ -409,7 +413,11 @@ object Behavioral {
       val edges = e.agg(count(lit(1)).as("n_edges"))
       stats.crossJoin(broadcast(edges)).crossJoin(broadcast(tri))
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("wedge_count"),
-          round(lit(3.0) * col("n_triangles") / col("wedge_count"), 6).as("gcc"))
+          // zero wedges (every node degree ≤1): NULL gcc on both engines —
+          // Spark's x/0 is null but DuckDB's DOUBLE division is Inf/NaN,
+          // so without the guard the engines diverge exactly there
+          round(lit(3.0) * col("n_triangles") /
+            when(col("wedge_count") =!= 0L, col("wedge_count")), 6).as("gcc"))
     }),
     // Lag-k autocorrelation of daily event volume per type (k = 1, 7) — the
     // seasonality sniff test on a metric stream. Pairs come from a per-type
@@ -435,13 +443,17 @@ object Behavioral {
           sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
           sum(expr("cast(y * y as decimal(38,0))")).as("syy"),
           sum(expr("cast(x * y as decimal(38,0))")).as("sxy"))
+        .withColumn("den",
+          sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")))
+        // constant series ⇒ zero variance ⇒ NULL acf in BOTH engines
+        // (DuckDB's raw DOUBLE division would return NaN, not null)
         .withColumn("acf",
           round((col("n").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
-            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")) *
-              sqrt(col("n").cast("double") * col("syy").cast("double") -
-                col("sy").cast("double") * col("sy").cast("double"))), 6))
+            when(col("den") =!= 0.0, col("den")), 6))
         .select(col("event_type"), col("lag"), col("n"), col("acf"))
         .orderBy(col("event_type"), col("lag"))
     }),
@@ -670,7 +682,7 @@ object Behavioral {
                 FROM deg),
          ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e)
          SELECT n_nodes, n_edges, n_triangles, wedge_count,
-                ROUND(3.0::DOUBLE * n_triangles / wedge_count, 6) AS gcc
+                ROUND(3.0::DOUBLE * n_triangles / NULLIF(wedge_count, 0), 6) AS gcc
          FROM st, ne, tri""",
     "ts_autocorr" ->
       """WITH daily AS (
@@ -690,8 +702,8 @@ object Behavioral {
            FROM pairs GROUP BY 1, 2)
          SELECT event_type, lag, n,
                 ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy::DOUBLE) /
-                      (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx::DOUBLE) *
-                       sqrt(n::DOUBLE * syy - sy::DOUBLE * sy::DOUBLE)), 6) AS acf
+                      NULLIF(sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx::DOUBLE) *
+                             sqrt(n::DOUBLE * syy - sy::DOUBLE * sy::DOUBLE), 0), 6) AS acf
          FROM a ORDER BY event_type, lag""",
     "ts_dow_seasonality" ->
       """WITH d AS (

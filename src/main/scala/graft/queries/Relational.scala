@@ -174,13 +174,17 @@ object Relational {
           sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
           sum(expr("cast(y * y as decimal(38,0))")).as("syy"),
           sum(expr("cast(x * y as decimal(38,0))")).as("sxy"))
+        .withColumn("den",
+          sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double")))
+        // a constant column in a group ⇒ zero variance ⇒ NULL correlation
+        // in BOTH engines (DuckDB's raw DOUBLE division yields NaN/Inf)
         .withColumn("corr_qty_price",
           round((col("n").cast("double") * col("sxy").cast("double") -
             col("sx").cast("double") * col("sy").cast("double")) /
-            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
-              col("sx").cast("double") * col("sx").cast("double")) *
-              sqrt(col("n").cast("double") * col("syy").cast("double") -
-                col("sy").cast("double") * col("sy").cast("double"))), 6))
+            when(col("den") =!= 0.0, col("den")), 6))
         .select(col("l_returnflag"), col("n"), col("corr_qty_price"))
         .orderBy(col("l_returnflag"))
     }),
@@ -786,8 +790,8 @@ object Relational {
            FROM b GROUP BY l_returnflag)
          SELECT l_returnflag, n,
                 ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy::DOUBLE) /
-                      (sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx::DOUBLE) *
-                       sqrt(n::DOUBLE * syy - sy::DOUBLE * sy::DOUBLE)), 6)
+                      NULLIF(sqrt(n::DOUBLE * sxx - sx::DOUBLE * sx::DOUBLE) *
+                             sqrt(n::DOUBLE * syy - sy::DOUBLE * sy::DOUBLE), 0), 6)
                   AS corr_qty_price
          FROM a ORDER BY l_returnflag""",
     "agg_histogram_quantile" ->

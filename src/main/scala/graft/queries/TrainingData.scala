@@ -278,9 +278,9 @@ object TrainingData {
        |  FROM sc GROUP BY doc_id),
        |fin AS (
        |  SELECT a.doc_id, lab.keep AS label,
-       |         CAST(a.sk + ROUND(-ln(pr.n_keep::DOUBLE / pr.n_docs::DOUBLE)
+       |         CAST(a.sk + ROUND(-ln((pr.n_keep + 1)::DOUBLE / (pr.n_docs + 2)::DOUBLE)
        |           * 1000000) AS BIGINT) AS nll_keep,
-       |         CAST(a.st2 + ROUND(-ln((pr.n_docs - pr.n_keep)::DOUBLE / pr.n_docs::DOUBLE)
+       |         CAST(a.st2 + ROUND(-ln((pr.n_docs - pr.n_keep + 1)::DOUBLE / (pr.n_docs + 2)::DOUBLE)
        |           * 1000000) AS BIGINT) AS nll_toss
        |  FROM agg a JOIN lab USING (doc_id) CROSS JOIN pr)""".stripMargin
 
@@ -333,7 +333,10 @@ object TrainingData {
   private val langLadder: String = {
     val codes = TextAnalysis.LangMarkers.map(_._1)
     val g = s"greatest(${codes.map(c => s"s_$c").mkString(", ")})"
-    codes.map(c => s"WHEN s_$c = $g THEN '$c'").mkString("CASE ", " ", " ELSE 'und' END")
+    // the zero-hit arm FIRST (mirrors withPredictedLang): all-zero scores
+    // predict 'und', never the alphabetically-first language
+    (s"WHEN $g = 0 THEN 'und'" +: codes.map(c => s"WHEN s_$c = $g THEN '$c'"))
+      .mkString("CASE ", " ", " ELSE 'und' END")
   }
 
   private val stopArr =
@@ -1725,7 +1728,7 @@ object TrainingData {
          |tok AS (SELECT doc_id, unnest(toks) AS token FROM base)
          |SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences,
          |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
-         |FROM tok GROUP BY token
+         |FROM tok WHERE token <> '' GROUP BY token
          |ORDER BY occurrences DESC, token LIMIT 50""".stripMargin,
 
     "text_repetition" ->

@@ -1223,6 +1223,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(kept > 0 && kept < corpus.length)
   }
 
+  test("nb quality survives uniformly-labeled corpora (smoothed priors, no ln(0))") {
+    import spark.implicits._
+    // every doc under GopherMinWords → the Gopher label is uniformly toss:
+    // unsmoothed priors would evaluate ln(0) — NULL scores in Spark, a hard
+    // error in the DuckDB oracle
+    val tiny = (1L to 6L).map(i => (i, "a b c", "en")).toDF("doc_id", "text", "lang")
+    val rows = graft.operators.TextAnalysis.nbQuality(tiny).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("nll_keep")) && !r.isNullAt(r.fieldIndex("nll_toss")))
+    }
+  }
+
+  test("zipf fit reports null slope on degenerate vocabularies instead of crashing") {
+    import spark.implicits._
+    val empty = Seq((1L, "", "en")).toDF("doc_id", "text", "lang")
+    val r0 = graft.operators.TextAnalysis.zipfFit(empty).collect().head
+    assert(r0.getLong(0) === 0L && r0.isNullAt(1) && r0.isNullAt(2))
+    val one = Seq((1L, "hello hello hello", "en")).toDF("doc_id", "text", "lang")
+    val r1 = graft.operators.TextAnalysis.zipfFit(one).collect().head
+    assert(r1.getLong(0) === 1L && r1.isNullAt(1))
+  }
+
   test("naive-bayes quality classifier learns the gopher signal") {
     val rows = graft.operators.TextAnalysis.nbQuality(docs).collect()
     assert(rows.length === docs.count())
@@ -1409,10 +1432,10 @@ class TrainingDataSpec extends AnyFunSuite {
     val tagged = TextAnalysis.withPredictedLang(synth).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(tagged(1L) === "de")
-    // zero marker hits ties every language at 0 — but the score of 'und'
-    // is only reached when no code matches `best`; with all scores 0 the
-    // alphabetical ladder picks the first code, so pin the actual contract
-    assert(tagged(2L) === TextAnalysis.LangMarkers.map(_._1).min)
+    // zero marker hits in EVERY language carries no signal: the prediction
+    // is 'und', not the alphabetically-first code (best always equals some
+    // score, so the ladder needs — and has — an explicit all-zero guard)
+    assert(tagged(2L) === "und")
   }
 
   test("feature hashing embeds identical texts identically and respects token multiplicity") {
