@@ -351,10 +351,14 @@ case class SortedOverlapExpr(left: Expression, right: Expression)
   * dot product, bit-identical to
   * `aggregate(zip_with(a, b, (p,q) -> p*q), 0.0d, (acc,v) -> acc+v)` (and
   * to the DuckDB oracle's list_reduce fold) but a tight loop instead of
-  * two interpreted lambdas per pair. */
+  * two interpreted lambdas per pair. Bit-identical INCLUDING the
+  * malformed case: length-mismatched arrays return NULL (zip_with pads
+  * with nulls, so the SQL fold nulls out) — never a silently-truncated
+  * partial dot that would flow into rankings looking plausible. */
 case class VecDotExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
@@ -362,10 +366,18 @@ case class VecDotExpr(left: Expression, right: Expression)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"vec_dot requires ARRAY<DOUBLE> args, got ${l.catalogString}, ${r.catalogString}")
     }
-  override def nullSafeEval(a: Any, b: Any): Any =
-    Signatures.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null else Signatures.vecDot(x, y)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Signatures.vecDot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.Signatures.vecDot($a, $b);
+         |}""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDotExpr =
     copy(left = newLeft, right = newRight)

@@ -229,7 +229,7 @@ object Curation {
       .select(col("keep_doc_id").as("doc_id"), lit(1).as("is_keeper"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
     val flagged = aug
-      .withColumn("digest", md5(col("text")))
+      .withColumn("digest", Dedup.contentDigest(col("text")))
       .withColumn("min_id", min(col("doc_id")).over(w))
       .join(clusters, Seq("doc_id"), "left")
       .join(keepers, Seq("doc_id"), "left")
@@ -600,7 +600,7 @@ object Curation {
       sum(size(col("toks")).cast("long")).as("n_tokens"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"),
-      countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      countDistinct(Dedup.contentDigest(col("text"))).as("n_distinct_texts"))
     val q = TextAnalysis.withQualityScore(docs)
       .agg(sum(round(col("quality_score") * 10000).cast("long")).as("q_micro"))
     val g = TextAnalysis.gopherFlags(docs)
@@ -720,7 +720,7 @@ object Curation {
     val scored = TextAnalysis.withGopherFlags(
       TextAnalysis.withQualityScore(Dedup.withMirrorSource(base)))
       .select(
-        md5(col("text")).as("digest"), col("source"),
+        Dedup.contentDigest(col("text")).as("digest"), col("source"),
         round(col("quality_score") * 1e4).cast("long").as("q_e4"),
         when(col("keep"), 1L).otherwise(0L).as("kept"),
         col("n_words"))

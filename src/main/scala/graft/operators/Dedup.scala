@@ -64,10 +64,19 @@ object Dedup {
 
   // ── 1. exact dedup ─────────────────────────────────────────────────────
 
+  /** THE content-digest convention — md5 of the trim-coalesced text — in
+    * one place: exact dedup, the per-source reports, the incremental
+    * snapshot gates (batch AND streaming), and the at-rest digest
+    * snapshot all hash the same bytes, so their frontiers compose. Over a
+    * frame that already passed [[graft.operators.TextAnalysis.withTokens]]
+    * (augmentedDocs does) the trim is an idempotent no-op. */
+  private[graft] def contentDigest(c: Column): Column =
+    md5(coalesce(trim(c), lit("")))
+
   /** Exact dedup: group by content digest, keep the lowest doc_id. */
   def exact(docs: DataFrame): DataFrame =
     augmentedDocs(docs)
-      .groupBy(md5(col("text")).as("digest"))
+      .groupBy(contentDigest(col("text")).as("digest"))
       .agg(
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_copies"))
@@ -420,7 +429,7 @@ object Dedup {
     // silently drop null-text docs from their source's n_docs (null digest
     // never matches the inner join)
     val all = withMirrorSource(base)
-      .select(md5(coalesce(trim(col("text")), lit(""))).as("digest"), col("source"))
+      .select(contentDigest(col("text")).as("digest"), col("source"))
     val perDigest = all.groupBy(col("digest"))
       .agg(countDistinct(col("source")).as("n_sources"),
         count(lit(1)).as("n_copies"))
@@ -691,7 +700,7 @@ object Dedup {
   def saveSnapshotDigests(docs: DataFrame, table: String,
       nBuckets: Int = 32): Unit =
     graft.export.Bucketed.saveBucketed(
-      docs.select(md5(col("text")).as("digest")).distinct(),
+      docs.select(contentDigest(col("text")).as("digest")).distinct(),
       table, "digest", nBuckets)
 
   /** The digest ingest gate against a bucketed snapshot table
@@ -703,7 +712,7 @@ object Dedup {
   def incrementalStatusBucketed(batch: DataFrame, snapshotTable: String): DataFrame = {
     val snapshot = batch.sparkSession.table(snapshotTable)
       .withColumn("seen", lit(1))
-    batch.select(col("doc_id"), md5(col("text")).as("digest"))
+    batch.select(col("doc_id"), contentDigest(col("text")).as("digest"))
       .join(snapshot, Seq("digest"), "left")
       .select(col("doc_id"),
         when(col("seen").isNotNull, "duplicate").otherwise("new").as("status"))
@@ -713,10 +722,10 @@ object Dedup {
   def incrementalStatus(docs: DataFrame): DataFrame = {
     val aug = augmentedDocs(docs)
     val snapshot = aug.filter(col("doc_id") < 100000)
-      .select(md5(col("text")).as("digest")).distinct()
+      .select(contentDigest(col("text")).as("digest")).distinct()
       .withColumn("seen", lit(1))
     aug.filter(col("doc_id") >= 100000)
-      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .select(col("doc_id"), contentDigest(col("text")).as("digest"))
       .join(snapshot, Seq("digest"), "left")
       .select(col("doc_id"),
         when(col("seen").isNotNull, "duplicate").otherwise("new").as("status"))
@@ -737,12 +746,12 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val aug = augmentedDocs(docs)
     val snapshot = aug.filter(col("doc_id") < 100000)
-      .select(md5(col("text")).as("digest"))
+      .select(contentDigest(col("text")).as("digest"))
     val bloom = snapshot.stat.bloomFilter("digest", expectedItems, fpp)
     val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((d: String) => d != null && bloomBc.value.mightContainString(d))
     val batch = aug.filter(col("doc_id") >= 100000)
-      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .select(col("doc_id"), contentDigest(col("text")).as("digest"))
       .withColumn("candidate", mightContain(col("digest")))
     val definiteNew = batch.filter(!col("candidate"))
       .select(col("doc_id"), lit("new").as("status"))
@@ -762,9 +771,9 @@ object Dedup {
     * before the full-outer join, so the shuffle is digest-only regardless
     * of corpus size. Expects a `text` column on both inputs. */
   def snapshotDiffRaw(v1: DataFrame, v2: DataFrame): DataFrame = {
-    val d1 = v1.select(md5(col("text")).as("digest")).distinct()
+    val d1 = v1.select(contentDigest(col("text")).as("digest")).distinct()
       .withColumn("in1", lit(1))
-    val d2 = v2.select(md5(col("text")).as("digest")).distinct()
+    val d2 = v2.select(contentDigest(col("text")).as("digest")).distinct()
       .withColumn("in2", lit(1))
     d1.join(d2, Seq("digest"), "full_outer")
       .select(
@@ -821,7 +830,7 @@ object Dedup {
       estThreshold: Double = 0.5): DataFrame = {
     val aug = augmentedDocs(docs)
     val snapDigests = aug.filter(col("doc_id") < 100000)
-      .select(md5(col("text")).as("digest")).distinct()
+      .select(contentDigest(col("text")).as("digest")).distinct()
       .withColumn("seen", lit(1))
     val sigs = minhashSignatures(docs)
     val snapBands = bandedSigs(sigs.filter(col("doc_id") < 100000))
@@ -836,7 +845,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(max(col("est")).as("best_est"))
     aug.filter(col("doc_id") >= 100000)
-      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .select(col("doc_id"), contentDigest(col("text")).as("digest"))
       .join(snapDigests, Seq("digest"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),

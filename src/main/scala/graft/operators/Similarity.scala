@@ -423,7 +423,9 @@ object Similarity {
     * (chunk, dim) aggregation); queries broadcast; the only Exchange is
     * the per-query top-k window — the corpus of chunk vectors never
     * shuffles into the join. Chunk ids pack (doc_id, chunk_idx) into one
-    * long (chunks per doc bounded ≪ 1000 here). */
+    * long with stride [[ChunkIdStride]] — room for 1M chunks (32M words at
+    * the default width) per document before ids could bleed into the next
+    * document's range, with a loud guard at the packing site. */
   def chunkTopK(docs: DataFrame, k: Int = 10, nQueries: Int = 3,
       dims: Int = 16, chunkWords: Int = 32): DataFrame = {
     val chunks = TextAnalysis.withTokens(docs)
@@ -435,11 +437,17 @@ object Similarity {
       .select(col("doc_id"), col("words"),
         posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("pos", "i")))
       .select(
-        (col("doc_id") * 1000 + col("i")).as("doc_id"),
+        // loud guard: a document overflowing the stride would silently
+        // misattribute its tail chunks to the NEXT doc_id's range
+        when(col("i") < ChunkIdStride,
+          col("doc_id") * ChunkIdStride + col("i"))
+          .otherwise(raise_error(lit(
+            s"chunkTopK: document exceeds $ChunkIdStride chunks — widen ChunkIdStride")))
+          .as("doc_id"),
         array_join(expr(s"slice(words, i * $chunkWords + 1, $chunkWords)"), " ")
           .as("text"))
     val v = hashedDense(chunks, dims)
-      .withColumn("owner_doc", expr("doc_id div 1000"))
+      .withColumn("owner_doc", expr(s"doc_id div $ChunkIdStride"))
     val q = hashedDense(docs, dims)
       .filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("vec").as("qvec"), col("sq").as("qsq"))
@@ -451,7 +459,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("owner_doc").as("doc_id"), expr("doc_id % 1000").as("chunk_idx"),
+        col("owner_doc").as("doc_id"), expr(s"doc_id % $ChunkIdStride").as("chunk_idx"),
         round(col("cos"), 6).as("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -740,6 +748,10 @@ object Similarity {
     * data. */
   val RrfLegK = 50
   val RrfConst = 60
+
+  /** Chunk-id packing stride for [[chunkTopK]]: chunk id = doc_id·stride
+    * + chunk index (shared with the DuckDB oracle builder). */
+  val ChunkIdStride = 1000000L
 
   def hybridRrfTopK(docs: DataFrame, k: Int = 20, legK: Int = RrfLegK,
       rrfK: Int = RrfConst, dims: Int = 16): DataFrame = {
@@ -1260,9 +1272,15 @@ object Similarity {
       .select(
         col("dim"), col("n"),
         round(col("sx").cast("double") / (col("n") * 1e6), 6).as("mean"),
-        round((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+        // the combine step is DOUBLE arithmetic: n·sx2 in LONG wraps
+        // silently at only ~3–5k vectors per dim (sx2 ~ n·10¹²); the
+        // integer discipline ends at the exact sums, which both engines
+        // convert to the same doubles before combining
+        round((col("n").cast("double") * col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
           (col("n").cast("double") * col("n") * 1e12), 6).as("variance"),
-        round(sqrt((col("n") * col("sx2") - col("sx") * col("sx")).cast("double") /
+        round(sqrt((col("n").cast("double") * col("sx2").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) /
           (col("n").cast("double") * col("n") * 1e12)), 6).as("std"))
       .orderBy(col("dim"))
   }
@@ -1295,8 +1313,11 @@ object Similarity {
         count(lit(1)).as("n_pairs"),
         round(sum(col("cos_e6")).cast("double") / (count(lit(1)) * 1e6), 4)
           .as("mean_cos"),
-        round(sqrt((count(lit(1)) * sum(col("cos_e6") * col("cos_e6")) -
-          sum(col("cos_e6")) * sum(col("cos_e6"))).cast("double") /
+        // DOUBLE combine (same reason as dimStats): n_pairs·Σcos² in LONG
+        // wraps at only ~3k sampled pairs
+        round(sqrt((count(lit(1)).cast("double") *
+          sum(col("cos_e6") * col("cos_e6")).cast("double") -
+          sum(col("cos_e6")).cast("double") * sum(col("cos_e6")).cast("double")) /
           (count(lit(1)).cast("double") * count(lit(1)) * 1e12)), 4).as("std_cos"),
         round(min(col("cos_e6")).cast("double") / 1e6, 4).as("min_cos"),
         round(max(col("cos_e6")).cast("double") / 1e6, 4).as("max_cos"))

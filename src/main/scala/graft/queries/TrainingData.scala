@@ -794,7 +794,7 @@ object TrainingData {
          |         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
          |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
          |         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-         |         CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+         |         CAST(COUNT(DISTINCT md5(COALESCE(trim(text), ''))) AS BIGINT) AS n_distinct_texts
          |  FROM card),
          |q AS (
          |  SELECT CAST(SUM(CAST(ROUND(
@@ -2003,8 +2003,10 @@ object TrainingData {
          |      FROM m GROUP BY dim)
          |SELECT CAST(dim AS BIGINT) AS dim, n,
          |       ROUND(sx::DOUBLE / (n * 1000000.0), 6) AS mean,
-         |       ROUND((n * sx2 - sx * sx)::DOUBLE / (n::DOUBLE * n * 1e12), 6) AS variance,
-         |       ROUND(sqrt((n * sx2 - sx * sx)::DOUBLE / (n::DOUBLE * n * 1e12)), 6) AS std
+         |       ROUND((n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |         / (n::DOUBLE * n * 1e12), 6) AS variance,
+         |       ROUND(sqrt((n::DOUBLE * sx2::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |         / (n::DOUBLE * n * 1e12)), 6) AS std
          |FROM p ORDER BY dim""".stripMargin,
 
     "sim_pair_stats" ->
@@ -2018,8 +2020,8 @@ object TrainingData {
          |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |       ROUND(CAST(SUM(cos_e6) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS mean_cos,
-         |       ROUND(sqrt((COUNT(*) * CAST(SUM(cos_e6 * cos_e6) AS BIGINT)
-         |         - CAST(SUM(cos_e6) AS BIGINT) * CAST(SUM(cos_e6) AS BIGINT))::DOUBLE
+         |       ROUND(sqrt((COUNT(*)::DOUBLE * CAST(SUM(cos_e6 * cos_e6) AS BIGINT)::DOUBLE
+         |         - CAST(SUM(cos_e6) AS BIGINT)::DOUBLE * CAST(SUM(cos_e6) AS BIGINT)::DOUBLE)
          |         / (COUNT(*)::DOUBLE * COUNT(*) * 1e12)), 4) AS std_cos,
          |       ROUND(MIN(cos_e6)::DOUBLE / 1000000.0, 4) AS min_cos,
          |       ROUND(MAX(cos_e6)::DOUBLE / 1000000.0, 4) AS max_cos
@@ -2183,7 +2185,7 @@ object TrainingData {
          |        list_filter(toks, t -> t <> '') AS words,
          |        len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS n_sym
          |      FROM tb),
-         |q2 AS (SELECT doc_id, source, md5(text) AS digest,
+         |q2 AS (SELECT doc_id, source, md5(COALESCE(trim(text), '')) AS digest,
          |        CAST(ROUND(ROUND(least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.5
          |          + (n_stop::DOUBLE / n_tokens) * 0.5, 4) * 10000) AS BIGINT) AS q_e4,
          |        CAST(len(words) AS BIGINT) AS n_words,
@@ -2919,7 +2921,7 @@ object TrainingData {
          |cf AS (
          |  SELECT cid, ${h64("tok")} % 16 AS dim,
          |         CASE WHEN ${h64("'s#' || tok")} % 2 = 0 THEN 1 ELSE -1 END AS sgn
-         |  FROM (SELECT doc_id * 1000 + i AS cid,
+         |  FROM (SELECT doc_id * ${Similarity.ChunkIdStride} + i AS cid,
          |               unnest(words[(i*32+1)::INT:(i*32+32)::INT]) AS tok
          |        FROM ci) t
          |  WHERE tok <> ''),
@@ -2941,12 +2943,12 @@ object TrainingData {
          |scored AS (
          |  SELECT q.query_id, cv.cid,
          |         ${dotD("cv.vec", "q.qvec", 16)} / sqrt(cv.sq * q.qsq) AS cos
-         |  FROM cv, q WHERE cv.cid // 1000 <> q.query_id),
+         |  FROM cv, q WHERE cv.cid // ${Similarity.ChunkIdStride} <> q.query_id),
          |r AS (SELECT query_id, cid, cos,
          |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cid) AS rank
          |      FROM scored)
          |SELECT query_id, CAST(rank AS BIGINT) AS rank,
-         |       cid // 1000 AS doc_id, cid % 1000 AS chunk_idx, ROUND(cos, 6) AS cos
+         |       cid // ${Similarity.ChunkIdStride} AS doc_id, cid % ${Similarity.ChunkIdStride} AS chunk_idx, ROUND(cos, 6) AS cos
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
 

@@ -51,7 +51,7 @@ object DocStream {
   def withSignatures(docs: DataFrame): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     docs
-      .withColumn("digest", md5(trim(col("text"))))
+      .withColumn("digest", graft.operators.Dedup.contentDigest(col("text")))
       .withColumn("simhash",
         call_function("simhash48", split(trim(col("text")), "\\s+")))
   }
@@ -170,7 +170,9 @@ object DocStream {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val batchKey = s"${runId.replaceAll("[^A-Za-z0-9_-]", "_")}_$batchId"
-    val d = batch.withColumn("digest", md5(col("text")))
+    // the ONE content-digest convention (Dedup.contentDigest): this gate's
+    // frontier must compose with dedupExact's and the batch snapshots'
+    val d = batch.withColumn("digest", graft.operators.Dedup.contentDigest(col("text")))
     val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = snapPath.getFileSystem(spark.sessionState.newHadoopConf())
     val snap =
@@ -181,19 +183,26 @@ object DocStream {
       else d.select(col("digest")).limit(0)
     val dup = d.join(snap, Seq("digest"), "left_semi")
       .withColumn("status", lit("duplicate"))
+    // persisted: the output write and the snapshot write both consume this
+    // frame — without the persist each write re-runs the snapshot scan,
+    // the batch md5, the anti-join, and the window (2× per-batch latency
+    // on the hot ingest path)
     val fresh = d.join(snap, Seq("digest"), "left_anti")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("digest")).orderBy(col("doc_id"))))
-    val freshNew = fresh.filter(col("rn") === 1).drop("rn")
-      .withColumn("status", lit("new"))
-    val freshDup = fresh.filter(col("rn") > 1).drop("rn")
-      .withColumn("status", lit("duplicate"))
-    dup.unionByName(freshNew).unionByName(freshDup)
-      .select(col("doc_id"), col("digest"), col("status"))
-      .write.mode("overwrite").parquet(s"$outDir/batch_key=$batchKey")
-    freshNew.select(col("digest"))
-      .write.mode("overwrite").parquet(s"$snapshotDir/batch_key=$batchKey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val freshNew = fresh.filter(col("rn") === 1).drop("rn")
+        .withColumn("status", lit("new"))
+      val freshDup = fresh.filter(col("rn") > 1).drop("rn")
+        .withColumn("status", lit("duplicate"))
+      dup.unionByName(freshNew).unionByName(freshDup)
+        .select(col("doc_id"), col("digest"), col("status"))
+        .write.mode("overwrite").parquet(s"$outDir/batch_key=$batchKey")
+      freshNew.select(col("digest"))
+        .write.mode("overwrite").parquet(s"$snapshotDir/batch_key=$batchKey")
+    } finally fresh.unpersist(blocking = false)
   }
 
   /** Source/language-mix drift monitor: per event-time window, the total
@@ -273,9 +282,13 @@ object DocStream {
               seen.foreach { case (id, s) =>
                 val est = s.iterator.zip(o.sig.iterator).count { case (a, b) => a == b } /
                   k.toDouble
-                if (est >= estThreshold) out += NearDupMatch(o.doc_id, id, est)
+                // id != doc_id: an at-least-once redelivery must not match
+                // its own earlier signature and emit a (X, X, 1.0) self-pair
+                if (est >= estThreshold && id != o.doc_id)
+                  out += NearDupMatch(o.doc_id, id, est)
               }
-              seen = (o.doc_id, o.sig) :: seen
+              // nor burn a bounded state slot on a second copy of itself
+              if (!seen.exists(_._1 == o.doc_id)) seen = (o.doc_id, o.sig) :: seen
             }
             state.update(BucketState(seen.take(maxSigsPerBucket)))
             state.setTimeoutTimestamp(

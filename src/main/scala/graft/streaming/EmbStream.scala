@@ -74,6 +74,10 @@ object EmbStream {
       }.start()
   }
 
+  /** Zero-norm vectors are excluded BY CONTRACT on the streaming paths: a
+    * zero vector has no cosine direction, so "nearest centroid" is
+    * undefined for it — count/divert such rows upstream if they must be
+    * retained (they are NOT silently assigned to an arbitrary cell). */
   private def prepBatch(batch: DataFrame): DataFrame =
     batch
       .withColumn("vec", col("embedding").cast("array<double>"))

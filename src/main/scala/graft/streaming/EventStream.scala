@@ -50,6 +50,12 @@ object EventStream {
     * tumbling windows — append-safe, state bounded by live windows ×
     * types; the reference is a literal CASE chain, so the whole monitor
     * is one windowed aggregation plus narrow arithmetic. */
+  // LIMITATION (by streaming construction): a type whose volume collapses
+  // to ZERO emits no (window, type) row, so a total outage cannot alert
+  // from inside the windowed aggregation — detecting absence needs
+  // stateful timers per type. Run the batch twin (win_zscore_anomaly)
+  // on a schedule for source-went-dark coverage; this monitor owns
+  // spikes and partial drops.
   def volumeAnomalyMonitor(events: DataFrame,
       ref: Map[String, (Double, Double)], windowLen: String = "1 hour",
       lateness: String = "10 minutes", zThreshold: Double = 3.0): DataFrame = {
@@ -98,7 +104,8 @@ object EventStream {
           else if (t - acc.end > gapMs) {
             out += UserSession(userId, new Timestamp(acc.start), new Timestamp(acc.end), acc.n, acc.total)
             acc = SessionAcc(t, t, 1, e.value)
-          } else acc = SessionAcc(acc.start, math.max(acc.end, t), acc.n + 1, acc.total + e.value)
+          } else acc = SessionAcc(math.min(acc.start, t), math.max(acc.end, t),
+            acc.n + 1, acc.total + e.value) // min: an in-watermark late event can PRECEDE the open session's start
         }
         if (acc != null) {
           state.update(acc)

@@ -77,6 +77,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.contains((7L, 2L, 3.0))) // first burst: 2 events, value 3
   }
 
+  test("sessionization: an in-watermark late event EXTENDS the open session's start backward") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // lateness default: sessionize watermarks at 1 minute — deliver the
+    // late event in the SAME batch-epoch window so it is in-watermark
+    val query = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def at(sec: Int) = new Timestamp(Timestamp.valueOf("2024-01-01 10:00:00").getTime + sec * 1000L)
+    mem.addData(Event(5L, 1, "click", at(10), 1.0))
+    query.processAllAvailable()
+    // 10 seconds EARLIER than the open session's start, still in-watermark:
+    // session_window would report start 10:00:00 — the custom state must too
+    mem.addData(Event(5L, 2, "click", at(0), 2.0))
+    query.processAllAvailable()
+    mem.addData(Event(6L, 9, "click", at(7200), 0.5)) // watermark push closes it
+    query.processAllAvailable()
+    val s = spark.sql(
+      "SELECT session_start, n_events FROM late_sessions WHERE user_id = 5")
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+    query.stop()
+    assert(s.length === 1)
+    assert(s.head._1 === at(0), "session_start must move back to the late event")
+    assert(s.head._2 === 2L)
+  }
+
   test("native session_window sessionization matches the custom-state boundaries") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
