@@ -18,6 +18,9 @@ import graft.sources.RemoteDiscovery
  * graft --remote <base_url> <network> <range> <cmd> <out>
  *       [--separate] [--force] [--download-only]
  *       [--state-dir D] [--cache-dir D]             # incremental remote ETL
+ *       [--warehouse D]   # land eras in the at-rest SQL warehouse instead
+ *                         # (the reference's ClickHouse loop: resume →
+ *                         # per-era atomic commit → paste SQL at the store)
  * graft --era-status <network> [--state-dir D]
  * graft --clean-failed-eras <network> [--state-dir D] [--data-root D]
  * }}}
@@ -43,7 +46,8 @@ object Cli {
 
   /** Flags that consume the following token as their value. */
   private val valueFlags = Set(
-    "--state-dir", "--cache-dir", "--data-root", "--export-jdbc", "--migrate")
+    "--state-dir", "--cache-dir", "--data-root", "--export-jdbc", "--migrate",
+    "--warehouse")
 
   def main(args: Array[String]): Unit = {
     // split argv into flags, flag values, and positionals — a flag's value
@@ -216,11 +220,17 @@ object Cli {
     val state = new EraStateManager(spark, stateDir)
     val eras = discovered.map(_._1.toLong)
     val byEra = discovered.toMap
-    val processed = graft.export.IncrementalExporter.run(
-        spark, state, network, eras, out, verb,
-        force = flags.contains("--force"), dataRoot = Some(dataRoot)) { era =>
+    def loadEra(era: Long) = {
       val local = RemoteDiscovery.download(byEra(era.toInt), cacheDir)
       spark.read.format("era").load(local.toString)
+    }
+    val processed = opts.get("--warehouse").filter(_.nonEmpty) match {
+      case Some(wh) => graft.export.IncrementalExporter.runWarehouse(
+        spark, state, network, eras, wh,
+        force = flags.contains("--force"))(loadEra)
+      case None => graft.export.IncrementalExporter.run(
+        spark, state, network, eras, out, verb,
+        force = flags.contains("--force"), dataRoot = Some(dataRoot))(loadEra)
     }
     println(s"processed ${processed.size} of ${eras.size} eras (rest completed)")
   }

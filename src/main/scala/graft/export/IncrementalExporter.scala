@@ -70,4 +70,91 @@ object IncrementalExporter {
     }
     processed.result()
   }
+
+  /** The same resume loop writing into the AT-REST WAREHOUSE — the
+    * reference's actual production contract, where the per-era atomic
+    * export (`clickhouse_exporter.py:37-82`), the completion state
+    * (`era_state_manager.py:102-168`) and the paste-SQL surface
+    * (`docs/CLICKHOUSE.md:340+`) are ONE store. Per era:
+    *
+    *  1. record start;
+    *  2. decode → a small columnar stage (the nested-pruning discipline
+    *     of [[StagedExport]], sized to one era) → the 17 per-table
+    *     extracts fan out concurrently, each landing as a DYNAMIC
+    *     partition overwrite ([[Sinks.overwriteEraPartitions]]) into
+    *     `<warehouseDir>/<network>/<table>/era_number=N/` — exactly this
+    *     era's directories are replaced, completed eras' files are never
+    *     touched;
+    *  3. record completion with per-table counts read back footer-only.
+    *
+    * Torn state from a kill cannot leak into a resumed warehouse: before
+    * writing, the era's partition directories are dropped across ALL
+    * tables (a table that legitimately has no rows for the era this run
+    * would otherwise keep a dead run's partial partition — dynamic
+    * overwrite only replaces partitions it writes), then the overwrite
+    * lands fresh data. Consumers see completed eras via
+    * [[graft.queries.EraViews]]`.registerWarehouse` + the
+    * `era_completion` view; `WarehouseResumeSpec` kills a run mid-era and
+    * proves resume ≡ uninterrupted, table for table.
+    *
+    * At cluster scale: the state reads are broadcast-size, the stage is
+    * one era (bounded), and each table write touches one partition
+    * directory — the loop's footprint is per-era, never per-archive. */
+  def runWarehouse(spark: SparkSession, state: EraStateManager,
+      network: String, eras: Seq[Long], warehouseDir: String,
+      parallelism: Int = 8, force: Boolean = false,
+      stageCodec: String = "zstd")(loadEra: Long => DataFrame): Seq[Long] = {
+    import java.nio.file.{Files, Paths}
+    val netDir = s"$warehouseDir/$network"
+    val tableNames = StagedExport.networkTables(
+      { import spark.implicits._; spark.emptyDataset[graft.model.DecodedBlock] },
+      network).map(_._1)
+    // every table directory must exist up front: a table empty across the
+    // whole corpus still has to bind as an empty view at registration
+    tableNames.foreach(n => Files.createDirectories(Paths.get(s"$netDir/$n")))
+    val stage = s"$netDir/_stage"
+    def dropEraPartitions(era: Long): Unit = tableNames.foreach { n =>
+      val p = Paths.get(s"$netDir/$n/era_number=$era")
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    }
+    val todo = if (force) eras else state.determineErasToProcess(eras, network)
+    val processed = Seq.newBuilder[Long]
+    try {
+      todo.foreach { era =>
+        if (force) state.cleanEraCompletely(netDir, network, era)
+        state.recordEraStart(era, network)
+        try {
+          import spark.implicits._
+          Normalizer.decodeBlocks(loadEra(era)).toDF().coalesce(4)
+            .write.mode("overwrite").option("compression", stageCodec).parquet(stage)
+          val staged = spark.read.parquet(stage).as[graft.model.DecodedBlock]
+          val tables = StagedExport.networkTables(staged, network)
+          dropEraPartitions(era)
+          Sinks.runQuiescent(spark, parallelism, tables.map { case (name, df) =>
+            () => Sinks.overwriteEraPartitions(df, s"$netDir/$name")
+          })
+          val counts = tableNames.map { name =>
+            val p = s"$netDir/$name/era_number=$era"
+            name -> (if (Files.exists(Paths.get(p)))
+              spark.read.parquet(p).count() else 0L) // footer-only
+          }.toMap
+          state.recordEraCompletion(era, network,
+            counts.filter(_._2 > 0).keys.toSeq.sorted, counts.values.sum)
+          processed += era
+        } catch {
+          case e: Exception =>
+            state.recordEraFailure(era, network, String.valueOf(e.getMessage))
+            System.err.println(s"era $era warehouse export failed: ${e.getMessage}")
+        }
+      }
+    } finally {
+      val p = Paths.get(stage)
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+    }
+    processed.result()
+  }
 }

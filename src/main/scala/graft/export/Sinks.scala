@@ -93,6 +93,18 @@ object Sinks {
   def writePartitionedByEra(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").partitionBy("era_number").parquet(path)
 
+  /** The INCREMENTAL write into the same layout: overwrite ONLY the era
+    * partitions present in `df`, leaving every other era's directories
+    * untouched (`partitionOverwriteMode=dynamic`, set per-write so the
+    * session default stays static). This is what makes the per-era loop's
+    * re-processing idempotent at the warehouse: a crashed era's retry
+    * replaces exactly its own partition, and completed eras' files are
+    * never rewritten — [[IncrementalExporter.runWarehouse]]'s
+    * exactly-once mechanism, spec-pinned by `WarehouseResumeSpec`. */
+  def overwriteEraPartitions(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("era_number").parquet(path)
+
   /** S11/S13 exact-parity single-file export: the reference's INLINE
     * metadata envelope — JSONL metadata as the first line
     * (json_exporter.py:31-41) or a CSV `#` comment preamble

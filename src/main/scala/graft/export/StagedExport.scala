@@ -49,14 +49,20 @@ object StagedExport {
 
   /** Stage once, then write the full AT-REST WAREHOUSE: every normalized
     * table (plus the wide shape) as an era-partitioned parquet directory
-    * `<warehouseDir>/<table>/era_number=N/` — the
+    * `<warehouseDir>/<network>/<table>/era_number=N/` — the
     * [[Sinks.writePartitionedByEra]] layout
     * [[graft.queries.EraViews]]`.registerWarehouse` binds SQL views to,
     * closing the reference's paste-SQL-against-exported-tables contract
     * (docs/CLICKHOUSE.md:340+ assumes ClickHouse tables at rest). Same
     * staged fan-out discipline as [[exportAll]]: one columnar stage, then
     * concurrent nested-schema-pruned partitioned writes from a bounded
-    * pool, quiescent on failure. */
+    * pool, quiescent on failure.
+    *
+    * Multi-network: the reference's state layer keys every row on network
+    * (`era_state_manager.py:350-377`), so one store holds many networks.
+    * Here each network gets its own subtree because `era_number` is
+    * derived arithmetically from the NETWORK'S slot geometry — the
+    * per-(network, table) writes all fan out of the one shared stage. */
   def exportWarehouse(blocks: Dataset[DecodedBlock], stageDir: String,
       warehouseDir: String, parallelism: Int = 16,
       stageFiles: Int = 32, stageCodec: String = "zstd"): Unit = {
@@ -65,28 +71,38 @@ object StagedExport {
     blocks.toDF().coalesce(stageFiles)
       .write.mode("overwrite").option("compression", stageCodec).parquet(stageDir)
     val staged = spark.read.parquet(stageDir).as[DecodedBlock]
-    // The child tables' canonical schemas don't carry the partition key;
-    // attach it ARITHMETICALLY (era = slot div slots_per_historical_root,
-    // the reference's own era↔slot identity — EraSlots.eraOfSlot) rather
-    // than joining the blocks frame back in: a narrow per-row projection
-    // instead of a slot-equi join whose build side is the whole block
-    // archive at 100 TB. The identity is per-network, so a warehouse is
-    // single-network by construction (the reference exports per network
-    // too); the decode-vs-arithmetic agreement is spec-pinned.
     val nets = staged.select(org.apache.spark.sql.functions.col("network"))
-      .distinct().collect().map(_.getString(0))
-    require(nets.length == 1,
-      s"warehouse export is per-network; corpus has ${nets.mkString(", ")}")
-    val spr = graft.config.Networks(nets.head).slotsPerHistoricalRoot
+      .distinct().collect().map(_.getString(0)).sorted
+    require(nets.nonEmpty, "warehouse export needs a non-empty corpus")
+    val tables = nets.toSeq.flatMap { net =>
+      val mine = staged.filter(org.apache.spark.sql.functions.col("network") === net)
+      networkTables(mine, net).map { case (name, df) => (net, name, df) }
+    }
+    Sinks.runQuiescent(spark, parallelism, tables.map { case (net, name, df) =>
+      () => Sinks.writePartitionedByEra(df, s"$warehouseDir/$net/$name")
+    })
+    ()
+  }
+
+  /** One network's warehouse tables (15 children + blocks + wide shape),
+    * each with the `era_number` partition key attached ARITHMETICALLY
+    * (era = slot div slots_per_historical_root, the reference's own
+    * era↔slot identity — EraSlots.eraOfSlot) rather than joining the
+    * blocks frame back in: a narrow per-row projection instead of a
+    * slot-equi join whose build side is the whole block archive at
+    * 100 TB. The identity is per-network (the slot geometry comes from
+    * [[graft.config.Networks]]); decode-vs-arithmetic agreement is
+    * spec-pinned in `EraWarehouseSpec`. Shared by the full-corpus
+    * [[exportWarehouse]] and the per-era
+    * [[IncrementalExporter.runWarehouse]] loop. */
+  private[export] def networkTables(blocks: Dataset[DecodedBlock],
+      network: String): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+    val spr = graft.config.Networks(network).slotsPerHistoricalRoot
     def withEra(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("era_number",
         org.apache.spark.sql.functions.expr(s"slot div $spr"))
-    val tables = Normalizer.allDatasets(staged).toSeq.sortBy(_._1)
+    Normalizer.allDatasets(blocks).toSeq.sortBy(_._1)
       .map { case (n, df) => n -> withEra(df) } :+
-      ("wide_blocks" -> Normalizer.wideBlocksWithEra(staged))
-    Sinks.runQuiescent(spark, parallelism, tables.map { case (name, df) =>
-      () => Sinks.writePartitionedByEra(df, s"$warehouseDir/$name")
-    })
-    ()
+      ("wide_blocks" -> Normalizer.wideBlocksWithEra(blocks))
   }
 }

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.model.DecodedBlock
@@ -48,9 +50,27 @@ object EraViews {
   def register(spark: SparkSession): Unit =
     register(spark, EraQueries.blocks(spark))
 
+  /** Bind the warehouse views for the single network under `dir` — the
+    * common case (the reference exports one network per pipeline run).
+    * A root holding several networks must name one explicitly via the
+    * 3-arg overload; detecting is cheap (one directory listing), choosing
+    * silently would be wrong. */
+  def registerWarehouse(spark: SparkSession, dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    require(java.nio.file.Files.isDirectory(root), s"no warehouse at $dir")
+    val nets = java.nio.file.Files.list(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p))
+      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted
+    require(nets.size == 1,
+      s"warehouse at $dir holds networks [${nets.mkString(", ")}]; " +
+        "name one: registerWarehouse(spark, dir, network)")
+    registerWarehouse(spark, dir, nets.head)
+  }
+
   /** Bind the SAME views to an AT-REST warehouse directory — the layout
     * [[graft.export.StagedExport.exportWarehouse]] writes (one
-    * era-partitioned parquet directory per table under `dir`). This is
+    * era-partitioned parquet directory per table under
+    * `dir/<network>`). This is
     * the other half of the reference's SQL contract: its users paste SQL
     * against the EXPORTED tables (docs/CLICKHOUSE.md:340-920 assumes
     * ClickHouse tables on disk), not against an in-session decode — so an
@@ -67,15 +87,15 @@ object EraViews {
     * partition pruning — plan-asserted in `EraWarehouseSpec`). The
     * partition key stays visible in every view — `WHERE era_number = N`
     * is the at-rest contract's point-lookup idiom. */
-  def registerWarehouse(spark: SparkSession, dir: String): Unit = {
+  def registerWarehouse(spark: SparkSession, dir: String, network: String): Unit = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val empty = spark.emptyDataset[DecodedBlock]
     def bind(name: String, canonical: org.apache.spark.sql.types.StructType): Unit = {
-      val path = s"$dir/$name"
+      val path = s"$dir/$network/$name"
       require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
         s"warehouse table missing at $path — expected the " +
-          "StagedExport.exportWarehouse layout (<dir>/<table>/era_number=N/)")
+          "StagedExport.exportWarehouse layout (<dir>/<network>/<table>/era_number=N/)")
       // read with the EXPLICIT canonical schema (+ the era_number partition
       // key): schema inference would (a) pay a footer-listing pass per
       // table per registration and (b) throw "Unable to infer schema" for

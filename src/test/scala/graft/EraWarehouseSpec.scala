@@ -115,6 +115,42 @@ class EraWarehouseSpec extends AnyFunSuite {
     assert(n === expected && n > 0L)
   }
 
+  test("one warehouse root holds gnosis AND mainnet, era arithmetic per network") {
+    // the reference's state layer keys on network
+    // (era_state_manager.py:350-377): one store, many networks. Export a
+    // combined corpus and verify each network's subtree binds on its own
+    // with its own slot geometry.
+    val root = Files.createTempDirectory("era-warehouse-multinet").toString
+    val gnosis = EraQueries.blocks(spark)
+    val mainnet = EraQueries.mainnetBlocks(spark)
+    StagedExport.exportWarehouse(gnosis.unionByName(mainnet),
+      s"$root/stage", s"$root/wh", parallelism = 8, stageFiles = 4)
+    // ambiguous auto-detect must refuse, not guess
+    val e = intercept[IllegalArgumentException] {
+      EraViews.registerWarehouse(spark, s"$root/wh")
+    }
+    assert(e.getMessage.contains("gnosis") && e.getMessage.contains("mainnet"))
+    Seq("gnosis" -> gnosis, "mainnet" -> mainnet).foreach { case (net, src) =>
+      EraViews.registerWarehouse(spark, s"$root/wh", net)
+      val bound = spark.sql("SELECT slot, era_number FROM blocks").collect().toSeq
+      // exactly this network's blocks — the canonical schemas carry no
+      // network column (the subtree IS the network), so leakage shows up
+      // as foreign slots / wrong cardinality
+      val expected = src.toDF().select(col("slot"), col("era_number"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bound.size === expected.size,
+        s"$net subtree bound ${bound.size} blocks, decode has ${expected.size}")
+      // arithmetic era (slot div slots_per_historical_root, THIS network's
+      // geometry) must equal the decode's filename-metadata era
+      bound.foreach { r =>
+        assert(expected.contains(r.getLong(0)),
+          s"$net subtree leaked a foreign slot ${r.getLong(0)}")
+        assert(r.getLong(1) === expected(r.getLong(0)),
+          s"$net slot ${r.getLong(0)}: warehouse era drifted from decode era")
+      }
+    }
+  }
+
   test("a warehouse with a legitimately EMPTY table still binds and queries") {
     // a phase0-only corpus has no withdrawals/bls_changes/execution
     // requests — partitionBy of zero rows writes only _SUCCESS, and the

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.export.{EraStateManager, IncrementalExporter}
+import graft.queries.EraViews
+import graft.testkit.EraFixtures
+
+/** The reference's production contract as ONE store: resume → per-era
+  * atomic export → paste SQL against the SAME warehouse
+  * (clickhouse_exporter.py:37-82 + era_state_manager.py:102-168 +
+  * docs/CLICKHOUSE.md:340+). A run hard-killed mid-era — with a torn
+  * partial partition on disk — must, on re-run over the same state dir,
+  * process exactly the non-completed eras, never rewrite a completed
+  * era's files, and land a warehouse equal to an uninterrupted run's,
+  * table for table; and the SQL surface bound to the warehouse must see
+  * exactly the completed eras at every point. */
+class WarehouseResumeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private class SimulatedCrash extends Error("simulated mid-run death")
+
+  private def rowsOf(path: String): Seq[String] =
+    spark.read.parquet(path).collect().toSeq
+      .map(_.toSeq.mkString("|")).sorted
+
+  private def partDirs(tableDir: String): Seq[String] =
+    new java.io.File(tableDir).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("era_number="))
+      .map(_.getName).sorted
+
+  test("mid-era kill + torn partition resumes to the uninterrupted warehouse") {
+    val eraDir = EraFixtures.ensureGenerated()
+    val files: Map[Long, String] = new java.io.File(eraDir).listFiles().toSeq
+      .filter(_.getName.endsWith(".era"))
+      .map(f => f.getName.split("-")(1).toLong -> f.getAbsolutePath).toMap
+    val eras = files.keys.toSeq.sorted
+    assert(eras.size >= 5, "need a multi-era corpus to interrupt meaningfully")
+    def loadEra(era: Long) = spark.read.format("era").load(files(era))
+
+    // ── reference: one uninterrupted warehouse run ─────────────────────
+    val whA = Files.createTempDirectory("graft-whres-a").toString
+    val stateA = new EraStateManager(spark,
+      Files.createTempDirectory("graft-whres-state-a").toString)
+    val procA = IncrementalExporter.runWarehouse(
+      spark, stateA, "gnosis", eras, whA)(loadEra)
+    assert(procA === eras)
+
+    // ── the crashing run: dies loading era k ───────────────────────────
+    val whB = Files.createTempDirectory("graft-whres-b").toString
+    val stateDirB = Files.createTempDirectory("graft-whres-state-b").toString
+    val k = 3
+    val survivors = eras.take(k).toSet
+    intercept[SimulatedCrash] {
+      IncrementalExporter.runWarehouse(spark,
+          new EraStateManager(spark, stateDirB), "gnosis", eras, whB) { era =>
+        if (!survivors.contains(era)) throw new SimulatedCrash
+        loadEra(era)
+      }
+    }
+    val crashedState = new EraStateManager(spark, stateDirB)
+    assert(crashedState.completedEras("gnosis").collect()
+      .map(_.getLong(0)).sorted.toSeq === eras.take(k))
+    assert(crashedState.eraStatus
+      .filter(col("era_number") === eras(k)).select("status")
+      .collect().map(_.getString(0)).toSeq === Seq("processing"))
+
+    // torn write a kill can leave: garbage parquet in the dying era's
+    // blocks partition (resume must drop + replace it)
+    val tornDir = s"$whB/gnosis/blocks/era_number=${eras(k)}"
+    spark.range(5).toDF("garbage").write.mode("overwrite").parquet(tornDir)
+
+    // ── mid-crash SQL contract: completed eras are cleanly queryable ───
+    // a consumer follows the reference's discipline — filter to
+    // era_completion's completed set; partition pruning then never opens
+    // the torn directory
+    EraViews.registerWarehouse(spark, whB, "gnosis")
+    val doneList = eras.take(k).mkString(", ")
+    val midCounts = spark.sql(
+      s"""SELECT era_number, count(*) AS n FROM blocks
+         |WHERE era_number IN ($doneList)
+         |GROUP BY era_number ORDER BY era_number""".stripMargin)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    EraViews.registerWarehouse(spark, whA, "gnosis")
+    val refCounts = spark.sql(
+      s"""SELECT era_number, count(*) AS n FROM blocks
+         |WHERE era_number IN ($doneList)
+         |GROUP BY era_number ORDER BY era_number""".stripMargin)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    assert(midCounts === refCounts && midCounts.size === k,
+      "completed eras must be fully queryable mid-crash")
+
+    // fingerprint a COMPLETED era's partition files: resume must not touch
+    val donePart = s"$whB/gnosis/blocks/era_number=${eras.head}"
+    val doneMtimes = new java.io.File(donePart).listFiles().toSeq
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(doneMtimes.nonEmpty)
+
+    // ── resume over the same state dir ─────────────────────────────────
+    val procResume = IncrementalExporter.runWarehouse(spark,
+      new EraStateManager(spark, stateDirB), "gnosis", eras, whB)(loadEra)
+    assert(procResume === eras.drop(k),
+      "resume must process exactly the non-completed eras, in order")
+    val after = new java.io.File(donePart).listFiles().toSeq
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after === doneMtimes, "resume rewrote a completed era's partition")
+
+    // ── equality: every table, every partition, row for row ────────────
+    val tables = new java.io.File(s"$whA/gnosis").listFiles().toSeq
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(_.getName).sorted
+    assert(tables.contains("blocks") && tables.contains("wide_blocks"))
+    tables.foreach { t =>
+      assert(partDirs(s"$whA/gnosis/$t") === partDirs(s"$whB/gnosis/$t"),
+        s"$t: partition sets differ after crash-resume")
+      partDirs(s"$whA/gnosis/$t").foreach { p =>
+        assert(rowsOf(s"$whA/gnosis/$t/$p") === rowsOf(s"$whB/gnosis/$t/$p"),
+          s"$t/$p contents differ after crash-resume")
+      }
+    }
+    // no torn garbage survived anywhere
+    assert(rowsOf(tornDir) === rowsOf(s"$whA/gnosis/blocks/era_number=${eras(k)}"))
+
+    // ── post-resume: an era_sql_* text sees exactly the completed eras ─
+    val resumedState = new EraStateManager(spark, stateDirB)
+    assert(resumedState.completedEras("gnosis").collect()
+      .map(_.getLong(0)).sorted.toSeq === eras)
+    EraViews.registerWarehouse(spark, whB, "gnosis")
+    val fromB = spark.sql(EraViews.DailyActivitySql).collect().toSeq.map(_.toSeq)
+    val erasSeen = spark.sql("SELECT DISTINCT era_number FROM blocks")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    EraViews.registerWarehouse(spark, whA, "gnosis")
+    val fromA = spark.sql(EraViews.DailyActivitySql).collect().toSeq.map(_.toSeq)
+    assert(fromB === fromA && fromA.nonEmpty,
+      "era_sql text differs between resumed and uninterrupted warehouse")
+    assert(erasSeen === eras, "warehouse SQL must see exactly the completed eras")
+
+    // the per-era stage was cleaned up and never registered as a table
+    assert(!Files.exists(Paths.get(s"$whB/gnosis/_stage")))
+  }
+}
