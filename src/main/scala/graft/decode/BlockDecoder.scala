@@ -37,7 +37,7 @@ object BlockDecoder {
       val data = SnappyFramed.decompress(compressed)
       val fork = ForkSchedule.forkAt(slot, network)
 
-      val messageOffset = readUint32(data, 0).toInt
+      val messageOffset = readOffset(data, 0)
       val signature = hex(data, 4, 100)
       val message = slice(data, messageOffset, data.length)
 
@@ -45,7 +45,7 @@ object BlockDecoder {
       val proposerIndex = readUint64(message, 8)
       val parentRoot = hex(message, 16, 48)
       val stateRoot = hex(message, 48, 80)
-      val bodyOffset = readUint32(message, 80).toInt
+      val bodyOffset = readOffset(message, 80)
       val body = parseBody(slice(message, bodyOffset, message.length), fork)
 
       val ts = timestampOf(slotParsed, body, network)
@@ -90,7 +90,7 @@ object BlockDecoder {
     var pos = 200
 
     // 5 base variable offsets (forks/base.py:37-44)
-    val baseOffsets = (0 until 5).map(i => readUint32(body, pos + i * 4).toInt)
+    val baseOffsets = (0 until 5).map(i => readOffset(body, pos + i * 4))
     pos += 20
 
     // fixed schema field: sync_aggregate 160B inline, altair+ (forks/altair.py:8-10)
@@ -112,7 +112,7 @@ object BlockDecoder {
 
     val extraOffsets = Vector.newBuilder[Int]
     extraFields.foreach { _ =>
-      if (pos + 4 <= body.length) { extraOffsets += readUint32(body, pos).toInt; pos += 4 }
+      if (pos + 4 <= body.length) { extraOffsets += readOffset(body, pos); pos += 4 }
     }
 
     val fieldNames = Vector("proposer_slashings", "attester_slashings", "attestations",
@@ -183,7 +183,7 @@ object BlockDecoder {
   /** forks/base.py:157-187 */
   private[decode] def parseAttestation(d: Array[Byte]): Attestation = {
     if (d.length < 228) return null
-    val bitsOffset = readUint32(d, 0).toInt
+    val bitsOffset = readOffset(d, 0)
     Attestation(
       aggregation_bits = hex(d, bitsOffset, d.length),
       data = parseAttestationData(slice(d, 4, 132)),
@@ -193,7 +193,7 @@ object BlockDecoder {
   /** forks/base.py:274-321 */
   private[decode] def parseIndexedAttestation(d: Array[Byte]): IndexedAttestation = {
     if (d.length < 232) return null
-    val indicesOffset = readUint32(d, 0).toInt
+    val indicesOffset = readOffset(d, 0)
     if (indicesOffset >= d.length) return null
     val indicesData = slice(d, indicesOffset, d.length)
     val indices = Vector.newBuilder[Long]
@@ -210,8 +210,8 @@ object BlockDecoder {
   /** forks/base.py:323-350 */
   private[decode] def parseAttesterSlashing(d: Array[Byte]): AttesterSlashing = {
     if (d.length < 8) return null
-    val off1 = readUint32(d, 0).toInt
-    val off2 = readUint32(d, 4).toInt
+    val off1 = readOffset(d, 0)
+    val off2 = readOffset(d, 4)
     if (off1 >= d.length || off2 >= d.length) return null
     val a1 = parseIndexedAttestation(slice(d, off1, off2))
     val a2 = parseIndexedAttestation(slice(d, off2, d.length))
@@ -302,7 +302,7 @@ object BlockDecoder {
       val timestamp = readUint64(d, pos); pos += 8
 
       var offsets = Map.empty[String, Int]
-      offsets += "extra_data" -> readUint32(d, pos).toInt; pos += 4
+      offsets += "extra_data" -> readOffset(d, pos); pos += 4
       val baseFee = readUint256Decimal(d, pos); pos += 32
       val blockHash = hex(d, pos, pos + 32); pos += 32
 
@@ -310,10 +310,10 @@ object BlockDecoder {
       if (fork == "deneb" || fork == "electra") availableOffsetBytes -= 16
       val numOffsetsAvailable = availableOffsetBytes / 4
 
-      offsets += "transactions" -> readUint32(d, pos).toInt; pos += 4
+      offsets += "transactions" -> readOffset(d, pos); pos += 4
 
       val withWithdrawals = ForkSchedule.hasWithdrawals(fork) && numOffsetsAvailable >= 2
-      if (withWithdrawals) { offsets += "withdrawals" -> readUint32(d, pos).toInt; pos += 4 }
+      if (withWithdrawals) { offsets += "withdrawals" -> readOffset(d, pos); pos += 4 }
 
       var blobGasUsed: Option[Long] = None
       var excessBlobGas: Option[Long] = None
@@ -369,9 +369,9 @@ object BlockDecoder {
   private[decode] def parseExecutionRequests(d: Array[Byte]): ExecutionRequests = {
     if (d.length < 12) return ExecutionRequests(Nil, Nil, Nil)
     try {
-      val depositsOff = readUint32(d, 0).toInt
-      val withdrawalsOff = readUint32(d, 4).toInt
-      val consolidationsOff = readUint32(d, 8).toInt
+      val depositsOff = readOffset(d, 0)
+      val withdrawalsOff = readOffset(d, 4)
+      val consolidationsOff = readOffset(d, 8)
 
       var deposits: Seq[DepositRequest] = Vector.empty
       var withdrawals: Seq[WithdrawalRequest] = Vector.empty

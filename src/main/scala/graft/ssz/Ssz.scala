@@ -30,9 +30,22 @@ object Ssz {
     v
   }
 
+  /** Unsigned offset read for indexing into `data` itself: the raw uint32
+    * clamped to `data.length`. The reference keeps offsets as unbounded
+    * Python ints, where every ≥-length value behaves identically — an
+    * empty slice (`data[off:]`) or a failed `off >= len` guard; folding
+    * through `.toInt` instead would turn offsets ≥ 2^31 NEGATIVE and
+    * route them into the wrong branch (a clamped slice reads the whole
+    * buffer from 0). Clamping to length preserves the reference's
+    * semantics for every branch the decoders take. */
+  def readOffset(data: Array[Byte], at: Int): Int =
+    math.min(readUint32(data, at), data.length.toLong).toInt
+
   /** uint256 LE → exact decimal string (forks/base.py:435 base_fee_per_gas). */
   def readUint256Decimal(data: Array[Byte], offset: Int, len: Int = 32): String = {
-    if (offset + len > data.length) return "0"
+    // Long arithmetic: a near-MaxValue offset would wrap `offset + len`
+    // negative and sneak past an Int bounds check into copyOfRange
+    if (offset < 0 || offset.toLong + len > data.length) return "0"
     val be = new Array[Byte](len)
     var i = 0
     while (i < len) { be(i) = data(offset + len - 1 - i); i += 1 }
@@ -99,15 +112,21 @@ object Ssz {
       if (item != null) Vector(item) else Vector.empty
     }
     if (data.length < 4) return one(data)
-    val firstOffset = readUint32(data, 0).toInt
-    if (firstOffset == 0) return one(data)
-    if (firstOffset == data.length) return Vector.empty
+    // offsets stay UNSIGNED (Long) until after the bounds filter: the raw
+    // uint32 space reaches 2^32−1, and a premature .toInt folds offsets
+    // ≥ 2^31 to negative values — an aligned-but-huge first offset would
+    // then take the single-item branch where the reference's unsigned
+    // arithmetic falls through to the too-many-offsets empty return, and a
+    // negative table entry would pass the ≤length filter and corrupt the
+    // PREVIOUS item's end bound (the reference drops it as out of range)
+    val firstOffset = readUint32(data, 0)
+    if (firstOffset == 0L) return one(data)
+    if (firstOffset == data.length.toLong) return Vector.empty
     if (firstOffset % 4 != 0 || firstOffset < 4) return one(data)
     val numItems = firstOffset / 4
-    if (numItems == 0) return Vector.empty
-    if (numItems.toLong * 4 > data.length) return Vector.empty
-    val offsets = (0 until numItems).map(i => readUint32(data, i * 4).toInt)
-      .filter(_ <= data.length)
+    if (numItems * 4 > data.length) return Vector.empty
+    val offsets = (0 until numItems.toInt).map(i => readUint32(data, i * 4))
+      .filter(_ <= data.length).map(_.toInt)
     if (offsets.isEmpty) return Vector.empty
     val out = Vector.newBuilder[T]
     var i = 0

@@ -57,6 +57,27 @@ class SszPropertySpec extends AnyFunSuite {
     assert(Ssz.parseVariableList(selfOffset, identity[Array[Byte]]).isEmpty)
   }
 
+  test("offsets >= 2^31 keep the reference's unsigned semantics (no Int wrap)") {
+    def le32(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    // aligned-but-huge FIRST offset: the reference's unsigned arithmetic
+    // falls through to the too-many-offsets empty return (num_items*4 >
+    // len); a signed wrap would take the single-item branch instead
+    val hugeFirst = le32(0x80000000L) ++ Array.fill[Byte](12)(7)
+    assert(Ssz.parseVariableList(hugeFirst, identity[Array[Byte]]).isEmpty)
+    // huge SECOND table entry: the reference drops it as out of range, so
+    // item 0 runs to end-of-buffer; a negative wrap would pass the bounds
+    // filter and corrupt item 0's end bound (start >= end -> dropped)
+    val twoOffsets = le32(8) ++ le32(0xfffffff0L) ++ Array.fill[Byte](6)(9)
+    val items = Ssz.parseVariableList(twoOffsets, identity[Array[Byte]])
+    assert(items.length === 1 && items.head.sameElements(Array.fill[Byte](6)(9)))
+    // readOffset clamps to length, never negative
+    assert(Ssz.readOffset(hugeFirst, 0) === hugeFirst.length)
+    // uint256 at a near-MaxValue offset must not wrap past the bounds check
+    assert(Ssz.readUint256Decimal(Array.fill[Byte](40)(1), Int.MaxValue - 8) === "0")
+    // (decoder item parsers under the same inputs: DecoderOffsetSpec)
+  }
+
   test("fixed-stride list round-trip with trailing-partial truncation") {
     forAll(Gen.zip(Gen.chooseNum(1, 16),
         Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)))) { case (stride, bytes0) =>
