@@ -54,6 +54,12 @@ case class MediaFeatures(
  */
 object Multimodal {
 
+  // once at class-init, not buried in a partition body: ImageIO's disk
+  // cache is GLOBAL static state, and with it on every per-row PNG encode
+  // in pngPayload creates+deletes a FileCacheImageOutputStream temp file —
+  // whether that happened used to depend on which partition ran first
+  javax.imageio.ImageIO.setUseCache(false)
+
   val FeatureDims = 8
 
   /** Per-channel (xMult, yMult) for the synthetic raster: channel value at

@@ -276,9 +276,15 @@ object Similarity {
       coarseRad: DataFrame)
 
   /** Derive the quantizer structure (steps 1–2 of the two-level plan).
-    * `fineGrp` is localCheckpointed: it is k rows, it feeds BOTH the radii
-    * aggregation and every assignment's fine join, and the cut also stops
-    * a long-lived stream from re-deriving the grouping lineage per batch. */
+    * `fineGrp` is PERSISTED (not localCheckpointed): it is k rows, it
+    * feeds BOTH the radii aggregation and every assignment's fine join,
+    * and the cache lookup cuts the grouping lineage out of every
+    * per-batch plan just like a checkpoint would — but a persisted block
+    * lost to executor failure RECOMPUTES from lineage, where a
+    * localCheckpoint block is gone for good. That distinction is the
+    * whole ballgame for [[graft.streaming.EmbStream.ingestLargeK]], which
+    * holds this index for a stream's entire lifetime: one executor loss
+    * must cost one k-row recompute, not every subsequent micro-batch. */
   private[graft] def buildTwoLevelIndex(centDf: DataFrame, k: Int): TwoLevelIndex = {
     val spark = centDf.sparkSession
     import spark.implicits._
@@ -302,7 +308,7 @@ object Similarity {
         col("sq").as("csq"),
         (-col("best").getField("ncid")).as("grp"),
         col("best").getField("s").as("gcos"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val radii: Map[Long, Double] = fineGrp.groupBy(col("grp"))
       .agg(min(col("gcos")).as("mcos"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

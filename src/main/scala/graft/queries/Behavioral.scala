@@ -48,6 +48,12 @@ object Behavioral {
   private val corpusCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Test hook: current registry keys with each frame's owning session —
+    * the lifecycle specs assert eviction on corpus change and ownership
+    * on cross-session requests without reaching into private state. */
+  private[graft] def graphCacheEntries: Seq[((String, String), SparkSession)] =
+    synchronized { corpusCache.toSeq.map { case (k, df) => (k, df.sparkSession) } }
+
   /** Unpersist (live frames only) and forget every cached graph frame. */
   def clearGraphCaches(): Unit = synchronized {
     corpusCache.values.foreach(safeUnpersist)
@@ -59,18 +65,24 @@ object Behavioral {
   private def safeUnpersist(df: DataFrame): Unit =
     if (!df.sparkSession.sparkContext.isStopped) df.unpersist(blocking = false)
 
-  private def cachedFrame(dir: String, kind: String)(build: => DataFrame): DataFrame =
+  private def cachedFrame(s: SparkSession, dir: String, kind: String)(
+      build: => DataFrame): DataFrame =
     synchronized {
       val stale = corpusCache.keys.filter(_._1 != dir).toSeq
       stale.foreach { k =>
         corpusCache.remove(k).foreach(safeUnpersist)
       }
       // the registry outlives SparkSessions (it's object state): a hit
-      // bound to a STOPPED context would throw on first use, so validate
-      // and rebuild instead of handing back a dead frame
+      // bound to a STOPPED context would throw on first use, and a hit
+      // bound to a DIFFERENT live session in the same JVM would silently
+      // serve frames whose conf/extensions belong to someone else — so
+      // validate the owner is exactly the requesting session and rebuild
+      // otherwise
       corpusCache.get((dir, kind)).foreach { cached =>
         if (cached.sparkSession.sparkContext.isStopped)
           corpusCache.remove((dir, kind))
+        else if (!(cached.sparkSession eq s))
+          corpusCache.remove((dir, kind)).foreach(safeUnpersist)
       }
       val df = corpusCache.getOrElseUpdate((dir, kind),
         build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -89,7 +101,7 @@ object Behavioral {
     * all of them share ONE materialization per corpus and repeat
     * invocations reuse it instead of re-running the scan + distinct. */
   private def orderParts(s: SparkSession, dir: String): DataFrame =
-    cachedFrame(dir, "orderParts") {
+    cachedFrame(s, dir, "orderParts") {
       t(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     }
@@ -111,7 +123,7 @@ object Behavioral {
     * to disk instead of recomputation. */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val op = orderParts(s, dir)
-    cachedFrame(dir, "coPurchaseEdges") {
+    cachedFrame(s, dir, "coPurchaseEdges") {
       val e = op.as("a").join(op.as("b"),
           col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
         .select(col("a.p").as("src"), col("b.p").as("dst")).distinct()

@@ -215,4 +215,41 @@ class BehavioralSpec extends AnyFunSuite {
       assert(r.getLong(0) < r.getLong(1), "canonical pair order pa < pb")
     }
   }
+
+  test("graph cache lifecycle: a new corpus evicts the old corpus's frames") {
+    import graft.queries.Behavioral
+    val dirA = sf
+    val dirB = "/root/testdata/sf0.01"
+    SparkEntry.queries("graph_triangles")(spark, dirA).count()
+    val afterA = Behavioral.graphCacheEntries
+    assert(afterA.nonEmpty && afterA.forall(_._1._1 == dirA),
+      "corpus A's graph frames should be registered after a graph query")
+    SparkEntry.queries("graph_triangles")(spark, dirB).count()
+    val afterB = Behavioral.graphCacheEntries
+    assert(afterB.nonEmpty && afterB.forall(_._1._1 == dirB),
+      "corpus A's edge frames must be evicted when corpus B is processed")
+    // and the evicted frames are actually out of the cache manager, not
+    // just out of the registry: an A-plan lookup finds nothing cached
+    import org.apache.spark.sql.functions.col
+    val aPlan = graft.queries.Tables.load(spark, dirA, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val cachedHits = aPlan.queryExecution.optimizedPlan.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+    }
+    assert(cachedHits.isEmpty,
+      "corpus A's orderParts frame still occupies the cache manager")
+  }
+
+  test("graph cache lifecycle: a different live session rebuilds, never shares") {
+    import graft.queries.Behavioral
+    SparkEntry.queries("graph_triangles")(spark, sf).count()
+    assert(Behavioral.graphCacheEntries.forall(_._2 eq spark))
+    // same JVM, same corpus, DIFFERENT session: the registry must not hand
+    // session B a frame bound to session A (conf/extensions belong to A)
+    val s2 = spark.newSession()
+    SparkEntry.queries("graph_triangles")(s2, sf).count()
+    val owners = Behavioral.graphCacheEntries
+    assert(owners.nonEmpty && owners.forall(_._2 eq s2),
+      "cross-session hit must rebuild under the requesting session")
+  }
 }
