@@ -12,12 +12,26 @@ import org.apache.spark.sql.SparkSession
   * number that scales to the 100 TB cluster. */
 object Bench {
 
-  private def best(n: Int)(body: => Unit): Double =
+  private def timed(n: Int)(body: => Unit): Seq[Double] =
     (1 to n).map { _ =>
       val t0 = System.nanoTime()
       body
       (System.nanoTime() - t0) / 1e9
-    }.min
+    }
+
+  private def best(n: Int)(body: => Unit): Double = timed(n)(body).min
+
+  /** Recursive on-disk size — the write-throughput witness's numerator. */
+  private def dirBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+  }
 
   @volatile private var blackhole = 0L // defeats dead-code elimination of the probe
 
@@ -415,15 +429,27 @@ object Bench {
       val decodeSec = best(2) {
         blocks = graft.operators.Normalizer.decodeBlocks(records).count()
       }
-      val etlSec = best(2) {
+      // per-rep: temp dirs are created/deleted OUTSIDE the timed window
+      // (multi-GB recursive deletes were previously inside it, conflating
+      // export throughput with filesystem delete cost that grows with rung
+      // size), and each rep carries a stage-write MB/s WITNESS so a rep
+      // that hit this sandbox's bimodal writeback stall is labeled
+      // environment IN the artifact, not relitigated from memory.
+      val reps = (1 to 2).map { _ =>
         val stage = java.nio.file.Files.createTempDirectory("graft-era-ramp-stage").toString
         val out = java.nio.file.Files.createTempDirectory("graft-era-ramp-out").toString
-        try graft.export.StagedExport.exportAll(
+        val t0 = System.nanoTime()
+        val perTable = graft.export.StagedExport.exportAll(
           graft.operators.Normalizer.decodeBlocks(records),
           s"$stage/blocks", s"$out/out.parquet")
-        finally { deleteRecursively(stage); deleteRecursively(out) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stageSec = math.max(0.001, sec - perTable.values.map(_._2).max)
+        val mbps = dirBytes(stage) / 1e6 / stageSec
+        deleteRecursively(stage); deleteRecursively(out)
+        (sec, mbps)
       }
-      (fpf * 6, parts, blocks, decodeSec, etlSec)
+      val (etlSec, etlMbps) = reps.minBy(_._1)
+      (fpf * 6, parts, blocks, decodeSec, etlSec, etlMbps, reps.map(_._1))
     }
     def growth(xs: Seq[Double]) =
       xs.sliding(2).map { case Seq(a, b) => r3(b / (4 * a)) }.toSeq
@@ -435,7 +461,9 @@ object Bench {
       s""""decode_sec":[${decodeSecs.map(r3).mkString(",")}],""" +
       s""""decode_step_growth":[${growth(decodeSecs).mkString(",")}],""" +
       s""""etl_sec":[${etlSecs.map(r3).mkString(",")}],""" +
-      s""""etl_step_growth":[${growth(etlSecs).mkString(",")}]}"""
+      s""""etl_step_growth":[${growth(etlSecs).mkString(",")}],""" +
+      s""""etl_stage_mbps":[${per.map(p => r3(p._6)).mkString(",")}],""" +
+      s""""etl_reps_sec":[${per.map(_._7.map(r3).mkString("[", ",", "]")).mkString(",")}]}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -531,20 +559,37 @@ object Bench {
     val etlRuns = (1 to 3).map { _ =>
       val stage = java.nio.file.Files.createTempDirectory("graft-bench-stage").toString
       val t0 = System.nanoTime()
-      val per = try graft.export.StagedExport.exportAll(
+      val per = graft.export.StagedExport.exportAll(
         graft.operators.Normalizer.decodeBlocks(recordsDeep),
         s"$stage/blocks", s"$etlOut/out.parquet")
-      finally deleteRecursively(stage)
+      // stop the clock BEFORE the multi-GB stage delete: the timed window
+      // covers only the export, not filesystem teardown
       val sec = (System.nanoTime() - t0) / 1e9
       // stage time = total − the concurrent fan-out window (per-table max)
-      (sec, sec - per.values.map(_._2).max, per)
+      val stageSec = sec - per.values.map(_._2).max
+      // write-throughput witness for THIS run: a rep that hit the sandbox's
+      // writeback stall carries a visibly collapsed MB/s next to its seconds
+      val stageMbps = dirBytes(stage) / 1e6 / math.max(0.001, stageSec)
+      deleteRecursively(stage)
+      (sec, stageSec, per, stageMbps)
     }
-    val (etlSec, etlStageSec, etlPerTable) = etlRuns.minBy(_._1)
+    val (etlSec, etlStageSec, etlPerTable, etlStageMbps) = etlRuns.minBy(_._1)
     deleteRecursively(etlOut)
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> (try best(2) { fn(spark, sfDir).count() } catch { case _: Throwable => -1.0 })
+    // (cold, best) per query: best is the steady-state headline; cold is
+    // the first execution with its one-time codegen/JIT bill. Recording
+    // both makes a driver-run anomaly self-adjudicating — r11's
+    // graph_cc_labelprop read 24s in the driver sweep purely because the
+    // one-time whole-stage-codegen landed in a CPU-steal window, and the
+    // artifact couldn't show it.
+    val sweep: Map[String, (Double, Double)] = SparkEntry.queries.map {
+      case (name, fn) =>
+        name -> (try {
+          val ts = timed(2) { fn(spark, sfDir).count() }
+          (ts.head, ts.min)
+        } catch { case _: Throwable => (-1.0, -1.0) })
     }
+    val results = sweep.view.mapValues(_._2).toMap
 
     // skewed-corpus soak (disable with SPARK_GRAFT_SOAK=0)
     val soakJson =
@@ -603,16 +648,23 @@ object Bench {
     val rest = sorted.drop(topN)
     val qs = top.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // cold-vs-best for every query whose steady state exceeds 3 s: the
+    // queries big enough that a one-time codegen bill (or a CPU-steal
+    // window under it) reads as a fake regression in a single-number sweep
+    val coldJson = sweep.toSeq.filter(_._2._2 > 3.0).sortBy(-_._2._2)
+      .map { case (k, (c, b)) => s""""$k":{"cold":${r3(c)},"best":${r3(b)}}""" }
+      .mkString("{", ",", "}")
     val forkJsonCompact = perFork
       .map { case (f, bps) => s""""$f":${r1(bps)}""" }.mkString("{", ",", "}")
     // failed queries keep their -1 sentinel in `queries` but must not
     // subtract from the headline total
     val total = results.values.filter(_ >= 0).sum
-    println(
+    val headline =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir"""" +
         s""","n_queries":${results.size},"queries":$qs""" +
         s""","queries_omitted":${rest.size}""" +
         s""","queries_omitted_sec":${r3(rest.map(_._2).filter(_ >= 0).sum)}""" +
+        s""","slow_queries_cold_vs_best":$coldJson""" +
         s""","full_queries_json":"$fullPath"""" +
         s""","era_blocks":$decoded,"era_decode_sec":${r3(decodeSec)}""" +
         s""","blocks_per_sec":${r1(decoded / decodeSec)}""" +
@@ -622,10 +674,20 @@ object Bench {
         s""","blocks_per_sec_by_fork":$forkJsonCompact""" +
         s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(etlBlocks / etlSec)}""" +
         s""","etl_stage_sec":${r3(etlStageSec)}""" +
+        s""","etl_stage_mbps":${r1(etlStageMbps)}""" +
+        s""","etl_runs_sec":[${etlRuns.map(r => r3(r._1)).mkString(",")}]""" +
+        s""","etl_runs_stage_mbps":[${etlRuns.map(r => r1(r._4)).mkString(",")}]""" +
         s""","etl_blocks":$etlBlocks""" +
         s""","etl_per_table_sec":${etlPerTable.toSeq.sortBy(-_._2._2)
           .map { case (n, (_, s)) => s""""$n":${r3(s)}""" }.mkString("{", ",", "}")}""" +
-        s""","soak":$soakJson,"ramp":$rampJson,"era_ramp":$eraRampJson}""")
+        s""","soak":$soakJson,"ramp":$rampJson,"era_ramp":$eraRampJson}"""
+    // the COMPLETE headline as a committed file: the driver's stdout tail
+    // truncated away the decode/ETL keys in r11 — BENCH_LAST.json makes
+    // every headline metric machine-readable in-repo regardless
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(new java.io.File("BENCH_LAST.json").getAbsolutePath),
+      headline)
+    println(headline)
     spark.stop()
   }
 }

@@ -225,9 +225,16 @@ object Cli {
       spark.read.format("era").load(local.toString)
     }
     val processed = opts.get("--warehouse").filter(_.nonEmpty) match {
-      case Some(wh) => graft.export.IncrementalExporter.runWarehouse(
-        spark, state, network, eras, wh,
-        force = flags.contains("--force"))(loadEra)
+      case Some(wh) =>
+        // the warehouse loop always exports the full table set into wh/ —
+        // silently discarding a user's <cmd>/<out> positionals would look
+        // like a lost export, so refuse the combination outright
+        if (rest.length > 2) fail(
+          "--warehouse exports ALL tables into the warehouse directory; " +
+            s"drop the <cmd>/<out> positionals (got: ${rest.drop(2).mkString(" ")})")
+        graft.export.IncrementalExporter.runWarehouse(
+          spark, state, network, eras, wh,
+          force = flags.contains("--force"))(loadEra)
       case None => graft.export.IncrementalExporter.run(
         spark, state, network, eras, out, verb,
         force = flags.contains("--force"), dataRoot = Some(dataRoot))(loadEra)

@@ -104,26 +104,30 @@ object IncrementalExporter {
       network: String, eras: Seq[Long], warehouseDir: String,
       parallelism: Int = 8, force: Boolean = false,
       stageCodec: String = "zstd")(loadEra: Long => DataFrame): Seq[Long] = {
-    import java.nio.file.{Files, Paths}
+    // every filesystem touch goes through the Hadoop FileSystem bound to
+    // the warehouse URI — the loop's own contract is "any store Spark can
+    // write" (hdfs://, s3a://, local), and java.nio would treat a scheme'd
+    // path as a relative local dir: the pre-drop would silently never
+    // fire (a dead run's torn partition in a now-empty table would
+    // survive resume) and every footer count would read 0
     val netDir = s"$warehouseDir/$network"
-    val tableNames = StagedExport.networkTables(
-      { import spark.implicits._; spark.emptyDataset[graft.model.DecodedBlock] },
-      network).map(_._1)
+    val fs = new org.apache.hadoop.fs.Path(netDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val tableNames = StagedExport.warehouseTableNames
     // every table directory must exist up front: a table empty across the
     // whole corpus still has to bind as an empty view at registration
-    tableNames.foreach(n => Files.createDirectories(Paths.get(s"$netDir/$n")))
+    tableNames.foreach(n => fs.mkdirs(hp(s"$netDir/$n")))
     val stage = s"$netDir/_stage"
     def dropEraPartitions(era: Long): Unit = tableNames.foreach { n =>
-      val p = Paths.get(s"$netDir/$n/era_number=$era")
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
+      val p = hp(s"$netDir/$n/era_number=$era")
+      if (fs.exists(p)) fs.delete(p, true)
     }
     val todo = if (force) eras else state.determineErasToProcess(eras, network)
     val processed = Seq.newBuilder[Long]
     try {
       todo.foreach { era =>
-        if (force) state.cleanEraCompletely(netDir, network, era)
+        if (force) dropEraPartitions(era)
         state.recordEraStart(era, network)
         try {
           import spark.implicits._
@@ -135,10 +139,14 @@ object IncrementalExporter {
           Sinks.runQuiescent(spark, parallelism, tables.map { case (name, df) =>
             () => Sinks.overwriteEraPartitions(df, s"$netDir/$name")
           })
-          val counts = tableNames.map { name =>
+          // per-table footer-only counts — wide_blocks is EXCLUDED from
+          // the completion record: it re-shapes the same blocks, and
+          // counting it would make total_records diverge from the
+          // file-mode loop's accounting for the same era
+          val counts = Normalizer.datasetNames.map { name =>
             val p = s"$netDir/$name/era_number=$era"
-            name -> (if (Files.exists(Paths.get(p)))
-              spark.read.parquet(p).count() else 0L) // footer-only
+            name -> (if (fs.exists(hp(p)))
+              spark.read.parquet(p).count() else 0L)
           }.toMap
           state.recordEraCompletion(era, network,
             counts.filter(_._2 > 0).keys.toSeq.sorted, counts.values.sum)
@@ -150,10 +158,8 @@ object IncrementalExporter {
         }
       }
     } finally {
-      val p = Paths.get(stage)
-      if (Files.exists(p))
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
+      val p = hp(stage)
+      if (fs.exists(p)) fs.delete(p, true)
     }
     processed.result()
   }

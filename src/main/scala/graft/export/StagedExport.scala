@@ -68,8 +68,15 @@ object StagedExport {
       stageFiles: Int = 32, stageCodec: String = "zstd"): Unit = {
     val spark = blocks.sparkSession
     import spark.implicits._
+    // stage partitioned BY NETWORK: with a mixed stage every per-(network,
+    // table) extract would scan 100% of the stage bytes and filter the
+    // other networks out row by row; partitioning lets each extract's
+    // network filter prune to its own subdirectory — the same discipline
+    // the stage's nested-schema pruning applies to columns. Single-network
+    // corpora pay one directory level, nothing else.
     blocks.toDF().coalesce(stageFiles)
-      .write.mode("overwrite").option("compression", stageCodec).parquet(stageDir)
+      .write.mode("overwrite").option("compression", stageCodec)
+      .partitionBy("network").parquet(stageDir)
     val staged = spark.read.parquet(stageDir).as[DecodedBlock]
     val nets = staged.select(org.apache.spark.sql.functions.col("network"))
       .distinct().collect().map(_.getString(0)).sorted
@@ -83,6 +90,12 @@ object StagedExport {
     })
     ()
   }
+
+  /** The warehouse's table set — the 16 normalized datasets plus the wide
+    * shape. ONE definition shared by the exporters and the incremental
+    * loop so a table rename can't drift across them. */
+  private[graft] val warehouseTableNames: Seq[String] =
+    Normalizer.datasetNames :+ "wide_blocks"
 
   /** One network's warehouse tables (15 children + blocks + wide shape),
     * each with the `era_number` partition key attached ARITHMETICALLY

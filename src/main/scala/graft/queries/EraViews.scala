@@ -1,7 +1,5 @@
 package graft.queries
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.model.DecodedBlock
@@ -56,11 +54,14 @@ object EraViews {
     * 3-arg overload; detecting is cheap (one directory listing), choosing
     * silently would be wrong. */
   def registerWarehouse(spark: SparkSession, dir: String): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    require(java.nio.file.Files.isDirectory(root), s"no warehouse at $dir")
-    val nets = java.nio.file.Files.list(root).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p))
-      .map(_.getFileName.toString).filterNot(_.startsWith("_")).toSeq.sorted
+    // Hadoop FS, not java.nio: the warehouse contract is "any store Spark
+    // can read" (hdfs://, s3a://, local) — a scheme'd path under java.nio
+    // would read as a relative local dir and refuse a perfectly good store
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(root).isDirectory, s"no warehouse at $dir")
+    val nets = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).sorted
     require(nets.size == 1,
       s"warehouse at $dir holds networks [${nets.mkString(", ")}]; " +
         "name one: registerWarehouse(spark, dir, network)")
@@ -91,9 +92,11 @@ object EraViews {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val empty = spark.emptyDataset[DecodedBlock]
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def bind(name: String, canonical: org.apache.spark.sql.types.StructType): Unit = {
       val path = s"$dir/$network/$name"
-      require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      require(fs.exists(new org.apache.hadoop.fs.Path(path)),
         s"warehouse table missing at $path — expected the " +
           "StagedExport.exportWarehouse layout (<dir>/<network>/<table>/era_number=N/)")
       // read with the EXPLICIT canonical schema (+ the era_number partition
