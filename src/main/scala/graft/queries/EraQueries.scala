@@ -95,12 +95,23 @@ object EraQueries {
       "era_mainnet_ladder" -> ((s, _) =>
         mainnetBlocks(s).toDF()
           .select(col("slot"), col("network"), col("version").as("fork"),
-            col("era_number"), expr("slot div 32").as("epoch"),
+            col("era_number"),
+            // the NETWORK's epoch geometry, not a hardcoded divisor — the
+            // adjacent gnosis config uses 16 slots/epoch, so a copied
+            // per-network variant with a literal silently computes wrong
+            // epochs
+            expr(s"slot div ${graft.config.Networks.mainnet.slotsPerEpoch}").as("epoch"),
             unix_seconds(col("timestamp_utc")).as("ts_epoch"))
           .orderBy(col("slot"))),
-      // P1: point lookup — slot predicate prunes files before any read
-      "era_point_lookup" -> ((s, _) =>
-        Normalizer.blocksTable(blocks(s)).filter(col("slot") === 98300L)),
+      // P1: point lookup — the slot predicate sits UNDER the decode, on
+      // the era source itself, so pushdown prunes whole files before any
+      // byte is read (filtering the cached decode instead would measure
+      // cache filtering and leave EraFilePruning unexercised by the gate)
+      "era_point_lookup" -> ((s, _) => {
+        val dir = graft.testkit.EraFixtures.ensureGenerated()
+        Normalizer.blocksTable(Normalizer.decodeBlocks(
+          s.read.format("era").load(dir).filter(col("slot") === 98300L)))
+      }),
       // CLICKHOUSE.md:604-613 — attestation inclusion delay
       "era_inclusion_delay" -> ((s, _) =>
         Normalizer.attestations(blocks(s))

@@ -50,7 +50,9 @@ class EraDataSource extends TableProvider with DataSourceRegister {
     new EraTable(EraDataSource.resolvePaths(opts))
   }
 
-  override def supportsExternalMetadata(): Boolean = true
+  // the era record schema is FIXED — accepting a user schema and then
+  // ignoring it would be a silent no-op; let Spark reject .schema(...)
+  override def supportsExternalMetadata(): Boolean = false
 }
 
 object EraDataSource {
@@ -72,7 +74,13 @@ object EraDataSource {
     val expanded = raw.flatMap { p =>
       val hp = new Path(p)
       val fs = hp.getFileSystem(conf)
+      // a missing/typo'd path must FAIL like Spark's built-in sources do
+      // ("Path does not exist"), not silently contribute zero files — a
+      // pipeline pointed at a wrong mount would otherwise export an empty
+      // warehouse with no diagnostic
       val matches = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Nil)
+      if (matches.isEmpty)
+        throw new IllegalArgumentException(s"Path does not exist: $p")
       matches.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".era"))
@@ -84,11 +92,15 @@ object EraDataSource {
     expanded.distinct.sortBy(p => EraFileInfo.fromPath(p).eraNumber)
   }
 
+  private val pathsMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The `paths` option is a JSON array of strings — parse it as one
+    * (paths may legally contain commas/quotes; a naive split corrupts
+    * them into fragments that glob to nothing). */
   private def parseJsonStringArray(json: String): Seq[String] = {
-    // paths option is a JSON array of strings; minimal parse without deps
-    val trimmed = json.trim.stripPrefix("[").stripSuffix("]")
-    if (trimmed.isEmpty) Nil
-    else trimmed.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val node = pathsMapper.readTree(json)
+    require(node.isArray, s"paths option is not a JSON array: $json")
+    (0 until node.size()).map(i => node.get(i).asText())
   }
 }
 
@@ -124,6 +136,12 @@ object EraFilePruning {
     filters.forall(f => mayMatch(info, f))
 
   private def mayMatch(info: EraFileInfo, f: Filter): Boolean = f match {
+    // slot pruning compares PAYLOAD slots against a FILENAME-derived
+    // range; when the filename didn't parse the range is a guess, and
+    // pruning on a guess silently drops matching rows — fall through to
+    // "may match" for every slot predicate on such files. (era_number /
+    // network predicates stay prunable: rows inherit those exact values.)
+    case _ if !info.eraKnown && f.references.contains("slot") => true
     case sources.EqualTo("era_number", v: Long) => info.eraNumber == v
     case sources.EqualTo("era_number", v: Int) => info.eraNumber == v.toLong
     case sources.GreaterThan("era_number", v: Long) => info.eraNumber > v
@@ -163,31 +181,34 @@ class EraScan(paths: Seq[String], filters: Array[Filter]) extends Scan with Batc
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // ship the hadoop conf entries needed to reopen the FS on executors
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val confMap = conf.asScala.map(e => (e.getKey, e.getValue)).toMap
-      .filter { case (k, _) => k.startsWith("fs.") || k.startsWith("hadoop.") }
-    new EraPartitionReaderFactory(confMap)
+    // ship the COMPLETE hadoop conf (Spark's own file sources broadcast a
+    // SerializableConfiguration the same way): a prefix-filtered subset
+    // dropped driver-set dfs.* nameservice mappings and cloud-auth keys,
+    // so executors couldn't open files the driver could
+    val spark = SparkSession.active
+    val conf = spark.sessionState.newHadoopConf()
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    new EraPartitionReaderFactory(bc)
   }
 }
 
 case class EraInputPartition(path: String) extends InputPartition
 
-class EraPartitionReaderFactory(confMap: Map[String, String])
+class EraPartitionReaderFactory(
+    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EraInputPartition]
-    new EraPartitionReader(p.path, confMap)
+    new EraPartitionReader(p.path, conf.value.value)
   }
 }
 
-class EraPartitionReader(pathStr: String, confMap: Map[String, String])
+class EraPartitionReader(pathStr: String, conf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val info = EraFileInfo.fromPath(pathStr)
   private val stream = {
-    val conf = new Configuration()
-    confMap.foreach { case (k, v) => conf.set(k, v) }
     val path = new Path(pathStr)
     path.getFileSystem(conf).open(path)
   }

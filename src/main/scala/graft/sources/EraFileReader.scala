@@ -7,10 +7,16 @@ import graft.model.EraRecord
 import graft.ssz.{SnappyFramed, Ssz}
 
 /** Filename-derived era metadata (era_reader.py:32-84; naming convention
-  * docs/ERA_FILE_FORMAT.md:95-121: `<network>-<era>-<hash>.era`). */
+  * docs/ERA_FILE_FORMAT.md:95-121: `<network>-<era>-<hash>.era`).
+  * `eraKnown` = the era number genuinely came from the filename; a
+  * non-convention name falls back to era 0 for the metadata COLUMNS
+  * (rows inherit these values, so column predicates stay consistent) but
+  * must never drive SLOT-based file pruning — block slots are peeked
+  * from payloads, and a guessed era range would silently drop matching
+  * rows. */
 final case class EraFileInfo(
     eraNumber: Long, startSlot: Long, endSlot: Long,
-    network: String, hash: String, filename: String)
+    network: String, hash: String, filename: String, eraKnown: Boolean)
 
 object EraFileInfo {
   def fromPath(path: String): EraFileInfo = {
@@ -18,14 +24,16 @@ object EraFileInfo {
     val network = Networks.detectFromFilename(filename)
     val cfg = Networks(network)
     val parts = filename.stripSuffix(".era").split('-')
-    val eraNumber =
-      if (parts.length >= 2) scala.util.Try(parts(1).toLong).getOrElse(0L) else 0L
+    val parsed: Option[Long] =
+      if (parts.length >= 2) scala.util.Try(parts(1).toLong).toOption else None
+    val eraNumber = parsed.getOrElse(0L)
     val hash = if (parts.length > 2) parts(2) else "unknown"
     EraFileInfo(
       eraNumber = eraNumber,
-      startSlot = eraNumber * cfg.slotsPerHistoricalRoot,
-      endSlot = eraNumber * cfg.slotsPerHistoricalRoot + cfg.slotsPerHistoricalRoot - 1,
-      network = network, hash = hash, filename = filename)
+      startSlot = graft.config.EraSlots.firstSlot(eraNumber, cfg),
+      endSlot = graft.config.EraSlots.lastSlot(eraNumber, cfg),
+      network = network, hash = hash, filename = filename,
+      eraKnown = parsed.isDefined)
   }
 }
 
@@ -62,13 +70,21 @@ object EraFileReader {
         nextRecord = null
         while (nextRecord == null && !done) {
           val header = new Array[Byte](8)
-          val n = readFully(din, header)
+          val n = din.readNBytes(header, 0, 8)
           if (n < 8) { done = true; return }
           val recordType = (header(0) & 0xff) | ((header(1) & 0xff) << 8)
-          val dataLength = Ssz.readUint32(header, 2).toInt
+          val rawLength = Ssz.readUint32(header, 2) // unsigned
+          // a length the JVM can't even allocate is corruption — stop the
+          // walk (the reference's read of that many bytes hits EOF and
+          // stops the same way); narrowing through .toInt instead would
+          // wrap negative, skip ZERO payload bytes, and re-parse the
+          // record's body as headers — garbage records for the rest of
+          // the file
+          if (rawLength > Int.MaxValue) { done = true; return }
+          val dataLength = rawLength.toInt
           if (dataLength > 0) {
             val payload = new Array[Byte](dataLength)
-            if (readFully(din, payload) < dataLength) { done = true; return }
+            if (din.readNBytes(payload, 0, dataLength) < dataLength) { done = true; return }
             recordType match {
               case TypeBlock =>
                 // decompress-peek the slot (era_reader.py:112-121)
@@ -89,18 +105,6 @@ object EraFileReader {
             }
           }
         }
-      }
-
-      private def readFully(s: DataInputStream, buf: Array[Byte]): Int = {
-        var off = 0
-        try {
-          while (off < buf.length) {
-            val r = s.read(buf, off, buf.length - off)
-            if (r < 0) return off
-            off += r
-          }
-        } catch { case _: EOFException => () }
-        off
       }
 
       advance()

@@ -156,4 +156,42 @@ class EraPipelineSpec extends AnyFunSuite {
     assert(one.length == 1)
     assert(one.head.getAs[String]("version") == "phase0")
   }
+
+  test("slot pruning plans only the matching file; era_point_lookup exercises it") {
+    import graft.sources.{EraFilePruning, EraFileInfo}
+    val all = spark.read.format("era").load(eraDir)
+      .queryExecution.executedPlan.toString
+    val pruned = spark.read.format("era").load(eraDir)
+      .filter(col("slot") === 98300L)
+    // the source-level scan keeps exactly the era-11 file (+ none others)
+    val rdd = pruned.queryExecution.toRdd
+    assert(rdd.getNumPartitions === 1,
+      s"slot predicate should prune to 1 era file, planned ${rdd.getNumPartitions}")
+    assert(all.contains("EraScan"))
+    // the registered P1 query goes through the same source-level path
+    val rows = SparkEntry.queries("era_point_lookup")(spark, "unused").collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("slot") === 98300L)
+  }
+
+  test("a non-convention filename never drives slot pruning (unsound-prune guard)") {
+    import graft.sources.{EraFilePruning, EraFileInfo}
+    val weird = EraFileInfo.fromPath("/data/snapshot.era")
+    assert(!weird.eraKnown)
+    // filename implies era 0 → slots [0, 8191]; a slot=98300 filter would
+    // have pruned the file under the old arithmetic and silently dropped
+    // the payload rows that DO match
+    val f: org.apache.spark.sql.sources.Filter =
+      org.apache.spark.sql.sources.EqualTo("slot", 98300L)
+    assert(EraFilePruning.keepFile(weird, Array(f)),
+      "slot predicates must not prune files whose era is guessed")
+    // a parsed filename still prunes
+    val known = EraFileInfo.fromPath(s"/data/gnosis-00000-abcd1234.era")
+    assert(known.eraKnown)
+    assert(!EraFilePruning.keepFile(known, Array(f)))
+    // era_number predicates stay prunable either way (rows inherit the
+    // filename-derived value, so the comparison is consistent)
+    val e: org.apache.spark.sql.sources.Filter =
+      org.apache.spark.sql.sources.EqualTo("era_number", 5L)
+    assert(!EraFilePruning.keepFile(weird, Array(e)))
+  }
 }
