@@ -139,9 +139,12 @@ object Curation {
     * string-built SQL: `rates` is a public parameter, so keys must never be
     * spliced into a parsed statement. Unknown languages rate 0 (dropped). */
   private def rateCol(rates: Map[String, Int]): Column =
-    rates.toSeq.sortBy(_._1).reverse
+    // null-safe sort + null-safe equality: temperatureRatesBp deliberately
+    // keeps a NULL-lang stratum alive, so the fold must neither NPE on the
+    // sort nor compile that stratum into `=== NULL` (never matches)
+    rates.toSeq.sortBy(t => Option(t._1).getOrElse("")).reverse
       .foldLeft(lit(0)) { case (acc, (l, bp)) =>
-        when(col("lang") === lit(l), lit(bp)).otherwise(acc)
+        when(col("lang") <=> lit(l), lit(bp)).otherwise(acc)
       }
 
   def withSampleFlag(docs: DataFrame, rates: Map[String, Int] = SampleRatesBp,
@@ -192,8 +195,10 @@ object Curation {
       .withColumn("n_words",
         size(expr("filter(toks, t -> t <> '')")).cast("long"))
       .filter(col("n_words") > 0)
-      .withColumn("hm", pmod(call_function("hash64",
-        concat(lit(s"$salt#"), col("doc_id").cast("string"))), lit(m)))
+      // the ONE split-hash convention (id#salt, splitHash above) — this
+      // previously hand-rolled a salt#id variant that the oracle had to
+      // mirror separately, falsifying the one-home invariant
+      .withColumn("hm", pmod(splitHash(salt), lit(m)))
       .withColumn("key_micro",
         round(log((col("hm") + 1).cast("double") / (m + 1).toDouble) /
           col("n_words") * 1e6).cast("long"))
@@ -321,8 +326,10 @@ object Curation {
       salt: String = "epoch1"): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val rates = epochsRatesMicro(docs, budgetMultiplier)
-    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (src, m)) => when(col("source") === src, lit(m)).otherwise(acc)
+    // same null discipline as rateCol: epochsRatesMicro keeps NULL-source
+    // strata, so sort null-safe and match with <=>
+    val rateCol = rates.toSeq.sortBy(t => Option(t._1).getOrElse("")).foldLeft(lit(0L)) {
+      case (acc, (src, m)) => when(col("source") <=> lit(src), lit(m)).otherwise(acc)
     }
     TextAnalysis.withTokens(docs)
       .withColumn("n_tokens", size(col("toks")).cast("long"))

@@ -1756,7 +1756,7 @@ object TrainingData {
          |        CAST(len(list_filter(toks, t -> t <> '')) AS BIGINT) AS n_words
          |      FROM base),
          |s AS (SELECT doc_id, n_words,
-         |        CAST(ROUND(ln((((${h64("'ws1#' || CAST(doc_id AS VARCHAR)")} % 2147483647)
+         |        CAST(ROUND(ln((((${h64("CAST(doc_id AS VARCHAR) || '#ws1'")} % 2147483647)
          |                        + 2147483647) % 2147483647 + 1)::DOUBLE / 2147483648.0)
          |             / n_words * 1000000) AS BIGINT) AS key_micro
          |      FROM w WHERE n_words > 0)

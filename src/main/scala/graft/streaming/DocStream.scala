@@ -14,7 +14,11 @@ case class StreamDoc(doc_id: Long, text: String, lang: String, ts: Timestamp)
 case class BandObs(band_key: String, doc_id: Long, sig: Seq[Long], ts: Timestamp)
 
 /** Retained signatures for one LSH bucket (newest first, bounded). */
-case class BucketState(docs: List[(Long, Seq[Long])])
+/** `lastTs` = the newest event time this bucket has EVER seen — the
+  * timeout anchor. Tracking it in state (not per batch) keeps the expiry
+  * monotonic: a within-watermark late arrival must never rewind the
+  * bucket's timeout below newest-seen + retention. */
+case class BucketState(docs: List[(Long, Seq[Long])], lastTs: Long = 0L)
 
 /** An arriving document matching an earlier-seen near-duplicate. */
 case class NearDupMatch(doc_id: Long, matched_doc_id: Long, est_jaccard: Double)
@@ -53,7 +57,12 @@ object DocStream {
     docs
       .withColumn("digest", graft.operators.Dedup.contentDigest(col("text")))
       .withColumn("simhash",
-        call_function("simhash48", split(trim(col("text")), "\\s+")))
+        // the BATCH tokenization convention (TextAnalysis.withTokens'
+        // null guard): a null text must produce the same concrete
+        // simhash48([""]) the batch path computes, not NULL — streaming
+        // and batch signatures are documented bit-for-bit interchangeable
+        call_function("simhash48",
+          split(coalesce(trim(col("text")), lit("")), "\\s+")))
   }
 
   /** Exact streaming dedup, unbounded state: emit each document the first
@@ -175,9 +184,20 @@ object DocStream {
     val d = batch.withColumn("digest", graft.operators.Dedup.contentDigest(col("text")))
     val snapPath = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = snapPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // EXPLICIT schema, never inference: a crash during the very first
+    // snapshot write can leave the directory existing with zero committed
+    // footers, and schema inference would then throw on every replay —
+    // permanently wedging the stream one exception short of the
+    // empty-frontier fallback it needed. The snapshot layout is ours
+    // (digest + batch_key partition), so the schema is known right here.
+    val snapSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("digest",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch_key",
+        org.apache.spark.sql.types.StringType)))
     val snap =
       if (fs.exists(snapPath))
-        spark.read.parquet(snapshotDir)
+        spark.read.schema(snapSchema).parquet(snapshotDir)
           .filter(col("batch_key") =!= batchKey) // replay: ignore own append
           .select(col("digest"))
       else d.select(col("digest")).limit(0)
@@ -290,9 +310,15 @@ object DocStream {
               // nor burn a bounded state slot on a second copy of itself
               if (!seen.exists(_._1 == o.doc_id)) seen = (o.doc_id, o.sig) :: seen
             }
-            state.update(BucketState(seen.take(maxSigsPerBucket)))
-            state.setTimeoutTimestamp(
-              ordered.map(_.ts.getTime).max + retentionMs)
+            // monotonic expiry: a late (within-watermark) arrival's older
+            // ts must not pull the timeout back below newest-seen +
+            // retention — that would evict the bucket early and silently
+            // miss later pairs still inside the retention window
+            val newest = math.max(
+              state.getOption.map(_.lastTs).getOrElse(0L),
+              ordered.map(_.ts.getTime).max)
+            state.update(BucketState(seen.take(maxSigsPerBucket), newest))
+            state.setTimeoutTimestamp(newest + retentionMs)
             out.result().iterator
           }
       }

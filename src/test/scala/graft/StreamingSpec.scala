@@ -4,7 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{call_function, coalesce, col, lit, split, trim}
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -349,6 +349,75 @@ class StreamingSpec extends AnyFunSuite {
       s"state grew $afterFirst -> $afterEvict: timed-out buckets not removed")
     assert(afterEvict < afterFirst + 6,
       s"no eviction observed: $afterFirst -> $afterEvict")
+  }
+
+  test("a within-watermark late arrival never rewinds a bucket's expiry (pair still found)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    // generous watermark (60 min) so the late doc is admitted; 30-minute
+    // retention so the old behavior (timeout re-anchored on the LATE ts)
+    // would expire the bucket before the true near-dup arrives
+    val query = DocStream.nearDupPairs(mem.toDF(), delay = "60 minutes",
+        retentionMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("neardup_late")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def doc(id: Long, text: String, min: Int) =
+      StreamDoc(id, text, "en",
+        new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L))
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    mem.addData(doc(1, base, 60)) // bucket anchor: newest-seen = 60min
+    query.processAllAvailable()
+    // LATE but in-watermark copy at 20min: under the old batch-max timeout
+    // this re-anchored expiry to 20+30 = 50min — BEFORE doc 1's own
+    // 60+30 = 90min window
+    mem.addData(doc(2, base + " late", 20))
+    query.processAllAvailable()
+    // watermark advances to 85−60 = 25min... push it past the REWOUND
+    // expiry (50min) but before the monotonic one (90min): wm = 115−60 = 55
+    mem.addData(doc(3, "unrelated words one two three four five", 115))
+    query.processAllAvailable()
+    // the true near-dup arrives at 80min — still inside newest-seen(60)+30
+    mem.addData(doc(4, base + " tail", 80))
+    query.processAllAvailable()
+    val pairs = spark.sql("SELECT doc_id, matched_doc_id FROM neardup_late")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+    assert(pairs.exists { case (a, b) => a == 4L && (b == 1L || b == 2L) },
+      s"bucket expired early after a late arrival rewound its timeout: $pairs")
+  }
+
+  test("snapshot gate survives a torn first snapshot write (empty dir, no footers)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snapgate_torn").toString
+    val (snapDir, outDir) = (s"$root/snap", s"$root/out")
+    // what a crash mid-first-write leaves behind: the directory exists,
+    // zero committed parquet footers — schema inference would throw here
+    // on EVERY replay and wedge the stream
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$snapDir/_temporary"))
+    val batch = Seq(
+      (1L, "alpha beta", "en", Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("doc_id", "text", "lang", "ts")
+    DocStream.snapshotGate(snapDir, outDir, "runT")(batch, 0L)
+    val out = spark.read.parquet(outDir).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) -> r.getString(r.fieldIndex("status")))
+    assert(out.toSeq === Seq(1L -> "new"))
+  }
+
+  test("null text streams the batch kernels' signatures, not NULL") {
+    import spark.implicits._
+    val df = Seq((1L, null.asInstanceOf[String], "en"))
+      .toDF("doc_id", "text", "lang")
+    val s = DocStream.withSignatures(df).select("digest", "simhash").collect().head
+    // batch convention: null text → coalesce('') → digest md5(''), simhash
+    // of [""] — concrete values, never NULL (bit-for-bit interchangeable)
+    assert(!s.isNullAt(0) && !s.isNullAt(1))
+    assert(s.getString(0) ===
+      df.select(graft.operators.Dedup.contentDigest(col("text"))).collect().head.getString(0))
+    assert(s.getLong(1) ===
+      df.select(call_function("simhash48",
+        split(coalesce(trim(col("text")), lit("")), "\\s+"))).collect().head.getLong(0))
   }
 
   test("quality monitor reports per-window per-lang mixture matching the batch scorer") {

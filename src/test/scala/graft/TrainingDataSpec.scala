@@ -19,6 +19,26 @@ class TrainingDataSpec extends AnyFunSuite {
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("a NULL-lang/source stratum samples by its computed rate, never NPEs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // temperatureRatesBp deliberately keeps a NULL-lang stratum; the
+    // downstream rate fold used to NPE on the sort and compile the
+    // stratum into `=== NULL` (never matches → rate silently 0)
+    val withNulls = docs
+      .withColumn("lang", when(col("doc_id") % 7 === 0, lit(null: String))
+        .otherwise(col("lang")))
+      .withColumn("source", when(col("doc_id") % 5 === 0, lit(null: String))
+        .otherwise(col("source")))
+    val temp = Curation.temperatureSampleSummary(withNulls).collect()
+    val nullRow = temp.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "the NULL-lang stratum must appear in the summary")
+    assert(nullRow.get.getAs[Int]("rate_bp") > 0,
+      "the NULL stratum's computed rate must actually apply (<=> match)")
+    val ep = Curation.epochsSummary(withNulls).collect()
+    assert(ep.exists(_.isNullAt(0)), "NULL-source stratum must survive epochs fold")
+  }
+
   test("weighted sample: deterministic, exactly k, and heavy docs dominate") {
     import spark.implicits._
     val a = Curation.weightedSample(docs).collect().map(_.getLong(0)).toSeq
