@@ -63,22 +63,34 @@ object GraftExtensions {
       try { spark.sql("SELECT hex_popcount('0x0f'), hash64('x')").collect(); true }
       catch { case _: Exception => false }
     if (!registered) {
-      spark.udf.register("hex_popcount", (s: String) => HexPopcount.count(s))
-      spark.udf.register("hash64", (s: String) => Signatures.hash64String(s))
+      // Null semantics must MATCH the native expressions: every native
+      // kernel is a nullSafeEval (NULL in → NULL out), but Spark passes
+      // nulls through to reference-typed Scala UDF args, so an unguarded
+      // lambda NPEs the task where the expression nulls the row; and
+      // vec_dot's native form additionally nulls LENGTH-MISMATCHED arrays
+      // (a truncated partial dot must never flow into rankings).
+      spark.udf.register("hex_popcount",
+        (s: String) => Option(s).map(HexPopcount.count))
+      spark.udf.register("hash64",
+        (s: String) => Option(s).map(Signatures.hash64String))
       spark.udf.register("simhash48",
-        (ts: Seq[String]) => Signatures.simhash48Seq(ts))
+        (ts: Seq[String]) => Option(ts).map(Signatures.simhash48Seq))
       spark.udf.register("minhash_sig",
-        (ts: Seq[String]) => Signatures.minhashSigSeq(ts))
+        (ts: Seq[String]) => Option(ts).map(Signatures.minhashSigSeq))
       spark.udf.register("sorted_overlap",
-        (a: Seq[Long], b: Seq[Long]) => Signatures.sortedOverlapSeq(a, b))
+        (a: Seq[Long], b: Seq[Long]) =>
+          if (a == null || b == null) None
+          else Some(Signatures.sortedOverlapSeq(a, b)))
       spark.udf.register("word_shingles",
-        (s: String, n: Int) => Signatures.wordShinglesSeq(s, n))
+        (s: String, n: Int) => Option(s).map(Signatures.wordShinglesSeq(_, n)))
       spark.udf.register("word_ngrams",
-        (s: String, n: Int) => Signatures.wordNgramsSeq(s, n))
+        (s: String, n: Int) => Option(s).map(Signatures.wordNgramsSeq(_, n)))
       spark.udf.register("winnow_min",
-        (hs: Seq[Long], w: Int) => Signatures.winnowMinSeq(hs, w))
+        (hs: Seq[Long], w: Int) => Option(hs).map(Signatures.winnowMinSeq(_, w)))
       spark.udf.register("vec_dot",
-        (a: Seq[Double], b: Seq[Double]) => Signatures.vecDotSeq(a, b))
+        (a: Seq[Double], b: Seq[Double]) =>
+          if (a == null || b == null || a.length != b.length) None
+          else Some(Signatures.vecDotSeq(a, b)))
     }
   }
 }

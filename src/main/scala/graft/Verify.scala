@@ -26,7 +26,10 @@ object Verify {
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
+        // NonFatal only: an OutOfMemoryError must kill the run — catching
+        // it would keep iterating in a corrupted JVM and silently zero
+        // every later query's correctness surface
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -35,7 +38,7 @@ object Verify {
     // pass. Guarded so an export failure cannot zero the generic surface.
     if (only.isEmpty || only.exists(_.startsWith("era_")))
       try graft.queries.EraOracle.exportTables(spark)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[verify] era-oracle export failed: ${e.getMessage}")
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -138,6 +138,16 @@ class JdbcMigrator(spark: SparkSession, url: String,
       |    AND (e4."recorded_at" = ec."recorded_at"
       |         OR (e4."recorded_at" IS NULL AND ec."recorded_at" IS NULL))) IS NULL))""".stripMargin
 
+  /** 002's era_status view as originally shipped (one home: the action
+    * executes it and checksumOf fingerprints it). */
+  private val eraStatus002ViewDdl: String =
+    """CREATE VIEW era_status AS
+      |SELECT * FROM era_completion ec
+      |WHERE ec."insert_version" = (
+      |  SELECT MAX(e2."insert_version") FROM era_completion e2
+      |  WHERE e2."network" = ec."network"
+      |    AND e2."era_number" = ec."era_number")""".stripMargin
+
   /** (version, name, action) — ordered; mirror of get_available_migrations.
     * APPEND-ONLY: never edit an entry that has shipped — a database that
     * already recorded the version keeps its old objects and silently
@@ -150,14 +160,7 @@ class JdbcMigrator(spark: SparkSession, url: String,
         Some(eraCompletionTypes))
       // 002 as originally shipped: latest insert_version only. Same-version
       // ties are resolved by 003's replacement view.
-      execDdl(
-        """CREATE VIEW era_status AS
-          |SELECT * FROM era_completion ec
-          |WHERE ec."insert_version" = (
-          |  SELECT MAX(e2."insert_version") FROM era_completion e2
-          |  WHERE e2."network" = ec."network"
-          |    AND e2."era_number" = ec."era_number")""".stripMargin,
-        tolerate = isAlreadyExists)
+      execDdl(eraStatus002ViewDdl, tolerate = isAlreadyExists)
     }),
     ("003", "003_era_status_tiebreak", () => {
       // replace whatever era_status the database carries (002's
@@ -171,7 +174,10 @@ class JdbcMigrator(spark: SparkSession, url: String,
   private def checksumOf(version: String): String = {
     val ddl = version match {
       case "001" => datasetSchemas.map { case (n, s) => s"$n:${s.toDDL}" }.mkString(";")
-      case "002" => s"era_completion:${EraStateManager.jdbcLogSchema.toDDL}"
+      // fingerprint EVERYTHING 002 creates — omitting the view DDL would
+      // blind the drift detection the checksum column exists for
+      case "002" => s"era_completion:${EraStateManager.jdbcLogSchema.toDDL};" +
+        s"era_status:$eraStatus002ViewDdl"
       case "003" => s"era_status:$eraStatusViewDdl"
       case _ => ""
     }
@@ -187,7 +193,15 @@ class JdbcMigrator(spark: SparkSession, url: String,
     * Only a missing-table error maps to "nothing applied" — a connection
     * or auth failure must propagate, otherwise run() would re-apply
     * migrations and duplicate tracking rows on a transient outage. */
-  def appliedVersions(): Seq[String] =
+  def appliedVersions(): Seq[String] = {
+    // prove CONNECTIVITY before interpreting any error message: Derby's
+    // "Database 'x' not found" and Postgres's "database does not exist"
+    // are CONNECT-time failures whose text matches the missing-TABLE
+    // heuristic below — without this probe they'd read as "nothing
+    // applied" and run() would re-apply everything against a database
+    // that was never reached
+    val probe = java.sql.DriverManager.getConnection(url, props)
+    probe.close()
     try spark.read.jdbc(url, MigrationTable, props)
       .select("version").collect().map(_.getString(0)).toSeq.sorted
     catch {
@@ -196,6 +210,7 @@ class JdbcMigrator(spark: SparkSession, url: String,
         m.contains("not exist") || m.contains("not found") || m.contains("doesn't exist")
       } => Nil
     }
+  }
 
   /** Run pending migrations (optionally only up to `target`); returns the
     * versions applied this call. Mirrors run_migrations. */

@@ -29,10 +29,19 @@ object EraStateFixture {
   val Network = "gnosis"
 
   private var cached: EraStateManager = _
+  private var cachedSession: SparkSession = _
 
-  /** The per-JVM fixture state manager (lazily built on first use). */
+  /** The per-JVM fixture state manager (lazily built on first use).
+    * Session-aware like `EraQueries.blocks`: a manager built on a retired
+    * session would register its temp views into the OLD session's catalog
+    * (temp views are per-session) and every `era_sql_state_*` query on
+    * the new session would fail with TABLE_OR_VIEW_NOT_FOUND. */
   def manager(spark: SparkSession): EraStateManager = synchronized {
-    if (cached == null) cached = build(spark)
+    if (cached == null || cachedSession == null || cachedSession.ne(spark) ||
+        cachedSession.sparkContext.isStopped) {
+      cached = build(spark)
+      cachedSession = spark
+    }
     cached
   }
 

@@ -37,6 +37,11 @@ object EraViews {
     * dataset — the production entry (point it at any era directory's
     * decode). */
   def register(spark: SparkSession, blocks: Dataset[DecodedBlock]): Unit = {
+    // temp views land in the session that OWNS the frame — a mismatched
+    // pair would "succeed" while registering into the wrong catalog and
+    // the caller's spark.sql would fail with TABLE_OR_VIEW_NOT_FOUND
+    require(blocks.sparkSession eq spark,
+      "register: blocks belongs to a different SparkSession than the one passed")
     Normalizer.datasetNames.foreach { name =>
       Normalizer.dataset(blocks, name).createOrReplaceTempView(name)
     }
@@ -144,6 +149,13 @@ object EraViews {
   }
 
   private def sqlWarehouse(s: SparkSession, text: String): DataFrame = {
+    // registration is deliberately NOT memoized: decode-backed `era_sql_*`
+    // queries rebind the SAME view names between warehouse queries, so a
+    // skipped re-register would silently run the wh query against decode
+    // views — vacuously green (decode ≡ warehouse is exactly what these
+    // queries exist to prove) while exercising nothing at rest. The ~35
+    // FS round-trips per bind are fixture-local; a production caller
+    // holding one store binds once and queries freely.
     registerWarehouse(s, warehouseDir(s))
     s.sql(text)
   }
