@@ -142,12 +142,18 @@ object IncrementalExporter {
           // per-table footer-only counts — wide_blocks is EXCLUDED from
           // the completion record: it re-shapes the same blocks, and
           // counting it would make total_records diverge from the
-          // file-mode loop's accounting for the same era
-          val counts = Normalizer.datasetNames.map { name =>
-            val p = s"$netDir/$name/era_number=$era"
-            name -> (if (fs.exists(hp(p)))
-              spark.read.parquet(p).count() else 0L)
-          }.toMap
+          // file-mode loop's accounting for the same era. The 16 counts
+          // are tiny metadata jobs; running them sequentially added
+          // ~1.5 s of pure job-scheduling latency PER ERA, so they share
+          // the bounded pool like the writes do.
+          val countNames = Normalizer.datasetNames
+          val counts = countNames.zip(
+            Sinks.runQuiescent(spark, parallelism, countNames.map { name =>
+              () => {
+                val p = s"$netDir/$name/era_number=$era"
+                if (fs.exists(hp(p))) spark.read.parquet(p).count() else 0L
+              }
+            })).toMap
           state.recordEraCompletion(era, network,
             counts.filter(_._2 > 0).keys.toSeq.sorted, counts.values.sum)
           processed += era
