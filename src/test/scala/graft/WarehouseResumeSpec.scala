@@ -142,4 +142,44 @@ class WarehouseResumeSpec extends AnyFunSuite {
     // the per-era stage was cleaned up and never registered as a table
     assert(!Files.exists(Paths.get(s"$whB/gnosis/_stage")))
   }
+
+  test("two networks' incremental loops share one warehouse root") {
+    // the reference's state layer tracks many networks in one store
+    // (era_state_manager.py:350-377); here two per-network loops write
+    // disjoint subtrees of one root with ONE state log between them
+    val gnosisDir = EraFixtures.ensureGenerated()
+    val mainnetDir = graft.testkit.MainnetEraFixture.ensureGenerated()
+    def erasOf(dir: String): Map[Long, String] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.getName.endsWith(".era"))
+        .groupBy(_.getName.split("-")(1).toLong)
+        .map { case (e, fs) => e -> fs.map(_.getAbsolutePath).mkString(",") }
+    val wh = Files.createTempDirectory("graft-whres-multi").toString
+    val state = new EraStateManager(spark,
+      Files.createTempDirectory("graft-whres-multi-state").toString)
+    val gEras = erasOf(gnosisDir)
+    val mEras = erasOf(mainnetDir)
+    val gDone = IncrementalExporter.runWarehouse(spark, state, "gnosis",
+      gEras.keys.toSeq.sorted, wh) { e =>
+      spark.read.format("era").load(gEras(e).split(","): _*)
+    }
+    val mDone = IncrementalExporter.runWarehouse(spark, state, "mainnet",
+      mEras.keys.toSeq.sorted, wh) { e =>
+      spark.read.format("era").load(mEras(e).split(","): _*)
+    }
+    assert(gDone.nonEmpty && mDone.nonEmpty)
+    // the shared state log keys on network: re-running either loop
+    // processes nothing (both networks' eras read completed)
+    assert(IncrementalExporter.runWarehouse(spark, state, "gnosis",
+      gEras.keys.toSeq.sorted, wh)(e => fail(s"re-decoded era $e")).isEmpty)
+    assert(IncrementalExporter.runWarehouse(spark, state, "mainnet",
+      mEras.keys.toSeq.sorted, wh)(e => fail(s"re-decoded era $e")).isEmpty)
+    // each subtree binds and answers with exactly its own corpus
+    EraViews.registerWarehouse(spark, wh, "gnosis")
+    val gBlocks = spark.sql("SELECT count(*) AS n FROM blocks").head().getLong(0)
+    EraViews.registerWarehouse(spark, wh, "mainnet")
+    val mBlocks = spark.sql("SELECT count(*) AS n FROM blocks").head().getLong(0)
+    assert(gBlocks === graft.queries.EraQueries.blocks(spark).count())
+    assert(mBlocks === graft.queries.EraQueries.mainnetBlocks(spark).count())
+  }
 }
