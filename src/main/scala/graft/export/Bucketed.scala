@@ -22,11 +22,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketed {
 
   /** Writes `df` as a catalog table bucketed by `bucketCol` into
-    * `nBuckets`, sorted within buckets by the same key (enables
-    * merge-join without a per-task sort when files are per-bucket). */
+    * `nBuckets`, sorted within buckets by the same key. The frame is
+    * REPARTITIONED onto the bucket key first: without it every input
+    * task emits a file per bucket (P×nBuckets small files), and Spark
+    * only honors the sorted-bucket metadata — the no-per-task-Sort half
+    * of the layout's promise — when each bucket is a single file. The
+    * repartition uses the same hash the bucketing applies, so each task
+    * holds exactly one bucket and writes exactly one sorted file. */
   def saveBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit =
-    df.write
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(nBuckets, bucketCol)

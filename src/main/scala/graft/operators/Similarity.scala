@@ -120,11 +120,15 @@ object Similarity {
   private def collectCentroids(v: DataFrame,
       corpusSize: Long): Array[(Long, Seq[Double], Double)] = {
     val k = centroidCount(corpusSize)
-    v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
+    val arr = v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
       .select((col("vec_id") - 100).as("centroid_id"), col("vec"), col("sq"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    // every literal-regime centroid collect is LEDGERED so the AnnGate
+    // driver-rows assertion sees it — this helper was the one k-row
+    // collect the ledger couldn't account for
+    ledger(arr.length)(arr)
   }
 
   /** Hard per-cell occupancy cap for the QUADRATIC consumers (pair
@@ -273,7 +277,18 @@ object Similarity {
   private[graft] case class TwoLevelIndex(
       coarse: Array[(Long, Seq[Double], Double)],
       fineGrp: DataFrame,
-      coarseRad: DataFrame)
+      coarseRad: DataFrame) {
+    /** Drop the persisted fine-grouping frame. Call once the LAST
+      * assignment built from this index has MATERIALIZED (the cache
+      * manager holds strong references, so an unreleased one-shot index
+      * leaks one k-row cached frame per invocation — per k-means
+      * iteration before this hook existed). Lazily-consumed callers
+      * (the query entries whose frames execute later) keep the index
+      * alive for the session; the bench/gate clearCache covers those. */
+    def release(): Unit =
+      if (!fineGrp.sparkSession.sparkContext.isStopped)
+        fineGrp.unpersist(blocking = false)
+  }
 
   /** Derive the quantizer structure (steps 1–2 of the two-level plan).
     * `fineGrp` is PERSISTED (not localCheckpointed): it is k rows, it
@@ -588,6 +603,21 @@ object Similarity {
   private[graft] def assignFromFrame(v: DataFrame, centDf: DataFrame, k: Int): DataFrame =
     frameAssigner(centDf, k)(v)
 
+  /** [[frameAssigner]] plus the index release hook: callers that
+    * materialize every assignment EAGERLY (the k-means iteration — its
+    * localCheckpoint consumes the whole pass) release the two-level
+    * index's persisted frame instead of leaking one per build. No-op in
+    * the flat regime. */
+  private[graft] def frameAssignerReleasable(centDf: DataFrame,
+      k: Int): (DataFrame => DataFrame, () => Unit) =
+    if (k <= FlatCentroidMax) (frameAssigner(centDf, k), () => ())
+    else {
+      val idx = buildTwoLevelIndex(centDf, k)
+      (v => bestCentroidTwoLevel(v, idx, eps = 1e-9)
+        .withColumn("cell", -col("best").getField("ncid")).drop("best"),
+        () => idx.release())
+    }
+
   /** A REUSABLE assigner closed over the scale-dispatched artifact
     * representation: the flat collected table while k ≤ [[FlatCentroidMax]]
     * (collected ONCE, at closure build), the prebuilt [[TwoLevelIndex]]
@@ -638,7 +668,8 @@ object Similarity {
       .orderBy(call_function("hash64", col("vec_id").cast("string")), col("vec_id"))
     var centDf = init
     (1 to iters).foreach { _ =>
-      val means = assignFromFrame(prep, centDf, k)
+      val (assign, releaseIdx) = frameAssignerReleasable(centDf, k)
+      val means = assign(prep)
         // bounded deterministic sample BEFORE the membership collect — the
         // row_number window and the groupBy hash on the same cell key, so
         // the filter adds no extra Exchange
@@ -657,7 +688,8 @@ object Similarity {
         // squared norms are bit-identical to the r10 values
         .withColumn("csq",
           expr("aggregate(cvec, cast(0 as double), (acc, x) -> acc + x * x)"))
-        .localCheckpoint()
+        .localCheckpoint() // EAGER: the iteration's assignment is consumed
+      releaseIdx()         // ... so the iteration's index can go now
     }
     centDf
   }
@@ -1210,7 +1242,17 @@ object Similarity {
     // one prepared frame + one centroid collect shared by both IVF
     // variants: the count and centroid jobs run once for the whole report
     val prep = prepared(emb)
-    val cents = collectCentroids(prep)
+    val n = prep.count()
+    // the report composes the LITERAL-regime variants; past FlatCentroidMax
+    // it would silently collect and broadcast a k-row table the scale
+    // dispatch exists to forbid. Recall tuning runs on a held-out SAMPLE
+    // (the documented usage) - enforce that instead of quietly regressing.
+    require(centroidCount(n) <= FlatCentroidMax,
+      s"recallReport is a literal-regime evaluation harness: corpus of $n " +
+        s"vectors implies k=" + centroidCount(n) + s" > FlatCentroidMax=" +
+        FlatCentroidMax + "; run it on a held-out sample, or evaluate the " +
+        "two-level entries (sim_ivf_twolevel) directly")
+    val cents = collectCentroids(prep, n)
     val methods: Seq[(String, DataFrame)] = Seq(
       "ivf" -> ivfTopK(prep, cents, k, nQueries),
       "ivfpq" -> ivfPqTopK(prep, cents, k, nQueries),
@@ -1281,7 +1323,10 @@ object Similarity {
         round(col("x") * 1e6).cast("long").as("xe6"))
     m.groupBy(col("dim"))
       .agg(count(lit(1)).as("n"), sum(col("xe6")).as("sx"),
-        sum(col("xe6") * col("xe6")).as("sx2"))
+        // decimal sum: sum(xe6^2) outgrows LONG at ~2.3M vectors per dim
+        // (xe6^2 ~ 1e12/row) — loud ANSI failure exactly at scale; the
+        // exact decimal integers feed the same double combine
+        sum((col("xe6").cast("decimal(38,0)") * col("xe6"))).as("sx2"))
       .select(
         col("dim"), col("n"),
         round(col("sx").cast("double") / (col("n") * 1e6), 6).as("mean"),
@@ -1329,7 +1374,7 @@ object Similarity {
         // DOUBLE combine (same reason as dimStats): n_pairs·Σcos² in LONG
         // wraps at only ~3k sampled pairs
         round(sqrt((count(lit(1)).cast("double") *
-          sum(col("cos_e6") * col("cos_e6")).cast("double") -
+          sum(col("cos_e6").cast("decimal(38,0)") * col("cos_e6")).cast("double") -
           sum(col("cos_e6")).cast("double") * sum(col("cos_e6")).cast("double")) /
           (count(lit(1)).cast("double") * count(lit(1)) * 1e12)), 4).as("std_cos"),
         round(min(col("cos_e6")).cast("double") / 1e6, 4).as("min_cos"),

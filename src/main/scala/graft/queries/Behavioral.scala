@@ -334,8 +334,11 @@ object Behavioral {
       val sim = pairs
         .join(cnt.select(col("p").as("item"), col("n").as("ni")), Seq("item"))
         .join(cnt.select(col("p").as("other"), col("n").as("nj")), Seq("other"))
-        .withColumn("cosine",
-          round(col("cooc") / sqrt(col("ni") * col("nj")), 6))
+        .withColumn("cosine", // decimal product: ni*nj outgrows LONG
+          // when two 3e9-support items co-occur; exact integers <= 2^63
+          // convert to the identical double either way
+          round(col("cooc") / sqrt((col("ni").cast("decimal(38,0)") * col("nj"))
+            .cast("double")), 6))
       val byItem = Window.partitionBy(col("item"))
         .orderBy(col("cosine").desc, col("other"))
       sim.withColumn("rnk", row_number().over(byItem).cast("long"))
@@ -452,9 +455,11 @@ object Behavioral {
         .agg(
           count(lit(1)).as("n"),
           sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(expr("cast(x * x as decimal(38,0))")).as("sxx"),
-          sum(expr("cast(y * y as decimal(38,0))")).as("syy"),
-          sum(expr("cast(x * y as decimal(38,0))")).as("sxy"))
+          // cast an OPERAND, not the product: x*x in LONG wraps loud
+          // (ANSI) at daily counts ~3e9 before the decimal cast ever runs
+          sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+          sum(expr("cast(y as decimal(38,0)) * y")).as("syy"),
+          sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"))
         .withColumn("den",
           sqrt(col("n").cast("double") * col("sxx").cast("double") -
             col("sx").cast("double") * col("sx").cast("double")) *
@@ -496,14 +501,20 @@ object Behavioral {
         .withColumn("s", sum(col("c")).over(byType))
         .withColumn("k", row_number().over(ordered))
         .withColumn("pre", sum(col("c")).over(ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("cusum", col("nd") * col("pre") - col("k") * col("s"))
+        // decimal arithmetic end to end: nd*pre and k*s are
+        // days x event-total products that outgrow LONG at ~1e14 events;
+        // the exact integers convert to the same outputs either way
+        .withColumn("cusum", col("nd").cast("decimal(38,0)") * col("pre") -
+          col("k").cast("decimal(38,0)") * col("s"))
       scored
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("event_type")).orderBy(abs(col("cusum")).desc, col("day"))))
         .filter(col("rn") === 1)
         .select(col("event_type"), col("day").as("cp_day"),
-          abs(col("cusum")).as("abs_cusum"),
-          round(abs(col("cusum")) / (col("nd") * col("s")).cast("double"), 6).as("rel_shift"))
+          abs(col("cusum")).cast("long").as("abs_cusum"),
+          round(abs(col("cusum")).cast("double") /
+            (col("nd").cast("decimal(38,0)") * col("s")).cast("double"), 6)
+            .as("rel_shift"))
         .orderBy(col("event_type"))
     }),
     // Association rules (market basket): support / confidence / lift over
@@ -647,7 +658,7 @@ object Behavioral {
            GROUP BY a.p, b.p),
          sim AS (
            SELECT item, other, cooc,
-                  ROUND(cooc::DOUBLE / sqrt((ci.n * cj.n)::DOUBLE), 6) AS cosine
+                  ROUND(cooc::DOUBLE / sqrt((CAST(ci.n AS HUGEINT) * cj.n)::DOUBLE), 6) AS cosine
            FROM pairs JOIN cnt ci ON pairs.item = ci.p
                       JOIN cnt cj ON pairs.other = cj.p),
          ranked AS (
@@ -709,8 +720,9 @@ object Behavioral {
          a AS (
            SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-                  SUM(x * x)::DOUBLE AS sxx, SUM(y * y)::DOUBLE AS syy,
-                  SUM(x * y)::DOUBLE AS sxy
+                  SUM(CAST(x AS HUGEINT) * x)::DOUBLE AS sxx,
+                  SUM(CAST(y AS HUGEINT) * y)::DOUBLE AS syy,
+                  SUM(CAST(x AS HUGEINT) * y)::DOUBLE AS sxy
            FROM pairs GROUP BY 1, 2)
          SELECT event_type, lag, n,
                 ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy::DOUBLE) /
@@ -738,12 +750,13 @@ object Behavioral {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
            FROM daily),
          cu AS (
-           SELECT event_type, day, nd, s, nd * pre - k * s AS cusum,
+           SELECT event_type, day, nd, s,
+                  CAST(nd AS HUGEINT) * pre - CAST(k AS HUGEINT) * s AS cusum,
                   ROW_NUMBER() OVER (PARTITION BY event_type
-                       ORDER BY abs(nd * pre - k * s) DESC, day) AS rn
+                       ORDER BY abs(CAST(nd AS HUGEINT) * pre - CAST(k AS HUGEINT) * s) DESC, day) AS rn
            FROM scored)
          SELECT event_type, day AS cp_day, CAST(abs(cusum) AS BIGINT) AS abs_cusum,
-                ROUND(abs(cusum)::DOUBLE / (nd * s), 6) AS rel_shift
+                ROUND(abs(cusum)::DOUBLE / (CAST(nd AS HUGEINT) * s)::DOUBLE, 6) AS rel_shift
          FROM cu WHERE rn = 1 ORDER BY event_type""",
     "basket_assoc_rules" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

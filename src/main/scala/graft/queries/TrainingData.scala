@@ -1999,7 +1999,7 @@ object TrainingData {
          |  FROM embeddings e CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) i),
          |p AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
          |        CAST(SUM(xe6) AS BIGINT) AS sx,
-         |        CAST(SUM(xe6 * xe6) AS BIGINT) AS sx2
+         |        SUM(CAST(xe6 AS HUGEINT) * xe6) AS sx2
          |      FROM m GROUP BY dim)
          |SELECT CAST(dim AS BIGINT) AS dim, n,
          |       ROUND(sx::DOUBLE / (n * 1000000.0), 6) AS mean,
@@ -2020,7 +2020,7 @@ object TrainingData {
          |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |       ROUND(CAST(SUM(cos_e6) AS BIGINT)::DOUBLE / (COUNT(*) * 1000000.0), 4) AS mean_cos,
-         |       ROUND(sqrt((COUNT(*)::DOUBLE * CAST(SUM(cos_e6 * cos_e6) AS BIGINT)::DOUBLE
+         |       ROUND(sqrt((COUNT(*)::DOUBLE * SUM(CAST(cos_e6 AS HUGEINT) * cos_e6)::DOUBLE
          |         - CAST(SUM(cos_e6) AS BIGINT)::DOUBLE * CAST(SUM(cos_e6) AS BIGINT)::DOUBLE)
          |         / (COUNT(*)::DOUBLE * COUNT(*) * 1e12)), 4) AS std_cos,
          |       ROUND(MIN(cos_e6)::DOUBLE / 1000000.0, 4) AS min_cos,

@@ -87,6 +87,13 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
+    // batch mode (backfill) calls the state function ONCE per key and
+    // never fires timeouts, so the trailing open session must be emitted
+    // inline — the data ended, so the session is closed by definition.
+    // Streaming keeps it open in state for the event-time timeout. Without
+    // this, a backfill silently dropped every user's FINAL session while
+    // sessionizeNative emitted it.
+    val bounded = !events.isStreaming
 
     def update(userId: Long, it: Iterator[Event],
         state: GroupState[SessionAcc]): Iterator[UserSession] = {
@@ -108,8 +115,14 @@ object EventStream {
             acc.n + 1, acc.total + e.value) // min: an in-watermark late event can PRECEDE the open session's start
         }
         if (acc != null) {
-          state.update(acc)
-          state.setTimeoutTimestamp(acc.end + gapMs)
+          if (bounded) {
+            out += UserSession(userId, new Timestamp(acc.start),
+              new Timestamp(acc.end), acc.n, acc.total)
+            if (state.exists) state.remove()
+          } else {
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.end + gapMs)
+          }
         }
       }
       out.result().iterator

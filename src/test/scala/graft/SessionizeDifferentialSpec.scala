@@ -49,4 +49,27 @@ class SessionizeDifferentialSpec extends AnyFunSuite {
       s"session counts differ: batch ${a.size} vs native ${b.size}")
     assert(a === b, "per-session (user, seq, n_events, duration) differ")
   }
+
+  test("custom-state sessionize over a BOUNDED dataset emits every trailing session") {
+    // batch backfill mode: flatMapGroupsWithState runs once per key and no
+    // timeout ever fires, so the trailing open session must be emitted
+    // inline — it used to be silently dropped (every user lost their FINAL
+    // session vs the batch/native twins)
+    import spark.implicits._
+    val events = graft.queries.Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .as[graft.streaming.Event]
+    val custom = EventStream.sessionize(events, gapMinutes = 30)
+      .toDF()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    val batch = graft.queries.Relational.sessionize(events.toDF())
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+    val c = custom.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val d = batch.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(c.nonEmpty && c === d,
+      "bounded custom-state sessionization must equal the batch twin, trailing sessions included")
+  }
 }
