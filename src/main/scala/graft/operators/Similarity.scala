@@ -118,8 +118,13 @@ object Similarity {
     * frame, e.g. [[recallReport]]) pay the zero-column count pass once
     * instead of once per invocation. */
   private def collectCentroids(v: DataFrame,
-      corpusSize: Long): Array[(Long, Seq[Double], Double)] = {
-    val k = centroidCount(corpusSize)
+      corpusSize: Long): Array[(Long, Seq[Double], Double)] =
+    collectCentroidsK(v, centroidCount(corpusSize))
+
+  /** Same collect keyed directly on k, for callers that already computed
+    * it (saves the zero-column count pass). */
+  private def collectCentroidsK(v: DataFrame,
+      k: Int): Array[(Long, Seq[Double], Double)] = {
     val arr = v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
       .select((col("vec_id") - 100).as("centroid_id"), col("vec"), col("sq"))
       .collect()
@@ -558,6 +563,130 @@ object Similarity {
       .withColumn("cell", -col("best").getField("ncid"))
       .withColumn("cent_cos", col("best").getField("s"))
       .select(col("vec_id"), col("vec"), col("sq"), col("cell"), col("cent_cos"))
+  }
+
+  /** Per-vector top-2 centroids — (vec_id, best, second) where each field
+    * is the usual (s, −centroid_id) struct. Three regimes, matching the
+    * assignment dispatch ladder:
+    *  - `literal` (k ≤ [[LiteralCentroidMax]]): one narrow projection —
+    *    the literal candidate array is sorted descending (same
+    *    (s desc, centroid_id asc) order as `array_max`'s winner) and the
+    *    first two entries taken. Zero Exchange.
+    *  - `broadcast` (k ≤ [[FlatCentroidMax]]): two broadcast-join passes —
+    *    the proven [[bestCentroid]] argmax, then the same candidate
+    *    generation with the winner filtered out before the map-side
+    *    collapse. Each pass's one Exchange carries |corpus| collapsed
+    *    rows, never |corpus|·k.
+    *  - `twolevel` (past the crossover): [[bestCentroidTwoLevel]] for the
+    *    exact best, then the runner-up taken WITHIN the re-probed fine
+    *    set (winner excluded). The ball-cover expansion keeps every group
+    *    whose upper bound reaches the coarse lower bound, so the true
+    *    runner-up is only missed when it scores below that bound — the
+    *    standard IVF probed-lists report semantics; a missed runner-up
+    *    UNDERSTATES `nn_cos` (overstates the margin), never the reverse.
+    *
+    * Exposed per-regime so the spec can pin literal ≡ broadcast exactly
+    * and bound the two-level runner-up against the exact one. */
+  private[graft] def top2Centroids(prep: DataFrame, k: Int,
+      regime: String): DataFrame = regime match {
+    case "literal" =>
+      val cents = collectCentroidsK(prep, k)
+      val scored = cents.toSeq.map { case (cid, cvec, csq) =>
+        struct(
+          (call_function("vec_dot", col("vec"), typedLit(cvec)) /
+            sqrt(col("sq") * lit(csq))).as("s"),
+          lit(-cid).as("ncid"))
+      }
+      prep
+        .withColumn("t2", slice(sort_array(array(scored: _*), asc = false), 1, 2))
+        .select(col("vec_id"), col("t2")(0).as("best"), col("t2")(1).as("second"))
+    case "broadcast" =>
+      val spark = prep.sparkSession
+      import spark.implicits._
+      val cents = collectCentroidsK(prep, k)
+      val a = bestCentroid(prep, cents, literal = false)
+      val cdf = cents.toSeq.toDF("centroid_id", "cvec", "csq")
+      a.crossJoin(broadcast(cdf))
+        .filter(col("centroid_id") =!= -col("best").getField("ncid"))
+        .withColumn("cand", struct(
+          (call_function("vec_dot", col("vec"), col("cvec")) /
+            sqrt(col("sq") * col("csq"))).as("s"),
+          (-col("centroid_id")).as("ncid")))
+        .groupBy(col("vec_id"))
+        .agg(max(col("cand")).as("second"), first(col("best")).as("best"))
+        .select(col("vec_id"), col("best"), col("second"))
+    case "twolevel" =>
+      val cdf = centroidFrame(prep, k)
+      val idx = buildTwoLevelIndex(cdf, k)
+      try {
+        val a = bestCentroidTwoLevel(prep.select("vec_id", "vec", "sq"), idx, 1e-9)
+          .withColumnRenamed("best", "b1")
+        // runner-up within the re-probed fine set: same LB pass +
+        // ball-cover expansion as steps 3–4 of the assignment plan, with
+        // the winning centroid excluded before the per-vector collapse
+        val withLb = bestCentroid(a, idx.coarse)
+          .withColumn("lb", col("best").getField("s")).drop("best")
+        val probed = withLb.crossJoin(broadcast(idx.coarseRad))
+          .withColumn("s",
+            call_function("vec_dot", col("vec"), col("gvec")) /
+              sqrt(col("sq") * col("gsq")))
+          .withColumn("ub",
+            when(col("s") >= col("mcos"), lit(1.0))
+              .otherwise(col("s") * col("mcos") +
+                sqrt(greatest(lit(0.0), lit(1.0) - col("s") * col("s"))) *
+                  sqrt(greatest(lit(0.0), lit(1.0) - col("mcos") * col("mcos")))))
+          .filter(col("ub") >= col("lb") - lit(1e-9))
+          .select(col("vec_id"), col("vec"), col("sq"), col("b1"), col("grp"))
+        probed.join(idx.fineGrp.select(col("grp"), col("centroid_id"),
+            col("cvec"), col("csq")).hint("shuffle_hash"), Seq("grp"))
+          .filter(col("centroid_id") =!= -col("b1").getField("ncid"))
+          .withColumn("cand", struct(
+            (call_function("vec_dot", col("vec"), col("cvec")) /
+              sqrt(col("sq") * col("csq"))).as("s"),
+            (-col("centroid_id")).as("ncid")))
+          .groupBy(col("vec_id"))
+          .agg(max(col("cand")).as("second"), first(col("b1")).as("best"))
+          .select(col("vec_id"), col("best"), col("second"))
+          .localCheckpoint()
+      } finally idx.release()
+    case other => throw new IllegalArgumentException(s"unknown regime: $other")
+  }
+
+  /** Per-cell GEOMETRIC quality — the companion to [[ivfCellStats]]'
+    * population balance: how coherent each inverted list is (`intra_cos`,
+    * mean cosine to the own centroid), how close it sits to its nearest
+    * rival (`nn_cos`, mean cosine to the runner-up centroid), and the mean
+    * assignment `margin` between the two. Low-margin cells are where ANN
+    * recall leaks (boundary vectors get probed from the wrong list) and
+    * where SemDeDup's cell blocking loses pairs — the "retrain or merge
+    * these centroids" signal with geometry, where the population report
+    * only sees counts. Means are exact-integer micro-unit sums (floor of
+    * cos·1e6), so partial-aggregation order cannot perturb the reported
+    * doubles — the LM/NLL determinism discipline; at 1e9 rows per cell the
+    * micro-unit sum stays ≤ 1e15, well inside a LONG. */
+  def cellQuality(emb: DataFrame): DataFrame = {
+    val prep = prepared(emb)
+    val k = centroidCount(prep.count())
+    val regime =
+      if (k <= LiteralCentroidMax) "literal"
+      else if (k <= FlatCentroidMax) "broadcast"
+      else "twolevel"
+    val t2 = top2Centroids(prep, k, regime)
+    t2.select(
+        (-col("best").getField("ncid")).as("cell"),
+        floor(col("best").getField("s") * lit(1000000.0)).cast("long").as("own_u"),
+        floor(col("second").getField("s") * lit(1000000.0)).cast("long").as("nn_u"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("own_u")).as("so"), sum(col("nn_u")).as("sn"))
+      .select(col("cell"), col("n_vecs"),
+        round(col("so").cast("double") / col("n_vecs") / lit(1000000.0), 6)
+          .as("intra_cos"),
+        round(col("sn").cast("double") / col("n_vecs") / lit(1000000.0), 6)
+          .as("nn_cos"),
+        round((col("so") - col("sn")).cast("double") / col("n_vecs") / lit(1000000.0), 6)
+          .as("margin"))
+      .orderBy(col("cell"))
   }
 
   /** Lloyd's k-means refinement of the IVF centroid set (spherical:

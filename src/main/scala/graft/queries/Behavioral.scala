@@ -538,7 +538,12 @@ object Behavioral {
         .select(
           col("pa"), col("pb"), col("sup"),
           round(col("sup") / col("cnt_a"), 6).as("conf"),
-          round(col("sup") * col("n_orders") / (col("cnt_a") * col("cnt_b")), 6).as("lift"))
+          // both products in DECIMAL: sup·n_orders and cnt_a·cnt_b overflow
+          // a LONG once baskets reach ~1e10 (the r12 integer-kernel class);
+          // one double conversion per side keeps the division IEEE-identical
+          round((col("sup").cast("decimal(38,0)") * col("n_orders")).cast("double") /
+            (col("cnt_a").cast("decimal(38,0)") * col("cnt_b")).cast("double"), 6)
+            .as("lift"))
         .orderBy(col("pa"), col("pb"))
     })
   )
@@ -768,7 +773,8 @@ object Behavioral {
            GROUP BY a.p, b.p HAVING COUNT(*) >= 3)
          SELECT pa, pb, sup,
                 ROUND(sup::DOUBLE / ca.item_n, 6) AS conf,
-                ROUND(sup::DOUBLE * tot.n_orders / (ca.item_n * cb.item_n), 6) AS lift
+                ROUND((sup::DECIMAL(38,0) * tot.n_orders)::DOUBLE /
+                      (ca.item_n::DECIMAL(38,0) * cb.item_n)::DOUBLE, 6) AS lift
          FROM pairs
          JOIN cnt ca ON pairs.pa = ca.p
          JOIN cnt cb ON pairs.pb = cb.p

@@ -376,7 +376,10 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .withColumn("cnt_w", count(col("n")).over(w))
         .withColumn("sum_w", sum(col("n")).over(w))
-        .withColumn("sum2_w", sum(col("n") * col("n")).over(w))
+        // n² in DECIMAL: a 1e10-events day would overflow a LONG product
+        // under ANSI (the r12 integer-kernel class); DECIMAL(38,0) keeps
+        // the frame sum exact and the double formula unchanged
+        .withColumn("sum2_w", sum(expr("cast(n as decimal(38,0)) * n")).over(w))
         .filter(col("cnt_w") >= 3)
         .withColumn("mean_w", col("sum_w").cast("double") / col("cnt_w"))
         .withColumn("var_w",
@@ -428,6 +431,16 @@ object Relational {
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // ── Layout: Z-order clustering profile (the OPTIMIZE ZORDER
+    // maintenance op — graft.operators.Layout). Per z-bucket row count +
+    // (partkey, suppkey) min/max rectangle: the parquet footer statistics
+    // this clustering would give every file, i.e. the two-column pruning
+    // evidence. ZorderSpec measures the actual row-group skipping.
+    "layout_zorder" -> ((s, dir) => {
+      graft.operators.Layout.zorderProfile(
+        t(s, dir, "lineitem"), "l_partkey", "l_suppkey")
     }),
 
     // U: INTERSECT / EXCEPT — absent from the reference (SURVEY §2.7 notes)
@@ -747,7 +760,7 @@ object Relational {
            SELECT event_type, day, n,
                   COUNT(n) OVER win AS cnt_w,
                   SUM(n) OVER win AS sum_w,
-                  SUM(n * n) OVER win AS sum2_w
+                  SUM(n::DECIMAL(38,0) * n) OVER win AS sum2_w
            FROM d
            WINDOW win AS (PARTITION BY event_type ORDER BY day
                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
@@ -936,6 +949,35 @@ object Relational {
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+    // mirrors graft.operators.Layout: min-max 16-bit scaling + Morton
+    // interleave (32 shift-and-or terms, generated — identical bit math
+    // in both engines), bucket = zval // (2^32 / 64)
+    "layout_zorder" -> {
+      def spread(e: String, off: Int): String =
+        (0 until 16).map(i => s"((($e >> $i) & 1) << ${2 * i + off})")
+          .mkString(" | ")
+      def scale(c: String, mn: String, mx: String): String =
+        s"CAST(FLOOR(LEAST(GREATEST(($c - $mn)::DOUBLE * 65535.0 / " +
+          s"GREATEST(($mx - $mn)::DOUBLE, 1.0), 0.0), 65535.0)) AS BIGINT)"
+      s"""WITH b AS (
+         |  SELECT MIN(l_partkey) AS xmn, MAX(l_partkey) AS xmx,
+         |         MIN(l_suppkey) AS ymn, MAX(l_suppkey) AS ymx FROM lineitem),
+         |s AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         ${scale("l_partkey", "b.xmn", "b.xmx")} AS xb,
+         |         ${scale("l_suppkey", "b.ymn", "b.ymx")} AS yb
+         |  FROM lineitem, b),
+         |z AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         (${spread("xb", 0)} | ${spread("yb", 1)}) AS zval
+         |  FROM s)
+         |SELECT zval // 67108864 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(MIN(l_partkey) AS BIGINT) AS x_min,
+         |       CAST(MAX(l_partkey) AS BIGINT) AS x_max,
+         |       CAST(MIN(l_suppkey) AS BIGINT) AS y_min,
+         |       CAST(MAX(l_suppkey) AS BIGINT) AS y_max
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
     "sort_filter_project" ->
       """SELECT event_id, user_id, value FROM events
          WHERE event_type = 'purchase' ORDER BY event_id""",

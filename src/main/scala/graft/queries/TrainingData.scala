@@ -161,6 +161,7 @@ object TrainingData {
     "text_nb_calibration" -> ((s, dir) => TextAnalysis.nbCalibration(docs(s, dir))),
     "cur_epochs" -> ((s, dir) => Curation.epochsSummary(docs(s, dir))),
     "sim_ivf_stats" -> ((s, dir) => Similarity.ivfCellStats(emb(s, dir))),
+    "sim_cell_quality" -> ((s, dir) => Similarity.cellQuality(emb(s, dir))),
     // two-level (hierarchical) assignment, oracle-checked against the FLAT
     // argmax SQL — the value gate IS the exactness proof for the 100 TB plan
     "sim_ivf_twolevel" -> ((s, dir) => Similarity.ivfCellStatsTwoLevel(emb(s, dir))),
@@ -2887,6 +2888,36 @@ object TrainingData {
          |       ROUND(n_vecs::DOUBLE / SUM(n_vecs) OVER (), 6) AS share,
          |       ROUND(n_vecs::DOUBLE * COUNT(*) OVER () / SUM(n_vecs) OVER (), 4) AS balance
          |FROM a ORDER BY cell""".stripMargin,
+
+    // per-cell geometric quality: cosine to own + runner-up centroid per
+    // vector (crank 1 and 2 of the same (cos desc, centroid_id) ranking
+    // the argmax uses), means as exact micro-unit integer sums — mirrors
+    // Similarity.cellQuality
+    "sim_cell_quality" ->
+      s"""WITH $vecCte,
+         |cents AS (
+         |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
+         |ranked AS (
+         |  SELECT vn.vec_id, c.centroid_id,
+         |         ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) AS cos,
+         |         ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+         |           ORDER BY ${dotD("vn.vec", "c.cvec")} / sqrt(vn.sq * c.csq) DESC,
+         |                    c.centroid_id) AS crank
+         |  FROM vn, cents c),
+         |t2 AS (
+         |  SELECT vec_id,
+         |         MAX(CASE WHEN crank = 1 THEN centroid_id END) AS cell,
+         |         MAX(CASE WHEN crank = 1
+         |               THEN CAST(FLOOR(cos * 1000000) AS BIGINT) END) AS own_u,
+         |         MAX(CASE WHEN crank = 2
+         |               THEN CAST(FLOOR(cos * 1000000) AS BIGINT) END) AS nn_u
+         |  FROM ranked WHERE crank <= 2 GROUP BY vec_id)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       ROUND(SUM(own_u)::DOUBLE / COUNT(*) / 1000000, 6) AS intra_cos,
+         |       ROUND(SUM(nn_u)::DOUBLE / COUNT(*) / 1000000, 6) AS nn_cos,
+         |       ROUND((SUM(own_u) - SUM(nn_u))::DOUBLE / COUNT(*) / 1000000, 6) AS margin
+         |FROM t2 GROUP BY cell ORDER BY cell""".stripMargin,
 
     "sim_ivf_stats" ->
       s"""WITH $vecCte,

@@ -236,4 +236,50 @@ class CellCapSpec extends AnyFunSuite {
     // vs m·(m−1) = 249 500 uncapped — the quadratic term the cap removes
     assert(pairs.count() < 500L * 499)
   }
+
+  test("cell-quality top-2 is plan-independent: literal ≡ broadcast; two-level best exact, runner-up probe-bounded") {
+    val emb = spark.read.parquet(TestSpark.sf + "/embeddings.parquet")
+    val prep = Similarity.prepared(emb).localCheckpoint()
+    val k = Similarity.centroidCount(prep.count())
+
+    def collect(regime: String): Map[Long, (Long, Double, Long, Double)] =
+      Similarity.top2Centroids(prep, k, regime)
+        .select(col("vec_id"),
+          col("best").getField("ncid"), col("best").getField("s"),
+          col("second").getField("ncid"), col("second").getField("s"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4)))
+        .toMap
+
+    val lit = collect("literal")
+    val bc = collect("broadcast")
+    assert(lit.keySet === bc.keySet)
+    lit.foreach { case (id, (bn, bs, sn, ss)) =>
+      val (bn2, bs2, sn2, ss2) = bc(id)
+      assert(bn === bn2 && sn === sn2, s"vec $id: top-2 ids differ across plans")
+      assert(math.abs(bs - bs2) < 1e-12 && math.abs(ss - ss2) < 1e-12,
+        s"vec $id: top-2 scores differ across plans")
+    }
+
+    // two-level: the best is exact (ball-cover probing); the runner-up is
+    // probe-scoped — it can only UNDERSTATE the true runner-up cosine
+    val tl = collect("twolevel")
+    assert(tl.keySet === lit.keySet)
+    tl.foreach { case (id, (bn, bs, _, ss)) =>
+      assert(bn === lit(id)._1 && math.abs(bs - lit(id)._2) < 1e-9,
+        s"vec $id: two-level best differs from exact")
+      assert(ss <= lit(id)._4 + 1e-9,
+        s"vec $id: two-level runner-up $ss above the exact one ${lit(id)._4}")
+    }
+
+    // the report itself: all vectors accounted for, margins non-negative
+    val report = Similarity.cellQuality(emb).collect()
+    assert(report.map(_.getLong(1)).sum === prep.count())
+    report.foreach { r =>
+      assert(r.getDouble(4) >= 0.0, s"cell ${r.getLong(0)}: negative margin")
+      assert(r.getDouble(2) >= r.getDouble(3) - 1e-9,
+        s"cell ${r.getLong(0)}: intra below nn cosine")
+    }
+  }
 }
