@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.export.{BeaconJson, EraStateManager, Sinks}
+import graft.export.{BeaconJson, Compaction, EraStateManager, Sinks}
 import graft.operators.Normalizer
 import graft.sources.RemoteDiscovery
 
@@ -47,7 +47,7 @@ object Cli {
   /** Flags that consume the following token as their value. */
   private val valueFlags = Set(
     "--state-dir", "--cache-dir", "--data-root", "--export-jdbc", "--migrate",
-    "--warehouse")
+    "--warehouse", "--target-mb")
 
   def main(args: Array[String]): Unit = {
     // split argv into flags, flag values, and positionals — a flag's value
@@ -71,6 +71,21 @@ object Cli {
         println("state log compacted to latest-version rows")
       }
       else if (flags.contains("--migrate")) migrate(opts, pos)
+      // warehouse maintenance: graft --compact-warehouse <dir> <network>
+      // [--target-mb N] — collapse each era partition's accreted part
+      // files toward the byte budget (crash-safe stage-and-swap;
+      // see graft.export.Compaction)
+      else if (flags.contains("--compact-warehouse")) {
+        if (pos.length < 2) fail("--compact-warehouse needs <warehouse_dir> <network>")
+        val target = opts.get("--target-mb").filter(_.nonEmpty)
+          .map(_.toLong).getOrElse(128L) << 20
+        Compaction.compactWarehouse(session(), pos(0), pos(1), target)
+          .toSeq.sortBy(_._1).foreach { case (tbl, reports) =>
+            val done = reports.filter(r => r.filesAfter < r.filesBefore)
+            println(s"$tbl: compacted ${done.size}/${reports.size} partitions " +
+              s"(${done.map(_.filesBefore).sum} -> ${done.map(_.filesAfter).sum} files)")
+          }
+      }
       else if (flags.contains("--remote")) remote(opts, pos, flags)
       else if (pos.headOption.contains("query")) query(pos)
       else if (pos.length >= 2) local(opts, pos, flags)
@@ -298,6 +313,7 @@ object Cli {
       |        [--separate] [--force] [--download-only] [--state-dir D] [--cache-dir D]
       |  graft --era-status <network> [--state-dir D]
       |  graft --clean-failed-eras <network> [--state-dir D] [--data-root D]
+      |  graft --compact-warehouse <warehouse_dir> <network> [--target-mb N]
       |
       |era ranges: 1082 | 1082-1100 | 1082+""".stripMargin)
 }

@@ -1,0 +1,147 @@
+package graft.export
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Small-file compaction for the era-partitioned warehouse layout — the
+ * file-count half of an `OPTIMIZE` pass (bucketing co-locates joins,
+ * Z-order co-locates range predicates, compaction keeps the FILE COUNT
+ * from eating the scan: a 1000-executor query against a partition of
+ * 10,000 tiny part files pays listing, footer, and task-scheduling cost
+ * per file; the incremental warehouse loop naturally accretes such files
+ * because every per-era commit writes its own part set).
+ *
+ * Per partition directory (`era_number=N`):
+ *
+ *  1. plan: `ceil(bytes / targetBytes)` output files; a partition already
+ *     at-or-under that count is SKIPPED (no rewrite, no risk);
+ *  2. stage: read the leaf, `coalesce(n)` (merges input splits — no
+ *     shuffle; compaction only ever reduces the file count), write to
+ *     `<table>/_compact_staged/era_number=N`. The `_`-prefixed directory
+ *     is invisible to every parquet reader of the table, so queries run
+ *     untouched while staging;
+ *  3. verify: staged row count must equal the live leaf's;
+ *  4. swap: live leaf → `_compact_trash`, staged → live, trash deleted.
+ *
+ * Crash safety is the warehouse loop's discipline, restated for renames:
+ * a death before the swap leaves the table untouched (stage is garbage,
+ * collected next run); a death INSIDE the swap leaves the leaf missing
+ * with a complete staged copy (its `_SUCCESS` marker was required before
+ * the swap began) or with the trash copy still present — [[recover]] runs
+ * first on every invocation and finishes or rolls back any torn swap, so
+ * the table is never down more than one crashed-mid-rename partition, and
+ * never loses rows. `CompactionSpec` drives the torn cases explicitly.
+ *
+ * At cluster scale each partition's rewrite is one bounded job (one era's
+ * data — the same bound the incremental loop's stage relies on), and
+ * partitions are processed independently, so the maintenance pass can be
+ * stopped and resumed at any partition boundary.
+ */
+object Compaction {
+
+  /** Per-partition outcome. `filesAfter == filesBefore` means skipped. */
+  final case class LeafReport(partition: String, filesBefore: Int,
+      filesAfter: Int, bytesBefore: Long, rows: Long)
+
+  private val StagedDir = "_compact_staged"
+  private val TrashDir = "_compact_trash"
+
+  private def dataFiles(fs: FileSystem, dir: Path) =
+    fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Finish or roll back any swap a previous run died inside. Safe to run
+    * when nothing is torn (and always run first). Rules per partition
+    * name found under staged/trash:
+    *  - live leaf missing + COMPLETE staged copy (`_SUCCESS`) → finish
+    *    the swap (staged becomes live, trash dropped);
+    *  - live leaf missing + no usable staged copy + trash present → roll
+    *    back (trash becomes live);
+    *  - live leaf present → both staged and trash copies are garbage. */
+  private[export] def recover(fs: FileSystem, table: Path): Unit = {
+    val staged = new Path(table, StagedDir)
+    val trash = new Path(table, TrashDir)
+    def leaves(root: Path): Seq[Path] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+    val byName = (leaves(staged).map(p => p.getName -> ("staged", p)) ++
+      leaves(trash).map(p => p.getName -> ("trash", p)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toMap)
+    byName.foreach { case (name, copies) =>
+      val live = new Path(table, name)
+      if (!fs.exists(live)) {
+        val stagedComplete = copies.get("staged")
+          .filter(p => fs.exists(new Path(p, "_SUCCESS")))
+        stagedComplete match {
+          case Some(p) =>
+            require(fs.rename(p, live), s"recover: rename $p -> $live failed")
+            copies.get("trash").foreach(fs.delete(_, true))
+          case None =>
+            copies.get("trash").foreach { t =>
+              require(fs.rename(t, live), s"recover: rename $t -> $live failed")
+            }
+            copies.get("staged").foreach(fs.delete(_, true))
+        }
+      } else copies.values.foreach(fs.delete(_, true))
+    }
+    Seq(staged, trash).foreach { d =>
+      if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, true)
+    }
+  }
+
+  /** Compact every `era_number=N` partition of one warehouse table in
+    * place. Returns one report per partition (skipped partitions report
+    * `filesAfter == filesBefore`). */
+  def compactEraTable(spark: SparkSession, tablePath: String,
+      targetBytes: Long = 128L << 20): Seq[LeafReport] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $tablePath")
+    recover(fs, table)
+    val parts = fs.listStatus(table).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("era_number="))
+      .map(_.getPath).sortBy(_.getName)
+    parts.map { leaf =>
+      val files = dataFiles(fs, leaf)
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+      if (files.size <= nOut)
+        LeafReport(leaf.getName, files.size, files.size, bytes, -1L)
+      else {
+        val live = spark.read.parquet(leaf.toString)
+        val rows = live.count()
+        val stagedLeaf = new Path(new Path(table, StagedDir), leaf.getName)
+        fs.delete(stagedLeaf, true)
+        live.coalesce(nOut).write.mode("overwrite").parquet(stagedLeaf.toString)
+        val stagedRows = spark.read.parquet(stagedLeaf.toString).count()
+        require(stagedRows == rows,
+          s"compaction verify failed for ${leaf.getName}: $stagedRows != $rows")
+        require(fs.exists(new Path(stagedLeaf, "_SUCCESS")),
+          s"staged copy for ${leaf.getName} has no _SUCCESS marker")
+        // the swap: two renames with a trash stop — recover() completes
+        // or rolls back a run that dies between them
+        val trashLeaf = new Path(new Path(table, TrashDir), leaf.getName)
+        fs.delete(trashLeaf, true)
+        fs.mkdirs(trashLeaf.getParent)
+        require(fs.rename(leaf, trashLeaf), s"swap: rename $leaf -> trash failed")
+        require(fs.rename(stagedLeaf, leaf), s"swap: rename staged -> $leaf failed")
+        fs.delete(trashLeaf, true)
+        LeafReport(leaf.getName, files.size,
+          dataFiles(fs, leaf).size, bytes, rows)
+      }
+    }
+  }
+
+  /** Compact every table of one network's warehouse subtree
+    * ([[StagedExport.exportWarehouse]] layout). */
+  def compactWarehouse(spark: SparkSession, warehouseDir: String,
+      network: String,
+      targetBytes: Long = 128L << 20): Map[String, Seq[LeafReport]] =
+    StagedExport.warehouseTableNames.map { t =>
+      t -> compactEraTable(spark, s"$warehouseDir/$network/$t", targetBytes)
+    }.toMap
+}
