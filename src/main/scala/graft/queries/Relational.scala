@@ -703,6 +703,29 @@ object Relational {
         .select(col("event_type"), col("day"), col("c"), col("c_4d"))
         .orderBy(col("event_type"), col("day"))
     }),
+    // W: gaps-and-islands — longest consecutive-day activity streak per
+    // user (the engagement metric every event-log warehouse is asked for;
+    // the same islands trick the ExactSubstr span merge uses internally,
+    // exposed as a first-class query). Island id = day epoch − row_number
+    // (constant within a consecutive run, strictly changing across a gap
+    // because distinct days make epd strictly increasing). One user-keyed
+    // window + two user-keyed aggregations — a single (user_id) shuffle
+    // under AQE partitioning reuse; never a global window.
+    "win_streaks" -> ((s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("epd", datediff(col("day"), lit("2024-01-01").cast("date")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epd"))
+      days
+        .withColumn("grp", col("epd") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("active_days"),
+          count(lit(1)).as("n_streaks"),
+          max(col("len")).as("longest_streak"))
+        .orderBy(col("user_id"))
+    }),
     // toUInt64(string) cast ladder (CLICKHOUSE.md:795-798).
     "scalar_cast" -> ((s, dir) => {
       t(s, dir, "events")
@@ -1098,6 +1121,20 @@ object Relational {
                 CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY epd
                      RANGE BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS c_4d
          FROM gapped ORDER BY event_type, day""",
+    "win_streaks" ->
+      """WITH d AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+         e AS (
+           SELECT user_id, date_diff('day', DATE '2024-01-01', day) AS epd FROM d),
+         g AS (
+           SELECT user_id,
+                  epd - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epd) AS grp
+           FROM e),
+         s AS (SELECT user_id, grp, COUNT(*) AS len FROM g GROUP BY 1, 2)
+         SELECT user_id, CAST(SUM(len) AS BIGINT) AS active_days,
+                CAST(COUNT(*) AS BIGINT) AS n_streaks,
+                CAST(MAX(len) AS BIGINT) AS longest_streak
+         FROM s GROUP BY user_id ORDER BY user_id""",
     "win_distribution" ->
       """WITH w AS (
            SELECT c_mktsegment, c_custkey, c_acctbal,
