@@ -596,20 +596,92 @@ object Bench {
     deleteRecursively(whRoot); deleteRecursively(whStateDir)
     require(whDone == whEras, s"warehouse loop skipped eras: $whDone vs $whEras")
 
-    // (cold, best) per query: best is the steady-state headline; cold is
-    // the first execution with its one-time codegen/JIT bill. Recording
-    // both makes a driver-run anomaly self-adjudicating — r11's
-    // graph_cc_labelprop read 24s in the driver sweep purely because the
-    // one-time whole-stage-codegen landed in a CPU-steal window, and the
-    // artifact couldn't show it.
-    val sweep: Map[String, (Double, Double)] = SparkEntry.queries.map {
-      case (name, fn) =>
-        name -> (try {
-          val ts = timed(2) { fn(spark, sfDir).count() }
-          (ts.head, ts.min)
-        } catch { case _: Throwable => (-1.0, -1.0) })
+    // the same loop at PRODUCTION era geometry (8,192 slots/era —
+    // config/networks.py:6): the standard corpus's 2,048-block eras make
+    // the loop's fixed ~2.7 s/era bookkeeping dominate, which r12 could
+    // only argue amortizes; this rung measures it. 6 forks × 1 file ×
+    // 8,192 blocks = 6 eras / 49,152 blocks — the per-era protocol cost
+    // spreads over 4× the blocks, so blocks/s should sit within ~2× of
+    // the staged bulk rate (etl_blocks_per_sec) instead of 20× under it.
+    val (prodEraDir, _) = graft.testkit.BenchEras.ensureGenerated(
+      dir = "target/bench-eras-prod", filesPerFork = 1, blocksPerFile = 8192)
+    val whProdRoot = java.nio.file.Files.createTempDirectory("graft-bench-whp").toString
+    val whProdState = java.nio.file.Files.createTempDirectory("graft-bench-whpstate").toString
+    val whProdEras = new java.io.File(prodEraDir).listFiles().toSeq
+      .filter(_.getName.endsWith(".era"))
+      .map(_.getName.split("-")(1).toLong).distinct.sorted
+    val whProdBlocks = whProdEras.size * 8192L
+    val whProdT0 = System.nanoTime()
+    val whProdDone = graft.export.IncrementalExporter.runWarehouse(spark,
+      new graft.export.EraStateManager(spark, whProdState), "gnosis",
+      whProdEras, whProdRoot) { era =>
+      spark.read.format("era").load(f"$prodEraDir/gnosis-$era%05d-*.era")
     }
-    val results = sweep.view.mapValues(_._2).toMap
+    val whProdSec = (System.nanoTime() - whProdT0) / 1e9
+    deleteRecursively(whProdRoot); deleteRecursively(whProdState)
+    require(whProdDone == whProdEras,
+      s"prod warehouse loop skipped eras: $whProdDone vs $whProdEras")
+
+    // ── the query sweep: TEMPORALLY-SPACED reps (r13) ──────────────────
+    // r12's witness failed its first real test: best-of-2 reps ran
+    // back-to-back, so one multi-minute CPU-steal window (this sandbox's
+    // documented ~20-min cadence) ate both reps of five queries and the
+    // artifact read as a genuine 6× regression with cold == best. Now:
+    //  - pass 1 (cold): every query once, in sorted order; sub-second
+    //    queries take their second rep immediately (scheduling noise
+    //    dominates them — spacing buys nothing);
+    //  - pass 2 (spaced): every >1s query re-runs only after pass 1 has
+    //    visited the whole registry, minutes later — one steal window can
+    //    no longer cover both reps of the same query, and each entry
+    //    records the measured gap;
+    //  - pass 3 (adjudication): a query whose two reps AGREE (<20%) but
+    //    sit above 3× its committed-round baseline (the tracked
+    //    BENCH_QUERIES_FULL.json, read BEFORE this run overwrites it)
+    //    takes a third rep at the very end — so "steal" vs "regression"
+    //    is decidable from this artifact alone, no out-of-band run needed.
+    val committedBaseline: Map[String, Double] =
+      try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File("BENCH_QUERIES_FULL.json"))
+        import scala.jdk.CollectionConverters._
+        node.fieldNames().asScala.map(n => n -> node.get(n).asDouble()).toMap
+      } catch { case _: Exception => Map.empty }
+    def runOnce(name: String): Double =
+      try {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    val sweepNames = SparkEntry.queries.keys.toSeq.sorted
+    val reps = scala.collection.mutable.Map[String, List[Double]]()
+    val repEnds = scala.collection.mutable.Map[String, Double]() // pass-1 end ts
+    sweepNames.foreach { n =>
+      val c = runOnce(n)
+      reps(n) = List(c)
+      repEnds(n) = System.nanoTime() / 1e9
+      if (c >= 0 && c <= 1.0) reps(n) = reps(n) :+ runOnce(n)
+    }
+    val spacedNames = sweepNames.filter(n => reps(n).head > 1.0)
+    val gaps = scala.collection.mutable.Map[String, Double]()
+    spacedNames.foreach { n =>
+      gaps(n) = System.nanoTime() / 1e9 - repEnds(n)
+      reps(n) = reps(n) :+ runOnce(n)
+    }
+    val thirdRep = spacedNames.filter { n =>
+      val rs = reps(n).take(2)
+      rs.size == 2 && rs.forall(_ >= 0) && {
+        val (a, b) = (rs(0), rs(1))
+        val agree = math.abs(a - b) / math.max(1e-9, math.min(a, b)) < 0.2
+        agree && math.min(a, b) >
+          3 * committedBaseline.getOrElse(n, Double.MaxValue)
+      }
+    }
+    thirdRep.foreach(n => reps(n) = reps(n) :+ runOnce(n))
+    val results: Map[String, Double] = sweepNames.map { n =>
+      val ok = reps(n).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }.toMap
+    val sweepCold: Map[String, Double] = sweepNames.map(n => n -> reps(n).head).toMap
 
     // skewed-corpus soak (disable with SPARK_GRAFT_SOAK=0)
     val soakJson =
@@ -668,12 +740,23 @@ object Bench {
     val rest = sorted.drop(topN)
     val qs = top.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // cold-vs-best for every query whose steady state exceeds 3 s: the
-    // queries big enough that a one-time codegen bill (or a CPU-steal
-    // window under it) reads as a fake regression in a single-number sweep
-    val coldJson = sweep.toSeq.filter(_._2._2 > 3.0).sortBy(-_._2._2)
-      .map { case (k, (c, b)) => s""""$k":{"cold":${r3(c)},"best":${r3(b)}}""" }
-      .mkString("{", ",", "}")
+    // cold-vs-best for every query whose steady state exceeds 3 s, now
+    // carrying the SPACED second rep, its measured gap back to the first,
+    // the committed-round baseline, and (when adjudication fired) the
+    // third rep — a 6× reading with two agreeing spaced reps and a third
+    // is a regression; disagreeing reps name the steal window themselves
+    val coldJson = sweepNames.filter(n => results(n) > 3.0)
+      .sortBy(n => -results(n))
+      .map { n =>
+        val rs = reps(n)
+        val extra = new StringBuilder
+        if (rs.size >= 2) extra ++= s""","rep2":${r3(rs(1))}"""
+        if (rs.size >= 3) extra ++= s""","rep3":${r3(rs(2))}"""
+        gaps.get(n).foreach(g => extra ++= s""","gap_sec":${r3(g)}""")
+        committedBaseline.get(n).foreach(b =>
+          extra ++= s""","committed":${r3(b)}""")
+        s""""$n":{"cold":${r3(sweepCold(n))},"best":${r3(results(n))}$extra}"""
+      }.mkString("{", ",", "}")
     val forkJsonCompact = perFork
       .map { case (f, bps) => s""""$f":${r1(bps)}""" }.mkString("{", ",", "}")
     // failed queries keep their -1 sentinel in `queries` but must not
@@ -700,6 +783,9 @@ object Bench {
         s""","etl_blocks":$etlBlocks""" +
         s""","wh_loop_sec":${r3(whSec)},"wh_loop_blocks_per_sec":${r1(whBlocks / whSec)}""" +
         s""","wh_loop_eras":${whEras.size},"wh_loop_blocks":$whBlocks""" +
+        s""","wh_loop_prod_sec":${r3(whProdSec)}""" +
+        s""","wh_loop_prod_blocks_per_sec":${r1(whProdBlocks / whProdSec)}""" +
+        s""","wh_loop_prod_eras":${whProdEras.size},"wh_loop_prod_blocks":$whProdBlocks""" +
         s""","etl_per_table_sec":${etlPerTable.toSeq.sortBy(-_._2._2)
           .map { case (n, (_, s)) => s""""$n":${r3(s)}""" }.mkString("{", ",", "}")}""" +
         s""","soak":$soakJson,"ramp":$rampJson,"era_ramp":$eraRampJson}"""

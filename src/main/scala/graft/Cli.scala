@@ -47,7 +47,20 @@ object Cli {
   /** Flags that consume the following token as their value. */
   private val valueFlags = Set(
     "--state-dir", "--cache-dir", "--data-root", "--export-jdbc", "--migrate",
-    "--warehouse", "--target-mb")
+    "--warehouse", "--target-mb", "--optimize-table", "--zorder-by")
+
+  /** `--target-mb`, validated at the CLI boundary: `toLong << 20` on a
+    * huge value silently wraps negative and only surfaces later as an
+    * unrelated "targetBytes must be positive"; non-numeric input as a raw
+    * NumberFormatException. */
+  private def targetBytes(opts: Map[String, String]): Long =
+    opts.get("--target-mb").filter(_.nonEmpty).map { s =>
+      val mb = scala.util.Try(s.toLong).getOrElse(
+        fail(s"--target-mb: not a number: $s"))
+      if (mb <= 0 || mb > (Long.MaxValue >> 20))
+        fail(s"--target-mb: out of range (1..${Long.MaxValue >> 20}): $s")
+      mb
+    }.getOrElse(128L) << 20
 
   def main(args: Array[String]): Unit = {
     // split argv into flags, flag values, and positionals — a flag's value
@@ -77,14 +90,29 @@ object Cli {
       // see graft.export.Compaction)
       else if (flags.contains("--compact-warehouse")) {
         if (pos.length < 2) fail("--compact-warehouse needs <warehouse_dir> <network>")
-        val target = opts.get("--target-mb").filter(_.nonEmpty)
-          .map(_.toLong).getOrElse(128L) << 20
-        Compaction.compactWarehouse(session(), pos(0), pos(1), target)
+        Compaction.compactWarehouse(session(), pos(0), pos(1), targetBytes(opts))
           .toSeq.sortBy(_._1).foreach { case (tbl, reports) =>
             val done = reports.filter(r => r.filesAfter < r.filesBefore)
             println(s"$tbl: compacted ${done.size}/${reports.size} partitions " +
               s"(${done.map(_.filesBefore).sum} -> ${done.map(_.filesAfter).sum} files)")
           }
+      }
+      // OPTIMIZE: graft --optimize-table <table_dir> --zorder-by x,y
+      // [--target-mb N] — crash-safe staged-swap rewrite of every era
+      // partition, Z-order-clustered on the two columns
+      else if (flags.contains("--optimize-table")) {
+        val tbl = opts.get("--optimize-table").filter(_.nonEmpty)
+          .getOrElse(fail("--optimize-table needs a table path"))
+        val cols = opts.get("--zorder-by").filter(_.nonEmpty)
+          .getOrElse(fail("--optimize-table needs --zorder-by <xcol,ycol>"))
+          .split(',').map(_.trim).filter(_.nonEmpty)
+        if (cols.length != 2) fail("--zorder-by wants exactly two columns: x,y")
+        val reports = Compaction.optimizeEraTable(session(), tbl,
+          (cols(0), cols(1)), targetBytes(opts))
+        val aborted = reports.count(_.concurrentAbort)
+        println(s"optimized ${reports.size - aborted}/${reports.size} partitions " +
+          s"zorder(${cols(0)}, ${cols(1)})" +
+          (if (aborted > 0) s"; $aborted aborted on concurrent writes" else ""))
       }
       else if (flags.contains("--remote")) remote(opts, pos, flags)
       else if (pos.headOption.contains("query")) query(pos)
@@ -314,6 +342,7 @@ object Cli {
       |  graft --era-status <network> [--state-dir D]
       |  graft --clean-failed-eras <network> [--state-dir D] [--data-root D]
       |  graft --compact-warehouse <warehouse_dir> <network> [--target-mb N]
+      |  graft --optimize-table <table_dir> --zorder-by <xcol,ycol> [--target-mb N]
       |
       |era ranges: 1082 | 1082-1100 | 1082+""".stripMargin)
 }

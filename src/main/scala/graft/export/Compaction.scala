@@ -40,9 +40,12 @@ import org.apache.spark.sql.SparkSession
  */
 object Compaction {
 
-  /** Per-partition outcome. `filesAfter == filesBefore` means skipped. */
+  /** Per-partition outcome. `filesAfter == filesBefore` means skipped;
+    * `concurrentAbort` means the pre-swap fence saw the live file set
+    * change under the staged copy and refused the swap (no data touched). */
   final case class LeafReport(partition: String, filesBefore: Int,
-      filesAfter: Int, bytesBefore: Long, rows: Long)
+      filesAfter: Int, bytesBefore: Long, rows: Long,
+      concurrentAbort: Boolean = false)
 
   private val StagedDir = "_compact_staged"
   private val TrashDir = "_compact_trash"
@@ -87,16 +90,39 @@ object Compaction {
         }
       } else copies.values.foreach(fs.delete(_, true))
     }
-    Seq(staged, trash).foreach { d =>
+    sweepWorkDirs(fs, table)
+  }
+
+  /** Drop the staged/trash parents once empty (end of a clean pass, or
+    * after recovery) so a finished table carries no `_`-work residue. */
+  private def sweepWorkDirs(fs: FileSystem, table: Path): Unit =
+    Seq(new Path(table, StagedDir), new Path(table, TrashDir)).foreach { d =>
       if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, true)
     }
-  }
 
   /** Compact every `era_number=N` partition of one warehouse table in
     * place. Returns one report per partition (skipped partitions report
-    * `filesAfter == filesBefore`). */
+    * `filesAfter == filesBefore`).
+    *
+    * Concurrency contract: compaction must NOT run concurrently with a
+    * writer of the same table (the incremental warehouse loop's dynamic
+    * partition overwrites land part files directly in the leaf). Two
+    * defenses, because "must not" is a policy, not a guarantee:
+    *  - a FENCE re-lists the leaf's data files immediately before the
+    *    first rename and aborts the swap (staged copy discarded, live
+    *    leaf untouched) if the set differs from what was staged — a part
+    *    file committed mid-compaction can no longer be silently renamed
+    *    into trash and deleted;
+    *  - readers can still observe the leaf MISSING for the instant
+    *    between the two renames — schedule maintenance off the write
+    *    path (the loop itself is era-serial, so "after the loop exits"
+    *    is always a safe window). See SCALING.md §small-file compaction.
+    *
+    * `beforeSwap` is a test seam (CompactionSpec injects a concurrent
+    * commit between verify and swap); production callers leave it. */
   def compactEraTable(spark: SparkSession, tablePath: String,
-      targetBytes: Long = 128L << 20): Seq[LeafReport] = {
+      targetBytes: Long = 128L << 20,
+      beforeSwap: Path => Unit = _ => ()): Seq[LeafReport] = {
     require(targetBytes > 0, "targetBytes must be positive")
     val table = new Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -105,35 +131,111 @@ object Compaction {
     val parts = fs.listStatus(table).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("era_number="))
       .map(_.getPath).sortBy(_.getName)
-    parts.map { leaf =>
+    try parts.map { leaf =>
       val files = dataFiles(fs, leaf)
       val bytes = files.map(_.getLen).sum
       val nOut = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
       if (files.size <= nOut)
         LeafReport(leaf.getName, files.size, files.size, bytes, -1L)
-      else {
-        val live = spark.read.parquet(leaf.toString)
-        val rows = live.count()
-        val stagedLeaf = new Path(new Path(table, StagedDir), leaf.getName)
-        fs.delete(stagedLeaf, true)
-        live.coalesce(nOut).write.mode("overwrite").parquet(stagedLeaf.toString)
-        val stagedRows = spark.read.parquet(stagedLeaf.toString).count()
-        require(stagedRows == rows,
-          s"compaction verify failed for ${leaf.getName}: $stagedRows != $rows")
-        require(fs.exists(new Path(stagedLeaf, "_SUCCESS")),
-          s"staged copy for ${leaf.getName} has no _SUCCESS marker")
-        // the swap: two renames with a trash stop — recover() completes
-        // or rolls back a run that dies between them
-        val trashLeaf = new Path(new Path(table, TrashDir), leaf.getName)
-        fs.delete(trashLeaf, true)
-        fs.mkdirs(trashLeaf.getParent)
-        require(fs.rename(leaf, trashLeaf), s"swap: rename $leaf -> trash failed")
-        require(fs.rename(stagedLeaf, leaf), s"swap: rename staged -> $leaf failed")
-        fs.delete(trashLeaf, true)
-        LeafReport(leaf.getName, files.size,
-          dataFiles(fs, leaf).size, bytes, rows)
+      else rewriteLeaf(spark, fs, table, leaf, files, bytes, beforeSwap) {
+        (live, stagedPath) =>
+          live.coalesce(nOut).write.mode("overwrite").parquet(stagedPath)
       }
     }
+    finally sweepWorkDirs(fs, table)
+  }
+
+  /** The shared staged/verify/fence/swap core: rewrite one live leaf via
+    * `writeStaged` (which must land a `_SUCCESS`-committed parquet copy of
+    * exactly the rows it was given at `stagedPath`), then verify the row
+    * count, fence against concurrent writers, and two-rename swap. Used by
+    * both the compaction (coalesce) and OPTIMIZE (z-order cluster) paths —
+    * one crash-safety implementation, not two. */
+  private def rewriteLeaf(spark: SparkSession,
+      fs: FileSystem, table: Path, leaf: Path,
+      files: Seq[org.apache.hadoop.fs.FileStatus], bytes: Long,
+      beforeSwap: Path => Unit)(
+      writeStaged: (org.apache.spark.sql.DataFrame, String) => Unit): LeafReport = {
+    val live = spark.read.parquet(leaf.toString)
+    val rows = live.count()
+    val stagedLeaf = new Path(new Path(table, StagedDir), leaf.getName)
+    fs.delete(stagedLeaf, true)
+    writeStaged(live, stagedLeaf.toString)
+    val stagedRows = spark.read.parquet(stagedLeaf.toString).count()
+    require(stagedRows == rows,
+      s"staged-rewrite verify failed for ${leaf.getName}: $stagedRows != $rows")
+    require(fs.exists(new Path(stagedLeaf, "_SUCCESS")),
+      s"staged copy for ${leaf.getName} has no _SUCCESS marker")
+    beforeSwap(leaf)
+    // concurrent-writer fence: the staged copy is a snapshot of the
+    // leaf AS LISTED at plan time — if a writer committed new part
+    // files since (the warehouse loop overwriting this era), swapping
+    // would rename those rows into trash and delete them while the
+    // state log still marks the era complete. Abort the swap instead;
+    // the partition rewrites on the next quiescent run.
+    val nowFiles = dataFiles(fs, leaf)
+      .map(st => (st.getPath.getName, st.getLen)).toSet
+    val planned = files.map(st => (st.getPath.getName, st.getLen)).toSet
+    if (nowFiles != planned) {
+      fs.delete(stagedLeaf, true)
+      LeafReport(leaf.getName, files.size, files.size, bytes, rows,
+        concurrentAbort = true)
+    } else {
+      // the swap: two renames with a trash stop — recover() completes
+      // or rolls back a run that dies between them
+      val trashLeaf = new Path(new Path(table, TrashDir), leaf.getName)
+      fs.delete(trashLeaf, true)
+      fs.mkdirs(trashLeaf.getParent)
+      require(fs.rename(leaf, trashLeaf), s"swap: rename $leaf -> trash failed")
+      require(fs.rename(stagedLeaf, leaf), s"swap: rename staged -> $leaf failed")
+      fs.delete(trashLeaf, true)
+      LeafReport(leaf.getName, files.size,
+        dataFiles(fs, leaf).size, bytes, rows)
+    }
+  }
+
+  /** The full OPTIMIZE pass for one warehouse table: compaction's
+    * crash-safe staged-swap discipline around a Z-ORDER clustered rewrite
+    * of every `era_number=N` partition — the Spark-native analogue of the
+    * reference's `OPTIMIZE TABLE ... FINAL` (era_state_manager.py:340)
+    * PLUS the sort-key layout its ClickHouse DDL bakes in at CREATE time
+    * (export/migrations/sql/001_initial_tables_up.sql:19-20,
+    * `ORDER BY (slot, proposer_index)`),
+    * generalized to two dimensions: each rewritten partition is
+    * range-partitioned and sorted by the Morton interleave of
+    * `zorderBy`, so parquet row-group min/max stats prune range
+    * predicates on EITHER column ([[graft.operators.Layout]];
+    * `OptimizeSpec` measures it on the optimized table and re-drives the
+    * torn-swap recovery cases).
+    *
+    * Unlike compaction there is no already-compact skip: clustering is
+    * the point, so every partition is rewritten (into
+    * `ceil(bytes/targetBytes)` files). Same concurrency contract as
+    * [[compactEraTable]] — the pre-swap fence aborts on a mid-rewrite
+    * commit, and the pass must be scheduled off the write path. */
+  def optimizeEraTable(spark: SparkSession, tablePath: String,
+      zorderBy: (String, String), targetBytes: Long = 128L << 20,
+      writerOptions: Map[String, String] = Map.empty,
+      beforeSwap: Path => Unit = _ => ()): Seq[LeafReport] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $tablePath")
+    recover(fs, table)
+    val parts = fs.listStatus(table).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("era_number="))
+      .map(_.getPath).sortBy(_.getName)
+    try parts.map { leaf =>
+      val files = dataFiles(fs, leaf)
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+      rewriteLeaf(spark, fs, table, leaf, files, bytes, beforeSwap) {
+        (live, stagedPath) =>
+          graft.operators.Layout.zorderWrite(live, zorderBy._1, zorderBy._2,
+            stagedPath, files = nOut, writerOptions = writerOptions)
+      }
+    }
+    finally sweepWorkDirs(fs, table)
   }
 
   /** Compact every table of one network's warehouse subtree

@@ -33,6 +33,24 @@ import graft.operators.Normalizer
  */
 object IncrementalExporter {
 
+  /** Observed row count of a completed write. The write job has already
+    * finished when this is called, but `QueryExecutionListener` delivery
+    * is ASYNCHRONOUS (the execution-listener bus), so the metric can trail
+    * the action by a beat — poll briefly rather than `Observation.get`,
+    * whose wait is unbounded if a Spark regression ever stopped reporting
+    * observed metrics for write commands. The `fallback` (a footer-only
+    * read-back count — the pre-r13 shape) keeps the completion record
+    * CORRECT even in that failure mode; the no-read-jobs spec assertion
+    * is what would flag the regression. */
+  private def observedRows(obs: org.apache.spark.sql.Observation,
+      fallback: => Long): Long = {
+    import scala.concurrent.duration._
+    val f = scala.concurrent.Future(obs.get("rows").asInstanceOf[Long])(
+      scala.concurrent.ExecutionContext.global)
+    try scala.concurrent.Await.result(f, 30.seconds)
+    catch { case _: java.util.concurrent.TimeoutException => fallback }
+  }
+
   /** Process `eras` incrementally, returning the eras actually processed
     * this run (in order). `loadEra` maps an era number to its raw era
     * RECORDS frame (the `era` format scan); `verb` is `all-blocks` for the
@@ -85,7 +103,12 @@ object IncrementalExporter {
     *     `<warehouseDir>/<network>/<table>/era_number=N/` — exactly this
     *     era's directories are replaced, completed eras' files are never
     *     touched;
-    *  3. record completion with per-table counts read back footer-only.
+    *  3. record completion with per-table counts captured FROM THE WRITE
+    *     ITSELF (`Dataset.observe` metrics riding each overwrite job) —
+    *     zero post-write read jobs. The r12 shape read counts back
+    *     footer-only, which was metadata-cheap but still 16 scheduled
+    *     jobs per era: a 10k-era backfill paid 160k jobs of pure
+    *     scheduling latency for numbers the write jobs already knew.
     *
     * Torn state from a kill cannot leak into a resumed warehouse: before
     * writing, the era's partition directories are dropped across ALL
@@ -136,24 +159,31 @@ object IncrementalExporter {
           val staged = spark.read.parquet(stage).as[graft.model.DecodedBlock]
           val tables = StagedExport.networkTables(staged, network)
           dropEraPartitions(era)
-          Sinks.runQuiescent(spark, parallelism, tables.map { case (name, df) =>
-            () => Sinks.overwriteEraPartitions(df, s"$netDir/$name")
+          // per-table counts ride the write jobs as observed metrics: a
+          // CollectMetrics node above each extract counts the rows the
+          // overwrite commits, so completion bookkeeping costs ZERO
+          // post-write jobs (WarehouseResumeSpec asserts no read-back
+          // count job ever runs). wide_blocks is still EXCLUDED from the
+          // completion record: it re-shapes the same blocks, and counting
+          // it would make total_records diverge from the file-mode loop's
+          // accounting for the same era.
+          val observed = tables.map { case (name, df) =>
+            val obs = org.apache.spark.sql.Observation(s"wh_rows_${name}_$era")
+            (name, obs,
+              df.observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("rows")))
+          }
+          Sinks.runQuiescent(spark, parallelism, observed.map {
+            case (name, _, df) =>
+              () => Sinks.overwriteEraPartitions(df, s"$netDir/$name")
           })
-          // per-table footer-only counts — wide_blocks is EXCLUDED from
-          // the completion record: it re-shapes the same blocks, and
-          // counting it would make total_records diverge from the
-          // file-mode loop's accounting for the same era. The 16 counts
-          // are tiny metadata jobs; running them sequentially added
-          // ~1.5 s of pure job-scheduling latency PER ERA, so they share
-          // the bounded pool like the writes do.
-          val countNames = Normalizer.datasetNames
-          val counts = countNames.zip(
-            Sinks.runQuiescent(spark, parallelism, countNames.map { name =>
-              () => {
+          val counts = observed.collect {
+            case (name, obs, _) if name != "wide_blocks" =>
+              name -> observedRows(obs, {
                 val p = s"$netDir/$name/era_number=$era"
                 if (fs.exists(hp(p))) spark.read.parquet(p).count() else 0L
-              }
-            })).toMap
+              })
+          }.toMap
           state.recordEraCompletion(era, network,
             counts.filter(_._2 > 0).keys.toSeq.sorted, counts.values.sum)
           processed += era

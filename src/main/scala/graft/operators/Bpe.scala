@@ -42,6 +42,15 @@ object Bpe {
   /** Merge rounds between lineage-truncating localCheckpoints. */
   val CheckpointEvery = 16
 
+  /** Test seam (the driver-collect ledger discipline): rows materialized
+    * on the driver by the merge loop since last reset. `learnMerges` is a
+    * documented-carried 1-row collect PER ROUND (the k-means sync-point
+    * shape) — the ledger makes that contract machine-checkable: a
+    * regression to collecting the pair-count table (vocab-sized, corpus-
+    * dependent) blows the ≤1-row-per-round bound `DriverStateGateSpec`
+    * asserts. */
+  private[graft] val driverCollectRows = new java.util.concurrent.atomic.AtomicLong
+
   private def spacedSyms =
     trim(call_function("replace", col("syms"), lit(Sep + Sep), lit(" ")))
 
@@ -86,6 +95,7 @@ object Bpe {
           .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
           .orderBy(col("cnt").desc, col("pair"))
           .limit(1).collect()
+        driverCollectRows.addAndGet(best.length)
         if (best.isEmpty) exhausted = true
         else {
           val pair = best(0).getString(0)

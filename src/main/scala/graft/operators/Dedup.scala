@@ -310,6 +310,16 @@ object Dedup {
     * locally). */
   val DriverCcMaxEdges = 1000000L
 
+  /** Test seam (the [[graft.operators.Similarity.driverCollectRows]]
+    * discipline, r12 stretch ask): rows materialized on the driver by the
+    * clustering path since the last reset. The union-find collect is the
+    * ONLY corpus-proportional driver collect in this module and must fire
+    * only under the [[DriverCcMaxEdges]] gate — `DriverStateGateSpec`
+    * asserts the distributed path ledgers ZERO rows and seed-proves the
+    * checker by forcing the collect over the gate. One atomic add; free
+    * in production. */
+  private[graft] val driverCollectRows = new java.util.concurrent.atomic.AtomicLong
+
   /** Union-find with path compression; roots are component minima (union
     * always attaches the larger root under the smaller), so labels match
     * the distributed fixed point exactly. */
@@ -345,6 +355,7 @@ object Dedup {
       if (nEdges <= driverMaxEdges) {
         val spark = pairs.sparkSession
         import spark.implicits._
+        driverCollectRows.addAndGet(nEdges)
         val labels = unionFindClusters(
           pairs.collect().map(r => (r.getLong(0), r.getLong(1))))
         return labels.toDF("doc_id", "cluster").orderBy(col("doc_id"))

@@ -584,6 +584,9 @@ object Similarity {
     *    runner-up is only missed when it scores below that bound — the
     *    standard IVF probed-lists report semantics; a missed runner-up
     *    UNDERSTATES `nn_cos` (overstates the margin), never the reverse.
+    *    Every vector appears in the output: when no group beyond the
+    *    winner's passes the bound, `second` is NULL (the same understated
+    *    semantics) rather than the vector dropping from the report.
     *
     * Exposed per-regime so the spec can pin literal ≡ broadcast exactly
     * and bound the two-level runner-up against the exact one. */
@@ -637,13 +640,21 @@ object Similarity {
                   sqrt(greatest(lit(0.0), lit(1.0) - col("mcos") * col("mcos")))))
           .filter(col("ub") >= col("lb") - lit(1e-9))
           .select(col("vec_id"), col("vec"), col("sq"), col("b1"), col("grp"))
+        // the winner's own candidate row is KEPT but nulled (not filtered
+        // out): its fine group always passes the ball-cover filter (the
+        // exact best lives there, so the group's ub ≥ b1.s ≥ lb), so every
+        // vec_id reaches the collapse even when its probed set is a
+        // singleton with no other qualifying group — `second` is NULL for
+        // such vectors instead of the row vanishing (which silently
+        // under-counted n_vecs in cellQuality). max() ignores nulls.
         probed.join(idx.fineGrp.select(col("grp"), col("centroid_id"),
             col("cvec"), col("csq")).hint("shuffle_hash"), Seq("grp"))
-          .filter(col("centroid_id") =!= -col("b1").getField("ncid"))
-          .withColumn("cand", struct(
-            (call_function("vec_dot", col("vec"), col("cvec")) /
-              sqrt(col("sq") * col("csq"))).as("s"),
-            (-col("centroid_id")).as("ncid")))
+          .withColumn("cand",
+            when(col("centroid_id") === -col("b1").getField("ncid"), lit(null))
+              .otherwise(struct(
+                (call_function("vec_dot", col("vec"), col("cvec")) /
+                  sqrt(col("sq") * col("csq"))).as("s"),
+                (-col("centroid_id")).as("ncid"))))
           .groupBy(col("vec_id"))
           .agg(max(col("cand")).as("second"), first(col("b1")).as("best"))
           .select(col("vec_id"), col("best"), col("second"))
@@ -677,8 +688,12 @@ object Similarity {
         floor(col("best").getField("s") * lit(1000000.0)).cast("long").as("own_u"),
         floor(col("second").getField("s") * lit(1000000.0)).cast("long").as("nn_u"))
       .groupBy(col("cell"))
+      // a NULL nn_u (two-level runner-up not probed — singleton probed
+      // set) contributes 0 to the sum but stays in n_vecs: nn_cos is
+      // understated for such vectors, never dropped from the population
       .agg(count(lit(1)).as("n_vecs"),
-        sum(col("own_u")).as("so"), sum(col("nn_u")).as("sn"))
+        sum(col("own_u")).as("so"),
+        coalesce(sum(col("nn_u")), lit(0L)).as("sn"))
       .select(col("cell"), col("n_vecs"),
         round(col("so").cast("double") / col("n_vecs") / lit(1000000.0), 6)
           .as("intra_cos"),

@@ -175,6 +175,18 @@ class EraScan(paths: Seq[String], filters: Array[Filter]) extends Scan with Batc
   override def description(): String = s"EraScan(${paths.length} files)"
   override def toBatch: Batch = this
 
+  /** A pushed top-level `slot = N` (N ≠ 0) turns each surviving file's
+    * read into a SlotIndex seek instead of a record walk. Top-level
+    * filter-array entries are AND-ed, so the equality is a hard
+    * constraint; N = 0 is excluded because state/index records carry
+    * slot 0 and would also pass the residual. Safe because the fast path
+    * emits a SUBSET of the full walk's rows and every omitted row fails
+    * the `slot = N` residual Spark re-applies anyway. */
+  private val slotEq: Option[Long] = filters.collectFirst {
+    case sources.EqualTo("slot", v: Long) if v != 0L => v
+    case sources.EqualTo("slot", v: Int) if v != 0 => v.toLong
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = paths.filter(p => EraFilePruning.keepFile(EraFileInfo.fromPath(p), filters))
     kept.map(p => EraInputPartition(p): InputPartition).toArray
@@ -189,30 +201,41 @@ class EraScan(paths: Seq[String], filters: Array[Filter]) extends Scan with Batc
     val conf = spark.sessionState.newHadoopConf()
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
-    new EraPartitionReaderFactory(bc)
+    new EraPartitionReaderFactory(bc, slotEq)
   }
 }
 
 case class EraInputPartition(path: String) extends InputPartition
 
 class EraPartitionReaderFactory(
-    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
+    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
+    slotEq: Option[Long] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EraInputPartition]
-    new EraPartitionReader(p.path, conf.value.value)
+    new EraPartitionReader(p.path, conf.value.value, slotEq)
   }
 }
 
-class EraPartitionReader(pathStr: String, conf: Configuration)
+class EraPartitionReader(pathStr: String, conf: Configuration,
+    slotEq: Option[Long] = None)
     extends PartitionReader[InternalRow] {
 
   private val info = EraFileInfo.fromPath(pathStr)
-  private val stream = {
-    val path = new Path(pathStr)
-    path.getFileSystem(conf).open(path)
-  }
-  private val records = EraFileReader.readRecords(stream, info)
+  private val fs = new Path(pathStr).getFileSystem(conf)
+  private val stream = fs.open(new Path(pathStr))
+  // pushed slot equality → SlotIndex seek (O(1 record) bytes); any
+  // malformed/absent index falls back to the sequential walk, whose
+  // residual filters keep the answer identical
+  private val records = slotEq
+    .flatMap(s =>
+      EraSlotIndex.lookup(stream, fs.getFileStatus(new Path(pathStr)).getLen,
+        info, s))
+    .getOrElse {
+      EraScanStats.fullScans.increment()
+      EraFileReader.readRecords(
+        new CountingInputStream(stream, EraScanStats.bytesRead), info)
+    }
   private var current: graft.model.EraRecord = _
 
   override def next(): Boolean = {

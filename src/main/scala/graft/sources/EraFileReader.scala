@@ -90,6 +90,7 @@ object EraFileReader {
                 // decompress-peek the slot (era_reader.py:112-121)
                 try {
                   val decompressed = SnappyFramed.decompress(payload)
+                  EraScanStats.blocksDecompressed.increment()
                   val messageOffset = Ssz.readUint32(decompressed, 0).toInt
                   val slot = Ssz.readUint64(decompressed, messageOffset)
                   nextRecord = EraRecord(slot, "block", payload,
@@ -138,4 +139,59 @@ object EraFileWriter {
   /** Compress + write a block record payload. */
   def blockRecord(sszBlock: Array[Byte]): (Int, Array[Byte]) =
     (EraFileReader.TypeBlock, SnappyFramed.compress(sszBlock))
+
+  /** Write a spec-shaped single-group era file WITH its two trailing
+    * SlotIndex records (docs/ERA_FILE_FORMAT.md:31-38; offsets signed i64
+    * relative to the start of the index record, 0 = no record at that
+    * slot — the public e2store layout [[EraSlotIndex]] seeks through).
+    * `blocks` are (slot, ALREADY-COMPRESSED payload) with distinct slots
+    * inside `[startSlot, startSlot + slotCount)`; `state` is the optional
+    * (slot, payload) era-state record. */
+  def writeIndexed(out: java.io.OutputStream,
+      blocks: Seq[(Long, Array[Byte])],
+      state: Option[(Long, Array[Byte])],
+      startSlot: Long, slotCount: Int): Unit = {
+    require(blocks.map(_._1).distinct.size == blocks.size,
+      "indexed era file: duplicate block slots")
+    blocks.foreach { case (s, _) =>
+      require(s >= startSlot && s < startSlot + slotCount,
+        s"slot $s outside index range [$startSlot, ${startSlot + slotCount})")
+    }
+    out.write(Array[Byte]('e', '2', 's', 't', 0, 0, 0, 0))
+    var pos = 8L
+    def emit(recordType: Int, payload: Array[Byte]): Long = {
+      val at = pos
+      out.write(recordType & 0xff); out.write((recordType >> 8) & 0xff)
+      val len = payload.length
+      out.write(len & 0xff); out.write((len >> 8) & 0xff)
+      out.write((len >> 16) & 0xff); out.write((len >> 24) & 0xff)
+      out.write(0); out.write(0)
+      out.write(payload)
+      pos += 8L + len
+      at
+    }
+    def le64(v: Long): Array[Byte] = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+      b
+    }
+    val blockPos: Map[Long, Long] =
+      blocks.map { case (s, p) => s -> emit(EraFileReader.TypeBlock, p) }.toMap
+    val statePos = state.map { case (_, p) => emit(EraFileReader.TypeState, p) }
+    val bIdxPos = pos
+    val bp = new java.io.ByteArrayOutputStream(16 + 8 * slotCount)
+    bp.write(le64(startSlot))
+    (0 until slotCount).foreach { i =>
+      bp.write(le64(blockPos.get(startSlot + i).map(_ - bIdxPos).getOrElse(0L)))
+    }
+    bp.write(le64(slotCount.toLong))
+    emit(EraFileReader.TypeIndex, bp.toByteArray)
+    val sIdxPos = pos
+    val sp = new java.io.ByteArrayOutputStream(24)
+    sp.write(le64(state.map(_._1).getOrElse(startSlot + slotCount)))
+    sp.write(le64(statePos.map(_ - sIdxPos).getOrElse(0L)))
+    sp.write(le64(1L))
+    emit(EraFileReader.TypeIndex, sp.toByteArray)
+  }
 }

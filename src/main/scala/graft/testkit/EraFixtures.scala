@@ -57,11 +57,16 @@ object EraFixtures {
     FixtureAugmenter.augmentedData(name, raw.get("data"), slot)
   }
 
-  /** Write one era file per fixture (era number = slot/8192, gnosis naming)
-    * plus a `state` and `index` record so record-type dispatch is exercised.
-    * Returns the directory. Idempotent: skips when files exist. The dir name
-    * carries the augmentation generation so stale caches are never reused. */
-  def ensureGenerated(dir: String = "target/fixture-eras-aug2"): String = {
+  /** Write one SPEC-SHAPED era file per fixture (era number = slot/8192,
+    * gnosis naming): the block record, a `state` record, and the two
+    * trailing SlotIndex records with real offsets
+    * ([[EraFileWriter.writeIndexed]]) — so record-type dispatch AND the
+    * SlotIndex point-lookup fast path are both exercised by the fixture
+    * corpus (each file carries TWO `index` rows: block index + state
+    * index, the public e2store group shape). Returns the directory.
+    * Idempotent: skips when files exist. The dir name carries the
+    * augmentation generation so stale caches are never reused. */
+  def ensureGenerated(dir: String = "target/fixture-eras-aug3"): String = {
     val d = new File(dir)
     d.mkdirs()
     fixtures.foreach { case (name, slot, fork) =>
@@ -69,13 +74,13 @@ object EraFixtures {
       val f = new File(d, f"gnosis-$era%05d-${name.hashCode.toHexString.take(8)}%s.era")
       if (!f.exists()) {
         val ssz = SszEncoder.encodeSignedBlock(fixtureJson(name), fork)
+        val startSlot = era * 8192
         val out = new BufferedOutputStream(new FileOutputStream(f))
-        try {
-          EraFileWriter.write(out, Iterator(
-            EraFileWriter.blockRecord(ssz),
-            (graft.sources.EraFileReader.TypeState, Array[Byte](1, 2, 3, 4)),
-            (graft.sources.EraFileReader.TypeIndex, Array[Byte](5, 6, 7, 8))))
-        } finally out.close()
+        try EraFileWriter.writeIndexed(out,
+          blocks = Seq(slot -> graft.ssz.SnappyFramed.compress(ssz)),
+          state = Some((startSlot + 8192L, Array[Byte](1, 2, 3, 4))),
+          startSlot = startSlot, slotCount = 8192)
+        finally out.close()
       }
     }
     d.getAbsolutePath

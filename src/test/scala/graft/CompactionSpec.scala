@@ -147,6 +147,44 @@ class CompactionSpec extends AnyFunSuite {
     assert(counts() === before, "compaction changed SQL-visible row counts")
   }
 
+  test("a part file committed mid-compaction trips the pre-swap fence: swap aborted, rows kept") {
+    val dir = mkTable()
+    val f = fs(dir)
+    val victim = new Path(dir, "era_number=1")
+    // a concurrent writer (the warehouse loop re-exporting this era)
+    // commits one more part file between the staged-copy verify and the
+    // swap — without the fence those rows are renamed into trash and
+    // deleted while the state log still marks the era complete
+    val extra = spark.range(5000, 5007)
+      .select(col("id"), (col("id") * 7 % 1000).as("v"))
+    val reports = Compaction.compactEraTable(spark, dir, targetBytes = 1L << 30,
+      beforeSwap = leaf =>
+        if (leaf.getName == victim.getName) {
+          val tmp = new Path(dir, "_concurrent_tmp")
+          extra.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = f.listStatus(tmp).map(_.getPath)
+            .find(_.getName.startsWith("part-")).get
+          require(f.rename(part, new Path(leaf, "part-concurrent.parquet")))
+          f.delete(tmp, true)
+        })
+    val r1 = reports.find(_.partition == victim.getName).get
+    assert(r1.concurrentAbort, s"fence did not trip: $r1")
+    assert(r1.filesAfter === r1.filesBefore, r1)
+    // the concurrently-committed rows are alive and the other partitions compacted
+    assert(spark.read.parquet(dir).count() === 4007L)
+    assert(spark.read.parquet(dir).filter(col("id") >= 5000).count() === 7L)
+    reports.filterNot(_.partition == victim.getName).foreach { r =>
+      assert(!r.concurrentAbort && r.filesAfter === 1, r)
+    }
+    assert(!f.exists(new Path(dir, "_compact_staged/" + victim.getName)),
+      "aborted swap left its staged copy behind")
+    // the next quiescent pass compacts the victim normally
+    val r2 = Compaction.compactEraTable(spark, dir, targetBytes = 1L << 30)
+      .find(_.partition == victim.getName).get
+    assert(!r2.concurrentAbort && r2.filesAfter === 1, r2)
+    assert(spark.read.parquet(dir).count() === 4007L)
+  }
+
   test("stale staged garbage beside a LIVE partition is dropped, not swapped in") {
     val dir = mkTable()
     val before = rowsOf(dir)

@@ -27,7 +27,9 @@ class EraPipelineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byType("block") == nFixtures)
     assert(byType("state") == nFixtures)
-    assert(byType("index") == nFixtures)
+    // two per file since r13: block SlotIndex + state SlotIndex (the
+    // real e2store group shape, with offsets the fast path seeks through)
+    assert(byType("index") == 2 * nFixtures)
   }
 
   test("era scan derives filename metadata (S5)") {

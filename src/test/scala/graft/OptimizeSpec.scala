@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.export.Compaction
+
+/** `Compaction.optimizeEraTable` (VERDICT r12 #2): the Z-order clustered
+  * rewrite composed WITH compaction's crash-safe staged-swap discipline —
+  * kill mid-swap → recover → SQL row-identical, concurrent commits fenced,
+  * and the optimized table MEASURABLY prunes row groups on both z-order
+  * dimensions (the `ZorderSpec` witness re-run on the swapped-in files). */
+class OptimizeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fs(p: String) = new Path(p)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** An era-partitioned table whose (x, y) keys are independently
+    * shuffled within each partition — nothing prunes until clustered.
+    * Row groups are kept small at write AND rewrite time so every file
+    * carries several prunable min/max ranges. */
+  private val smallGroups = Map("parquet.block.size" -> "65536")
+
+  private def mkTable(rowsPerEra: Int = 40000): String = {
+    val dir = java.nio.file.Files.createTempDirectory("optimize").toString + "/t"
+    spark.range(rowsPerEra * 3L)
+      .select(col("id"), (col("id") % 3).as("era_number"),
+        // multiplicative hashes decorrelate x and y from id and each other
+        (col("id") * 2654435761L % 100000L).as("x"),
+        (col("id") * 40503L % 100000L).as("y"),
+        (col("id") % 97).as("payload"))
+      .repartition(4)
+      .write.options(smallGroups).partitionBy("era_number").parquet(dir)
+    dir
+  }
+
+  private def rowsOf(dir: String): Seq[Seq[Any]] =
+    spark.read.parquet(dir).collect().toSeq.map(_.toSeq)
+      .sortBy(_.mkString("|"))
+
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numOutputRows").value
+    }.sum
+  }
+
+  test("optimize rewrites every partition z-ordered: SQL-identical, rows prune on BOTH dimensions") {
+    val dir = mkTable()
+    val before = rowsOf(dir)
+    val total = spark.read.parquet(dir).count()
+
+    // pre-optimize: a 2-D box and a y-only range read ~everything
+    def read(pred: org.apache.spark.sql.Column): DataFrame =
+      spark.read.parquet(dir).filter(pred).select("id")
+    val box = col("x").between(40000L, 45000L) && col("y").between(40000L, 45000L)
+    val yOnly = col("y").between(40000L, 45000L)
+    val preBox = scanRows(read(box))
+    val preY = scanRows(read(yOnly))
+    val nBox = read(box).count()
+    val nY = read(yOnly).count()
+    assert(preBox > total / 2, s"unoptimized table already pruned: $preBox/$total")
+
+    val reports = Compaction.optimizeEraTable(spark, dir, ("x", "y"),
+      targetBytes = 1L << 30, writerOptions = smallGroups)
+    assert(reports.size === 3)
+    reports.foreach { r =>
+      assert(!r.concurrentAbort && r.rows > 0, r)
+      assert(r.filesAfter === 1, r) // 1 GB budget ⇒ one clustered file per era
+    }
+    // contents identical, partition dirs intact, work dirs gone
+    assert(rowsOf(dir) === before, "optimize changed table contents")
+    assert(!fs(dir).exists(new Path(dir, "_compact_staged")))
+    assert(!fs(dir).exists(new Path(dir, "_compact_trash")))
+
+    // measured: both predicates now skip most row groups, same answers
+    assert(read(box).count() === nBox, "optimize changed the box answer")
+    assert(read(yOnly).count() === nY, "optimize changed the y answer")
+    val postBox = scanRows(read(box))
+    val postY = scanRows(read(yOnly))
+    assert(postBox * 2 < preBox, s"box scan not pruned: $postBox vs $preBox")
+    assert(postY * 2 < preY, s"y-only scan not pruned: $postY vs $preY")
+  }
+
+  test("an optimize killed between the two renames is recovered; SQL row-identical") {
+    val dir = mkTable(rowsPerEra = 2000)
+    val before = rowsOf(dir)
+    val f = fs(dir)
+    val leaf = new Path(dir, "era_number=1")
+    // what the optimize stage produces: a complete z-ordered staged copy
+    val staged = new Path(dir, "_compact_staged/era_number=1")
+    graft.operators.Layout.zorderWrite(
+      spark.read.parquet(leaf.toString), "x", "y", staged.toString, files = 1)
+    // die "between the renames": live leaf already moved to trash
+    val trash = new Path(dir, "_compact_trash/era_number=1")
+    f.mkdirs(trash.getParent)
+    require(f.rename(leaf, trash))
+    assert(!f.exists(leaf))
+    // next optimize run recovers FIRST, then proceeds normally
+    val reports = Compaction.optimizeEraTable(spark, dir, ("x", "y"),
+      targetBytes = 1L << 30)
+    assert(f.exists(leaf), "recovery did not restore the partition")
+    assert(reports.size === 3 && reports.forall(!_.concurrentAbort))
+    assert(rowsOf(dir) === before, "recovery + optimize lost or changed rows")
+  }
+
+  test("a concurrent commit during optimize trips the same fence as compaction") {
+    val dir = mkTable(rowsPerEra = 2000)
+    val f = fs(dir)
+    val extra = spark.range(1000000, 1000005)
+      .select(col("id"), (col("id") % 100000L).as("x"),
+        (col("id") % 100000L).as("y"), (col("id") % 97).as("payload"))
+    val reports = Compaction.optimizeEraTable(spark, dir, ("x", "y"),
+      targetBytes = 1L << 30,
+      beforeSwap = leaf =>
+        if (leaf.getName == "era_number=2") {
+          val tmp = new Path(dir, "_concurrent_tmp")
+          extra.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = f.listStatus(tmp).map(_.getPath)
+            .find(_.getName.startsWith("part-")).get
+          require(f.rename(part, new Path(leaf, "part-concurrent.parquet")))
+          f.delete(tmp, true)
+        })
+    val hit = reports.find(_.partition == "era_number=2").get
+    assert(hit.concurrentAbort, s"fence did not trip: $hit")
+    assert(spark.read.parquet(dir).filter(col("id") >= 1000000).count() === 5L,
+      "concurrently-committed rows were lost")
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{EraFileReader, EraFileWriter, EraScanStats}
+import graft.ssz.{SnappyFramed, Ssz}
+import graft.testkit.{EraFixtures, SszEncoder}
+
+/** SlotIndex-backed point lookup (VERDICT r12 #3): a pushed `slot = N`
+  * equality seeks through the era file's trailing block SlotIndex instead
+  * of walking every record — O(1 record) bytes read on a multi-thousand-
+  * block file, value identical to the full-scan path. The reference
+  * ignores its own SlotIndex records (era_reader.py:124-125), so this is
+  * the one pushdown SURVEY §4 flags as worth going beyond parity for:
+  * a 100 TB archive serving point lookups otherwise decompresses ~8k
+  * blocks to answer for one. */
+class SlotIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val era = 11L
+  private val startSlot = era * 8192
+  private val nBlocks = 4096 // every EVEN slot offset ⇒ odd offsets are holes
+
+  /** One deep era file: the altair fixture SSZ re-slotted per block (the
+    * slot is the first 8 bytes of `message`, at the offset byte 0 points
+    * to — patching it is exactly what the scan's decompress-peek reads
+    * back). Cached under target/: ~4k compressions is a one-time cost. */
+  private lazy val deepDir: String = {
+    val dir = new File("target/slotindex-deep")
+    dir.mkdirs()
+    val f = new File(dir, f"gnosis-$era%05d-deadbeef.era")
+    if (!f.exists()) {
+      val ssz = SszEncoder.encodeSignedBlock(
+        EraFixtures.fixtureJson("gnosis_98300"), "altair")
+      val msgOff = Ssz.readUint32(ssz, 0).toInt
+      val blocks = (0 until nBlocks).map { i =>
+        val slot = startSlot + 2L * i
+        val b = ssz.clone()
+        var j = 0
+        while (j < 8) { b(msgOff + j) = ((slot >>> (8 * j)) & 0xff).toByte; j += 1 }
+        slot -> SnappyFramed.compress(b)
+      }
+      val out = new BufferedOutputStream(new FileOutputStream(f), 1 << 20)
+      try EraFileWriter.writeIndexed(out, blocks,
+        state = Some((startSlot + 8192L, Array[Byte](9, 9))),
+        startSlot = startSlot, slotCount = 8192)
+      finally out.close()
+    }
+    new File(dir, f.getName).getAbsolutePath
+  }
+
+  private def scan() = spark.read.format("era").load(deepDir)
+
+  test("point lookup via SlotIndex reads O(1 record) bytes, value identical to the walk") {
+    val target = startSlot + 2L * 1234
+    // reference answer from an explicit full walk (no slot filter pushed)
+    val walked = scan().filter(col("record_type") === "block").collect()
+      .filter(_.getLong(0) == target)
+    assert(walked.length === 1)
+
+    EraScanStats.reset()
+    val fast = scan().filter(col("slot") === target).collect()
+    assert(fast.length === 1)
+    assert(fast.head.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case v => v
+    } === walked.head.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case v => v
+    }, "fast-path row differs from the sequential walk's")
+
+    assert(EraScanStats.indexLookups.sum() >= 1, "index lookup did not run")
+    assert(EraScanStats.fullScans.sum() === 0, "lookup fell back to a walk")
+    assert(EraScanStats.blocksDecompressed.sum() === 1,
+      s"decompressed ${EraScanStats.blocksDecompressed.sum()} blocks for one lookup")
+    val fileLen = new File(deepDir).length()
+    val read = EraScanStats.bytesRead.sum()
+    assert(read < fileLen / 20,
+      s"lookup read $read of $fileLen bytes — not O(1 record)")
+  }
+
+  test("an indexed hole (offset 0) answers empty without walking or decompressing") {
+    EraScanStats.reset()
+    assert(scan().filter(col("slot") === (startSlot + 5L)).count() === 0)
+    assert(EraScanStats.indexLookups.sum() >= 1)
+    assert(EraScanStats.fullScans.sum() === 0)
+    assert(EraScanStats.blocksDecompressed.sum() === 0)
+  }
+
+  test("slot = 0 never fast-paths: state/index rows carry slot 0 and must surface") {
+    // era-0 fixture file has the genesis-era range, so slot-0 pruning keeps it
+    val fixtureDir = EraFixtures.ensureGenerated()
+    EraScanStats.reset()
+    val rows = spark.read.format("era").load(fixtureDir)
+      .filter(col("slot") === 0L).select("record_type").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    // state + both SlotIndex rows of every file carry slot 0
+    assert(rows.getOrElse("state", 0) > 0 && rows.getOrElse("index", 0) > 0)
+    assert(EraScanStats.fullScans.sum() > 0, "slot-0 query skipped the walk")
+  }
+
+  test("a file without a SlotIndex falls back to the sequential walk, same answer") {
+    val dir = java.nio.file.Files.createTempDirectory("slotindex-noidx").toString
+    val ssz = SszEncoder.encodeSignedBlock(
+      EraFixtures.fixtureJson("gnosis_98300"), "altair")
+    val f = new File(dir, "gnosis-00011-cafecafe.era")
+    val out = new BufferedOutputStream(new FileOutputStream(f))
+    try EraFileWriter.write(out, Iterator(EraFileWriter.blockRecord(ssz)))
+    finally out.close()
+    EraScanStats.reset()
+    val got = spark.read.format("era").load(f.getAbsolutePath)
+      .filter(col("slot") === 98300L).collect()
+    assert(got.length === 1 && got.head.getLong(0) === 98300L)
+    assert(EraScanStats.fullScans.sum() >= 1, "malformed tail must fall back")
+  }
+
+  test("the fixture corpus point lookup (era_point_lookup's shape) takes the fast path") {
+    val fixtureDir = EraFixtures.ensureGenerated()
+    EraScanStats.reset()
+    val got = spark.read.format("era").load(fixtureDir)
+      .filter(col("slot") === 98300L).collect()
+    assert(got.length === 1)
+    assert(EraScanStats.indexLookups.sum() >= 1)
+    assert(EraScanStats.fullScans.sum() === 0)
+  }
+}

@@ -43,12 +43,49 @@ class WarehouseResumeSpec extends AnyFunSuite {
     def loadEra(era: Long) = spark.read.format("era").load(files(era))
 
     // ── reference: one uninterrupted warehouse run ─────────────────────
+    // r13: per-table completion counts ride the write jobs as observed
+    // metrics — assert ZERO read-back count jobs are scheduled (the old
+    // footer-only counts were 16 jobs/era = 160k jobs on a 10k-era
+    // backfill; the fallback path in observedRows is the only remaining
+    // "count at IncrementalExporter" callsite and must never fire)
+    val jobSites = new scala.collection.mutable.ArrayBuffer[String]
+    val jobListener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val cs = Option(js.properties)
+          .map(_.getProperty("callSite.short", "")).getOrElse("")
+        jobSites.synchronized { jobSites += cs }
+      }
+    }
+    spark.sparkContext.addSparkListener(jobListener)
     val whA = Files.createTempDirectory("graft-whres-a").toString
     val stateA = new EraStateManager(spark,
       Files.createTempDirectory("graft-whres-state-a").toString)
-    val procA = IncrementalExporter.runWarehouse(
-      spark, stateA, "gnosis", eras, whA)(loadEra)
+    val procA =
+      try IncrementalExporter.runWarehouse(
+        spark, stateA, "gnosis", eras, whA)(loadEra)
+      finally {
+        org.apache.spark.graftutil.ListenerDrain.drain(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(jobListener)
+      }
     assert(procA === eras)
+    val readBackJobs = jobSites.filter(_.contains("count at IncrementalExporter"))
+    assert(readBackJobs.isEmpty,
+      s"completion bookkeeping scheduled read-back count jobs: $readBackJobs")
+    // and the write-side counts are the TRUE per-table totals: the state
+    // log's total_records equals an independent read-back sum over every
+    // table except wide_blocks (excluded from the record by contract)
+    val recordedTotal = stateA.eraStatus
+      .agg(org.apache.spark.sql.functions.sum(col("total_records")))
+      .head().getLong(0)
+    val countTables = new java.io.File(s"$whA/gnosis").listFiles().toSeq
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(_.getName).filterNot(_ == "wide_blocks")
+    val actualTotal = countTables
+      .map(t => spark.read.parquet(s"$whA/gnosis/$t").count()).sum
+    assert(recordedTotal === actualTotal,
+      s"observed write-side counts diverge from table contents: " +
+        s"$recordedTotal vs $actualTotal")
 
     // ── the crashing run: dies loading era k ───────────────────────────
     val whB = Files.createTempDirectory("graft-whres-b").toString
