@@ -97,6 +97,21 @@ object Cli {
               s"(${done.map(_.filesBefore).sum} -> ${done.map(_.filesAfter).sum} files)")
           }
       }
+      // the reference's optimize-ALL-tables loop: graft --optimize-warehouse
+      // <dir> <network> [--target-mb N] — every table rewritten crash-safe,
+      // clustered by its DDL-derived sort keys
+      else if (flags.contains("--optimize-warehouse")) {
+        if (pos.length < 2) fail("--optimize-warehouse needs <warehouse_dir> <network>")
+        Compaction.optimizeWarehouse(session(), pos(0), pos(1), targetBytes(opts))
+          .toSeq.sortBy(_._1).foreach { case (tbl, reports) =>
+            val aborted = reports.count(_.concurrentAbort)
+            val keys = Compaction.DefaultWarehouseSortKeys
+              .getOrElse(tbl, Seq.empty).mkString(",")
+            println(s"$tbl: optimized ${reports.size - aborted}/${reports.size} " +
+              s"partitions [$keys]" +
+              (if (aborted > 0) s"; $aborted aborted on concurrent writes" else ""))
+          }
+      }
       // OPTIMIZE: graft --optimize-table <table_dir> --zorder-by x,y
       // [--target-mb N] — crash-safe staged-swap rewrite of every era
       // partition, Z-order-clustered on the two columns
@@ -343,6 +358,7 @@ object Cli {
       |  graft --clean-failed-eras <network> [--state-dir D] [--data-root D]
       |  graft --compact-warehouse <warehouse_dir> <network> [--target-mb N]
       |  graft --optimize-table <table_dir> --zorder-by <xcol,ycol> [--target-mb N]
+      |  graft --optimize-warehouse <warehouse_dir> <network> [--target-mb N]
       |
       |era ranges: 1082 | 1082-1100 | 1082+""".stripMargin)
 }

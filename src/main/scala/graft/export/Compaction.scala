@@ -238,6 +238,81 @@ object Compaction {
     finally sweepWorkDirs(fs, table)
   }
 
+  /** Linear-sort OPTIMIZE for a table whose sort key is ONE column (the
+    * DDL's `ORDER BY (slot)` tables): same staged-swap skeleton, each
+    * partition rewritten range-partitioned + sorted on `sortBy` so the
+    * row-group min/max ranges are tight for that column. */
+  def sortEraTable(spark: SparkSession, tablePath: String, sortBy: String,
+      targetBytes: Long = 128L << 20,
+      writerOptions: Map[String, String] = Map.empty,
+      beforeSwap: Path => Unit = _ => ()): Seq[LeafReport] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val table = new Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(table), s"no table at $tablePath")
+    recover(fs, table)
+    val parts = fs.listStatus(table).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("era_number="))
+      .map(_.getPath).sortBy(_.getName)
+    try parts.map { leaf =>
+      val files = dataFiles(fs, leaf)
+      val bytes = files.map(_.getLen).sum
+      val nOut = math.max(1L, math.ceil(bytes.toDouble / targetBytes).toLong).toInt
+      rewriteLeaf(spark, fs, table, leaf, files, bytes, beforeSwap) {
+        (live, stagedPath) =>
+          live.repartitionByRange(nOut,
+              org.apache.spark.sql.functions.col(sortBy))
+            .sortWithinPartitions(sortBy)
+            .write.options(writerOptions).mode("overwrite").parquet(stagedPath)
+      }
+    }
+    finally sweepWorkDirs(fs, table)
+  }
+
+  /** Per-table OPTIMIZE sort keys for the standard warehouse — the first
+    * two columns of each table's `ORDER BY` in the reference's ClickHouse
+    * DDL (export/migrations/sql/001_initial_tables_up.sql:20-244), mapped
+    * to this engine's column names. Two keys → Z-order clustered rewrite
+    * (prunes on either column); one key → linear sort. */
+  val DefaultWarehouseSortKeys: Map[String, Seq[String]] = Map(
+    "blocks" -> Seq("slot", "proposer_index"),
+    "wide_blocks" -> Seq("slot", "proposer_index"),
+    "sync_aggregates" -> Seq("slot"),
+    "execution_payloads" -> Seq("slot", "block_number"),
+    "transactions" -> Seq("slot", "transaction_index"),
+    "withdrawals" -> Seq("slot", "withdrawal_index"),
+    "attestations" -> Seq("slot", "attestation_index"),
+    "deposits" -> Seq("slot", "deposit_index"),
+    "voluntary_exits" -> Seq("slot", "validator_index"),
+    "proposer_slashings" -> Seq("slot", "slashing_index"),
+    "attester_slashings" -> Seq("slot", "slashing_index"),
+    "bls_changes" -> Seq("slot", "change_index"),
+    "blob_commitments" -> Seq("slot", "commitment_index"),
+    "deposit_requests" -> Seq("slot", "request_index"),
+    "withdrawal_requests" -> Seq("slot", "request_index"),
+    "consolidation_requests" -> Seq("slot", "request_index"))
+
+  /** The reference's optimize-ALL-tables loop
+    * (`era_state_manager.optimize_tables`, era_state_manager.py:329-346)
+    * for one network's warehouse subtree: every table rewritten through
+    * the crash-safe staged swap, clustered by its DDL-derived sort keys
+    * (Z-order when two, linear when one; a table absent from `keys` is
+    * plain-compacted). CLI: `graft --optimize-warehouse <dir> <network>`. */
+  def optimizeWarehouse(spark: SparkSession, warehouseDir: String,
+      network: String, targetBytes: Long = 128L << 20,
+      keys: Map[String, Seq[String]] = DefaultWarehouseSortKeys,
+      writerOptions: Map[String, String] = Map.empty): Map[String, Seq[LeafReport]] =
+    StagedExport.warehouseTableNames.map { t =>
+      val table = s"$warehouseDir/$network/$t"
+      t -> (keys.get(t) match {
+        case Some(Seq(x, y)) =>
+          optimizeEraTable(spark, table, (x, y), targetBytes, writerOptions)
+        case Some(Seq(x)) =>
+          sortEraTable(spark, table, x, targetBytes, writerOptions)
+        case _ => compactEraTable(spark, table, targetBytes)
+      })
+    }.toMap
+
   /** Compact every table of one network's warehouse subtree
     * ([[StagedExport.exportWarehouse]] layout). */
   def compactWarehouse(spark: SparkSession, warehouseDir: String,

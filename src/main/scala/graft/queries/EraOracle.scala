@@ -97,6 +97,9 @@ object EraOracle {
            FROM ${t("records")} GROUP BY record_type ORDER BY record_type""",
       "era_point_lookup" ->
         s"""SELECT * FROM ${t("blocks")} WHERE slot = 98300""",
+      "era_point_lookup_multi" ->
+        s"""SELECT * FROM ${t("blocks")} WHERE slot IN (300, 98301, 16383000)
+           ORDER BY slot""",
       // independent recomputation of the mainnet fork/epoch/timestamp ladder
       // (config/forks.py:63-81 epochs, networks.py mainnet genesis 1606824023
       // / 12 s slots): fork from the epoch thresholds, era from slot // 8192,

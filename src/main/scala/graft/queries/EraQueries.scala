@@ -112,6 +112,18 @@ object EraQueries {
         Normalizer.blocksTable(Normalizer.decodeBlocks(
           s.read.format("era").load(dir).filter(col("slot") === 98300L)))
       }),
+      // P1 batch form: `slot IN (…)` — pushed as sources.In, file-pruned,
+      // and answered through ONE SlotIndex tail parse + one probe per slot
+      // per surviving file (EraSlotIndex.lookupAll; r13). The middle value
+      // is a HOLE (no block at that slot in any fixture era), so the
+      // indexed-miss path is oracle-checked too.
+      "era_point_lookup_multi" -> ((s, _) => {
+        val dir = graft.testkit.EraFixtures.ensureGenerated()
+        Normalizer.blocksTable(Normalizer.decodeBlocks(
+          s.read.format("era").load(dir)
+            .filter(col("slot").isin(300L, 98301L, 16383000L))))
+          .orderBy(col("slot"))
+      }),
       // CLICKHOUSE.md:604-613 — attestation inclusion delay
       "era_inclusion_delay" -> ((s, _) =>
         Normalizer.attestations(blocks(s))

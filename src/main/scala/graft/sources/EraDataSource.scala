@@ -160,6 +160,12 @@ object EraFilePruning {
     // conservative: only prune when filter excludes [0] ∪ [start,end])
     case sources.EqualTo("slot", v: Long) =>
       v == 0L || (v >= info.startSlot && v <= info.endSlot)
+    case sources.In("slot", vs) => vs.exists {
+      case v: Long => v == 0L || (v >= info.startSlot && v <= info.endSlot)
+      case v: Int =>
+        val l = v.toLong; l == 0L || (l >= info.startSlot && l <= info.endSlot)
+      case _ => true
+    }
     case sources.GreaterThan("slot", v: Long) => info.endSlot > v || 0L > v
     case sources.GreaterThanOrEqual("slot", v: Long) => info.endSlot >= v || 0L >= v
     case sources.LessThan("slot", v: Long) => info.startSlot < v || 0L < v
@@ -175,17 +181,21 @@ class EraScan(paths: Seq[String], filters: Array[Filter]) extends Scan with Batc
   override def description(): String = s"EraScan(${paths.length} files)"
   override def toBatch: Batch = this
 
-  /** A pushed top-level `slot = N` (N ≠ 0) turns each surviving file's
-    * read into a SlotIndex seek instead of a record walk. Top-level
-    * filter-array entries are AND-ed, so the equality is a hard
-    * constraint; N = 0 is excluded because state/index records carry
-    * slot 0 and would also pass the residual. Safe because the fast path
-    * emits a SUBSET of the full walk's rows and every omitted row fails
-    * the `slot = N` residual Spark re-applies anyway. */
-  private val slotEq: Option[Long] = filters.collectFirst {
-    case sources.EqualTo("slot", v: Long) if v != 0L => v
-    case sources.EqualTo("slot", v: Int) if v != 0 => v.toLong
-  }
+  /** A pushed top-level `slot = N` or `slot IN (…)` (no 0) turns each
+    * surviving file's read into SlotIndex seeks instead of a record walk.
+    * Top-level filter-array entries are AND-ed, so the constraint is
+    * hard; 0 is excluded because state/index records carry slot 0 and
+    * would also pass the residual. Safe because the fast path emits a
+    * SUBSET of the full walk's rows and every omitted row fails the slot
+    * residual Spark re-applies anyway. The IN set is capped: past a few
+    * thousand probes per file the sequential walk is the better plan. */
+  private val slotSet: Option[Seq[Long]] = filters.collectFirst {
+    case sources.EqualTo("slot", v: Long) => Seq(v)
+    case sources.EqualTo("slot", v: Int) => Seq(v.toLong)
+    case sources.In("slot", vs) if vs.nonEmpty &&
+        vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+      vs.toSeq.map { case v: Long => v; case v: Int => v.toLong }
+  }.filter(s => !s.contains(0L) && s.size <= 4096)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = paths.filter(p => EraFilePruning.keepFile(EraFileInfo.fromPath(p), filters))
@@ -201,7 +211,7 @@ class EraScan(paths: Seq[String], filters: Array[Filter]) extends Scan with Batc
     val conf = spark.sessionState.newHadoopConf()
     val bc = spark.sparkContext.broadcast(
       new org.apache.spark.util.SerializableConfiguration(conf))
-    new EraPartitionReaderFactory(bc, slotEq)
+    new EraPartitionReaderFactory(bc, slotSet)
   }
 }
 
@@ -209,28 +219,28 @@ case class EraInputPartition(path: String) extends InputPartition
 
 class EraPartitionReaderFactory(
     conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration],
-    slotEq: Option[Long] = None)
+    slotSet: Option[Seq[Long]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EraInputPartition]
-    new EraPartitionReader(p.path, conf.value.value, slotEq)
+    new EraPartitionReader(p.path, conf.value.value, slotSet)
   }
 }
 
 class EraPartitionReader(pathStr: String, conf: Configuration,
-    slotEq: Option[Long] = None)
+    slotSet: Option[Seq[Long]] = None)
     extends PartitionReader[InternalRow] {
 
   private val info = EraFileInfo.fromPath(pathStr)
   private val fs = new Path(pathStr).getFileSystem(conf)
   private val stream = fs.open(new Path(pathStr))
-  // pushed slot equality → SlotIndex seek (O(1 record) bytes); any
-  // malformed/absent index falls back to the sequential walk, whose
-  // residual filters keep the answer identical
-  private val records = slotEq
+  // pushed slot equality / IN set → SlotIndex seeks (O(1 record) bytes
+  // per requested slot); any malformed/absent index falls back to the
+  // sequential walk, whose residual filters keep the answer identical
+  private val records = slotSet
     .flatMap(s =>
-      EraSlotIndex.lookup(stream, fs.getFileStatus(new Path(pathStr)).getLen,
-        info, s))
+      EraSlotIndex.lookupAll(stream,
+        fs.getFileStatus(new Path(pathStr)).getLen, info, s))
     .getOrElse {
       EraScanStats.fullScans.increment()
       EraFileReader.readRecords(

@@ -111,6 +111,22 @@ object EraSlotIndex {
     * and covers `slot`; None = caller must fall back to the full walk. */
   def lookup(in: FSDataInputStream, fileLen: Long, info: EraFileInfo,
       slot: Long): Option[Iterator[EraRecord]] =
+    lookupAll(in, fileLen, info, Seq(slot))
+
+  /** Batch form — the `slot IN (…)` pushdown: ONE tail parse, then one
+    * offset probe + record read per requested slot. Slots OUTSIDE the
+    * index's range (a multi-era IN set probes every surviving file for
+    * every slot) are SKIPPED only when the index provably spans the
+    * file's whole filename-declared era (`startingSlot..+count` ==
+    * `info.startSlot..endSlot`, `eraKnown`) — the same filename trust
+    * file-level pruning already stands on; otherwise (partial index,
+    * unparseable name, possible multi-group file whose tail index covers
+    * only the last group) returns None and the caller walks, so a
+    * partial answer can never be emitted. Any record-validation failure
+    * also walks. Slots are deduplicated; records come back in ascending
+    * slot order. */
+  def lookupAll(in: FSDataInputStream, fileLen: Long, info: EraFileInfo,
+      slots: Seq[Long]): Option[Iterator[EraRecord]] =
     try {
       // state index is the last record; block index ends where it begins
       val stateIdx = indexRecordEndingAt(in, fileLen, fileLen)
@@ -118,31 +134,43 @@ object EraSlotIndex {
         indexRecordEndingAt(in, statePos, fileLen)
       }
       blockIdx.flatMap { case (idxPos, startingSlot, count) =>
-        if (slot < startingSlot || slot >= startingSlot + count) None
+        val distinctSlots = slots.distinct.sorted
+        val wanted = distinctSlots
+          .filter(s => s >= startingSlot && s < startingSlot + count)
+        val coversWholeEra = info.eraKnown &&
+          startingSlot == info.startSlot &&
+          startingSlot + count == info.endSlot + 1
+        if (wanted.size < distinctSlots.size && !coversWholeEra)
+          None
         else {
           EraScanStats.indexLookups.increment()
-          val rawOff = readLongAt(in, idxPos + 16 + 8 * (slot - startingSlot))
-          if (rawOff == 0L) Some(Iterator.empty) // indexed: no block at slot
-          else {
-            val recPos = idxPos + rawOff // signed offset, typically negative
-            headerAt(in, recPos, fileLen) match {
-              case Some((EraFileReader.TypeBlock, len))
-                  if len > 0 && len <= Int.MaxValue && recPos + 8 + len <= fileLen =>
-                val payload = new Array[Byte](len.toInt)
-                in.readFully(recPos + 8, payload)
-                EraScanStats.bytesRead.add(len)
-                val decompressed = SnappyFramed.decompress(payload)
-                EraScanStats.blocksDecompressed.increment()
-                val messageOffset = Ssz.readUint32(decompressed, 0).toInt
-                val peeked = Ssz.readUint64(decompressed, messageOffset)
-                // a peek mismatch means the index lies about this file —
-                // distrust it entirely and walk
-                if (peeked != slot) None
-                else Some(Iterator.single(EraRecord(slot, "block", payload,
-                  info.network, info.eraNumber, info.filename)))
-              case _ => None
+          val found = Seq.newBuilder[EraRecord]
+          val it = wanted.iterator
+          while (it.hasNext) {
+            val slot = it.next()
+            val rawOff = readLongAt(in, idxPos + 16 + 8 * (slot - startingSlot))
+            if (rawOff != 0L) { // 0 = indexed hole: no block at this slot
+              val recPos = idxPos + rawOff // signed offset, typically negative
+              headerAt(in, recPos, fileLen) match {
+                case Some((EraFileReader.TypeBlock, len))
+                    if len > 0 && len <= Int.MaxValue && recPos + 8 + len <= fileLen =>
+                  val payload = new Array[Byte](len.toInt)
+                  in.readFully(recPos + 8, payload)
+                  EraScanStats.bytesRead.add(len)
+                  val decompressed = SnappyFramed.decompress(payload)
+                  EraScanStats.blocksDecompressed.increment()
+                  val messageOffset = Ssz.readUint32(decompressed, 0).toInt
+                  val peeked = Ssz.readUint64(decompressed, messageOffset)
+                  // a peek mismatch means the index lies about this file —
+                  // distrust it entirely and walk
+                  if (peeked != slot) return None
+                  found += EraRecord(slot, "block", payload,
+                    info.network, info.eraNumber, info.filename)
+                case _ => return None
+              }
             }
           }
+          Some(found.result().iterator)
         }
       }
     } catch { case _: Exception => None }

@@ -91,6 +91,74 @@ class SlotIndexSpec extends AnyFunSuite {
     assert(EraScanStats.blocksDecompressed.sum() === 0)
   }
 
+  test("slot IN (…) batch lookup: one tail parse, one probe per slot, holes skipped, walk-identical") {
+    val present = Seq(100L, 1234L, 2222L).map(i => startSlot + 2L * i)
+    val holes = Seq(startSlot + 7L, startSlot + 4095L) // odd offsets: indexed 0
+    val asked = (present ++ holes).sorted
+    val walked = scan().filter(col("record_type") === "block").collect()
+      .filter(r => asked.contains(r.getLong(0))).map(_.getLong(0)).sorted
+
+    EraScanStats.reset()
+    val fast = scan().filter(col("slot").isin(asked: _*)).collect()
+    assert(fast.map(_.getLong(0)).sorted.toSeq === walked.toSeq)
+    assert(fast.map(_.getLong(0)).sorted.toSeq === present.sorted)
+    assert(EraScanStats.indexLookups.sum() === 1, "IN set must parse the tail once")
+    assert(EraScanStats.fullScans.sum() === 0, "IN lookup fell back to a walk")
+    assert(EraScanStats.blocksDecompressed.sum() === present.size.toLong,
+      "decompressions must equal the PRESENT slots, holes skipped")
+    val fileLen = new File(deepDir).length()
+    assert(EraScanStats.bytesRead.sum() < fileLen / 20,
+      s"IN lookup read ${EraScanStats.bytesRead.sum()} of $fileLen bytes")
+  }
+
+  test("slot IN with a 0 never fast-paths; an out-of-range slot falls back to the walk") {
+    EraScanStats.reset()
+    // 4 rows: the block at startSlot+20 PLUS the state record and both
+    // SlotIndex records, which all carry slot 0 — exactly why a set
+    // containing 0 must take the walk (the index only knows blocks)
+    val withZero = scan()
+      .filter(col("slot").isin(0L, startSlot + 2L * 10))
+      .count()
+    assert(withZero === 4)
+    assert(EraScanStats.fullScans.sum() >= 1, "0-containing IN must walk")
+
+    // the deep file's index provably spans its WHOLE declared era, so an
+    // out-of-range slot (it belongs to some other era's file) is skipped
+    // on the fast path — the multi-era IN shape stays O(1 record)/file
+    EraScanStats.reset()
+    val outside = scan()
+      .filter(col("slot").isin(startSlot + 2L * 10, startSlot - 5L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(outside === Seq(startSlot + 2L * 10))
+    assert(EraScanStats.fullScans.sum() === 0,
+      "era-covering index should answer a multi-era IN without walking")
+
+    // a PARTIAL index (covers only half the era) cannot prove an
+    // out-of-range slot absent — that shape must fall back to the walk
+    val dir = java.nio.file.Files.createTempDirectory("slotindex-partial").toString
+    val ssz = SszEncoder.encodeSignedBlock(
+      EraFixtures.fixtureJson("gnosis_98300"), "altair")
+    val f = new File(dir, f"gnosis-$era%05d-ab12cd34.era")
+    val out = new BufferedOutputStream(new FileOutputStream(f))
+    try EraFileWriter.writeIndexed(out,
+      blocks = Seq((startSlot + 10L) -> SnappyFramed.compress {
+        val b = ssz.clone()
+        val mo = Ssz.readUint32(b, 0).toInt
+        var j = 0
+        while (j < 8) { b(mo + j) = (((startSlot + 10L) >>> (8 * j)) & 0xff).toByte; j += 1 }
+        b
+      }),
+      state = None, startSlot = startSlot, slotCount = 4096)
+    finally out.close()
+    EraScanStats.reset()
+    val got = spark.read.format("era").load(f.getAbsolutePath)
+      .filter(col("slot").isin(startSlot + 10L, startSlot + 5000L))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(startSlot + 10L))
+    assert(EraScanStats.fullScans.sum() >= 1,
+      "a partial index must fall back when asked past its range")
+  }
+
   test("slot = 0 never fast-paths: state/index rows carry slot 0 and must surface") {
     // era-0 fixture file has the genesis-era range, so slot-0 pruning keeps it
     val fixtureDir = EraFixtures.ensureGenerated()
