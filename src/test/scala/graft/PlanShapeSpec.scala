@@ -301,6 +301,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2000))
   }
 
+  test("per-query top-k windows carry the rank-limit pushdown (WindowGroupLimit partial+final)") {
+    // Spark's InferWindowGroupLimit rewrites `row_number() ≤ k` into a
+    // partial WindowGroupLimit BELOW the Exchange plus a final one above —
+    // map-side truncation to k rows per (task, query), so the ranking
+    // shuffle never carries the scored corpus. The r13 Similarity review
+    // verified this is what makes every rankTopK/probe window scale (a
+    // 200k-row single-group rank query shuffles ~1 KB, measured in
+    // TopKWindowSpec); if the rule ever stops firing — a non-rank-like
+    // function, a projection wedged between filter and window, a changed
+    // conf default — the per-query sort silently becomes corpus-sized at
+    // 100 TB. This pins the plan; TopKWindowSpec pins the bytes.
+    Seq("sim_topk_brute", "sim_topk_ivf", "sim_topk_lsh", "sim_chunk_topk",
+        "sim_topk_pq").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "WindowGroupLimit") >= 2,
+        s"$q lost the rank-limit pushdown:\n${p.take(2000)}")
+    }
+  }
+
   test("chunk retrieval broadcasts queries; chunk vectors never shuffle into the join") {
     val p = plan("sim_chunk_topk")
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
