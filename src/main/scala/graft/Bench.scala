@@ -522,6 +522,23 @@ object Bench {
         .attestations(graft.operators.Normalizer.decodeBlocks(records)).count()
     }
 
+    // decode-side column pruning (r13, SURVEY §4's last optional pushdown):
+    // single-table extract through the section-pruned decode vs through the
+    // full decode, on the same deep corpus as the decode headline — the
+    // measured multiple a header-only scan gains when it skips the other
+    // 14 sections' parse (the reference always computes all 15 datasets and
+    // keeps one — processor.py:401-404)
+    var prunedBlocks = 0L
+    System.gc()
+    val prunedSec = best(3) {
+      prunedBlocks = graft.operators.Normalizer
+        .datasetPruned(recordsDeep, "blocks").count()
+    }
+    val fullSingleSec = best(3) {
+      graft.operators.Normalizer.blocksTable(
+        graft.operators.Normalizer.decodeBlocks(recordsDeep)).count()
+    }
+
     // per-fork decode throughput — directly comparable to BASELINE.md's
     // per-fork blocks/s table, all six rows (fork ↔ era number of its
     // fixture corpus; bellatrix/electra are the reshaped synthetics)
@@ -775,6 +792,9 @@ object Bench {
         s""","cal_pre":$calPre,"cal_post":$calPost""" +
         s""","attestation_rows":$attRows,"attestation_rows_per_sec":${r1(attRows / explodeSec)}""" +
         s""","blocks_per_sec_by_fork":$forkJsonCompact""" +
+        s""","pruned_blocks_per_sec":${r1(prunedBlocks / prunedSec)}""" +
+        s""","fullsingle_blocks_per_sec":${r1(prunedBlocks / fullSingleSec)}""" +
+        s""","decode_prune_speedup":${r3(fullSingleSec / prunedSec)}""" +
         s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(etlBlocks / etlSec)}""" +
         s""","etl_stage_sec":${r3(etlStageSec)}""" +
         s""","etl_stage_mbps":${r1(etlStageMbps)}""" +

@@ -203,9 +203,12 @@ object Cli {
         } finally blocks.unpersist()
       case ds if Normalizer.datasetNames.contains(ds) =>
         val jdbcUrl = opts.getOrElse("--export-jdbc", "")
-        val blocks = Normalizer.decodeBlocks(records)
+        // single-table extract: the section-pruned decode skips the other
+        // 14 body sections' parse work (the reference computes all 15 then
+        // keeps one — processor.py:401-404)
+        val table = Normalizer.datasetPruned(records, ds)
         if (jdbcUrl.nonEmpty) {
-          Sinks.jdbcSink(Normalizer.dataset(blocks, ds), jdbcUrl, ds)
+          Sinks.jdbcSink(table, jdbcUrl, ds)
           println(s"$ds: exported to jdbc")
         } else {
           val out = requireArg(pos, 2, "output path")
@@ -213,9 +216,8 @@ object Cli {
             fail("--parity applies to .csv/.json/.jsonl outputs only")
           // --parity: the reference's exact single-file envelope (S11/S13)
           val c =
-            if (flags.contains("--parity")) Sinks.writeWithEnvelope(
-              Normalizer.dataset(blocks, ds), out, ds)
-            else Sinks.write(Normalizer.dataset(blocks, ds), out)
+            if (flags.contains("--parity")) Sinks.writeWithEnvelope(table, out, ds)
+            else Sinks.write(table, out)
           println(s"$ds: $c records")
         }
       case other =>

@@ -25,14 +25,39 @@ object BlockDecoder {
 
   import Ssz._
 
+  /** Every variable body section the pruned decode can skip — the
+    * column-pruning vocabulary of [[decode]]'s `sections` parameter
+    * (SURVEY.md §4's one remaining optional pushdown: the reference always
+    * computes all 15 datasets and keeps one — processor.py:401-404). */
+  val AllSections: Set[String] = Set(
+    "proposer_slashings", "attester_slashings", "attestations", "deposits",
+    "voluntary_exits", "sync_aggregate", "execution_payload",
+    "bls_to_execution_changes", "blob_kzg_commitments", "execution_requests")
+
   /** Decode one compressed block record. Returns None on any decode failure
-    * (the reference logs and skips — processor.py:131-133). */
+    * (the reference logs and skips — processor.py:131-133).
+    *
+    * `sections` prunes the body parse: a section not in the set is skipped
+    * entirely (empty list / None in the output) instead of parsed — the
+    * decode-side half of column pruning, so a single-table extract never
+    * pays for the 14 sections it drops. The block header, eth1 data,
+    * graffiti, and the fork/timestamp ladder are always decoded (every
+    * table carries them); when `execution_payload` is pruned, the payload
+    * TIMESTAMP is still read directly from its fixed offset so
+    * `timestamp_utc` stays identical on post-merge blocks. CONTRACT: the
+    * requested tables' rows are identical to the full decode's on
+    * well-formed blocks; a block whose PRUNED-AWAY section is corrupt may
+    * decode here where the full path degrades or drops it (the corruption
+    * is only detectable by parsing, which is exactly the work pruning
+    * skips) — `SectionPruningSpec` pins table-for-table equality on every
+    * fixture fork. */
   def decode(
       compressed: Array[Byte],
       slot: Long,
       network: NetworkConfig,
       eraNumber: Long = -1L,
-      sourceFile: String = ""): Option[DecodedBlock] = {
+      sourceFile: String = "",
+      sections: Set[String] = AllSections): Option[DecodedBlock] = {
     try {
       val data = SnappyFramed.decompress(compressed)
       val fork = ForkSchedule.forkAt(slot, network)
@@ -46,9 +71,11 @@ object BlockDecoder {
       val parentRoot = hex(message, 16, 48)
       val stateRoot = hex(message, 48, 80)
       val bodyOffset = readOffset(message, 80)
-      val body = parseBody(slice(message, bodyOffset, message.length), fork)
+      val (body, payloadTs) =
+        parseBodyPruned(slice(message, bodyOffset, message.length), fork, sections)
 
-      val ts = timestampOf(slotParsed, body, network)
+      val ts = if (payloadTs > 0) payloadTs
+        else network.genesisTime + slotParsed * network.secondsPerSlot
 
       Some(DecodedBlock(
         slot = slotParsed,
@@ -69,17 +96,26 @@ object BlockDecoder {
     }
   }
 
-  /** Payload timestamp if >0, else genesis + slot*seconds_per_slot
-    * (block_parser.py:84-113). Pre-merge blocks are always slot-derived. */
-  private def timestampOf(slot: Long, body: BlockBody, network: NetworkConfig): Long = {
-    val payloadTs = body.execution_payload.map(_.timestamp).getOrElse(0L)
-    if (payloadTs > 0) payloadTs
-    else network.genesisTime + slot * network.secondsPerSlot
-  }
-
   // ── body ────────────────────────────────────────────────────────────────
 
-  private[decode] def parseBody(body: Array[Byte], fork: String): BlockBody = {
+  /** Fixed byte offset of `timestamp` inside an execution payload:
+    * parent_hash(32) + fee_recipient(20) + state_root(32) +
+    * receipts_root(32) + logs_bloom(256) + prev_randao(32) +
+    * block_number(8) + gas_limit(8) + gas_used(8) — identical across every
+    * post-merge fork (the fork-variable fields all come later). */
+  private val PayloadTsOffset = 428
+
+  /** Full-parse compatibility wrapper (the differential/golden specs drive
+    * this directly). */
+  private[decode] def parseBody(body: Array[Byte], fork: String): BlockBody =
+    parseBodyPruned(body, fork, AllSections)._1
+
+  /** Body parse with section pruning; returns (body, payload timestamp —
+    * 0 when absent/pre-merge, read from [[PayloadTsOffset]] when the
+    * payload section is pruned away; block_parser.py:84-113's fallback
+    * ladder runs on this hint in [[decode]]). */
+  private[decode] def parseBodyPruned(body: Array[Byte], fork: String,
+      sections: Set[String]): (BlockBody, Long) = {
     // fixed head: randao_reveal(96) + eth1_data(72) + graffiti(32) = 200
     val randao = hex(body, 0, 96)
     val eth1 = Eth1Data(
@@ -97,8 +133,11 @@ object BlockDecoder {
     var syncAggregate: Option[SyncAggregate] = None
     if (ForkSchedule.hasSyncAggregate(fork)) {
       if (pos + 160 <= body.length) {
-        syncAggregate = parseSyncAggregate(slice(body, pos, pos + 160))
-        pos += 160
+        if (sections("sync_aggregate")) {
+          DecodeStats.mark("sync_aggregate")
+          syncAggregate = parseSyncAggregate(slice(body, pos, pos + 160))
+        }
+        pos += 160 // schema position advances whether or not we decode it
       } // else: missing → empty (forks/base.py:66-68)
     }
 
@@ -135,39 +174,58 @@ object BlockDecoder {
       if (i < 0) None else section(i)
     }
 
-    val proposerSlashings = sectionOf("proposer_slashings")
+    /** Section slice, only when the caller asked for the section. */
+    def requested(name: String): Option[Array[Byte]] =
+      if (!sections(name)) None
+      else sectionOf(name).map { d => DecodeStats.mark(name); d }
+
+    val proposerSlashings = requested("proposer_slashings")
       .map(d => parseFixedList(d, 416, parseProposerSlashing)).getOrElse(Vector.empty)
-    val attesterSlashings = sectionOf("attester_slashings")
+    val attesterSlashings = requested("attester_slashings")
       .map(d => parseVariableList(d, parseAttesterSlashing)).getOrElse(Vector.empty)
-    val attestations = sectionOf("attestations")
+    val attestations = requested("attestations")
       .map(d => parseVariableList(d, parseAttestation)).getOrElse(Vector.empty)
-    val deposits = sectionOf("deposits")
+    val deposits = requested("deposits")
       .map(d => parseFixedList(d, 1240, parseDeposit)).getOrElse(Vector.empty)
-    val voluntaryExits = sectionOf("voluntary_exits")
+    val voluntaryExits = requested("voluntary_exits")
       .map(d => parseFixedList(d, 112, parseVoluntaryExit)).getOrElse(Vector.empty)
 
     val executionPayload: Option[ExecutionPayload] =
       if (!ForkSchedule.hasExecutionPayload(fork)) None
-      else sectionOf("execution_payload").flatMap(d => parseExecutionPayload(d, fork))
+      else requested("execution_payload").flatMap(d => parseExecutionPayload(d, fork))
+
+    // timestamp survives payload pruning: read the one fixed-offset field
+    // instead of the full parse (same 0-on-short semantics — a section too
+    // short to hold the field never yields a timestamp on the full path
+    // either, it fails parseExecutionPayload's bounds)
+    val payloadTs: Long =
+      if (!ForkSchedule.hasExecutionPayload(fork)) 0L
+      else if (sections("execution_payload"))
+        executionPayload.map(_.timestamp).getOrElse(0L)
+      else sectionOf("execution_payload")
+        .collect { case d if d.length >= PayloadTsOffset + 8 =>
+          readUint64(d, PayloadTsOffset) }
+        .getOrElse(0L)
 
     val blsChanges: Option[Seq[BlsToExecutionChange]] =
       if (!ForkSchedule.hasBlsChanges(fork)) None
-      else Some(sectionOf("bls_to_execution_changes")
+      else Some(requested("bls_to_execution_changes")
         .map(d => parseFixedList(d, 172, parseBlsChange)).getOrElse(Vector.empty))
 
     val blobCommitments: Option[Seq[String]] =
       if (!ForkSchedule.hasBlobCommitments(fork)) None
-      else Some(sectionOf("blob_kzg_commitments")
+      else Some(requested("blob_kzg_commitments")
         .map(d => parseFixedList(d, 48, parseKzgCommitment)).getOrElse(Vector.empty))
 
     val executionRequests: Option[ExecutionRequests] =
       if (!ForkSchedule.hasExecutionRequests(fork)) None
-      else Some(sectionOf("execution_requests")
+      else Some(requested("execution_requests")
         .map(parseExecutionRequests).getOrElse(ExecutionRequests(Nil, Nil, Nil)))
 
-    BlockBody(randao, eth1, graffiti, proposerSlashings, attesterSlashings,
+    (BlockBody(randao, eth1, graffiti, proposerSlashings, attesterSlashings,
       attestations, deposits, voluntaryExits, syncAggregate, executionPayload,
-      blsChanges, blobCommitments, executionRequests)
+      blsChanges, blobCommitments, executionRequests),
+      payloadTs)
   }
 
   // ── item parsers (F7–F15, F19) ──────────────────────────────────────────

@@ -68,15 +68,16 @@ object IncrementalExporter {
           network, era)
       state.recordEraStart(era, network)
       try {
-        val blocks = Normalizer.decodeBlocks(loadEra(era)).cache()
         val counts =
-          try {
-            if (verb == "all-blocks")
-              Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks),
-                Sinks.eraOutputFilename(out, era.toInt))
-            else Map(verb -> Sinks.write(Normalizer.dataset(blocks, verb),
+          if (verb == "all-blocks") {
+            val blocks = Normalizer.decodeBlocks(loadEra(era)).cache()
+            try Sinks.exportSeparateFiles(Normalizer.allDatasets(blocks),
+              Sinks.eraOutputFilename(out, era.toInt))
+            finally blocks.unpersist()
+          } else // single-dataset verb: section-pruned decode, nothing to share
+            Map(verb -> Sinks.write(
+              Normalizer.datasetPruned(loadEra(era), verb),
               Sinks.eraOutputFilename(out, era.toInt)))
-          } finally blocks.unpersist()
         state.recordEraCompletion(era, network, counts.keys.toSeq.sorted,
           counts.values.sum)
         processed += era

@@ -51,6 +51,61 @@ object Normalizer {
       }
   }
 
+  /** Body sections each table's projection actually reads — the
+    * column-pruning map for [[decodeBlocksPruned]] (the header, eth1 data,
+    * graffiti, randao, and timestamp are always decoded; `blocks` needs no
+    * variable section at all). */
+  val sectionsFor: Map[String, Set[String]] = Map(
+    "blocks" -> Set.empty,
+    "sync_aggregates" -> Set("sync_aggregate"),
+    "execution_payloads" -> Set("execution_payload"),
+    "transactions" -> Set("execution_payload"),
+    "withdrawals" -> Set("execution_payload"),
+    "attestations" -> Set("attestations"),
+    "deposits" -> Set("deposits"),
+    "voluntary_exits" -> Set("voluntary_exits"),
+    "proposer_slashings" -> Set("proposer_slashings"),
+    "attester_slashings" -> Set("attester_slashings"),
+    "bls_changes" -> Set("bls_to_execution_changes"),
+    "blob_commitments" -> Set("blob_kzg_commitments"),
+    "deposit_requests" -> Set("execution_requests"),
+    "withdrawal_requests" -> Set("execution_requests"),
+    "consolidation_requests" -> Set("execution_requests"))
+
+  /** [[decodeBlocks]] with the body parse PRUNED to what `tables` read —
+    * decode-side column pruning, the SURVEY.md §4 optional upgrade the
+    * reference's compute-all-then-select (processor.py:401-404) never had:
+    * a single-table extract skips the other 14 sections' parse work
+    * entirely (on attestation-heavy or payload-heavy forks that is most of
+    * the decode CPU). The returned Dataset is ONLY valid for the requested
+    * tables — every other body field is deliberately empty; use
+    * [[decodeBlocks]] when fanning out. Equality with the full decode on
+    * the requested tables is pinned by `SectionPruningSpec`; see
+    * [[graft.decode.BlockDecoder.decode]] for the corrupt-pruned-section
+    * contract. */
+  def decodeBlocksPruned(records: DataFrame, tables: Set[String]): Dataset[DecodedBlock] = {
+    val unknown = tables.diff(datasetNames.toSet)
+    require(unknown.isEmpty, s"Unknown datasets: ${unknown.mkString(", ")}")
+    val sections = tables.flatMap(sectionsFor)
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .filter(col("record_type") === "block")
+      .select("slot", "data", "network", "era_number", "source_file")
+      .as[(Long, Array[Byte], String, Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (slot, data, net, era, file) =>
+          BlockDecoder.decode(data, slot, Networks(net), era, file, sections)
+        }
+      }
+  }
+
+  /** One table straight from raw era records through the section-pruned
+    * decode — the single-table extract path (CLI `graft <era> attestations
+    * out.parquet`, the incremental loop's single-dataset verb). */
+  def datasetPruned(records: DataFrame, name: String): DataFrame =
+    dataset(decodeBlocksPruned(records, Set(name)), name)
+
   /** Extract one named dataset; lazy evaluation prunes everything else —
     * unlike the reference's compute-all-then-select
     * (processor.py:401-404, SURVEY.md §2.2 P4). */

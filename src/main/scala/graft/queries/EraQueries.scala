@@ -106,11 +106,15 @@ object EraQueries {
       // P1: point lookup — the slot predicate sits UNDER the decode, on
       // the era source itself, so pushdown prunes whole files before any
       // byte is read (filtering the cached decode instead would measure
-      // cache filtering and leave EraFilePruning unexercised by the gate)
+      // cache filtering and leave EraFilePruning unexercised by the gate).
+      // The decode is section-pruned to the blocks table (r13): the oracle
+      // gate thereby value-verifies the pruned path end to end, including
+      // the payload-timestamp fixed-offset read on post-merge forks.
       "era_point_lookup" -> ((s, _) => {
         val dir = graft.testkit.EraFixtures.ensureGenerated()
-        Normalizer.blocksTable(Normalizer.decodeBlocks(
-          s.read.format("era").load(dir).filter(col("slot") === 98300L)))
+        Normalizer.blocksTable(Normalizer.decodeBlocksPruned(
+          s.read.format("era").load(dir).filter(col("slot") === 98300L),
+          Set("blocks")))
       }),
       // P1 batch form: `slot IN (…)` — pushed as sources.In, file-pruned,
       // and answered through ONE SlotIndex tail parse + one probe per slot
@@ -119,9 +123,10 @@ object EraQueries {
       // indexed-miss path is oracle-checked too.
       "era_point_lookup_multi" -> ((s, _) => {
         val dir = graft.testkit.EraFixtures.ensureGenerated()
-        Normalizer.blocksTable(Normalizer.decodeBlocks(
+        Normalizer.blocksTable(Normalizer.decodeBlocksPruned(
           s.read.format("era").load(dir)
-            .filter(col("slot").isin(300L, 98301L, 16383000L))))
+            .filter(col("slot").isin(300L, 98301L, 16383000L)),
+          Set("blocks")))
           .orderBy(col("slot"))
       }),
       // CLICKHOUSE.md:604-613 — attestation inclusion delay
