@@ -75,6 +75,61 @@ class SectionPruningSpec extends AnyFunSuite {
     assert(DecodeStats.count("attestations") === 0L)
   }
 
+  test("property: ANY section subset decodes its requested sections identically (seeded, all forks)") {
+    import graft.decode.BlockDecoder
+    import graft.model.BlockBody
+    // every fixture block record (gnosis all-forks incl. the dense deneb
+    // shape, plus the mainnet corpus), driver-side — one block per
+    // fork/body shape, which is the axis the property varies over
+    val blocks = (records unionByName spark.read.format("era")
+        .load(graft.testkit.MainnetEraFixture.ensureGenerated()))
+      .filter(org.apache.spark.sql.functions.col("record_type") === "block")
+      .select("slot", "data", "network", "era_number", "source_file")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    assert(blocks.length >= 10, s"fixture too small: ${blocks.length} blocks")
+    val sectionField: Map[String, BlockBody => Any] = Map(
+      "proposer_slashings" -> (_.proposer_slashings),
+      "attester_slashings" -> (_.attester_slashings),
+      "attestations" -> (_.attestations),
+      "deposits" -> (_.deposits),
+      "voluntary_exits" -> (_.voluntary_exits),
+      "sync_aggregate" -> (_.sync_aggregate),
+      "execution_payload" -> (_.execution_payload),
+      "bls_to_execution_changes" -> (_.bls_to_execution_changes),
+      "blob_kzg_commitments" -> (_.blob_kzg_commitments),
+      "execution_requests" -> (_.execution_requests))
+    val all = BlockDecoder.AllSections.toSeq.sorted
+    val rng = new scala.util.Random(13)
+    val subsets = Seq(Set.empty[String], BlockDecoder.AllSections) ++
+      (1 to 30).map(_ => all.filter(_ => rng.nextBoolean()).toSet)
+    subsets.foreach { s =>
+      blocks.foreach { case (slot, data, net, era, file) =>
+        val full = BlockDecoder.decode(data, slot, graft.config.Networks(net), era, file)
+        val pruned = BlockDecoder.decode(data, slot, graft.config.Networks(net),
+          era, file, s)
+        assert(full.isDefined === pruned.isDefined, s"slot $slot subset $s")
+        (full, pruned) match {
+          case (Some(f), Some(p)) =>
+            // header + timestamp identical for EVERY subset — the
+            // payload-ts fixed-offset read must agree with the full parse
+            assert(f.slot === p.slot && f.proposer_index === p.proposer_index &&
+              f.parent_root === p.parent_root && f.state_root === p.state_root &&
+              f.signature === p.signature && f.version === p.version, s"slot $slot")
+            assert(f.timestamp_utc === p.timestamp_utc,
+              s"timestamp diverged at slot $slot subset $s")
+            // every REQUESTED section decodes identically
+            s.foreach { sec =>
+              assert(sectionField(sec)(f.body) === sectionField(sec)(p.body),
+                s"section $sec diverged at slot $slot subset $s")
+            }
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("unknown table names fail loudly") {
     val e = intercept[IllegalArgumentException] {
       Normalizer.decodeBlocksPruned(records, Set("blocks", "nope"))
