@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// PINNED SEQUENTIAL: suites share one forked JVM and run one at a time
+// (testForkedParallel defaults false — set explicitly because several
+// specs read process-global counters as test seams: DecodeStats'
+// zero-parse assertions in SectionPruningSpec, EraScanStats in
+// SlotIndexSpec, MaxTaskListener in SoakSpec. Flipping this to true
+// makes those witnesses race concurrent decodes and flake.)
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -33,6 +33,32 @@ object Bench {
     }
   }
 
+  /** Fixed-size write probe: ~10 MB of parquet through the same Spark
+    * write path as the measured exports, returned as MB/s and the dir
+    * deleted. Run before AND after every write-heavy rep (wh_loop rungs,
+    * ETL runs): this sandbox's write path is bimodal (3–5 s vs 20–80 s
+    * page-cache writeback stalls — BENCH_NOTES), and a collapsed probe
+    * labels the rep as ENVIRONMENT inside the artifact itself, so a slow
+    * reading adjudicates without an out-of-band run (VERDICT r13 #1/#3).
+    * [[WriteProbeStallMbps]] is the label threshold, calibrated idle vs
+    * under induced write load by tools/WriteStallProbe. */
+  private[graft] def writeProbeMbps(spark: SparkSession): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wprobe").toString
+    val t0 = System.nanoTime()
+    spark.range(1250000L).selectExpr("id", "hash(id) as v")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/p.parquet")
+    val sec = (System.nanoTime() - t0) / 1e9
+    val mb = dirBytes(dir) / 1e6
+    deleteRecursively(dir)
+    math.rint(mb / sec * 10) / 10
+  }
+
+  /** A rep whose bracketing probes BOTH sit under this is stall-labeled.
+    * Calibration (tools/WriteStallProbe on this box): idle probes measure
+    * well above it; under an induced fsync-heavy writer they collapse
+    * under it. */
+  private[graft] val WriteProbeStallMbps = 8.0
+
   @volatile private var blackhole = 0L // defeats dead-code elimination of the probe
 
   private def hashLoop(iters: Long, seed: Long): Long = {
@@ -135,13 +161,17 @@ object Bench {
     * plan-shape fixes (bucket frequency caps, broadcast-free bad-digest
     * join, windowless totals, keyed rank windows): any of them reverting
     * turns a bounded max-task number into "one task ate the corpus". */
-  private def soak(spark: SparkSession, sfDir: String, copies: Int): String = {
+  private def soak(spark: SparkSession, sfDir: String, copies: Int,
+      committed: Map[String, Double] = Map.empty): String = {
     val dir = soakCorpus(spark, sfDir, copies)
     val listener = new MaxTaskListener
     spark.sparkContext.addSparkListener(listener)
     val family = Seq("dedup_exact", "clean_boilerplate", "dedup_simhash_pairs",
       "dedup_winnow_pairs", "text_nb_calibration", "diag_skew", "passage_spans")
-    val entries = family.map { name =>
+    case class SoakRun(name: String, sec: Double, inMb: Double, shufMb: Double,
+        ok: Boolean, endT: Double)
+    val mb = (b: Long) => math.rint(b / 1e5) / 10
+    val first = family.map { name =>
       listener.reset()
       val t0 = System.nanoTime()
       val ok =
@@ -151,11 +181,36 @@ object Bench {
       // barrier on the listener bus itself (not a sleep): all task-end
       // events for this query are delivered before the metrics are read
       org.apache.spark.graftutil.ListenerDrain.drain(spark.sparkContext)
-      val mb = (b: Long) => math.rint(b / 1e5) / 10
-      val failStr = if (ok) "" else ",\"fail\":true"
-      s""""$name":{"sec":${math.rint(sec * 10) / 10},"max_task_in_mb":${mb(listener.maxInput)},"max_task_shuf_mb":${mb(listener.maxShuffleRead)}$failStr}"""
+      SoakRun(name, sec, mb(listener.maxInput), mb(listener.maxShuffleRead),
+        ok, System.nanoTime() / 1e9)
     }
+    // spaced adjudication rep (VERDICT r13 #1 — the wh_loop/soak families
+    // were the last without the sweep's self-adjudication witness): any
+    // entry above 3× its COMMITTED-round seconds re-runs after the whole
+    // family has passed (minutes of gap), so a single steal/writeback
+    // window can't cover both reps — the artifact entry then carries
+    // rep2 + the measured gap + the committed baseline, and "steal vs
+    // regression" is decidable from this file alone.
+    val rerun: Map[String, (Double, Double)] = first
+      .filter(e => e.ok && committed.get(e.name).exists(c => e.sec > 3 * c))
+      .map { e =>
+        val gap = System.nanoTime() / 1e9 - e.endT
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(e.name)(spark, dir).count()
+        catch { case _: Throwable => () }
+        e.name -> ((System.nanoTime() - t0) / 1e9, gap)
+      }.toMap
     spark.sparkContext.removeSparkListener(listener)
+    val r1d = (d: Double) => math.rint(d * 10) / 10
+    val entries = first.map { e =>
+      val extra = new StringBuilder
+      committed.get(e.name).foreach(c => extra ++= s""","committed_sec":${r1d(c)}""")
+      rerun.get(e.name).foreach { case (s2, gap) =>
+        extra ++= s""","rep2_sec":${r1d(s2)},"gap_sec":${r1d(gap)}"""
+      }
+      val failStr = if (e.ok) "" else ",\"fail\":true"
+      s""""${e.name}":{"sec":${r1d(e.sec)},"max_task_in_mb":${e.inMb},"max_task_shuf_mb":${e.shufMb}$extra$failStr}"""
+    }
     s"""{"copies":$copies,${entries.mkString(",")}}"""
   }
 
@@ -308,25 +363,30 @@ object Bench {
       case (fam, qs) => qs.map { q =>
         val qScales =
           if (quadraticOutput(q)) scales.filter(_ <= 64) else scales
-        val runs = qScales.map { c =>
-          // min of 2 independent measurements per rung — the same defense
-          // class as the decode metric's best(4): this sandbox's CPU-steal
-          // windows are minutes long and land MID-run, where the pre/post
-          // calibration probes can't see them; a growth ratio built from
-          // one stolen rung names an innocent operator (observed 3–5× on
-          // single rungs across otherwise-identical runs)
-          val reps = (1 to 2).map { _ =>
-            val t0 = System.nanoTime()
-            val n = SparkEntry.queries(q)(spark, dirs(c)).count()
-            val sec = (System.nanoTime() - t0) / 1e9
-            // rungs must be independent measurements: queries that persist
-            // shared frames (the graph family's edge cache is GBs at the
-            // 512× rung) would otherwise accumulate dead entries across
-            // scales and pay their successors' GC bill
-            spark.sharedState.cacheManager.clearCache()
-            (sec, n)
-          }
-          (reps.map(_._1).min, reps.head._2)
+        // min of 2 measurements per rung, RUNG-SPACED (r14): pass 1 visits
+        // every rung of this query, pass 2 revisits them — the sweep's r13
+        // spacing discipline applied to the ramp. Back-to-back reps shared
+        // one steal window (this sandbox's windows are minutes long and
+        // land MID-run, where the pre/post calibration probes can't see
+        // them); a growth ratio built from one stolen rung names an
+        // innocent operator (observed 3–5× on single rungs across
+        // otherwise-identical runs). Spacing costs nothing: each rep is
+        // cache-cold anyway (clearCache below), so total work is identical.
+        def pass(): Seq[(Double, Long)] = qScales.map { c =>
+          val t0 = System.nanoTime()
+          val n = SparkEntry.queries(q)(spark, dirs(c)).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          // rungs must be independent measurements: queries that persist
+          // shared frames (the graph family's edge cache is GBs at the
+          // 512× rung) would otherwise accumulate dead entries across
+          // scales and pay their successors' GC bill
+          spark.sharedState.cacheManager.clearCache()
+          (sec, n)
+        }
+        val p1 = pass()
+        val p2 = pass()
+        val runs = p1.zip(p2).map { case ((s1, n), (s2, _)) =>
+          (math.min(s1, s2), n)
         }
         (fam, q, runs)
       }
@@ -480,6 +540,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // last COMMITTED headline, read BEFORE this run overwrites it — the
+    // adjudication baselines for the wh_loop/soak/ETL families (the same
+    // role BENCH_QUERIES_FULL.json plays for the sweep). A smoke run
+    // clobbers it, so real runs `git checkout` the BENCH files first
+    // (BENCH_NOTES workflow).
+    val committedLast: Option[com.fasterxml.jackson.databind.JsonNode] =
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File("BENCH_LAST.json")))
+      catch { case _: Exception => None }
+    def committedKey(keys: String*): Option[Double] =
+      committedLast.flatMap { root =>
+        var n: com.fasterxml.jackson.databind.JsonNode = root
+        keys.foreach(k => if (n != null) n = n.get(k))
+        Option(n).filter(_.isNumber).map(_.asDouble())
+      }
+    val committedSoakSec: Map[String, Double] = committedLast
+      .flatMap(r => Option(r.get("soak"))).map { s =>
+        import scala.jdk.CollectionConverters._
+        s.fieldNames().asScala
+          .filter(n => s.get(n).isObject && s.get(n).has("sec"))
+          .map(n => n -> s.get(n).get("sec").asDouble()).toMap
+      }.getOrElse(Map.empty)
+
     // fixed-size scan target for the calibration probe (constant across SFs)
     val calDir = java.nio.file.Files.createTempDirectory("graft-bench-cal").toString
     spark.range(20000000L).selectExpr("id", "hash(id) as v") // int: 20M-row sum fits a long under ANSI
@@ -564,17 +647,29 @@ object Bench {
     // corpus — unlike executor cache — survives any corpus:memory ratio,
     // which is also why it is the 100 TB shape. Stage coalesced to 32
     // files so the 16 fan-out jobs emit ≤32 files per table.
-    val etlOut = java.nio.file.Files.createTempDirectory("graft-bench-etl").toString
     val etlBlocks = graft.operators.Normalizer.decodeBlocks(recordsDeep).count()
     // three full runs, artifact = the BEST run's numbers as one consistent
     // set (this sandbox's write path occasionally stalls 10-20× on page-
     // cache writeback — the per-table/stage breakdown must describe the
-    // run the headline etl_15table_sec came from, not whichever ran last;
-    // a third run makes two-stalls-in-a-row the requirement for a fake
-    // regression instead of one). Each run's stage dir is deleted before
-    // the next so accumulated temp parquet doesn't worsen the stalls.
-    val etlRuns = (1 to 3).map { _ =>
-      val stage = java.nio.file.Files.createTempDirectory("graft-bench-stage").toString
+    // run the headline etl_15table_sec came from, not whichever ran last).
+    // Rep 1 stages to DISK (the I/O witness); reps 2–3 stage to tmpfs when
+    // available so the headline is the COMPUTE-bound number the 100 TB
+    // plan argument actually needs — 2 of 3 disk reps stalled on page-
+    // cache writeback in the r13 driver artifact (VERDICT r13 #3). Every
+    // rep is additionally bracketed by the fixed-size write probe, so a
+    // stalled rep is labeled per-rep in the artifact.
+    val shmDir = new java.io.File("/dev/shm")
+    val useShm = shmDir.isDirectory &&
+      shmDir.getUsableSpace > 16L * 1024 * 1024 * 1024
+    def scratchDir(fs: String, prefix: String): String =
+      if (fs == "shm")
+        java.nio.file.Files.createTempDirectory(shmDir.toPath, prefix).toString
+      else java.nio.file.Files.createTempDirectory(prefix).toString
+    val etlFs = if (useShm) Seq("disk", "shm", "shm") else Seq("disk", "disk", "disk")
+    val etlRuns = etlFs.map { fs =>
+      val pre = writeProbeMbps(spark)
+      val stage = scratchDir(fs, "graft-bench-stage")
+      val etlOut = scratchDir(fs, "graft-bench-etl")
       val t0 = System.nanoTime()
       val per = graft.export.StagedExport.exportAll(
         graft.operators.Normalizer.decodeBlocks(recordsDeep),
@@ -587,31 +682,45 @@ object Bench {
       // write-throughput witness for THIS run: a rep that hit the sandbox's
       // writeback stall carries a visibly collapsed MB/s next to its seconds
       val stageMbps = dirBytes(stage) / 1e6 / math.max(0.001, stageSec)
-      deleteRecursively(stage)
-      (sec, stageSec, per, stageMbps)
+      deleteRecursively(stage); deleteRecursively(etlOut)
+      val post = writeProbeMbps(spark)
+      (sec, stageSec, per, stageMbps, fs, pre, post)
     }
-    val (etlSec, etlStageSec, etlPerTable, etlStageMbps) = etlRuns.minBy(_._1)
-    deleteRecursively(etlOut)
+    val (etlSec, etlStageSec, etlPerTable, etlStageMbps, etlBestFs, _, _) =
+      etlRuns.minBy(_._1)
+    // the disk rep is the I/O witness even when a tmpfs rep wins the headline
+    val etlDiskSec = etlRuns.filter(_._5 == "disk").map(_._1).min
 
     // the per-era WAREHOUSE loop end to end (resume anti-join → per-era
     // stage → dynamic partition overwrites → completion commit) on the
     // standard corpus — the reference's production contract measured as a
-    // whole, state bookkeeping included, not just the raw fan-out
-    val whRoot = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
-    val whStateDir = java.nio.file.Files.createTempDirectory("graft-bench-whstate").toString
+    // whole, state bookkeeping included, not just the raw fan-out. Each
+    // rung runs ONE rep here and a SPACED second rep after the query sweep
+    // (VERDICT r13 #1: these were the last families whose slow readings
+    // needed the builder's committed run to adjudicate), and every rep is
+    // bracketed by the fixed-size write probe so a writeback stall labels
+    // itself in-artifact.
+    def whRep(corpusDir: String, eras: Seq[Long]): (Double, Double, Double) = {
+      val pre = writeProbeMbps(spark)
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
+      val state = java.nio.file.Files.createTempDirectory("graft-bench-whstate").toString
+      val t0 = System.nanoTime()
+      val done = graft.export.IncrementalExporter.runWarehouse(spark,
+        new graft.export.EraStateManager(spark, state), "gnosis",
+        eras, root) { era =>
+        spark.read.format("era").load(f"$corpusDir/gnosis-$era%05d-*.era")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      deleteRecursively(root); deleteRecursively(state)
+      require(done == eras, s"warehouse loop skipped eras: $done vs $eras")
+      val post = writeProbeMbps(spark)
+      (sec, pre, post)
+    }
     val whEras = new java.io.File(eraDir).listFiles().toSeq
       .filter(_.getName.endsWith(".era"))
       .map(_.getName.split("-")(1).toLong).distinct.sorted
     val whBlocks = graft.operators.Normalizer.decodeBlocks(records).count()
-    val whT0 = System.nanoTime()
-    val whDone = graft.export.IncrementalExporter.runWarehouse(spark,
-      new graft.export.EraStateManager(spark, whStateDir), "gnosis",
-      whEras, whRoot) { era =>
-      spark.read.format("era").load(f"$eraDir/gnosis-$era%05d-*.era")
-    }
-    val whSec = (System.nanoTime() - whT0) / 1e9
-    deleteRecursively(whRoot); deleteRecursively(whStateDir)
-    require(whDone == whEras, s"warehouse loop skipped eras: $whDone vs $whEras")
+    val whRep1 = whRep(eraDir, whEras)
 
     // the same loop at PRODUCTION era geometry (8,192 slots/era —
     // config/networks.py:6): the standard corpus's 2,048-block eras make
@@ -622,22 +731,21 @@ object Bench {
     // the staged bulk rate (etl_blocks_per_sec) instead of 20× under it.
     val (prodEraDir, _) = graft.testkit.BenchEras.ensureGenerated(
       dir = "target/bench-eras-prod", filesPerFork = 1, blocksPerFile = 8192)
-    val whProdRoot = java.nio.file.Files.createTempDirectory("graft-bench-whp").toString
-    val whProdState = java.nio.file.Files.createTempDirectory("graft-bench-whpstate").toString
     val whProdEras = new java.io.File(prodEraDir).listFiles().toSeq
       .filter(_.getName.endsWith(".era"))
       .map(_.getName.split("-")(1).toLong).distinct.sorted
     val whProdBlocks = whProdEras.size * 8192L
-    val whProdT0 = System.nanoTime()
-    val whProdDone = graft.export.IncrementalExporter.runWarehouse(spark,
-      new graft.export.EraStateManager(spark, whProdState), "gnosis",
-      whProdEras, whProdRoot) { era =>
-      spark.read.format("era").load(f"$prodEraDir/gnosis-$era%05d-*.era")
-    }
-    val whProdSec = (System.nanoTime() - whProdT0) / 1e9
-    deleteRecursively(whProdRoot); deleteRecursively(whProdState)
-    require(whProdDone == whProdEras,
-      s"prod warehouse loop skipped eras: $whProdDone vs $whProdEras")
+    val whProdRep1 = whRep(prodEraDir, whProdEras)
+    val whRep1EndT = System.nanoTime() / 1e9
+
+    // the graph family's shared edge-frame build, timed as its OWN key
+    // BEFORE the sweep — previously this cost landed on whichever graph
+    // query the sweep ran first, which made cc read 3× slow for two
+    // rounds (VERDICT r13 #5; tools/CcColdProbe decomposition)
+    var graphEdgeCount = 0L
+    val graphEdgeBuildSec = timed(1) {
+      graphEdgeCount = graft.queries.Behavioral.prewarmGraphFrames(spark, sfDir)
+    }.head
 
     // ── the query sweep: TEMPORALLY-SPACED reps (r13) ──────────────────
     // r12's witness failed its first real test: best-of-2 reps ran
@@ -700,10 +808,19 @@ object Bench {
     }.toMap
     val sweepCold: Map[String, Double] = sweepNames.map(n => n -> reps(n).head).toMap
 
+    // SPACED second wh_loop reps: the whole query sweep ran in between
+    // (minutes of gap), so one steal/writeback window cannot cover both
+    // reps of a rung — the same discipline the sweep itself uses
+    val whGapSec = System.nanoTime() / 1e9 - whRep1EndT
+    val whRep2 = whRep(eraDir, whEras)
+    val whProdRep2 = whRep(prodEraDir, whProdEras)
+    val whSec = math.min(whRep1._1, whRep2._1)
+    val whProdSec = math.min(whProdRep1._1, whProdRep2._1)
+
     // skewed-corpus soak (disable with SPARK_GRAFT_SOAK=0)
     val soakJson =
       if (sys.env.get("SPARK_GRAFT_SOAK").contains("0")) "{}"
-      else try soak(spark, sfDir, copies = 5)
+      else try soak(spark, sfDir, copies = 5, committedSoakSec)
       catch { case e: Throwable => s"""{"error":"${e.getClass.getSimpleName}"}""" }
 
     // self-scaled 1×/8×/64× ramp (disable with SPARK_GRAFT_RAMP=0)
@@ -798,13 +915,28 @@ object Bench {
         s""","etl_15table_sec":${r3(etlSec)},"etl_blocks_per_sec":${r1(etlBlocks / etlSec)}""" +
         s""","etl_stage_sec":${r3(etlStageSec)}""" +
         s""","etl_stage_mbps":${r1(etlStageMbps)}""" +
+        s""","etl_best_fs":"$etlBestFs","etl_disk_sec":${r3(etlDiskSec)}""" +
         s""","etl_runs_sec":[${etlRuns.map(r => r3(r._1)).mkString(",")}]""" +
+        s""","etl_runs_fs":[${etlRuns.map(r => "\"" + r._5 + "\"").mkString(",")}]""" +
         s""","etl_runs_stage_mbps":[${etlRuns.map(r => r1(r._4)).mkString(",")}]""" +
+        s""","etl_runs_probe_mbps":[${etlRuns.map(r => s"[${r1(r._6)},${r1(r._7)}]").mkString(",")}]""" +
+        s""","etl_runs_stalled":[${etlRuns.map(r =>
+          math.min(r._6, r._7) < WriteProbeStallMbps).mkString(",")}]""" +
+        s""","etl_committed_sec":${committedKey("etl_15table_sec").map(r3).getOrElse(-1.0)}""" +
         s""","etl_blocks":$etlBlocks""" +
+        s""","graph_edge_build_sec":${r3(graphEdgeBuildSec)}""" +
+        s""","graph_edge_count":$graphEdgeCount""" +
         s""","wh_loop_sec":${r3(whSec)},"wh_loop_blocks_per_sec":${r1(whBlocks / whSec)}""" +
+        s""","wh_loop_reps_sec":[${r3(whRep1._1)},${r3(whRep2._1)}]""" +
+        s""","wh_loop_probe_mbps":[[${r1(whRep1._2)},${r1(whRep1._3)}],[${r1(whRep2._2)},${r1(whRep2._3)}]]""" +
+        s""","wh_loop_committed_sec":${committedKey("wh_loop_sec").map(r3).getOrElse(-1.0)}""" +
         s""","wh_loop_eras":${whEras.size},"wh_loop_blocks":$whBlocks""" +
         s""","wh_loop_prod_sec":${r3(whProdSec)}""" +
         s""","wh_loop_prod_blocks_per_sec":${r1(whProdBlocks / whProdSec)}""" +
+        s""","wh_loop_prod_reps_sec":[${r3(whProdRep1._1)},${r3(whProdRep2._1)}]""" +
+        s""","wh_loop_prod_probe_mbps":[[${r1(whProdRep1._2)},${r1(whProdRep1._3)}],[${r1(whProdRep2._2)},${r1(whProdRep2._3)}]]""" +
+        s""","wh_loop_prod_committed_sec":${committedKey("wh_loop_prod_sec").map(r3).getOrElse(-1.0)}""" +
+        s""","wh_loop_gap_sec":${r3(whGapSec)}""" +
         s""","wh_loop_prod_eras":${whProdEras.size},"wh_loop_prod_blocks":$whProdBlocks""" +
         s""","etl_per_table_sec":${etlPerTable.toSeq.sortBy(-_._2._2)
           .map { case (n, (_, s)) => s""""$n":${r3(s)}""" }.mkString("{", ",", "}")}""" +

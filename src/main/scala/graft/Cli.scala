@@ -205,8 +205,16 @@ object Cli {
         val jdbcUrl = opts.getOrElse("--export-jdbc", "")
         // single-table extract: the section-pruned decode skips the other
         // 14 body sections' parse work (the reference computes all 15 then
-        // keeps one — processor.py:401-404)
-        val table = Normalizer.datasetPruned(records, ds)
+        // keeps one — processor.py:401-404). Pruning is MORE PERMISSIVE on
+        // corrupt blocks (a corrupt pruned-away section is never parsed,
+        // so the block isn't dropped); --strict-decode restores the
+        // reference's exact log-and-skip semantics by running the full
+        // parse — identical rows on well-formed input either way
+        // (SectionPruningSpec).
+        val table =
+          if (flags.contains("--strict-decode"))
+            Normalizer.dataset(Normalizer.decodeBlocks(records), ds)
+          else Normalizer.datasetPruned(records, ds)
         if (jdbcUrl.nonEmpty) {
           Sinks.jdbcSink(table, jdbcUrl, ds)
           println(s"$ds: exported to jdbc")
@@ -350,7 +358,7 @@ object Cli {
       |  graft <era_path_or_glob> block <slot>
       |  graft <era_path_or_glob> all-blocks <out> [--separate]
       |  graft <era_path_or_glob> all-blocks --export-jdbc <jdbc-url>
-      |  graft <era_path_or_glob> <dataset> <out|--export-jdbc <url>> [--parity]
+      |  graft <era_path_or_glob> <dataset> <out|--export-jdbc <url>> [--parity] [--strict-decode]
       |  graft query <name|list> <data_dir> [out]
       |  graft --optimize [--state-dir D]
       |  graft --migrate <jdbc-url> <status|run|list> [version]

@@ -159,19 +159,32 @@ object BlockDecoder {
     val allOffsets = baseOffsets.toVector ++ extraOffsets.result()
 
     // section boundaries with the reference's equal-consecutive-offset empty
-    // rule and min-greater-offset end rule (forks/base.py:510-557)
-    def section(i: Int): Option[Array[Byte]] = {
+    // rule and min-greater-offset end rule (forks/base.py:510-557).
+    // Bounds are the CLAMPED [from, until) `slice` would use, computed
+    // without copying — so the pruned timestamp peek below can read 8
+    // bytes in place instead of memcpy'ing the whole payload section
+    // (transactions included — the largest section in the body).
+    def sectionBounds(i: Int): Option[(Int, Int)] = {
       if (i >= allOffsets.length) return None
       val offset = allOffsets(i)
       val greater = allOffsets.filter(_ > offset)
       val end = if (greater.nonEmpty) greater.min else body.length
       if (i + 1 < allOffsets.length && offset == allOffsets(i + 1)) return None
       if (offset >= body.length || end <= offset) return None
-      Some(slice(body, offset, end))
+      // identical clamping to Ssz.slice, so (u - f) is the slice's length
+      val f = math.max(0, math.min(offset, body.length))
+      val u = math.max(f, math.min(end, body.length))
+      Some((f, u))
     }
+    def section(i: Int): Option[Array[Byte]] =
+      sectionBounds(i).map { case (f, u) => slice(body, f, u) }
     def sectionOf(name: String): Option[Array[Byte]] = {
       val i = fieldNames.indexOf(name)
       if (i < 0) None else section(i)
+    }
+    def sectionBoundsOf(name: String): Option[(Int, Int)] = {
+      val i = fieldNames.indexOf(name)
+      if (i < 0) None else sectionBounds(i)
     }
 
     /** Section slice, only when the caller asked for the section. */
@@ -202,9 +215,9 @@ object BlockDecoder {
       if (!ForkSchedule.hasExecutionPayload(fork)) 0L
       else if (sections("execution_payload"))
         executionPayload.map(_.timestamp).getOrElse(0L)
-      else sectionOf("execution_payload")
-        .collect { case d if d.length >= PayloadTsOffset + 8 =>
-          readUint64(d, PayloadTsOffset) }
+      else sectionBoundsOf("execution_payload")
+        .collect { case (f, u) if u - f >= PayloadTsOffset + 8 =>
+          readUint64(body, f + PayloadTsOffset) }
         .getOrElse(0L)
 
     val blsChanges: Option[Seq[BlsToExecutionChange]] =

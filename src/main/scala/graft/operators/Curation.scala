@@ -27,6 +27,29 @@ import org.apache.spark.sql.functions._
  */
 object Curation {
 
+  /** Test seam mirroring [[Similarity.driverCollectRows]] /
+    * [[Dedup.driverCollectRows]]: rows the stratum-rate builders
+    * materialize on the driver. Legitimate callers collect ONE row per
+    * stratum (language / source — a domain-bounded handful), never per
+    * document; `DriverStateGateSpec` pins the bound and seed-proves that a
+    * corpus-keyed stratum collect trips it. */
+  private[graft] val driverCollectRows = new java.util.concurrent.atomic.AtomicLong
+
+  /** The ONE driver collect of the mixture-rate family: per-stratum
+    * aggregate pulled as a null-safely-sorted (stratum, value) table, row
+    * count ledgered. Every stratum map (temperature rates, epoch rates)
+    * routes through here so the driver-state bound is machine-checked at
+    * one site instead of audited per round. */
+  private[graft] def ledgeredStrata(df: DataFrame, key: Column,
+      agg: Column): Array[(String, Long)] = {
+    val arr = df.groupBy(key.as("k")).agg(agg.as("v"))
+      // null-safe sort: a NULL stratum must not NPE the driver fold
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(t => Option(t._1).getOrElse(""))
+    driverCollectRows.addAndGet(arr.length)
+    arr
+  }
+
   /** Portable per-id split hash: hash64("<id>#<salt>") ∈ [0, 2^60) — the
     * ONE home of the split-hash convention (doc split, leakage audits,
     * epoch stochastic rounding all derive from it; the DuckDB oracles
@@ -267,10 +290,7 @@ object Curation {
     * table, with the √-sum folded in sorted-language order so the doubles
     * — and the floor to integer basis points — are engine-exact. */
   def temperatureRatesBp(docs: DataFrame, targetShare: Double = 0.5): Map[String, Int] = {
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      // null-safe sort: a NULL lang stratum must not NPE the driver fold
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(t => Option(t._1).getOrElse(""))
+    val counts = ledgeredStrata(docs, col("lang"), count(lit(1)))
     val totN = counts.map(_._2).sum.toDouble
     val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
     counts.map { case (l, n) =>
@@ -297,12 +317,10 @@ object Curation {
     * so all downstream arithmetic is exact-integer. */
   def epochsRatesMicro(docs: DataFrame,
       budgetMultiplier: Double = 2.0): Map[String, Long] = {
-    val counts = TextAnalysis.withTokens(docs)
-      .withColumn("n_tokens", size(col("toks")).cast("long"))
-      .groupBy(col("source")).agg(sum(col("n_tokens")).as("tokens"))
-      // null-safe sort: a NULL source stratum must not NPE the driver fold
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(t => Option(t._1).getOrElse(""))
+    val counts = ledgeredStrata(
+      TextAnalysis.withTokens(docs)
+        .withColumn("n_tokens", size(col("toks")).cast("long")),
+      col("source"), sum(col("n_tokens")))
     val tot = counts.map(_._2).sum.toDouble
     val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) => acc + math.sqrt(n.toDouble) }
     counts.map { case (src, n) =>

@@ -847,10 +847,12 @@ object Similarity {
       maxMembersPerCell: Int = MaxMembersPerCell): Array[(Long, Seq[Double], Double)] = {
     val prep = prepared(emb)
     val k = centroidCount(prep.count())
-    kmeansCentroidFrame(prep, centroidFrame(prep, k), k, iters, maxMembersPerCell)
+    val arr = kmeansCentroidFrame(prep, centroidFrame(prep, k), k, iters,
+      maxMembersPerCell)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    ledger(arr.length)(arr) // contract collect, but LEDGERED: k rows, never corpus
   }
 
   /** Trained-centroid summary for the oracle gate: one row per
@@ -992,7 +994,7 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     val v = prepared(emb).select(col("vec_id"), col("vec"), col("sq"))
-    val seed = v.filter(col("vec_id") === 0).collect().head
+    val seed = ledger(1)(v.filter(col("vec_id") === 0).collect().head)
     var centers = Vector[(Long, Seq[Double], Double, Option[Double])](
       (0L, seed.getSeq[Double](1), seed.getDouble(2), None))
     for (_ <- 1 until k) {
@@ -1000,9 +1002,11 @@ object Similarity {
         lit(1.0) - call_function("vec_dot", col("vec"), typedLit(cvec)) /
           sqrt(col("sq") * lit(csq))
       }.reduce(least(_, _))
-      val next = v.withColumn("dist", distCol)
+      // ONE row per greedy round (TakeOrdered limit 1) — ledgered so the
+      // k-row total driver state is machine-checked, not prose
+      val next = ledger(1)(v.withColumn("dist", distCol)
         .orderBy(col("dist").desc, col("vec_id")).limit(1)
-        .collect().head
+        .collect().head)
       centers = centers :+ ((next.getLong(0), next.getSeq[Double](1),
         next.getDouble(2), Some(next.getDouble(3))))
     }
@@ -1138,6 +1142,7 @@ object Similarity {
     val sample = v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + PqK)
       .select(col("vec_id"), col("vec")).collect()
       .map(r => (r.getLong(0) - 100).toInt -> r.getSeq[Double](1)).sortBy(_._1)
+    ledger(sample.length)(()) // PqK codebook rows — bounded by the constant
     require(sample.length == PqK, s"PQ codebook sample incomplete: ${sample.length}")
     Array.tabulate(PqM) { m =>
       sample.map { case (_, full) =>

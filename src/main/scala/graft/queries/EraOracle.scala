@@ -100,6 +100,9 @@ object EraOracle {
       "era_point_lookup_multi" ->
         s"""SELECT * FROM ${t("blocks")} WHERE slot IN (300, 98301, 16383000)
            ORDER BY slot""",
+      "era_slot_range" ->
+        s"""SELECT * FROM ${t("blocks")} WHERE slot BETWEEN 98299 AND 98301
+           ORDER BY slot""",
       // independent recomputation of the mainnet fork/epoch/timestamp ladder
       // (config/forks.py:63-81 epochs, networks.py mainnet genesis 1606824023
       // / 12 s slots): fork from the epoch thresholds, era from slot // 8192,

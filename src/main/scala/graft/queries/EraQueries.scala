@@ -129,6 +129,20 @@ object EraQueries {
           Set("blocks")))
           .orderBy(col("slot"))
       }),
+      // P1 range form (r14): a narrow `slot BETWEEN a AND b` arrives as
+      // two AND-ed comparison filters; EraScan converts a ≤4096-slot
+      // window into per-slot SlotIndex probes (holes indexed 0 are
+      // skipped), so a slot-window query reads O(window) bytes instead of
+      // walking every surviving file. 98299/98301 are holes; 98300 is the
+      // altair fixture block — the oracle checks the probe+skip shape.
+      "era_slot_range" -> ((s, _) => {
+        val dir = graft.testkit.EraFixtures.ensureGenerated()
+        Normalizer.blocksTable(Normalizer.decodeBlocksPruned(
+          s.read.format("era").load(dir)
+            .filter(col("slot") >= 98299L && col("slot") <= 98301L),
+          Set("blocks")))
+          .orderBy(col("slot"))
+      }),
       // CLICKHOUSE.md:604-613 — attestation inclusion delay
       "era_inclusion_delay" -> ((s, _) =>
         Normalizer.attestations(blocks(s))

@@ -181,21 +181,53 @@ class EraScan(paths: Seq[String], filters: Array[Filter]) extends Scan with Batc
   override def description(): String = s"EraScan(${paths.length} files)"
   override def toBatch: Batch = this
 
-  /** A pushed top-level `slot = N` or `slot IN (…)` (no 0) turns each
-    * surviving file's read into SlotIndex seeks instead of a record walk.
-    * Top-level filter-array entries are AND-ed, so the constraint is
-    * hard; 0 is excluded because state/index records carry slot 0 and
-    * would also pass the residual. Safe because the fast path emits a
-    * SUBSET of the full walk's rows and every omitted row fails the slot
-    * residual Spark re-applies anyway. The IN set is capped: past a few
+  /** A pushed top-level `slot = N`, `slot IN (…)` (no 0), or a NARROW
+    * slot range (conjunction of >/>=/</<= spanning ≤ 4096 slots, not
+    * touching 0) turns each surviving file's read into SlotIndex seeks
+    * instead of a record walk. Top-level filter-array entries are AND-ed,
+    * so the constraint is hard; 0 is excluded because state/index records
+    * carry slot 0 and would also pass the residual. Safe because the
+    * fast path emits a SUBSET of the full walk's rows (index holes are
+    * simply absent blocks; every omitted row fails the slot residual
+    * Spark re-applies anyway). The probe count is capped: past a few
     * thousand probes per file the sequential walk is the better plan. */
-  private val slotSet: Option[Seq[Long]] = filters.collectFirst {
-    case sources.EqualTo("slot", v: Long) => Seq(v)
-    case sources.EqualTo("slot", v: Int) => Seq(v.toLong)
-    case sources.In("slot", vs) if vs.nonEmpty &&
-        vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
-      vs.toSeq.map { case v: Long => v; case v: Int => v.toLong }
-  }.filter(s => !s.contains(0L) && s.size <= 4096)
+  private val slotSet: Option[Seq[Long]] = {
+    val pointSet: Option[Seq[Long]] = filters.collectFirst {
+      case sources.EqualTo("slot", v: Long) => Seq(v)
+      case sources.EqualTo("slot", v: Int) => Seq(v.toLong)
+      case sources.In("slot", vs) if vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
+        vs.toSeq.map { case v: Long => v; case v: Int => v.toLong }
+    }
+    // a bounded range from the AND-ed comparison filters: every bound
+    // TIGHTENS the window (conjunction semantics), so fold min/max
+    def asLong(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    val rangeSet: Option[Seq[Long]] = {
+      var lo = Long.MinValue
+      var hi = Long.MaxValue
+      var sawBound = false
+      filters.foreach {
+        case sources.GreaterThan("slot", v) =>
+          asLong(v).foreach { l => lo = math.max(lo, l + 1); sawBound = true }
+        case sources.GreaterThanOrEqual("slot", v) =>
+          asLong(v).foreach { l => lo = math.max(lo, l); sawBound = true }
+        case sources.LessThan("slot", v) =>
+          asLong(v).foreach { l => hi = math.min(hi, l - 1); sawBound = true }
+        case sources.LessThanOrEqual("slot", v) =>
+          asLong(v).foreach { l => hi = math.min(hi, l); sawBound = true }
+        case _ => ()
+      }
+      if (sawBound && lo >= 1 && hi >= lo && hi - lo < 4096)
+        Some((lo to hi).toSeq)
+      else None
+    }
+    pointSet.orElse(rangeSet)
+      .filter(s => !s.contains(0L) && s.size <= 4096)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val kept = paths.filter(p => EraFilePruning.keepFile(EraFileInfo.fromPath(p), filters))

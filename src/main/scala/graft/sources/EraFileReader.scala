@@ -25,7 +25,13 @@ object EraFileInfo {
     val cfg = Networks(network)
     val parts = filename.stripSuffix(".era").split('-')
     val parsed: Option[Long] =
-      if (parts.length >= 2) scala.util.Try(parts(1).toLong).toOption else None
+      (if (parts.length >= 2) scala.util.Try(parts(1).toLong).toOption else None)
+        // an era number outside any sane range would OVERFLOW the slot
+        // arithmetic (era·8192 wraps past Long.MaxValue/8192 ≈ 1.1e15),
+        // poisoning slot-range file pruning with wrapped bounds — treat
+        // such names as unknown: metadata era falls back to 0 and slot
+        // pruning is disabled for the file (the conservative direction)
+        .filter(e => e >= 0 && e < (1L << 40))
     val eraNumber = parsed.getOrElse(0L)
     val hash = if (parts.length > 2) parts(2) else "unknown"
     EraFileInfo(
@@ -140,22 +146,41 @@ object EraFileWriter {
   def blockRecord(sszBlock: Array[Byte]): (Int, Array[Byte]) =
     (EraFileReader.TypeBlock, SnappyFramed.compress(sszBlock))
 
+  /** One indexed group of a (possibly multi-group) era file: blocks are
+    * (slot, ALREADY-COMPRESSED payload) with distinct slots inside
+    * `[startSlot, startSlot + slotCount)`; `state` is the optional
+    * (slot, payload) era-state record. */
+  final case class EraGroup(
+      blocks: Seq[(Long, Array[Byte])],
+      state: Option[(Long, Array[Byte])],
+      startSlot: Long, slotCount: Int)
+
   /** Write a spec-shaped single-group era file WITH its two trailing
     * SlotIndex records (docs/ERA_FILE_FORMAT.md:31-38; offsets signed i64
     * relative to the start of the index record, 0 = no record at that
-    * slot — the public e2store layout [[EraSlotIndex]] seeks through).
-    * `blocks` are (slot, ALREADY-COMPRESSED payload) with distinct slots
-    * inside `[startSlot, startSlot + slotCount)`; `state` is the optional
-    * (slot, payload) era-state record. */
+    * slot — the public e2store layout [[EraSlotIndex]] seeks through). */
   def writeIndexed(out: java.io.OutputStream,
       blocks: Seq[(Long, Array[Byte])],
       state: Option[(Long, Array[Byte])],
-      startSlot: Long, slotCount: Int): Unit = {
-    require(blocks.map(_._1).distinct.size == blocks.size,
-      "indexed era file: duplicate block slots")
-    blocks.foreach { case (s, _) =>
-      require(s >= startSlot && s < startSlot + slotCount,
-        s"slot $s outside index range [$startSlot, ${startSlot + slotCount})")
+      startSlot: Long, slotCount: Int): Unit =
+    writeGroups(out, Seq(EraGroup(blocks, state, startSlot, slotCount)))
+
+  /** Multi-group era file (`era := group+`, docs/ERA_FILE_FORMAT.md:31-38):
+    * each group after the first opens with a zero-length e2store Version
+    * record (type 0x3265, len 0 — the sequential walk's zero-payload loop
+    * skips it) and every group carries its OWN trailing SlotIndex pair, so
+    * only the LAST group's indices sit at the tail — the exact layout
+    * [[EraSlotIndex.lookupAll]]'s `coversWholeEra` fallback guard exists
+    * for: tail-index lookups fast-path, earlier-group slots must walk. */
+  def writeGroups(out: java.io.OutputStream, groups: Seq[EraGroup]): Unit = {
+    require(groups.nonEmpty, "era file needs at least one group")
+    groups.foreach { g =>
+      require(g.blocks.map(_._1).distinct.size == g.blocks.size,
+        "indexed era file: duplicate block slots")
+      g.blocks.foreach { case (s, _) =>
+        require(s >= g.startSlot && s < g.startSlot + g.slotCount,
+          s"slot $s outside index range [${g.startSlot}, ${g.startSlot + g.slotCount})")
+      }
     }
     out.write(Array[Byte]('e', '2', 's', 't', 0, 0, 0, 0))
     var pos = 8L
@@ -176,22 +201,29 @@ object EraFileWriter {
       while (i < 8) { b(i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
       b
     }
-    val blockPos: Map[Long, Long] =
-      blocks.map { case (s, p) => s -> emit(EraFileReader.TypeBlock, p) }.toMap
-    val statePos = state.map { case (_, p) => emit(EraFileReader.TypeState, p) }
-    val bIdxPos = pos
-    val bp = new java.io.ByteArrayOutputStream(16 + 8 * slotCount)
-    bp.write(le64(startSlot))
-    (0 until slotCount).foreach { i =>
-      bp.write(le64(blockPos.get(startSlot + i).map(_ - bIdxPos).getOrElse(0L)))
+    groups.zipWithIndex.foreach { case (g, gi) =>
+      if (gi > 0) emit(TypeVersion, Array.emptyByteArray)
+      val blockPos: Map[Long, Long] =
+        g.blocks.map { case (s, p) => s -> emit(EraFileReader.TypeBlock, p) }.toMap
+      val statePos = g.state.map { case (_, p) => emit(EraFileReader.TypeState, p) }
+      val bIdxPos = pos
+      val bp = new java.io.ByteArrayOutputStream(16 + 8 * g.slotCount)
+      bp.write(le64(g.startSlot))
+      (0 until g.slotCount).foreach { i =>
+        bp.write(le64(blockPos.get(g.startSlot + i).map(_ - bIdxPos).getOrElse(0L)))
+      }
+      bp.write(le64(g.slotCount.toLong))
+      emit(EraFileReader.TypeIndex, bp.toByteArray)
+      val sIdxPos = pos
+      val sp = new java.io.ByteArrayOutputStream(24)
+      sp.write(le64(g.state.map(_._1).getOrElse(g.startSlot + g.slotCount)))
+      sp.write(le64(statePos.map(_ - sIdxPos).getOrElse(0L)))
+      sp.write(le64(1L))
+      emit(EraFileReader.TypeIndex, sp.toByteArray)
     }
-    bp.write(le64(slotCount.toLong))
-    emit(EraFileReader.TypeIndex, bp.toByteArray)
-    val sIdxPos = pos
-    val sp = new java.io.ByteArrayOutputStream(24)
-    sp.write(le64(state.map(_._1).getOrElse(startSlot + slotCount)))
-    sp.write(le64(statePos.map(_ - sIdxPos).getOrElse(0L)))
-    sp.write(le64(1L))
-    emit(EraFileReader.TypeIndex, sp.toByteArray)
   }
+
+  /** e2store Version record type (`0x65 0x32` LE), zero-length — opens
+    * every group after the first in a multi-group file. */
+  val TypeVersion: Int = 0x3265
 }

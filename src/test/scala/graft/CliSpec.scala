@@ -71,6 +71,25 @@ class CliSpec extends AnyFunSuite {
     assert(Files.exists(Paths.get(s"$dir/att.csv")))
   }
 
+  test("--strict-decode routes the single-table verb through the full parse, value-identical on clean input") {
+    // the ADVICE r13 parity flag: pruned (default) and strict extract the
+    // same rows on well-formed blocks; strict additionally restores the
+    // reference's drop-on-corruption semantics (SectionPruningSpec pins
+    // the divergent-corruption case at the decoder level)
+    val dir = Files.createTempDirectory("cli-strict").toString
+    captureOut {
+      Cli.main(Array(eraDir, "attestations", s"$dir/pruned.csv"))
+      Cli.main(Array(eraDir, "attestations", s"$dir/strict.csv", "--strict-decode"))
+    }
+    def lines(p: String): Seq[String] = {
+      val f = new java.io.File(p)
+      val files = if (f.isDirectory) f.listFiles().toSeq else Seq(f)
+      files.filter(_.getName.endsWith(".csv"))
+        .flatMap(x => scala.io.Source.fromFile(x).getLines().toSeq)
+    }
+    assert(lines(s"$dir/pruned.csv").sorted === lines(s"$dir/strict.csv").sorted)
+  }
+
   test("query verb lists the surface, prints a result, and writes through the sink layer") {
     val listed = captureOut { Cli.main(Array("query", "list")) }
     assert(listed.linesIterator.contains("dedup_exact"))

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bpe, Dedup}
+import graft.operators.{Bpe, Curation, Dedup}
 
 /** Driver-state no-regression gates for the two adjudicated-carried driver
   * sync points OUTSIDE the ANN family (r12 verdict stretch #7 — the
@@ -87,6 +87,38 @@ class DriverStateGateSpec extends AnyFunSuite {
       "union-find collected MORE edges than the gate allows")
     // differential: both paths are the same operator
     assert(distRows === seedRows, "distributed and union-find labels differ")
+  }
+
+  test("stratum-rate builders ledger one row per stratum; a corpus-keyed stratum collect trips the same ledger") {
+    // legit: temperature rates collect one row per LANGUAGE, epoch rates
+    // one row per SOURCE — domain-bounded handfuls at any corpus size
+    val led0 = Curation.driverCollectRows.get()
+    val nLangs = docs.select("lang").distinct().count()
+    val nSources = docs.select("source").distinct().count()
+    val tempRates = Curation.temperatureRatesBp(docs)
+    val tempLedger = Curation.driverCollectRows.get() - led0
+    assert(tempRates.nonEmpty)
+    assert(tempLedger === nLangs,
+      s"temperature rates ledgered $tempLedger driver rows for $nLangs language strata")
+
+    val epochRates = Curation.epochsRatesMicro(docs)
+    val epochLedger = Curation.driverCollectRows.get() - led0 - tempLedger
+    assert(epochRates.nonEmpty)
+    assert(epochLedger === nSources,
+      s"epoch rates ledgered $epochLedger driver rows for $nSources source strata")
+
+    // seed-proof (VERDICT r13 #6): the regression class is a stratum
+    // collect keyed on a CORPUS-cardinality column — route one through the
+    // shared ledger site and assert the same measurement sees it blow the
+    // per-stratum bound the legit paths just met
+    val corpusRows = docs.count()
+    val seed0 = Curation.driverCollectRows.get()
+    Curation.ledgeredStrata(docs, col("doc_id").cast("string"), count(lit(1)))
+    val seedLedger = Curation.driverCollectRows.get() - seed0
+    assert(seedLedger === corpusRows,
+      s"seed ledgered $seedLedger rows — the ledger site missed a corpus-keyed collect")
+    assert(seedLedger > 100L * math.max(nLangs, nSources),
+      "corpus too small to separate a stratum collect from a corpus collect")
   }
 
   test("BPE merge loop pulls exactly one row per round; a corpus-sized pull trips the bytes witness") {

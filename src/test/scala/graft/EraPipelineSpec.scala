@@ -195,5 +195,17 @@ class EraPipelineSpec extends AnyFunSuite {
     val e: org.apache.spark.sql.sources.Filter =
       org.apache.spark.sql.sources.EqualTo("era_number", 5L)
     assert(!EraFilePruning.keepFile(weird, Array(e)))
+
+    // r14 overflow guard: an era number past Long.MaxValue/8192 would wrap
+    // startSlot/endSlot (era·8192) and poison slot pruning with wrapped
+    // bounds — such names must be treated as UNKNOWN (no slot pruning)
+    val huge = EraFileInfo.fromPath("/data/gnosis-1200000000000000000-ab.era")
+    assert(!huge.eraKnown, "overflowing era number must not be trusted")
+    assert(EraFilePruning.keepFile(huge, Array(f)),
+      "wrapped slot bounds must never prune a file")
+    // the cap boundary itself stays sane and known
+    val capped = EraFileInfo.fromPath(s"/data/gnosis-${(1L << 40) - 1}-ab.era")
+    assert(capped.eraKnown && capped.startSlot > 0 &&
+      capped.endSlot > capped.startSlot)
   }
 }

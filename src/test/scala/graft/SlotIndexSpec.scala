@@ -186,6 +186,111 @@ class SlotIndexSpec extends AnyFunSuite {
     assert(EraScanStats.fullScans.sum() >= 1, "malformed tail must fall back")
   }
 
+  test("a narrow slot RANGE (AND-ed bounds) probes the index instead of walking, walk-identical") {
+    // new r14: `slot BETWEEN a AND b` arrives as two AND-ed comparison
+    // filters; a window ≤ 4096 slots becomes per-slot probes (holes are
+    // indexed 0 and skipped) instead of a whole-file walk
+    val lo = startSlot + 2L * 1000
+    val hi = startSlot + 2L * 1050 + 1 // odd upper bound: ends on a hole
+    val walked = scan().filter(col("record_type") === "block").collect()
+      .filter(r => r.getLong(0) >= lo && r.getLong(0) <= hi)
+      .map(_.getLong(0)).sorted
+    assert(walked.length === 51)
+
+    EraScanStats.reset()
+    val fast = scan().filter(col("slot") >= lo && col("slot") <= hi).collect()
+    assert(fast.map(_.getLong(0)).sorted.toSeq === walked.toSeq)
+    assert(EraScanStats.indexLookups.sum() === 1, "range must parse the tail once")
+    assert(EraScanStats.fullScans.sum() === 0, "narrow range fell back to a walk")
+    assert(EraScanStats.blocksDecompressed.sum() === walked.length.toLong,
+      "decompressions must equal the PRESENT slots in the window")
+    val fileLen = new File(deepDir).length()
+    assert(EraScanStats.bytesRead.sum() < fileLen / 20,
+      s"range lookup read ${EraScanStats.bytesRead.sum()} of $fileLen bytes")
+
+    // a WIDE range (> 4096 slots) must take the walk — probing is the
+    // wrong plan there
+    EraScanStats.reset()
+    val wide = scan()
+      .filter(col("slot") >= startSlot && col("slot") <= startSlot + 8191)
+      .filter(col("record_type") === "block").count()
+    assert(wide === nBlocks.toLong)
+    assert(EraScanStats.fullScans.sum() >= 1, "wide range should walk")
+
+    // a range touching slot 0 must walk (state/index rows carry slot 0)
+    EraScanStats.reset()
+    val zeroTouch = scan().filter(col("slot") <= startSlot + 10).count()
+    assert(EraScanStats.fullScans.sum() >= 1, "0-including range must walk")
+    assert(zeroTouch >= 3) // state + the two SlotIndex rows at minimum
+  }
+
+  test("multi-group file: tail-index lookups fast-path, first-group slots fall back, both walk-identical") {
+    // era := group+ (docs/ERA_FILE_FORMAT.md:31-38): only the LAST group's
+    // SlotIndex pair is at the tail, so its startingSlot ≠ the filename's
+    // era start and coversWholeEra must be false — the exact shape
+    // lookupAll's conservative fallback exists for (VERDICT r13 #4)
+    val dir = java.nio.file.Files.createTempDirectory("slotindex-multigroup").toString
+    val ssz = SszEncoder.encodeSignedBlock(
+      EraFixtures.fixtureJson("gnosis_98300"), "altair")
+    val msgOff = Ssz.readUint32(ssz, 0).toInt
+    def blockAt(slot: Long): (Long, Array[Byte]) = {
+      val b = ssz.clone()
+      var j = 0
+      while (j < 8) { b(msgOff + j) = ((slot >>> (8 * j)) & 0xff).toByte; j += 1 }
+      slot -> SnappyFramed.compress(b)
+    }
+    val half = 4096
+    val g1Slots = (0 until 64).map(i => startSlot + 2L * i)
+    val g2Slots = (0 until 64).map(i => startSlot + half + 2L * i)
+    val f = new File(dir, f"gnosis-$era%05d-2b2b2b2b.era")
+    val out = new BufferedOutputStream(new FileOutputStream(f), 1 << 20)
+    try EraFileWriter.writeGroups(out, Seq(
+      EraFileWriter.EraGroup(g1Slots.map(blockAt),
+        Some((startSlot + half, Array[Byte](7, 7))), startSlot, half),
+      EraFileWriter.EraGroup(g2Slots.map(blockAt),
+        Some((startSlot + 8192L, Array[Byte](8, 8))), startSlot + half, half)))
+    finally out.close()
+
+    def scanMg() = spark.read.format("era").load(f.getAbsolutePath)
+    val allBlocks = scanMg().filter(col("record_type") === "block").collect()
+    assert(allBlocks.length === g1Slots.size + g2Slots.size,
+      "the walk must see every block across both groups")
+
+    // second-group slot: inside the tail index's range → fast path
+    val inG2 = g2Slots(10)
+    EraScanStats.reset()
+    val fast = scanMg().filter(col("slot") === inG2).collect()
+    assert(fast.length === 1 && fast.head.getLong(0) === inG2)
+    assert(EraScanStats.indexLookups.sum() >= 1 &&
+      EraScanStats.fullScans.sum() === 0, "tail-group lookup must fast-path")
+    assert(EraScanStats.blocksDecompressed.sum() === 1)
+    assert(EraScanStats.bytesRead.sum() < f.length() / 10,
+      s"tail-group lookup read ${EraScanStats.bytesRead.sum()} of ${f.length()} bytes")
+
+    // first-group slot: OUTSIDE the tail index, which does not span the
+    // declared era → must fall back to the walk, value identical
+    val inG1 = g1Slots(10)
+    EraScanStats.reset()
+    val walked = scanMg().filter(col("slot") === inG1).collect()
+    assert(walked.length === 1 && walked.head.getLong(0) === inG1)
+    assert(EraScanStats.fullScans.sum() >= 1,
+      "first-group slot must fall back to the sequential walk")
+    val expected = allBlocks.filter(_.getLong(0) == inG1).head
+    assert(walked.head.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case v => v
+    } === expected.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case v => v
+    }, "fallback row differs from the unfiltered walk's")
+
+    // an indexed HOLE in the tail group's range still answers without a walk
+    EraScanStats.reset()
+    assert(scanMg().filter(col("slot") === (startSlot + half + 9L)).count() === 0)
+    assert(EraScanStats.fullScans.sum() === 0 &&
+      EraScanStats.blocksDecompressed.sum() === 0)
+  }
+
   test("the fixture corpus point lookup (era_point_lookup's shape) takes the fast path") {
     val fixtureDir = EraFixtures.ensureGenerated()
     EraScanStats.reset()
