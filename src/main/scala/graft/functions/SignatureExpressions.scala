@@ -287,37 +287,123 @@ object Signatures {
     val a = winnowMin(new GenericArrayData(hs.toArray[Any]), w)
     (0 until a.numElements()).map(a.getLong)
   }
+
+  // ── null-element-guarded twins (r14) ──────────────────────────────────
+  // The fast kernels above are only DEFINED on arrays without null
+  // elements: Unsafe getters on a null slot silently read 0/garbage
+  // (a plausible-looking wrong dot product) and string getters NPE. When
+  // the child schema says containsNull, the expressions below route
+  // through these OrNull twins instead: ANY null element → NULL result —
+  // for simhash48/minhash_sig/vec_dot that is exactly what the SQL
+  // higher-order-function twin computes (a null lambda result nulls the
+  // fold); for sorted_overlap/winnow_min it is the documented strict
+  // contract (deterministic and visible, never garbage). The null scan is
+  // a bit-test per element — noise next to md5/float work.
+
+  private def anyNull(arr: ArrayData): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return true; i += 1 }
+    false
+  }
+
+  def simhash48OrNull(arr: ArrayData): java.lang.Long =
+    if (anyNull(arr)) null else java.lang.Long.valueOf(simhash48(arr))
+
+  def minhashSigOrNull(arr: ArrayData): ArrayData =
+    if (anyNull(arr)) null else minhashSig(arr)
+
+  def sortedOverlapOrNull(a: ArrayData, b: ArrayData): java.lang.Long =
+    if (anyNull(a) || anyNull(b)) null
+    else java.lang.Long.valueOf(sortedOverlap(a, b))
+
+  /** Null on length mismatch OR any null element (the zip_with twin pads
+    * the short side with nulls, so both cases null the SQL fold). */
+  def vecDotOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  def winnowMinOrNull(hs: ArrayData, w: Int): ArrayData =
+    if (anyNull(hs)) null else winnowMin(hs, w)
 }
 
-/** `simhash48(array<string>) -> bigint` — native, codegen'd. */
-case class SimHash48Expr(child: Expression) extends UnaryExpression {
+/** Shared dispatch for the array-kernel expressions: when the child
+  * schema admits null ELEMENTS, route through the OrNull twin (any null
+  * element → NULL result — the SQL-twin/strict semantics documented on
+  * [[Signatures]]); when it provably cannot, keep the zero-branch fast
+  * kernel. The schema usually says containsNull=true even for arrays that
+  * never hold nulls (split/transform declare it), so the guarded path is
+  * the common one — its cost is one bit-test per element. */
+private[functions] trait ArrayElemNullDispatch { self: Expression =>
+  protected def arrayElemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+}
+
+/** `simhash48(array<string>) -> bigint` — native, codegen'd; arrays with
+  * a null element yield NULL (= the SQL aggregate-twin's fold). */
+case class SimHash48Expr(child: Expression) extends UnaryExpression
+    with ArrayElemNullDispatch {
   override def dataType: DataType = LongType
+  private def guarded: Boolean = arrayElemNullable(child)
+  override def nullable: Boolean = child.nullable || guarded
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"simhash48 requires ARRAY<STRING>, got ${other.catalogString}")
   }
   override def nullSafeEval(input: Any): Any =
-    Signatures.simhash48(input.asInstanceOf[ArrayData])
+    if (guarded) Signatures.simhash48OrNull(input.asInstanceOf[ArrayData])
+    else Signatures.simhash48(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.simhash48($c)")
+    if (!guarded)
+      defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.simhash48($c)")
+    else nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("shRes")
+      s"""java.lang.Long $r = graft.functions.Signatures.simhash48OrNull($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }""".stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): SimHash48Expr =
     copy(child = newChild)
   override def prettyName: String = "simhash48"
 }
 
-/** `minhash_sig(array<string>) -> array<bigint>` — native, codegen'd. */
-case class MinHashSigExpr(child: Expression) extends UnaryExpression {
+/** `minhash_sig(array<string>) -> array<bigint>` — native, codegen'd;
+  * arrays with a null element yield NULL (= the SQL transform-twin). */
+case class MinHashSigExpr(child: Expression) extends UnaryExpression
+    with ArrayElemNullDispatch {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def guarded: Boolean = arrayElemNullable(child)
+  override def nullable: Boolean = child.nullable || guarded
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"minhash_sig requires ARRAY<STRING>, got ${other.catalogString}")
   }
   override def nullSafeEval(input: Any): Any =
-    Signatures.minhashSig(input.asInstanceOf[ArrayData])
+    if (guarded) Signatures.minhashSigOrNull(input.asInstanceOf[ArrayData])
+    else Signatures.minhashSig(input.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.minhashSig($c)")
+    if (!guarded)
+      defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.minhashSig($c)")
+    else nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("mhRes")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.Signatures.minhashSigOrNull($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }""".stripMargin
+    })
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
     copy(child = newChild)
   override def prettyName: String = "minhash_sig"
@@ -328,8 +414,12 @@ case class MinHashSigExpr(child: Expression) extends UnaryExpression {
   * allocation). The Jaccard kernel for hashed shingle sets: per-pair cost
   * drops from string-set hashing to a linear long comparison. */
 case class SortedOverlapExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ArrayElemNullDispatch {
   override def dataType: DataType = LongType
+  private def guarded: Boolean =
+    arrayElemNullable(left) || arrayElemNullable(right)
+  override def nullable: Boolean = left.nullable || right.nullable || guarded
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
@@ -338,9 +428,19 @@ case class SortedOverlapExpr(left: Expression, right: Expression)
         s"sorted_overlap requires ARRAY<BIGINT> args, got ${l.catalogString}, ${r.catalogString}")
     }
   override def nullSafeEval(a: Any, b: Any): Any =
-    Signatures.sortedOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (guarded) Signatures.sortedOverlapOrNull(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else Signatures.sortedOverlap(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Signatures.sortedOverlap($a, $b)")
+    if (!guarded)
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Signatures.sortedOverlap($a, $b)")
+    else nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("soRes")
+      s"""java.lang.Long $r = graft.functions.Signatures.sortedOverlapOrNull($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.longValue(); }""".stripMargin
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedOverlapExpr =
     copy(left = newLeft, right = newRight)
@@ -352,11 +452,13 @@ case class SortedOverlapExpr(left: Expression, right: Expression)
   * `aggregate(zip_with(a, b, (p,q) -> p*q), 0.0d, (acc,v) -> acc+v)` (and
   * to the DuckDB oracle's list_reduce fold) but a tight loop instead of
   * two interpreted lambdas per pair. Bit-identical INCLUDING the
-  * malformed case: length-mismatched arrays return NULL (zip_with pads
-  * with nulls, so the SQL fold nulls out) — never a silently-truncated
-  * partial dot that would flow into rankings looking plausible. */
+  * malformed cases: length-mismatched arrays AND arrays with a null
+  * element return NULL (zip_with pads with nulls / a null product nulls
+  * the fold) — never a silently-truncated or garbage partial dot that
+  * would flow into rankings looking plausible. */
 case class VecDotExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ArrayElemNullDispatch {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def checkInputDataTypes(): TypeCheckResult =
@@ -366,18 +468,29 @@ case class VecDotExpr(left: Expression, right: Expression)
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"vec_dot requires ARRAY<DOUBLE> args, got ${l.catalogString}, ${r.catalogString}")
     }
+  private def guarded: Boolean =
+    arrayElemNullable(left) || arrayElemNullable(right)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null else Signatures.vecDot(x, y)
+    if (guarded) Signatures.vecDotOrNull(x, y)
+    else if (x.numElements() != y.numElements()) null
+    else Signatures.vecDot(x, y)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"""if ($a.numElements() != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  ${ev.value} = graft.functions.Signatures.vecDot($a, $b);
-         |}""".stripMargin)
+    if (!guarded)
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = graft.functions.Signatures.vecDot($a, $b);
+           |}""".stripMargin)
+    else nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("vdRes")
+      s"""java.lang.Double $r = graft.functions.Signatures.vecDotOrNull($a, $b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecDotExpr =
     copy(left = newLeft, right = newRight)
@@ -429,8 +542,11 @@ case class WordNgramsExpr(left: Expression, right: Expression)
 /** `winnow_min(array<bigint>, w) -> array<bigint>` — distinct sliding-window
   * minima (winnowing fingerprint selection; see [[Signatures.winnowMin]]). */
 case class WinnowMinExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ArrayElemNullDispatch {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def guarded: Boolean = arrayElemNullable(left)
+  override def nullable: Boolean = left.nullable || right.nullable || guarded
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
@@ -438,9 +554,19 @@ case class WinnowMinExpr(left: Expression, right: Expression)
         s"winnow_min requires (ARRAY<BIGINT>, INT), got ${l.catalogString}, ${r.catalogString}")
     }
   override def nullSafeEval(hs: Any, w: Any): Any =
-    Signatures.winnowMin(hs.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+    if (guarded) Signatures.winnowMinOrNull(
+      hs.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+    else Signatures.winnowMin(hs.asInstanceOf[ArrayData], w.asInstanceOf[Int])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (hs, w) => s"graft.functions.Signatures.winnowMin($hs, $w)")
+    if (!guarded)
+      defineCodeGen(ctx, ev, (hs, w) => s"graft.functions.Signatures.winnowMin($hs, $w)")
+    else nullSafeCodeGen(ctx, ev, (hs, w) => {
+      val r = ctx.freshName("wmRes")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.Signatures.winnowMinOrNull($hs, $w);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }""".stripMargin
+    })
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WinnowMinExpr =
     copy(left = newLeft, right = newRight)
