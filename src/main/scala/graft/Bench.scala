@@ -470,46 +470,57 @@ object Bench {
     * FILE = one scan partition, so the archive fans out exactly `files`
     * ways at every rung — `scan_partitions` is recorded next to `files`
     * so a reader can check the parallelism claim, not take it on faith.
-    * Both measurements are best-of-2 per rung (this sandbox's parquet
-    * write path occasionally stalls 10–20× on page-cache writeback; a
-    * stalled single run would fake a superlinear step). Corpora are
+    * Both measurements are best-of-2 per rung, RUNG-SPACED (r14 — the
+    * sweep's spacing discipline): pass 1 visits every rung, pass 2
+    * revisits them, so one steal/writeback window (this sandbox's parquet
+    * write path occasionally stalls 10–20× on page-cache writeback, and
+    * its steal windows run minutes) can no longer cover both reps of the
+    * same rung and fake a superlinear step. Corpora are
     * marker-cached under target/ (generated once per machine); the ETL
     * outputs are temp dirs deleted per run. */
   private def eraRamp(spark: SparkSession): String = {
     val rungs = Seq(4, 16, 64) // filesPerFork; ×6 forks, 512 blocks/file
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    val per = rungs.map { fpf =>
+    val corpora = rungs.map { fpf =>
       val (dir, _) = graft.testkit.BenchEras.ensureGenerated(
         dir = s"target/bench-eras-ramp$fpf", filesPerFork = fpf,
         blocksPerFile = 512)
-      val records = spark.read.format("era").load(dir)
-      val parts = records.rdd.getNumPartitions
+      fpf -> spark.read.format("era").load(dir)
+    }
+    // one pass = every rung measured once (decode + ETL); per-rep: temp
+    // dirs are created/deleted OUTSIDE the timed window (multi-GB
+    // recursive deletes were previously inside it, conflating export
+    // throughput with filesystem delete cost that grows with rung size),
+    // and each ETL rep carries a stage-write MB/s WITNESS so a rep that
+    // hit this sandbox's bimodal writeback stall is labeled environment
+    // IN the artifact, not relitigated from memory.
+    def pass(): Seq[(Long, Double, Double, Double)] = corpora.map { case (_, records) =>
       var blocks = 0L
       System.gc()
-      val decodeSec = best(2) {
+      val decodeSec = best(1) {
         blocks = graft.operators.Normalizer.decodeBlocks(records).count()
       }
-      // per-rep: temp dirs are created/deleted OUTSIDE the timed window
-      // (multi-GB recursive deletes were previously inside it, conflating
-      // export throughput with filesystem delete cost that grows with rung
-      // size), and each rep carries a stage-write MB/s WITNESS so a rep
-      // that hit this sandbox's bimodal writeback stall is labeled
-      // environment IN the artifact, not relitigated from memory.
-      val reps = (1 to 2).map { _ =>
-        val stage = java.nio.file.Files.createTempDirectory("graft-era-ramp-stage").toString
-        val out = java.nio.file.Files.createTempDirectory("graft-era-ramp-out").toString
-        val t0 = System.nanoTime()
-        val perTable = graft.export.StagedExport.exportAll(
-          graft.operators.Normalizer.decodeBlocks(records),
-          s"$stage/blocks", s"$out/out.parquet")
-        val sec = (System.nanoTime() - t0) / 1e9
-        val stageSec = math.max(0.001, sec - perTable.values.map(_._2).max)
-        val mbps = dirBytes(stage) / 1e6 / stageSec
-        deleteRecursively(stage); deleteRecursively(out)
-        (sec, mbps)
-      }
-      val (etlSec, etlMbps) = reps.minBy(_._1)
-      (fpf * 6, parts, blocks, decodeSec, etlSec, etlMbps, reps.map(_._1))
+      val stage = java.nio.file.Files.createTempDirectory("graft-era-ramp-stage").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-era-ramp-out").toString
+      val t0 = System.nanoTime()
+      val perTable = graft.export.StagedExport.exportAll(
+        graft.operators.Normalizer.decodeBlocks(records),
+        s"$stage/blocks", s"$out/out.parquet")
+      val etlSec = (System.nanoTime() - t0) / 1e9
+      val stageSec = math.max(0.001, etlSec - perTable.values.map(_._2).max)
+      val mbps = dirBytes(stage) / 1e6 / stageSec
+      deleteRecursively(stage); deleteRecursively(out)
+      (blocks, decodeSec, etlSec, mbps)
+    }
+    val p1 = pass()
+    val p2 = pass()
+    val per = rungs.indices.map { i =>
+      val fpf = rungs(i)
+      val (blocks, d1, e1, m1) = p1(i)
+      val (_, d2, e2, m2) = p2(i)
+      val (etlSec, etlMbps) = if (e1 <= e2) (e1, m1) else (e2, m2)
+      (fpf * 6, corpora(i)._2.rdd.getNumPartitions, blocks,
+        math.min(d1, d2), etlSec, etlMbps, Seq(e1, e2))
     }
     def growth(xs: Seq[Double]) =
       xs.sliding(2).map { case Seq(a, b) => r3(b / (4 * a)) }.toSeq
