@@ -142,21 +142,39 @@ object Behavioral {
   def prewarmGraphFrames(s: SparkSession, dir: String): Long =
     coPurchaseEdges(s, dir).count()
 
+  /** Test seam (the [[graft.operators.Bpe.driverCollectRows]] discipline):
+    * rows the CC loop pulls to the driver — exactly ONE per executed
+    * round (the fixpoint-signature sum below), never node- or
+    * edge-scaled. `DriverStateGateSpec` pins the bound. */
+  private[graft] val driverCollectRows = new java.util.concurrent.atomic.AtomicLong
+
   /** Connected-component labels by min-label propagation WITH pointer
-    * jumping, `rounds` fixed rounds over a SYMMETRIC `(src, dst)` edge
+    * jumping, UP TO `rounds` rounds over a SYMMETRIC `(src, dst)` edge
     * frame: each round first pulls the minimum neighbor label
     * (one edge⋈labels equi-join + one min aggregation), then jumps every
     * node to its label's label (one labels self equi-join — the
     * pointer-doubling step that makes coverage radius grow geometrically
-    * instead of one hop per round, so log(diameter) rounds suffice; the
-    * fixed schedule keeps the operator deterministic and oracle-unrollable
-    * instead of hiding a driver-side convergence loop). Labels are node
-    * ids, so the jump join always finds its target row; exact CC labels
-    * whenever the component diameter is within the schedule's reach (a
-    * property the spec pins on a path graph at the reach boundary). Every
-    * per-round op is an equi-join or aggregation — no pair space, no
-    * driver state; this is the 100 TB CC plan (the dedup family's
-    * distributed fallback shares the pointer-doubling core). */
+    * instead of one hop per round, so log(diameter) rounds suffice).
+    * Labels are node ids, so the jump join always finds its target row;
+    * exact CC labels whenever the component diameter is within the
+    * schedule's reach (a property the spec pins on a path graph at the
+    * reach boundary).
+    *
+    * The loop EXITS EARLY at the fixpoint (r14): labels are pointwise
+    * NON-INCREASING across a round (prop takes min(own, neighbors);
+    * comp(x) ≤ x by induction, so the jump's comp(comp(n)) ≤ comp(n)),
+    * so two consecutive rounds with equal exact decimal label-sums have
+    * changed NOTHING — every further round is a provable no-op, and at
+    * 100 TB each skipped round is a whole edge-frame shuffle that would
+    * have produced bit-identical labels. Early exit keeps the operator
+    * deterministic (a data property, not a timing one) and
+    * oracle-unrollable: the DuckDB twin unrolls the full `rounds`
+    * schedule and lands on the same fixpoint. The signature costs one
+    * 1-row aggregation per round over the just-checkpointed N-row frame
+    * (ledgered via [[driverCollectRows]] — the BPE merge-loop bound).
+    * Every per-round op is an equi-join or aggregation — no pair space;
+    * this is the 100 TB CC plan (the dedup family's distributed fallback
+    * shares the pointer-doubling core). */
   private[graft] def ccLabelProp(edges: DataFrame, rounds: Int): DataFrame =
     ccLabelPropLoop(edges, rounds)._1
 
@@ -181,12 +199,17 @@ object Behavioral {
   }
 
   /** The propagation loop: returns (final labels, labels before the final
-    * round — null when no round ran). */
+    * EXECUTED round — null when no round ran). Stops early at the
+    * fixpoint (see [[ccLabelProp]]'s signature argument). */
   private def ccLabelPropLoop(edges: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     var prev: DataFrame = null
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("comp"))
-    for (_ <- 1 to rounds) {
+    var prevSum: java.math.BigDecimal = null
+    var havePrevSum = false
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
       prev = labels
       val neigh = edges.join(labels, edges("src") === labels("node"))
         .groupBy(edges("dst")).agg(min(col("comp")).as("mc"))
@@ -209,6 +232,21 @@ object Behavioral {
       labels = prop.as("a").join(prop.as("b"), col("a.comp") === col("b.node"))
         .select(col("a.node").as("node"), col("b.comp").as("comp"))
         .localCheckpoint()
+      // fixpoint signature: exact decimal sum over the checkpointed frame
+      // (one cheap job, ONE row to the driver — ledgered; decimal(38,0)
+      // cannot overflow where a bigint sum of ~2^63-scale ids × rows
+      // could). Labels are pointwise non-increasing across a round, so
+      // equal consecutive sums ⇔ no label moved ⇔ fixpoint.
+      val s = labels.agg(sum(col("comp").cast("decimal(38,0)")).as("cs"))
+        .head.getDecimal(0)
+      driverCollectRows.incrementAndGet()
+      if (havePrevSum &&
+          ((s == null && prevSum == null) ||
+            (s != null && prevSum != null && s.compareTo(prevSum) == 0)))
+        converged = true
+      prevSum = s
+      havePrevSum = true
+      round += 1
     }
     (labels, prev)
   }

@@ -105,6 +105,25 @@ class BehavioralSpec extends AnyFunSuite {
     assert(l5.collect().forall(_.getLong(1) === 1L))
   }
 
+  test("cc early exit: the fixpoint stops the schedule, labels identical, one ledger row per executed round") {
+    import spark.implicits._
+    import graft.queries.Behavioral
+    // distance-15 path: exact after round 4; round 5's signature matches
+    // round 4's (no label moved) and the loop must stop there instead of
+    // paying rounds 6-8's edge-frame joins for provable no-ops
+    val pathE = (1L until 16L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+    val edges = pathE.toDF("src", "dst")
+    val led0 = Behavioral.driverCollectRows.get()
+    val l8 = Behavioral.ccLabelProp(edges, rounds = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val executedRounds = Behavioral.driverCollectRows.get() - led0
+    assert(executedRounds === 5L,
+      s"expected early exit after 5 executed rounds (4 active + 1 quiet), ledger says $executedRounds")
+    val l4 = Behavioral.ccLabelProp(edges, rounds = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    assert(l8 === l4, "early-exited 8-round labels must equal the exact 4-round labels")
+  }
+
   test("degree stats: handshake lemma — sum(deg*n_nodes) counts each edge twice") {
     import org.apache.spark.sql.functions._
     val rows = run("graph_degree_stats").collect()
