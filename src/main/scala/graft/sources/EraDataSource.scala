@@ -131,9 +131,47 @@ object EraFilePruning {
     Set("era_number", "slot", "network", "record_type"))
 
   /** Conservative: keep the file unless a prunable filter proves no row in
-    * this file can match. */
+    * this file can match — per filter, AND across the top-level array via
+    * the COMBINED slot window (r14): each comparison bound alone is
+    * satisfiable by the slot-0 state/index rows every file carries (so
+    * `slot <= hi` on its own can never prune a higher-era file), but the
+    * AND-ed window [lo, hi] prunes any file whose possible slot values
+    * {0} ∪ [startSlot, endSlot] miss it entirely — the file-level twin of
+    * EraScan's range fast path. */
   def keepFile(info: EraFileInfo, filters: Array[Filter]): Boolean =
-    filters.forall(f => mayMatch(info, f))
+    filters.forall(f => mayMatch(info, f)) && slotWindowMayMatch(info, filters)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None
+  }
+
+  private def slotWindowMayMatch(info: EraFileInfo, filters: Array[Filter]): Boolean = {
+    // same guard as mayMatch: a guessed era range must never drive slot
+    // pruning
+    if (!info.eraKnown) return true
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    var sawBound = false
+    filters.foreach {
+      case sources.GreaterThan("slot", v) =>
+        // v+1 overflow wraps lo negative -> the zero check keeps the file
+        // (conservative direction)
+        asLong(v).foreach { l => lo = math.max(lo, l + 1); sawBound = true }
+      case sources.GreaterThanOrEqual("slot", v) =>
+        asLong(v).foreach { l => lo = math.max(lo, l); sawBound = true }
+      case sources.LessThan("slot", v) =>
+        asLong(v).foreach { l => hi = math.min(hi, l - 1); sawBound = true }
+      case sources.LessThanOrEqual("slot", v) =>
+        asLong(v).foreach { l => hi = math.min(hi, l); sawBound = true }
+      case _ => ()
+    }
+    if (!sawBound) return true
+    val zeroIn = lo <= 0L && 0L <= hi
+    val rangeIn = lo <= info.endSlot && hi >= info.startSlot
+    zeroIn || rangeIn
+  }
 
   private def mayMatch(info: EraFileInfo, f: Filter): Boolean = f match {
     // slot pruning compares PAYLOAD slots against a FILENAME-derived

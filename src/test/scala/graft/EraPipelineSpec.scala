@@ -175,6 +175,18 @@ class EraPipelineSpec extends AnyFunSuite {
     assert(rows.length === 1 && rows.head.getAs[Long]("slot") === 98300L)
   }
 
+  test("a narrow slot RANGE prunes to its era's file; era_slot_range exercises it") {
+    // r14: two AND-ed comparison bounds must file-prune exactly like an
+    // equality — only the era-11 fixture file survives the [98299, 98301]
+    // window — and the registered query answers through that plan
+    val pruned = spark.read.format("era").load(eraDir)
+      .filter(col("slot") >= 98299L && col("slot") <= 98301L)
+    assert(pruned.queryExecution.toRdd.getNumPartitions === 1,
+      "range bounds should prune to 1 era file")
+    val rows = SparkEntry.queries("era_slot_range")(spark, "unused").collect()
+    assert(rows.length === 1 && rows.head.getAs[Long]("slot") === 98300L)
+  }
+
   test("a non-convention filename never drives slot pruning (unsound-prune guard)") {
     import graft.sources.{EraFilePruning, EraFileInfo}
     val weird = EraFileInfo.fromPath("/data/snapshot.era")
