@@ -53,11 +53,72 @@ object Bench {
     math.rint(mb / sec * 10) / 10
   }
 
-  /** A rep whose bracketing probes BOTH sit under this is stall-labeled.
-    * Calibration (tools/WriteStallProbe on this box): idle probes measure
-    * well above it; under an induced fsync-heavy writer they collapse
-    * under it. */
+  /** A rep with EITHER bracketing probe under this is stall-labeled
+    * (min(pre, post) < threshold — the sensitive direction: a stall
+    * window long enough to slow the rep usually reaches at least one
+    * adjacent probe, and a false "stalled" only demotes the rep from the
+    * headline, never hides it). Calibration (tools/WriteStallProbe on
+    * this box): idle probes measure well above it; under an induced
+    * dirty-page flood they collapse under it. */
   private[graft] val WriteProbeStallMbps = 8.0
+
+  /** ~0.3 s single-thread CPU microprobe, run before AND after every
+    * write-heavy rep NEXT TO the write probe: the write probe can only see
+    * writeback stalls, and both final r14 runs had tmpfs ETL reps 3–6×
+    * slow with `stalled=false` because the mechanism was CPU steal /
+    * memory pressure — which the run-LEVEL cal probes bracket too coarsely
+    * to pin on a rep (VERDICT r14 #1). Same xorshift kernel as the cal
+    * probe at 3/8 the iterations (≈0.3 s idle on this box). */
+  private[graft] def cpuProbeSec(): Double = {
+    val t0 = System.nanoTime()
+    blackhole ^= hashLoop(CpuProbeIters, 0x2545f4914f6cdd1dL)
+    math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+  }
+
+  private[graft] val CpuProbeIters = 150000000L
+
+  /** Stall threshold for [[cpuProbeSec]], set from THIS run's own warm
+    * calibration (st_sec × the iteration ratio × factor 2, floored at
+    * 0.2 s): a probe that takes 2× the run's own single-thread baseline
+    * names steal/pressure, not noise. Double.MaxValue until main
+    * calibrates, so tools/tests that call the rep helpers directly never
+    * label on an unset threshold. */
+  @volatile private[graft] var CpuProbeStallSec: Double = Double.MaxValue
+
+  /** One write-heavy rep's bracketing evidence: seconds plus both probe
+    * pairs and the derived labels. `stallKind` NAMES the mechanism —
+    * "write" (probe MB/s collapse), "cpu" (microprobe 2× slow), both, or
+    * "none" — so a slow rep adjudicates itself without an out-of-band
+    * run. */
+  private[graft] case class ProbedRep(sec: Double, wpre: Double, wpost: Double,
+      cpre: Double, cpost: Double) {
+    def writeStalled: Boolean = math.min(wpre, wpost) < WriteProbeStallMbps
+    def cpuStalled: Boolean = math.max(cpre, cpost) > CpuProbeStallSec
+    def stalled: Boolean = writeStalled || cpuStalled
+    def stallKind: String = (writeStalled, cpuStalled) match {
+      case (true, true) => "write+cpu"
+      case (true, false) => "write"
+      case (false, true) => "cpu"
+      case _ => "none"
+    }
+  }
+
+  /** Headline selector: the fastest CLEAN-labeled rep when one exists,
+    * else the fastest overall (every rep stalled ⇒ there is no clean
+    * witness to prefer). The r14 driver artifact's ETL headline was a
+    * stall-LABELED 20.6 s disk rep that only `etl_committed_sec`
+    * adjudicated — the headline field itself should not need
+    * adjudicating (VERDICT r14 #1). */
+  private[graft] def bestClean[A](reps: Seq[A])(sec: A => Double,
+      stalled: A => Boolean): A = {
+    val clean = reps.filterNot(stalled)
+    (if (clean.nonEmpty) clean else reps).minBy(sec)
+  }
+
+  /** Minimum wall-clock gap before a soak entry's adjudication rerun —
+    * this box's steal windows run minutes, so a rep2 seconds after rep1
+    * is a weak witness (ADVICE r14 #2). */
+  private[graft] val SoakMinGapSec = 60.0
 
   @volatile private var blackhole = 0L // defeats dead-code elimination of the probe
 
@@ -82,7 +143,7 @@ object Bench {
     *    SPARK_GRAFT_SF_DIR.
     * A slow round with slow probes is environment; a slow round with fast
     * probes is a regression. */
-  private def calibrate(spark: SparkSession, scanPath: String): String = {
+  private def calibrate(spark: SparkSession, scanPath: String): (Double, String) = {
     val iters = 400000000L
     val t0 = System.nanoTime()
     blackhole ^= hashLoop(iters, 0x9e3779b97f4a7c15L)
@@ -101,7 +162,8 @@ object Bench {
     val scan = (System.nanoTime() - t2) / 1e9
     blackhole ^= sum
     def r2(d: Double) = math.rint(d * 100) / 100
-    s"""{"st_sec":${r2(st)},"mt${nThreads}_sec":${r2(mt)},"scan_sec":${r2(scan)}}"""
+    (st,
+      s"""{"st_sec":${r2(st)},"mt${nThreads}_sec":${r2(mt)},"scan_sec":${r2(scan)}}""")
   }
 
   /** Per-task maxima over a measured query — the skew detector: a
@@ -194,6 +256,14 @@ object Bench {
     val rerun: Map[String, (Double, Double)] = first
       .filter(e => e.ok && committed.get(e.name).exists(c => e.sec > 3 * c))
       .map { e =>
+        // enforce REAL temporal spacing (ADVICE r14 #2): an entry late in
+        // the family order would otherwise re-run with near-zero gap, and
+        // one steal window could cover both reps — exactly what the
+        // spaced rep exists to rule out. Waiting out the remainder costs
+        // ≤ SoakMinGapSec and only when an entry actually tripped 3×.
+        val gap0 = System.nanoTime() / 1e9 - e.endT
+        if (gap0 < SoakMinGapSec)
+          Thread.sleep(((SoakMinGapSec - gap0) * 1000).toLong)
         val gap = System.nanoTime() / 1e9 - e.endT
         val t0 = System.nanoTime()
         try SparkEntry.queries(e.name)(spark, dir).count()
@@ -453,13 +523,20 @@ object Bench {
     // the offender-naming entry: the steepest FINAL step (the 8×→64× rung,
     // where fixed job overhead no longer flatters the ratio), with the
     // same step's output-rows growth for the output-driven-or-not verdict
-    val (wq, wg, wr, wn) = perQuery.map { case (_, q, runs) =>
+    val finalSteps = perQuery.map { case (_, q, runs) =>
       (q, growth(runs.map(_._1)).last,
         r3(runs.last._2.toDouble / math.max(1L, runs(runs.size - 2)._2)),
         outNormGrowth(runs).last)
-    }.maxBy(_._2)
+    }
+    val (wq, wg, wr, wn) = finalSteps.maxBy(_._2)
+    // also the worst by the OUTPUT-NORMALIZED metric: raw growth names the
+    // quadratic-output pair queries (time tracks produced pairs — the
+    // corpus design, not a plan defect); the normalized worst is the entry
+    // that names a real compute defect if one exists
+    val (nq, ng, nr, nn) = finalSteps.maxBy(_._4)
     s"""{"scales":[${scales.mkString(",")}],"base":"$sfDir/8","families":$famJson,""" +
-      s""""worst_final_step":{"query":"$wq","growth":$wg,"rows_growth":$wr,"out_norm_growth":$wn}}"""
+      s""""worst_final_step":{"query":"$wq","growth":$wg,"rows_growth":$wr,"out_norm_growth":$wn},""" +
+      s""""worst_final_step_out_norm":{"query":"$nq","growth":$ng,"rows_growth":$nr,"out_norm_growth":$nn}}"""
   }
 
   /** Era-domain scale ramp (closes the "scale story above one fixture
@@ -479,14 +556,7 @@ object Bench {
     * marker-cached under target/ (generated once per machine); the ETL
     * outputs are temp dirs deleted per run. */
   private def eraRamp(spark: SparkSession): String = {
-    val rungs = Seq(4, 16, 64) // filesPerFork; ×6 forks, 512 blocks/file
     def r3(d: Double) = math.rint(d * 1000) / 1000
-    val corpora = rungs.map { fpf =>
-      val (dir, _) = graft.testkit.BenchEras.ensureGenerated(
-        dir = s"target/bench-eras-ramp$fpf", filesPerFork = fpf,
-        blocksPerFile = 512)
-      fpf -> spark.read.format("era").load(dir)
-    }
     // one pass = every rung measured once (decode + ETL); per-rep: temp
     // dirs are created/deleted OUTSIDE the timed window (multi-GB
     // recursive deletes were previously inside it, conflating export
@@ -494,47 +564,68 @@ object Bench {
     // and each ETL rep carries a stage-write MB/s WITNESS so a rep that
     // hit this sandbox's bimodal writeback stall is labeled environment
     // IN the artifact, not relitigated from memory.
-    def pass(): Seq[(Long, Double, Double, Double)] = corpora.map { case (_, records) =>
-      var blocks = 0L
-      System.gc()
-      val decodeSec = best(1) {
-        blocks = graft.operators.Normalizer.decodeBlocks(records).count()
+    def measure(rungs: Seq[Int], blocksPerFile: Int, dirPrefix: String): String = {
+      val corpora = rungs.map { fpf =>
+        val (dir, _) = graft.testkit.BenchEras.ensureGenerated(
+          dir = s"$dirPrefix$fpf", filesPerFork = fpf,
+          blocksPerFile = blocksPerFile)
+        fpf -> spark.read.format("era").load(dir)
       }
-      val stage = java.nio.file.Files.createTempDirectory("graft-era-ramp-stage").toString
-      val out = java.nio.file.Files.createTempDirectory("graft-era-ramp-out").toString
-      val t0 = System.nanoTime()
-      val perTable = graft.export.StagedExport.exportAll(
-        graft.operators.Normalizer.decodeBlocks(records),
-        s"$stage/blocks", s"$out/out.parquet")
-      val etlSec = (System.nanoTime() - t0) / 1e9
-      val stageSec = math.max(0.001, etlSec - perTable.values.map(_._2).max)
-      val mbps = dirBytes(stage) / 1e6 / stageSec
-      deleteRecursively(stage); deleteRecursively(out)
-      (blocks, decodeSec, etlSec, mbps)
+      def pass(): Seq[(Long, Double, Double, Double)] = corpora.map { case (_, records) =>
+        var blocks = 0L
+        System.gc()
+        val decodeSec = best(1) {
+          blocks = graft.operators.Normalizer.decodeBlocks(records).count()
+        }
+        val stage = java.nio.file.Files.createTempDirectory("graft-era-ramp-stage").toString
+        val out = java.nio.file.Files.createTempDirectory("graft-era-ramp-out").toString
+        val t0 = System.nanoTime()
+        val perTable = graft.export.StagedExport.exportAll(
+          graft.operators.Normalizer.decodeBlocks(records),
+          s"$stage/blocks", s"$out/out.parquet")
+        val etlSec = (System.nanoTime() - t0) / 1e9
+        val stageSec = math.max(0.001, etlSec - perTable.values.map(_._2).max)
+        val mbps = dirBytes(stage) / 1e6 / stageSec
+        deleteRecursively(stage); deleteRecursively(out)
+        (blocks, decodeSec, etlSec, mbps)
+      }
+      val p1 = pass()
+      val p2 = pass()
+      val per = rungs.indices.map { i =>
+        val fpf = rungs(i)
+        val (blocks, d1, e1, m1) = p1(i)
+        val (_, d2, e2, m2) = p2(i)
+        val (etlSec, etlMbps) = if (e1 <= e2) (e1, m1) else (e2, m2)
+        (fpf * 6, corpora(i)._2.rdd.getNumPartitions, blocks,
+          math.min(d1, d2), etlSec, etlMbps, Seq(e1, e2))
+      }
+      def growth(xs: Seq[Double]) =
+        xs.sliding(2).map { case Seq(a, b) => r3(b / (4 * a)) }.toSeq
+      val decodeSecs = per.map(_._4)
+      val etlSecs = per.map(_._5)
+      s""""scales":[${rungs.indices.map(i => math.pow(4, i).toInt).mkString(",")}],""" +
+        s""""blocks_per_file":$blocksPerFile,""" +
+        s""""files":[${per.map(_._1).mkString(",")}],""" +
+        s""""scan_partitions":[${per.map(_._2).mkString(",")}],""" +
+        s""""blocks":[${per.map(_._3).mkString(",")}],""" +
+        s""""decode_sec":[${decodeSecs.map(r3).mkString(",")}],""" +
+        s""""decode_blocks_per_sec":[${per.map(p => math.rint(p._3 / p._4)).mkString(",")}],""" +
+        s""""decode_step_growth":[${growth(decodeSecs).mkString(",")}],""" +
+        s""""etl_sec":[${etlSecs.map(r3).mkString(",")}],""" +
+        s""""etl_step_growth":[${growth(etlSecs).mkString(",")}],""" +
+        s""""etl_stage_mbps":[${per.map(p => r3(p._6)).mkString(",")}],""" +
+        s""""etl_reps_sec":[${per.map(_._7.map(r3).mkString("[", ",", "]")).mkString(",")}]"""
     }
-    val p1 = pass()
-    val p2 = pass()
-    val per = rungs.indices.map { i =>
-      val fpf = rungs(i)
-      val (blocks, d1, e1, m1) = p1(i)
-      val (_, d2, e2, m2) = p2(i)
-      val (etlSec, etlMbps) = if (e1 <= e2) (e1, m1) else (e2, m2)
-      (fpf * 6, corpora(i)._2.rdd.getNumPartitions, blocks,
-        math.min(d1, d2), etlSec, etlMbps, Seq(e1, e2))
-    }
-    def growth(xs: Seq[Double]) =
-      xs.sliding(2).map { case Seq(a, b) => r3(b / (4 * a)) }.toSeq
-    val decodeSecs = per.map(_._4)
-    val etlSecs = per.map(_._5)
-    s"""{"scales":[1,4,16],"files":[${per.map(_._1).mkString(",")}],""" +
-      s""""scan_partitions":[${per.map(_._2).mkString(",")}],""" +
-      s""""blocks":[${per.map(_._3).mkString(",")}],""" +
-      s""""decode_sec":[${decodeSecs.map(r3).mkString(",")}],""" +
-      s""""decode_step_growth":[${growth(decodeSecs).mkString(",")}],""" +
-      s""""etl_sec":[${etlSecs.map(r3).mkString(",")}],""" +
-      s""""etl_step_growth":[${growth(etlSecs).mkString(",")}],""" +
-      s""""etl_stage_mbps":[${per.map(p => r3(p._6)).mkString(",")}],""" +
-      s""""etl_reps_sec":[${per.map(_._7.map(r3).mkString("[", ",", "]")).mkString(",")}]}"""
+    // 512-block rungs (comparable to every earlier round) + PRODUCTION-
+    // GEOMETRY rungs at 8,192 blocks/era (config/networks.py:6 — the real
+    // gnosis era size; VERDICT r14 #3): raw scan→decode and the staged ETL
+    // measured at real era-file size, so reader streaming and partition
+    // sizing are witnessed at the geometry a 100 TB archive actually has,
+    // not only at 16× smaller test files. (Corpora are marker-cached under
+    // target/ like every other bench corpus — generated once per machine.)
+    val std = measure(Seq(4, 16, 64), 512, "target/bench-eras-ramp")
+    val prod = measure(Seq(1, 4), 8192, "target/bench-eras-prod-ramp")
+    s"""{$std,"prod":{$prod}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -556,10 +647,22 @@ object Bench {
     // role BENCH_QUERIES_FULL.json plays for the sweep). A smoke run
     // clobbers it, so real runs `git checkout` the BENCH files first
     // (BENCH_NOTES workflow).
-    val committedLast: Option[com.fasterxml.jackson.databind.JsonNode] =
-      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(new java.io.File("BENCH_LAST.json")))
-      catch { case _: Exception => None }
+    // SF GATE (r15, closing the contamination path the workflow rule
+    // alone guarded): a smoke run at another scale factor writes
+    // BENCH_LAST/BENCH_QUERIES_FULL, and a later real run would read
+    // its values as "committed" — every 3× adjudication threshold then
+    // compares sf0.1 seconds against sf0.001 baselines. The artifact
+    // carries its own "sf", so baselines from a different corpus are
+    // structurally ignored (BENCH_QUERIES_FULL has no sf field of its
+    // own, but it is written by the same run as BENCH_LAST, whose sf
+    // vouches for both).
+    val committedLast: Option[com.fasterxml.jackson.databind.JsonNode] = {
+      val raw =
+        try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File("BENCH_LAST.json")))
+        catch { case _: Exception => None }
+      raw.filter(r => Option(r.get("sf")).exists(_.asText() == sfDir))
+    }
     def committedKey(keys: String*): Option[Double] =
       committedLast.flatMap { root =>
         var n: com.fasterxml.jackson.databind.JsonNode = root
@@ -586,7 +689,12 @@ object Bench {
     // box). Pay those costs once here so pre≈post is the honest clean-run
     // signature and a genuinely taxed environment still shows up.
     calibrate(spark, s"$calDir/cal.parquet")
-    val calPre = calibrate(spark, s"$calDir/cal.parquet")
+    val (calPreSt, calPre) = calibrate(spark, s"$calDir/cal.parquet")
+    // per-rep CPU-stall threshold from THIS run's warm single-thread
+    // baseline: the microprobe runs CpuProbeIters/4e8 of the cal kernel,
+    // and 2× that is the "a steal window sat on this rep" label line
+    CpuProbeStallSec = math.max(0.2,
+      2.0 * calPreSt * (CpuProbeIters.toDouble / 400000000L))
 
     // era parse throughput (BASELINE.md blocks/s): decode a synthetic era
     // corpus end-to-end (scan → decompress → SSZ decode → nested-block
@@ -677,8 +785,11 @@ object Bench {
         java.nio.file.Files.createTempDirectory(shmDir.toPath, prefix).toString
       else java.nio.file.Files.createTempDirectory(prefix).toString
     val etlFs = if (useShm) Seq("disk", "shm", "shm") else Seq("disk", "disk", "disk")
+    case class EtlRun(rep: ProbedRep, stageSec: Double,
+        per: Map[String, (Long, Double)], stageMbps: Double, fs: String)
     val etlRuns = etlFs.map { fs =>
       val pre = writeProbeMbps(spark)
+      val cpre = cpuProbeSec()
       val stage = scratchDir(fs, "graft-bench-stage")
       val etlOut = scratchDir(fs, "graft-bench-etl")
       val t0 = System.nanoTime()
@@ -694,13 +805,18 @@ object Bench {
       // writeback stall carries a visibly collapsed MB/s next to its seconds
       val stageMbps = dirBytes(stage) / 1e6 / math.max(0.001, stageSec)
       deleteRecursively(stage); deleteRecursively(etlOut)
+      val cpost = cpuProbeSec()
       val post = writeProbeMbps(spark)
-      (sec, stageSec, per, stageMbps, fs, pre, post)
+      EtlRun(ProbedRep(sec, pre, post, cpre, cpost), stageSec, per, stageMbps, fs)
     }
-    val (etlSec, etlStageSec, etlPerTable, etlStageMbps, etlBestFs, _, _) =
-      etlRuns.minBy(_._1)
+    // headline = fastest CLEAN rep (write AND cpu probes healthy); a
+    // faster stall-labeled rep stays visible in etl_runs_* but never
+    // becomes the field a round comparison starts from
+    val etlBest = bestClean(etlRuns)(_.rep.sec, _.rep.stalled)
+    val (etlSec, etlStageSec, etlPerTable, etlStageMbps, etlBestFs) =
+      (etlBest.rep.sec, etlBest.stageSec, etlBest.per, etlBest.stageMbps, etlBest.fs)
     // the disk rep is the I/O witness even when a tmpfs rep wins the headline
-    val etlDiskSec = etlRuns.filter(_._5 == "disk").map(_._1).min
+    val etlDiskSec = etlRuns.filter(_.fs == "disk").map(_.rep.sec).min
 
     // the per-era WAREHOUSE loop end to end (resume anti-join → per-era
     // stage → dynamic partition overwrites → completion commit) on the
@@ -711,8 +827,9 @@ object Bench {
     // needed the builder's committed run to adjudicate), and every rep is
     // bracketed by the fixed-size write probe so a writeback stall labels
     // itself in-artifact.
-    def whRep(corpusDir: String, eras: Seq[Long]): (Double, Double, Double) = {
+    def whRep(corpusDir: String, eras: Seq[Long]): ProbedRep = {
       val pre = writeProbeMbps(spark)
+      val cpre = cpuProbeSec()
       val root = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
       val state = java.nio.file.Files.createTempDirectory("graft-bench-whstate").toString
       val t0 = System.nanoTime()
@@ -724,8 +841,9 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       deleteRecursively(root); deleteRecursively(state)
       require(done == eras, s"warehouse loop skipped eras: $done vs $eras")
+      val cpost = cpuProbeSec()
       val post = writeProbeMbps(spark)
-      (sec, pre, post)
+      ProbedRep(sec, pre, post, cpre, cpost)
     }
     val whEras = new java.io.File(eraDir).listFiles().toSeq
       .filter(_.getName.endsWith(".era"))
@@ -758,6 +876,16 @@ object Bench {
       graphEdgeCount = graft.queries.Behavioral.prewarmGraphFrames(spark, sfDir)
     }.head
 
+    // the query-serving IVF index BUILD as its own key (VERDICT r14 #8,
+    // parallel to graph_edge_build_sec): cell assignment of the whole
+    // corpus at the sample-bounded k_q — so build vs query cost never
+    // re-entangles inside sim_topk_ivf's sweep number
+    var ivfBuildRows = 0L
+    val ivfBuildSec = timed(1) {
+      ivfBuildRows = graft.operators.Similarity.ivfIndexBuild(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")).count()
+    }.head
+
     // ── the query sweep: TEMPORALLY-SPACED reps (r13) ──────────────────
     // r12's witness failed its first real test: best-of-2 reps ran
     // back-to-back, so one multi-minute CPU-steal window (this sandbox's
@@ -776,7 +904,12 @@ object Bench {
     //    takes a third rep at the very end — so "steal" vs "regression"
     //    is decidable from this artifact alone, no out-of-band run needed.
     val committedBaseline: Map[String, Double] =
-      try {
+      // same SF gate as committedLast: the two files are written by the
+      // same run, so BENCH_LAST's sf vouches for the per-query map too —
+      // an empty committedLast (missing file OR sf mismatch) disables
+      // per-query adjudication rather than adjudicating cross-scale
+      if (committedLast.isEmpty) Map.empty
+      else try {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new java.io.File("BENCH_QUERIES_FULL.json"))
         import scala.jdk.CollectionConverters._
@@ -825,8 +958,10 @@ object Bench {
     val whGapSec = System.nanoTime() / 1e9 - whRep1EndT
     val whRep2 = whRep(eraDir, whEras)
     val whProdRep2 = whRep(prodEraDir, whProdEras)
-    val whSec = math.min(whRep1._1, whRep2._1)
-    val whProdSec = math.min(whProdRep1._1, whProdRep2._1)
+    // same clean-preference as the ETL headline: a stall-labeled rep can
+    // only win when both reps are labeled
+    val whSec = bestClean(Seq(whRep1, whRep2))(_.sec, _.stalled).sec
+    val whProdSec = bestClean(Seq(whProdRep1, whProdRep2))(_.sec, _.stalled).sec
 
     // skewed-corpus soak (disable with SPARK_GRAFT_SOAK=0)
     val soakJson =
@@ -853,7 +988,7 @@ object Bench {
     val decodeSec2 = best(3) {
       decoded2 = graft.operators.Normalizer.decodeBlocks(recordsDeep).count()
     }
-    val calPost = calibrate(spark, s"$calDir/cal.parquet")
+    val (_, calPost) = calibrate(spark, s"$calDir/cal.parquet")
 
     // The driver captures only a bounded tail of stdout (~2k chars): the
     // r6 line with all 125 full-precision per-query entries was 4.4k and got
@@ -927,25 +1062,34 @@ object Bench {
         s""","etl_stage_sec":${r3(etlStageSec)}""" +
         s""","etl_stage_mbps":${r1(etlStageMbps)}""" +
         s""","etl_best_fs":"$etlBestFs","etl_disk_sec":${r3(etlDiskSec)}""" +
-        s""","etl_runs_sec":[${etlRuns.map(r => r3(r._1)).mkString(",")}]""" +
-        s""","etl_runs_fs":[${etlRuns.map(r => "\"" + r._5 + "\"").mkString(",")}]""" +
-        s""","etl_runs_stage_mbps":[${etlRuns.map(r => r1(r._4)).mkString(",")}]""" +
-        s""","etl_runs_probe_mbps":[${etlRuns.map(r => s"[${r1(r._6)},${r1(r._7)}]").mkString(",")}]""" +
-        s""","etl_runs_stalled":[${etlRuns.map(r =>
-          math.min(r._6, r._7) < WriteProbeStallMbps).mkString(",")}]""" +
+        s""","etl_runs_sec":[${etlRuns.map(r => r3(r.rep.sec)).mkString(",")}]""" +
+        s""","etl_runs_fs":[${etlRuns.map(r => "\"" + r.fs + "\"").mkString(",")}]""" +
+        s""","etl_runs_stage_mbps":[${etlRuns.map(r => r1(r.stageMbps)).mkString(",")}]""" +
+        s""","etl_runs_probe_mbps":[${etlRuns.map(r => s"[${r1(r.rep.wpre)},${r1(r.rep.wpost)}]").mkString(",")}]""" +
+        s""","etl_runs_cpu_probe_sec":[${etlRuns.map(r => s"[${r3(r.rep.cpre)},${r3(r.rep.cpost)}]").mkString(",")}]""" +
+        s""","etl_runs_stalled":[${etlRuns.map(_.rep.stalled).mkString(",")}]""" +
+        s""","etl_runs_stall_kind":[${etlRuns.map(r => "\"" + r.rep.stallKind + "\"").mkString(",")}]""" +
+        s""","cpu_probe_stall_sec":${r3(CpuProbeStallSec)}""" +
         s""","etl_committed_sec":${committedKey("etl_15table_sec").map(r3).getOrElse(-1.0)}""" +
+        s""","etl_disk_committed_sec":${committedKey("etl_disk_sec").map(r3).getOrElse(-1.0)}""" +
         s""","etl_blocks":$etlBlocks""" +
         s""","graph_edge_build_sec":${r3(graphEdgeBuildSec)}""" +
         s""","graph_edge_count":$graphEdgeCount""" +
+        s""","sim_ivf_build_sec":${r3(ivfBuildSec)}""" +
+        s""","sim_ivf_build_rows":$ivfBuildRows""" +
         s""","wh_loop_sec":${r3(whSec)},"wh_loop_blocks_per_sec":${r1(whBlocks / whSec)}""" +
-        s""","wh_loop_reps_sec":[${r3(whRep1._1)},${r3(whRep2._1)}]""" +
-        s""","wh_loop_probe_mbps":[[${r1(whRep1._2)},${r1(whRep1._3)}],[${r1(whRep2._2)},${r1(whRep2._3)}]]""" +
+        s""","wh_loop_reps_sec":[${r3(whRep1.sec)},${r3(whRep2.sec)}]""" +
+        s""","wh_loop_probe_mbps":[[${r1(whRep1.wpre)},${r1(whRep1.wpost)}],[${r1(whRep2.wpre)},${r1(whRep2.wpost)}]]""" +
+        s""","wh_loop_cpu_probe_sec":[[${r3(whRep1.cpre)},${r3(whRep1.cpost)}],[${r3(whRep2.cpre)},${r3(whRep2.cpost)}]]""" +
+        s""","wh_loop_reps_stall_kind":["${whRep1.stallKind}","${whRep2.stallKind}"]""" +
         s""","wh_loop_committed_sec":${committedKey("wh_loop_sec").map(r3).getOrElse(-1.0)}""" +
         s""","wh_loop_eras":${whEras.size},"wh_loop_blocks":$whBlocks""" +
         s""","wh_loop_prod_sec":${r3(whProdSec)}""" +
         s""","wh_loop_prod_blocks_per_sec":${r1(whProdBlocks / whProdSec)}""" +
-        s""","wh_loop_prod_reps_sec":[${r3(whProdRep1._1)},${r3(whProdRep2._1)}]""" +
-        s""","wh_loop_prod_probe_mbps":[[${r1(whProdRep1._2)},${r1(whProdRep1._3)}],[${r1(whProdRep2._2)},${r1(whProdRep2._3)}]]""" +
+        s""","wh_loop_prod_reps_sec":[${r3(whProdRep1.sec)},${r3(whProdRep2.sec)}]""" +
+        s""","wh_loop_prod_probe_mbps":[[${r1(whProdRep1.wpre)},${r1(whProdRep1.wpost)}],[${r1(whProdRep2.wpre)},${r1(whProdRep2.wpost)}]]""" +
+        s""","wh_loop_prod_cpu_probe_sec":[[${r3(whProdRep1.cpre)},${r3(whProdRep1.cpost)}],[${r3(whProdRep2.cpre)},${r3(whProdRep2.cpost)}]]""" +
+        s""","wh_loop_prod_reps_stall_kind":["${whProdRep1.stallKind}","${whProdRep2.stallKind}"]""" +
         s""","wh_loop_prod_committed_sec":${committedKey("wh_loop_prod_sec").map(r3).getOrElse(-1.0)}""" +
         s""","wh_loop_gap_sec":${r3(whGapSec)}""" +
         s""","wh_loop_prod_eras":${whProdEras.size},"wh_loop_prod_blocks":$whProdBlocks""" +

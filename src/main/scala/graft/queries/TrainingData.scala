@@ -299,6 +299,17 @@ object TrainingData {
       s"CAST(CEIL(COUNT(*) / ${graft.operators.Similarity.MaxMembersPerCell}.0) AS BIGINT)) " +
       s"FROM $corpus)"
 
+  /** Mirrors [[graft.operators.Similarity.queryCentroidCount]]: the
+    * QUERY-serving index's centroid count, bounded by the
+    * [[graft.operators.Similarity.QueryTrainSample]] training sample —
+    * k_q = max(16, ⌈min(N, S)/256⌉) — so the oracle tracks the sample
+    * bound exactly like it tracks the occupancy-pinned k. */
+  private def kCentQuerySub(corpus: String): String =
+    s"(SELECT GREATEST(${graft.operators.Similarity.IvfCentroids}, " +
+      s"CAST(CEIL(LEAST(COUNT(*), ${graft.operators.Similarity.QueryTrainSample}) " +
+      s"/ ${graft.operators.Similarity.MaxMembersPerCell}.0) AS BIGINT)) " +
+      s"FROM $corpus)"
+
   /** Mirrors [[graft.operators.Similarity.withCellBlock]]: subdivide each
     * cell into deterministic ≤256-member blocks (rank by vec_id). */
   private def cellBlkExpr: String =
@@ -1478,7 +1489,7 @@ object TrainingData {
       s"""WITH $vecCte,
          |cents AS (
          |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
-         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentQuerySub("vn")}),
          |assign AS (
          |  SELECT vec_id, centroid_id AS cell FROM (
          |    SELECT vn.vec_id, c.centroid_id,
@@ -2635,7 +2646,7 @@ object TrainingData {
       s"""WITH $vecCte,
          |cents AS (
          |  SELECT vec_id - 100 AS centroid_id, vec AS cvec, sq AS csq
-         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentSub("vn")}),
+         |  FROM vn WHERE vec_id >= 100 AND vec_id < 100 + ${kCentQuerySub("vn")}),
          |assign AS (
          |  SELECT vec_id, vec, sq, centroid_id AS cell FROM (
          |    SELECT vn.vec_id, vn.vec, vn.sq, c.centroid_id,

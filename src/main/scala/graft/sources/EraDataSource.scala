@@ -147,17 +147,28 @@ object EraFilePruning {
     case _ => None
   }
 
-  private def slotWindowMayMatch(info: EraFileInfo, filters: Array[Filter]): Boolean = {
-    // same guard as mayMatch: a guessed era range must never drive slot
-    // pruning
-    if (!info.eraKnown) return true
+  /** Fold the top-level comparison filters on `slot` into ONE combined
+    * window [lo, hi] (top-level filter-array entries are AND-ed, so every
+    * bound TIGHTENS the window). None when no comparison bound was pushed.
+    * The ONE shared fold behind both file-level pruning
+    * ([[slotWindowMayMatch]]) and the scan's range→probe-set construction
+    * ([[EraScan]]) — the +1/−1 overflow reasoning lives here once, so the
+    * two consumers can never drift (ADVICE r14 #3).
+    *
+    * Overflow is conservative BY the fold: `GreaterThan(Long.MaxValue)`
+    * wraps l+1 to MinValue and `math.max` DROPS the bound (lo stays), so a
+    * wrapped lower bound can only widen the window; `LessThan(MinValue)`
+    * wraps l−1 to MaxValue and `math.min` drops it symmetrically. A wider
+    * window means "keep the file" / "no probe fast path" — never a wrong
+    * prune. Contradictory bounds may yield lo > hi: an empty window, which
+    * each consumer must handle (prune is still conservative there because
+    * the residual filters are what make rows disappear, not the window). */
+  private[graft] def slotWindow(filters: Array[Filter]): Option[(Long, Long)] = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
     var sawBound = false
     filters.foreach {
       case sources.GreaterThan("slot", v) =>
-        // v+1 overflow wraps lo negative -> the zero check keeps the file
-        // (conservative direction)
         asLong(v).foreach { l => lo = math.max(lo, l + 1); sawBound = true }
       case sources.GreaterThanOrEqual("slot", v) =>
         asLong(v).foreach { l => lo = math.max(lo, l); sawBound = true }
@@ -167,10 +178,20 @@ object EraFilePruning {
         asLong(v).foreach { l => hi = math.min(hi, l); sawBound = true }
       case _ => ()
     }
-    if (!sawBound) return true
-    val zeroIn = lo <= 0L && 0L <= hi
-    val rangeIn = lo <= info.endSlot && hi >= info.startSlot
-    zeroIn || rangeIn
+    if (sawBound) Some((lo, hi)) else None
+  }
+
+  private def slotWindowMayMatch(info: EraFileInfo, filters: Array[Filter]): Boolean = {
+    // same guard as mayMatch: a guessed era range must never drive slot
+    // pruning
+    if (!info.eraKnown) return true
+    slotWindow(filters) match {
+      case None => true
+      case Some((lo, hi)) =>
+        val zeroIn = lo <= 0L && 0L <= hi
+        val rangeIn = lo <= info.endSlot && hi >= info.startSlot
+        zeroIn || rangeIn
+    }
   }
 
   private def mayMatch(info: EraFileInfo, f: Filter): Boolean = f match {
@@ -237,32 +258,17 @@ class EraScan(paths: Seq[String], filters: Array[Filter]) extends Scan with Batc
           vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) =>
         vs.toSeq.map { case v: Long => v; case v: Int => v.toLong }
     }
-    // a bounded range from the AND-ed comparison filters: every bound
-    // TIGHTENS the window (conjunction semantics), so fold min/max
-    def asLong(v: Any): Option[Long] = v match {
-      case l: Long => Some(l)
-      case i: Int => Some(i.toLong)
-      case _ => None
-    }
-    val rangeSet: Option[Seq[Long]] = {
-      var lo = Long.MinValue
-      var hi = Long.MaxValue
-      var sawBound = false
-      filters.foreach {
-        case sources.GreaterThan("slot", v) =>
-          asLong(v).foreach { l => lo = math.max(lo, l + 1); sawBound = true }
-        case sources.GreaterThanOrEqual("slot", v) =>
-          asLong(v).foreach { l => lo = math.max(lo, l); sawBound = true }
-        case sources.LessThan("slot", v) =>
-          asLong(v).foreach { l => hi = math.min(hi, l - 1); sawBound = true }
-        case sources.LessThanOrEqual("slot", v) =>
-          asLong(v).foreach { l => hi = math.min(hi, l); sawBound = true }
-        case _ => ()
+    // a bounded range from the AND-ed comparison filters — the same shared
+    // fold file-level pruning uses (EraFilePruning.slotWindow), so the
+    // probe-set window and the prune window can never drift. The lo ≥ 1
+    // guard both excludes slot 0 AND absorbs the fold's conservative
+    // overflow behavior (a wrapped bound leaves lo at MinValue → no fast
+    // path, walk).
+    val rangeSet: Option[Seq[Long]] =
+      EraFilePruning.slotWindow(filters).collect {
+        case (lo, hi) if lo >= 1 && hi >= lo && hi - lo < 4096 =>
+          (lo to hi).toSeq
       }
-      if (sawBound && lo >= 1 && hi >= lo && hi - lo < 4096)
-        Some((lo to hi).toSeq)
-      else None
-    }
     pointSet.orElse(rangeSet)
       .filter(s => !s.contains(0L) && s.size <= 4096)
   }

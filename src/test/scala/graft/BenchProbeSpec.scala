@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.EraFilePruning
+import org.apache.spark.sql.sources
+
+/** Unit gates for the bench's per-rep adjudication primitives (VERDICT r14
+  * #1/#5) and the shared slot-window fold (ADVICE r14 #3) — the logic that
+  * DECIDES how rounds are graded, pinned at the unit level so a future
+  * edit to a threshold or a boolean can't silently flip a label's
+  * direction. */
+class BenchProbeSpec extends AnyFunSuite {
+
+  test("ProbedRep labels name the mechanism: write, cpu, both, none") {
+    val saved = Bench.CpuProbeStallSec
+    Bench.CpuProbeStallSec = 0.6
+    try {
+      // healthy: both write probes above 8 MB/s, both cpu probes under 0.6 s
+      val clean = Bench.ProbedRep(10.0, wpre = 20.0, wpost = 25.0, cpre = 0.3, cpost = 0.3)
+      assert(!clean.stalled && clean.stallKind === "none")
+      // EITHER write probe collapsing labels the rep (min < threshold)
+      val w = Bench.ProbedRep(10.0, wpre = 20.0, wpost = 3.0, cpre = 0.3, cpost = 0.3)
+      assert(w.writeStalled && !w.cpuStalled && w.stallKind === "write")
+      // EITHER cpu probe slow labels the rep (max > threshold) — the r14
+      // blind spot: healthy write probes, CPU-starved rep
+      val c = Bench.ProbedRep(10.0, wpre = 20.0, wpost = 25.0, cpre = 0.3, cpost = 1.4)
+      assert(c.cpuStalled && !c.writeStalled && c.stallKind === "cpu")
+      val both = Bench.ProbedRep(10.0, wpre = 2.0, wpost = 25.0, cpre = 1.4, cpost = 0.3)
+      assert(both.stalled && both.stallKind === "write+cpu")
+    } finally Bench.CpuProbeStallSec = saved
+  }
+
+  test("bestClean prefers a slower clean rep over a faster stall-labeled one") {
+    val saved = Bench.CpuProbeStallSec
+    Bench.CpuProbeStallSec = 0.6
+    try {
+      val fastStalled = Bench.ProbedRep(5.0, 20.0, 3.0, 0.3, 0.3)
+      val slowClean = Bench.ProbedRep(9.0, 20.0, 25.0, 0.3, 0.3)
+      assert(Bench.bestClean(Seq(fastStalled, slowClean))(_.sec, _.stalled) eq slowClean)
+      // every rep stalled → fall back to the fastest (there is no clean
+      // witness to prefer, and hiding the number would be worse)
+      val slowStalled = Bench.ProbedRep(9.0, 2.0, 3.0, 0.3, 0.3)
+      assert(Bench.bestClean(Seq(fastStalled, slowStalled))(_.sec, _.stalled) eq fastStalled)
+      // tie on labels → fastest
+      val fastClean = Bench.ProbedRep(4.0, 20.0, 25.0, 0.3, 0.3)
+      assert(Bench.bestClean(Seq(slowClean, fastClean))(_.sec, _.stalled) eq fastClean)
+    } finally Bench.CpuProbeStallSec = saved
+  }
+
+  test("the shared slot-window fold: AND-tightening, overflow-conservative, None without bounds") {
+    def gt(v: Long): sources.Filter = sources.GreaterThan("slot", v)
+    def gte(v: Long): sources.Filter = sources.GreaterThanOrEqual("slot", v)
+    def lt(v: Long): sources.Filter = sources.LessThan("slot", v)
+    def lte(v: Long): sources.Filter = sources.LessThanOrEqual("slot", v)
+
+    // no comparison bounds → None (equality/IN are the probe-set's job)
+    assert(EraFilePruning.slotWindow(Array(sources.EqualTo("slot", 5L))) === None)
+    // conjunction tightens: the window is the intersection of all bounds
+    assert(EraFilePruning.slotWindow(Array(gte(10L), lte(20L), gt(11L), lt(19L)))
+      === Some((12L, 18L)))
+    // int operands fold like longs
+    assert(EraFilePruning.slotWindow(
+      Array(sources.GreaterThanOrEqual("slot", 3), sources.LessThanOrEqual("slot", 7)))
+      === Some((3L, 7L)))
+    // overflow drops the bound in the CONSERVATIVE direction: a wrapped
+    // lower bound leaves lo at MinValue (file kept / no fast path) …
+    assert(EraFilePruning.slotWindow(Array(gt(Long.MaxValue), lte(100L)))
+      === Some((Long.MinValue, 100L)))
+    // … and a wrapped upper bound leaves hi at MaxValue symmetrically
+    assert(EraFilePruning.slotWindow(Array(lt(Long.MinValue), gte(5L)))
+      === Some((5L, Long.MaxValue)))
+    // contradictory bounds yield an empty window (lo > hi) rather than a
+    // crash — consumers treat it as "nothing provably matches"
+    val Some((lo, hi)) = EraFilePruning.slotWindow(Array(gte(50L), lte(10L)))
+    assert(lo > hi)
+  }
+}

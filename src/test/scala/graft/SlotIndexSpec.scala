@@ -224,6 +224,45 @@ class SlotIndexSpec extends AnyFunSuite {
     assert(zeroTouch >= 3) // state + the two SlotIndex rows at minimum
   }
 
+  test("the 4096-slot range cutover is pinned: 4096-wide window probes, 4097-wide walks, both walk-identical") {
+    // r15 (VERDICT r14 stretch #7): the narrow-range test pins a 51-slot
+    // window and the wide test a whole era, but the CUTOVER itself —
+    // hi − lo < 4096, i.e. window size ≤ 4096 probes, 4097 walks — was
+    // unpinned; a drifted constant or an off-by-one in the shared
+    // slot-window fold would move it silently.
+    val lo = startSlot + 2L
+    def expected(hi: Long) = scan()
+      .filter(col("record_type") === "block").collect()
+      .map(_.getLong(0)).filter(s => s >= lo && s <= hi).sorted
+
+    // window of EXACTLY 4096 slots (hi − lo = 4095): the widest probe set
+    val hiProbe = lo + 4095L
+    val wantProbe = expected(hiProbe)
+    assert(wantProbe.length === 2048) // even offsets 2..4096
+    EraScanStats.reset()
+    val probed = scan().filter(col("slot") >= lo && col("slot") <= hiProbe)
+      .collect().map(_.getLong(0)).sorted
+    assert(probed.toSeq === wantProbe.toSeq)
+    assert(EraScanStats.indexLookups.sum() === 1,
+      "a 4096-slot window must still probe (one tail parse)")
+    assert(EraScanStats.fullScans.sum() === 0,
+      "a 4096-slot window fell back to a walk — cutover drifted tighter")
+    assert(EraScanStats.blocksDecompressed.sum() === wantProbe.length.toLong)
+
+    // one slot wider (hi − lo = 4096): past the cap — must walk
+    val hiWalk = lo + 4096L
+    val wantWalk = expected(hiWalk)
+    assert(wantWalk.length === 2049) // the window gains the even offset 4098
+    EraScanStats.reset()
+    val walked = scan().filter(col("slot") >= lo && col("slot") <= hiWalk)
+      .collect().map(_.getLong(0)).sorted
+    assert(walked.toSeq === wantWalk.toSeq)
+    assert(EraScanStats.fullScans.sum() >= 1,
+      "a 4097-slot window should walk — cutover drifted wider")
+    assert(EraScanStats.indexLookups.sum() === 0,
+      "walk path must not also probe the index")
+  }
+
   test("multi-group file: tail-index lookups fast-path, first-group slots fall back, both walk-identical") {
     // era := group+ (docs/ERA_FILE_FORMAT.md:31-38): only the LAST group's
     // SlotIndex pair is at the tail, so its startingSlot ≠ the filename's
