@@ -28,6 +28,17 @@ class BenchProbeSpec extends AnyFunSuite {
       assert(c.cpuStalled && !c.writeStalled && c.stallKind === "cpu")
       val both = Bench.ProbedRep(10.0, wpre = 2.0, wpost = 25.0, cpre = 1.4, cpost = 0.3)
       assert(both.stalled && both.stallKind === "write+cpu")
+      // the MID-REP sampler closes the bracket blind spot: a steal window
+      // that recovered before the post-probe (clean brackets, slow rep —
+      // the live r15 73 s tmpfs shape) still labels via the in-rep MEAN
+      val mid = Bench.ProbedRep(73.0, wpre = 23.0, wpost = 22.0,
+        cpre = 0.3, cpost = 0.31, cmid = 0.9, cmidMax = 1.2)
+      assert(mid.cpuStalled && mid.stallKind === "cpu")
+      // …while a GC spike of the rep's OWN workload (high max, low mean)
+      // does NOT label — that is workload, not environment
+      val gcSpike = Bench.ProbedRep(10.0, wpre = 23.0, wpost = 22.0,
+        cpre = 0.3, cpost = 0.31, cmid = 0.35, cmidMax = 1.5)
+      assert(!gcSpike.stalled)
     } finally Bench.CpuProbeStallSec = saved
   }
 
