@@ -120,25 +120,58 @@ object Bench {
     }
   }
 
+  /** Read /proc/stat's aggregate steal ticks — the KERNEL's own count of
+    * time the hypervisor ran someone else while this guest had runnable
+    * work. This box's counter is live (1.27M ticks ≈ 12,700 stolen
+    * CPU-seconds at snapshot time), so a per-rep DELTA measures the
+    * mechanism the probes could only infer: Δticks/100 = stolen
+    * core-seconds during the rep, workload-independent (a rep's own
+    * saturation or GC never moves it). None on non-Linux / unreadable. */
+  private[graft] def stealTicks(): Option[Long] =
+    try {
+      val line = java.nio.file.Files.lines(java.nio.file.Paths.get("/proc/stat"))
+        .filter(_.startsWith("cpu ")).findFirst()
+      if (!line.isPresent) None
+      else {
+        val f = line.get.trim.split("\\s+")
+        // cpu user nice system idle iowait irq softirq STEAL guest …
+        if (f.length > 8) Some(f(8).toLong) else None
+      }
+    } catch { case _: Exception => None }
+
+  /** A rep is steal-labeled when the hypervisor stole more than this many
+    * cores on average across its window (10% of the advertised 32 — well
+    * above jitter, well below the 2–3× slowdowns the label exists for). */
+  private[graft] val StealStallCores = 3.2
+
   /** One write-heavy rep's bracketing evidence: seconds, both probe
-    * pairs, the in-rep sampler max, and the derived labels. `stallKind`
-    * NAMES the mechanism — "write" (probe MB/s collapse), "cpu"
-    * (microprobe 2× slow at EITHER bracket or ANY time mid-rep), both,
-    * or "none" — so a slow rep adjudicates itself without an out-of-band
-    * run. */
+    * pairs, the in-rep sampler mean/max, the /proc/stat steal delta, and
+    * the derived labels. `stallKind` NAMES the mechanism(s) — "write"
+    * (probe MB/s collapse), "cpu" (microprobe 2× slow at a bracket or
+    * sustained mid-rep), "steal" (kernel-counted hypervisor steal over
+    * 10% of the machine for the rep's duration), any "+"-joined
+    * combination, or "none" — so a slow rep adjudicates itself without
+    * an out-of-band run. */
   private[graft] case class ProbedRep(sec: Double, wpre: Double, wpost: Double,
-      cpre: Double, cpost: Double, cmid: Double = 0.0, cmidMax: Double = 0.0) {
+      cpre: Double, cpost: Double, cmid: Double = 0.0, cmidMax: Double = 0.0,
+      stealCores: Double = 0.0) {
     def writeStalled: Boolean = math.min(wpre, wpost) < WriteProbeStallMbps
     def cpuStalled: Boolean =
       math.max(math.max(cpre, cpost), cmid) > CpuProbeStallSec
-    def stalled: Boolean = writeStalled || cpuStalled
-    def stallKind: String = (writeStalled, cpuStalled) match {
-      case (true, true) => "write+cpu"
-      case (true, false) => "write"
-      case (false, true) => "cpu"
-      case _ => "none"
+    def stealStalled: Boolean = stealCores > StealStallCores
+    def stalled: Boolean = writeStalled || cpuStalled || stealStalled
+    def stallKind: String = {
+      val kinds = Seq("write" -> writeStalled, "cpu" -> cpuStalled,
+        "steal" -> stealStalled).collect { case (k, true) => k }
+      if (kinds.isEmpty) "none" else kinds.mkString("+")
     }
   }
+
+  /** Average cores stolen across a rep window, from two stealTicks reads
+    * (USER_HZ = 100 on Linux). 0.0 when the counter is unavailable. */
+  private[graft] def stealCoresOver(pre: Option[Long], post: Option[Long],
+      sec: Double): Double = (for (a <- pre; b <- post) yield
+    math.rint((b - a) / 100.0 / math.max(0.001, sec) * 100) / 100).getOrElse(0.0)
 
   /** Headline selector: the fastest CLEAN-labeled rep when one exists,
     * else the fastest overall (every rep stalled ⇒ there is no clean
@@ -838,6 +871,7 @@ object Bench {
       val pre = writeProbeMbps(spark)
       val cpre = cpuProbeSec()
       val sampler = new CpuSampler
+      val steal0 = stealTicks()
       val stage = scratchDir(fs, "graft-bench-stage")
       val etlOut = scratchDir(fs, "graft-bench-etl")
       val t0 = System.nanoTime()
@@ -851,12 +885,14 @@ object Bench {
       val stageSec = sec - per.values.map(_._2).max
       // write-throughput witness for THIS run: a rep that hit the sandbox's
       // writeback stall carries a visibly collapsed MB/s next to its seconds
+      val steal1 = stealTicks()
       val stageMbps = dirBytes(stage) / 1e6 / math.max(0.001, stageSec)
       val (cmid, cmidMax) = sampler.stop()
       deleteRecursively(stage); deleteRecursively(etlOut)
       val cpost = cpuProbeSec()
       val post = writeProbeMbps(spark)
-      EtlRun(ProbedRep(sec, pre, post, cpre, cpost, cmid, cmidMax), stageSec, per, stageMbps, fs)
+      EtlRun(ProbedRep(sec, pre, post, cpre, cpost, cmid, cmidMax,
+        stealCoresOver(steal0, steal1, sec)), stageSec, per, stageMbps, fs)
     }
     // headline = fastest CLEAN rep (write AND cpu probes healthy); a
     // faster stall-labeled rep stays visible in etl_runs_* but never
@@ -880,6 +916,7 @@ object Bench {
       val pre = writeProbeMbps(spark)
       val cpre = cpuProbeSec()
       val sampler = new CpuSampler
+      val steal0 = stealTicks()
       val root = java.nio.file.Files.createTempDirectory("graft-bench-wh").toString
       val state = java.nio.file.Files.createTempDirectory("graft-bench-whstate").toString
       val t0 = System.nanoTime()
@@ -889,12 +926,14 @@ object Bench {
         spark.read.format("era").load(f"$corpusDir/gnosis-$era%05d-*.era")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      val steal1 = stealTicks()
       val (cmid, cmidMax) = sampler.stop()
       deleteRecursively(root); deleteRecursively(state)
       require(done == eras, s"warehouse loop skipped eras: $done vs $eras")
       val cpost = cpuProbeSec()
       val post = writeProbeMbps(spark)
-      ProbedRep(sec, pre, post, cpre, cpost, cmid, cmidMax)
+      ProbedRep(sec, pre, post, cpre, cpost, cmid, cmidMax,
+        stealCoresOver(steal0, steal1, sec))
     }
     val whEras = new java.io.File(eraDir).listFiles().toSeq
       .filter(_.getName.endsWith(".era"))
@@ -1121,6 +1160,7 @@ object Bench {
           s"[${r3(r.rep.cpre)},${r3(r.rep.cmid)},${r3(r.rep.cmidMax)},${r3(r.rep.cpost)}]").mkString(",")}]""" +
         s""","etl_runs_stalled":[${etlRuns.map(_.rep.stalled).mkString(",")}]""" +
         s""","etl_runs_stall_kind":[${etlRuns.map(r => "\"" + r.rep.stallKind + "\"").mkString(",")}]""" +
+        s""","etl_runs_steal_cores":[${etlRuns.map(r => r3(r.rep.stealCores)).mkString(",")}]""" +
         s""","cpu_probe_stall_sec":${r3(CpuProbeStallSec)}""" +
         s""","etl_committed_sec":${committedKey("etl_15table_sec").map(r3).getOrElse(-1.0)}""" +
         s""","etl_disk_committed_sec":${committedKey("etl_disk_sec").map(r3).getOrElse(-1.0)}""" +
@@ -1134,6 +1174,7 @@ object Bench {
         s""","wh_loop_probe_mbps":[[${r1(whRep1.wpre)},${r1(whRep1.wpost)}],[${r1(whRep2.wpre)},${r1(whRep2.wpost)}]]""" +
         s""","wh_loop_cpu_probe_sec":[[${r3(whRep1.cpre)},${r3(whRep1.cmid)},${r3(whRep1.cmidMax)},${r3(whRep1.cpost)}],[${r3(whRep2.cpre)},${r3(whRep2.cmid)},${r3(whRep2.cmidMax)},${r3(whRep2.cpost)}]]""" +
         s""","wh_loop_reps_stall_kind":["${whRep1.stallKind}","${whRep2.stallKind}"]""" +
+        s""","wh_loop_reps_steal_cores":[${r3(whRep1.stealCores)},${r3(whRep2.stealCores)}]""" +
         s""","wh_loop_committed_sec":${committedKey("wh_loop_sec").map(r3).getOrElse(-1.0)}""" +
         s""","wh_loop_eras":${whEras.size},"wh_loop_blocks":$whBlocks""" +
         s""","wh_loop_prod_sec":${r3(whProdSec)}""" +
@@ -1142,6 +1183,7 @@ object Bench {
         s""","wh_loop_prod_probe_mbps":[[${r1(whProdRep1.wpre)},${r1(whProdRep1.wpost)}],[${r1(whProdRep2.wpre)},${r1(whProdRep2.wpost)}]]""" +
         s""","wh_loop_prod_cpu_probe_sec":[[${r3(whProdRep1.cpre)},${r3(whProdRep1.cmid)},${r3(whProdRep1.cmidMax)},${r3(whProdRep1.cpost)}],[${r3(whProdRep2.cpre)},${r3(whProdRep2.cmid)},${r3(whProdRep2.cmidMax)},${r3(whProdRep2.cpost)}]]""" +
         s""","wh_loop_prod_reps_stall_kind":["${whProdRep1.stallKind}","${whProdRep2.stallKind}"]""" +
+        s""","wh_loop_prod_reps_steal_cores":[${r3(whProdRep1.stealCores)},${r3(whProdRep2.stealCores)}]""" +
         s""","wh_loop_prod_committed_sec":${committedKey("wh_loop_prod_sec").map(r3).getOrElse(-1.0)}""" +
         s""","wh_loop_gap_sec":${r3(whGapSec)}""" +
         s""","wh_loop_prod_eras":${whProdEras.size},"wh_loop_prod_blocks":$whProdBlocks""" +

@@ -39,7 +39,26 @@ class BenchProbeSpec extends AnyFunSuite {
       val gcSpike = Bench.ProbedRep(10.0, wpre = 23.0, wpost = 22.0,
         cpre = 0.3, cpost = 0.31, cmid = 0.35, cmidMax = 1.5)
       assert(!gcSpike.stalled)
+      // the kernel steal counter labels independently of every probe: a
+      // rep whose window saw >10% of the machine stolen is "steal" even
+      // with clean write/cpu probes (the residual the probes can't see)
+      val stolen = Bench.ProbedRep(31.6, wpre = 30.5, wpost = 13.3,
+        cpre = 0.28, cpost = 0.29, cmid = 0.30, cmidMax = 1.0, stealCores = 8.5)
+      assert(stolen.stealStalled && stolen.stallKind === "steal")
+      val mildSteal = Bench.ProbedRep(10.0, wpre = 30.0, wpost = 25.0,
+        cpre = 0.28, cpost = 0.29, cmid = 0.30, cmidMax = 0.4, stealCores = 1.0)
+      assert(!mildSteal.stalled)
     } finally Bench.CpuProbeStallSec = saved
+  }
+
+  test("the /proc/stat steal reader parses this box's counter and the delta helper scales ticks") {
+    // live counter (Linux): present and monotone non-negative here
+    val t = Bench.stealTicks()
+    assert(t.isDefined && t.get >= 0L, "steal ticks should parse on this box")
+    // 200 ticks over 10 s at USER_HZ=100 = 2.0 core-seconds/sec
+    assert(Bench.stealCoresOver(Some(1000L), Some(3000L), 10.0) === 2.0)
+    assert(Bench.stealCoresOver(None, Some(3000L), 10.0) === 0.0)
+    assert(Bench.stealCoresOver(Some(1000L), None, 10.0) === 0.0)
   }
 
   test("bestClean prefers a slower clean rep over a faster stall-labeled one") {
