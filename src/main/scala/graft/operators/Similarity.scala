@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorMath
@@ -126,13 +126,30 @@ object Similarity {
     * for any fixed S). The DuckDB oracles mirror the identical
     * GREATEST(16, CEIL(LEAST(n, S)/256.0)) so the value gate tracks k_q. */
   // lazy: MaxMembersPerCell is declared further down the object body, and
-  // an eager val here would read its pre-init 0
-  lazy val QueryTrainSample: Long = IvfCentroids.toLong * MaxMembersPerCell
+  // an eager val here would read its pre-init 0.
+  // Deployment hook (ADVICE r15): SPARK_GRAFT_QUERY_TRAIN_SAMPLE raises
+  // the sample — and with it k_q — without a rebuild; the DuckDB oracles
+  // interpolate THIS value into their SQL (kCentQuerySub), so the value
+  // gate tracks whatever a deployment sets. The large-k_q dispatch this
+  // unlocks (ivfTopKTree / the tree branches of ivfPqTopK/ivfIndexBuild)
+  // is pinned reachable by RecallWitnessSpec at the default sample too.
+  lazy val QueryTrainSample: Long =
+    sys.env.get("SPARK_GRAFT_QUERY_TRAIN_SAMPLE").map(_.toLong)
+      .getOrElse(IvfCentroids.toLong * MaxMembersPerCell)
 
   /** [[centroidCount]] of the bounded training sample — the query-serving
-    * index's k. Recall at the bench scales is UNCHANGED-or-better (fewer,
-    * larger cells ⇒ 2 probes cover a larger corpus fraction); `sim_recall`
-    * stays the measured witness. */
+    * index's k. Recall under the sample bound, MEASURED in the divergent
+    * regime (`RecallWitnessSpec`, n = 4× sample, k_q = 16 vs occupancy
+    * k = 65 on the ramped real corpus): the EXACT-scoring arm (ivf) is
+    * unchanged-or-better — fewer, larger cells mean 2 probes cover a
+    * larger corpus fraction and every candidate is scored by true cosine
+    * (1.0 → 1.0 measured). The PQ-scored arm (ivfpq) TRADES recall for
+    * the smaller index: larger probed lists put more PQ-approximate
+    * candidates in front of the true top-k (0.58 → 0.48 measured, −0.10).
+    * A deployment that needs the PQ arm's recall back raises
+    * SPARK_GRAFT_QUERY_TRAIN_SAMPLE (k_q = S/256 — build stays linear in
+    * the corpus for any fixed S) — the standard FAISS nlist/nprobe-style
+    * trade, now a measured knob instead of an asserted non-event. */
   def queryCentroidCount(corpusSize: Long): Int =
     centroidCount(math.min(corpusSize, QueryTrainSample))
 
@@ -159,7 +176,7 @@ object Similarity {
 
   /** Same collect keyed directly on k, for callers that already computed
     * it (saves the zero-column count pass). */
-  private def collectCentroidsK(v: DataFrame,
+  private[graft] def collectCentroidsK(v: DataFrame,
       k: Int): Array[(Long, Seq[Double], Double)] = {
     val arr = v.filter(col("vec_id") >= 100 && col("vec_id") < 100 + k)
       .select((col("vec_id") - 100).as("centroid_id"), col("vec"), col("sq"))
@@ -260,161 +277,333 @@ object Similarity {
       .select((col("vec_id") - 100).as("centroid_id"),
         col("vec").as("cvec"), col("sq").as("csq"))
 
-  /** Largest centroid set the FLAT assignment plans (driver collect +
-    * literal/broadcast argmax) are allowed to carry. [[centroidCount]]
-    * grows k linearly with the corpus (k ≈ N/256), so flat assignment
-    * work is O(N·k) = O(N²/256) — a quadratic tail — while
-    * [[bestCentroidTwoLevel]] is O(N·√k) with O(√k) driver state and
-    * broadcasts. The threshold sits at the MEASURED compute crossover,
-    * re-bracketed r11 on a FULLY-POPULATED centroid range after the
-    * interleaved-id ramp fix ([[graft.tools.CrossoverProbe]], best-of-2,
-    * exactness mismatch=0 at every rung): flat wins at k = 250/500/1,000
-    * (0.5 vs 1.8 s, 1.8 vs 4.7 s, 6.7 vs 9.1 s) and two-level wins at
-    * k = 2,000 (21.3 vs 30.2 s), with flat's measured growth ×3.7–4.5
-    * per doubling (O(N·k) predicts ×4) and two-level's ×1.9–2.7
-    * (O(N·√k) predicts ×2.83) — 1,024 splits the bracket. Broadcast
-    * size is secondary — at this k the table is only ~0.5 MB — the
-    * quadratic distance work is what turns first. */
+  /** Largest centroid set the FLAT broadcast-join argmax
+    * ([[bestCentroid]]'s non-literal plan) is allowed to carry — now a
+    * BOUND on the flat kernel's auxiliary uses (the [[recallReport]]
+    * literal-regime harness, spec cross-checks, the r11
+    * [[graft.tools.CrossoverProbe]] brackets), NOT the assignment
+    * dispatch threshold. r16: the occupancy-pinned k ∝ N (k ≈ N/256)
+    * makes ANY flat plan O(N·k) = O(N²/256) — the r15 deep ramp convicted
+    * the flat path at the 512× rung (`sim_hard_negatives` 98.5 s floor =
+    * growth 5.37 at k = 500) and the O(N·√k) two-level at the same rung
+    * (growth 2.099), both superlinear. Assignment now dispatches to the
+    * log-tree ([[bestCentroidTree]], O(N·log k)) for every k past
+    * [[LiteralCentroidMax]]; "flat is measured-faster at k = 500" was a
+    * constant-factor argument the asymptotics lose at 100 TB. */
   val FlatCentroidMax = 1024
 
-  /** Exact two-level (hierarchical) nearest-centroid assignment — the
-    * 100 TB shape of [[bestCentroid]]: neither the driver nor any
-    * broadcast ever holds the full k-row centroid table, only O(√k) rows.
-    *
-    * Structure (FAISS's IVF-in-IVF, made EXACT with a ball-cover bound):
-    *  1. coarse set = every stride-th fine centroid (G = ⌈√k⌉ rows,
-    *     collected — the only driver state);
-    *  2. fine→coarse grouping: each fine centroid joins its nearest
-    *     coarse centroid (a distributed pass over the k-row frame via the
-    *     same [[bestCentroid]] kernel), and each group records its
-    *     angular radius r_g = min cosine between the coarse centroid and
-    *     its members (G-row artifact);
-    *  3. hop 1 (narrow): every vector computes an achievable lower bound
-    *     LB = max_g cos(v, c_g) — achievable because coarse ⊂ fine — via
-    *     [[bestCentroid]] against the G coarse rows, then keeps exactly
-    *     the groups whose ball-cover upper bound cos(max(0, θ_vg − r_g))
-    *     could still beat LB (spherical triangle inequality
-    *     θ(v,f) ≥ θ(v,c_g) − r_g for f in group g). The expansion is a
-    *     broadcast crossJoin + filter — map-side, no shuffle, typically
-    *     1–3 surviving groups per vector;
-    *  4. hop 2: surviving (vector, grp) rows shuffle-hash-join the fine
-    *     frame on grp (the fine side is explicitly hinted so it NEVER
-    *     broadcasts), score with the identical candidate kernel, and a
-    *     map-side-collapsed groupBy(vec_id) takes the same
-    *     (score, −centroid_id) struct max as the flat plans.
-    *
-    * Exactness: the global argmax f* lives in some group g*, and
-    * UB_{g*} ≥ cos(v, f*) ≥ LB, so g* always survives the hop-1 filter
-    * (ε absorbs float rounding in the bound arithmetic; the candidate selection
-    * itself uses the exact scores, so results are BIT-IDENTICAL to the
-    * flat argmax including the tie-break — gated by `CellCapSpec` and the
-    * `sim_ivf_twolevel` oracle, whose DuckDB side computes the flat
-    * assignment). */
-  /** The reusable two-level quantizer structure — everything
-    * [[bestCentroidTwoLevel]] derives from `(centDf, k)` alone, so a
-    * caller that assigns MANY frames against one centroid artifact (the
-    * streaming micro-batch path) builds it once instead of re-collecting
-    * the coarse set and re-running the fine-grouping job per batch. */
-  private[graft] case class TwoLevelIndex(
-      coarse: Array[(Long, Seq[Double], Double)],
-      fineGrp: DataFrame,
-      coarseRad: DataFrame) {
-    /** Drop the persisted fine-grouping frame. Call once the LAST
-      * assignment built from this index has MATERIALIZED (the cache
-      * manager holds strong references, so an unreleased one-shot index
-      * leaks one k-row cached frame per invocation — per k-means
-      * iteration before this hook existed). Lazily-consumed callers
-      * (the query entries whose frames execute later) keep the index
-      * alive for the session; the bench/gate clearCache covers those. */
-    def release(): Unit =
-      if (!fineGrp.sparkSession.sparkContext.isStopped)
-        fineGrp.unpersist(blocking = false)
+  /** Interior fanout of the log-tree quantizer: each level of the nested
+    * centroid hierarchy is ~[[TreeFanout]]× the one above it, so a vector
+    * descends ⌈log_B k⌉ levels scoring ~B·(probed groups) candidates per
+    * level — O(N·B·log_B k) total assignment work where the flat plans
+    * are O(N·k) and the old two-level O(N·√k). 8 keeps every level's
+    * narrow/broadcast hop tiny while the level count grows only by ONE
+    * per 8× centroid growth — the shape whose per-rung ramp growth decays
+    * toward 1.0 instead of √8 ≈ 2.83. */
+  val TreeFanout = 8
+
+  /** Largest mid-level the tree assignment broadcasts into its probe
+    * join; bigger levels fall back to a shuffle-hash join (the fine level
+    * NEVER broadcasts regardless — it is O(N/256) rows at 100 TB).
+    * 65 536 rows × ~0.5 KB vector ≈ 32 MB — a deliberate broadcast, above
+    * the 10 MB auto threshold but far under executor memory. */
+  val MidBroadcastMaxRows = 65536L
+
+  /** Largest parent level the tree BUILD collects to the driver for flat
+    * parent assignment; past it, parents are assigned by the distributed
+    * greedy descent through the already-built upper levels — the driver
+    * never holds more than [[LiteralCentroidMax]] + O(B) rows however
+    * large k grows. */
+  val TreeBuildCollectMax: Int = LiteralCentroidMax
+
+  /** Level strides of the log-tree for k fine centroids: powers of
+    * [[TreeFanout]], coarsest first, finest always 1. Level i holds the
+    * centroids whose id divides stride i, so the levels are NESTED
+    * subsets (S₀ ⊂ S₁ ⊂ … ⊂ fine — every interior node IS a fine
+    * centroid, which is what makes every scored cosine an ACHIEVABLE
+    * lower bound during assignment). Depth L = ⌈log_B k⌉ (min 2, and one
+    * level dropped when the coarse set would fall under B nodes — a
+    * 3-node coarse level prunes nothing and costs a pass). */
+  private[graft] def treeStrides(k: Int): Seq[Long] = {
+    require(k >= 1, s"treeStrides: k=$k")
+    val b = TreeFanout.toDouble
+    var levels = math.max(2, math.ceil(math.log(k.toDouble) / math.log(b)).toInt)
+    def coarseSize(l: Int): Long =
+      math.ceil(k.toDouble / math.pow(b, (l - 1).toDouble)).toLong
+    while (levels > 2 && coarseSize(levels) < TreeFanout) levels -= 1
+    (0 until levels).map(i => math.pow(b, (levels - 1 - i).toDouble).toLong)
   }
 
-  /** Derive the quantizer structure (steps 1–2 of the two-level plan).
-    * `fineGrp` is PERSISTED (not localCheckpointed): it is k rows, it
-    * feeds BOTH the radii aggregation and every assignment's fine join,
-    * and the cache lookup cuts the grouping lineage out of every
-    * per-batch plan just like a checkpoint would — but a persisted block
-    * lost to executor failure RECOMPUTES from lineage, where a
-    * localCheckpoint block is gone for good. That distinction is the
-    * whole ballgame for [[graft.streaming.EmbStream.ingestLargeK]], which
-    * holds this index for a stream's entire lifetime: one executor loss
-    * must cost one k-row recompute, not every subsequent micro-batch. */
-  private[graft] def buildTwoLevelIndex(centDf: DataFrame, k: Int): TwoLevelIndex = {
+  /** cos(θ_vg − r_g) for θ_vg ≥ r_g (s ≤ mcos) — the spherical ball-cover
+    * upper bound on the cosine between v and ANY member of a group whose
+    * representative scores `s` against v and whose angular radius is
+    * acos(r). The ball contains the vector's direction when s > r and the
+    * bound is vacuous (UB = 1). */
+  private def coneUb(s: Column, r: Column): Column =
+    when(s >= r, lit(1.0))
+      .otherwise(s * r +
+        sqrt(greatest(lit(0.0), lit(1.0) - s * s)) *
+          sqrt(greatest(lit(0.0), lit(1.0) - r * r)))
+
+  /** The reusable log-tree quantizer — everything [[bestCentroidTree]]
+    * derives from `(centDf, k)` alone, so a caller that assigns MANY
+    * frames against one centroid artifact (the streaming micro-batch
+    * path, the k-means iteration) builds it once instead of re-running
+    * the level-construction jobs per batch.
+    *
+    *  - `coarse`: the top level — the ONLY driver state, O(B) rows
+    *    (8–64 at any k: depth grows instead of the coarse set).
+    *  - `coarseRad`: the same rows as a broadcastable frame with each
+    *    node's subtree radius (min cosine to any FINE descendant).
+    *  - `mids`: interior levels 1..L−2 — (grp = parent id one level up,
+    *    centroid_id, cvec, csq, rad), persisted, never collected.
+    *  - `fine`: level L−1 = all k centroids with their parent ids,
+    *    persisted, never collected OR broadcast. */
+  private[graft] case class TreeIndex(
+      k: Int,
+      strides: Seq[Long],
+      coarse: Array[(Long, Seq[Double], Double)],
+      coarseRad: DataFrame,
+      mids: Seq[DataFrame],
+      fine: DataFrame) {
+    /** Drop the persisted level frames. Call once the LAST assignment
+      * built from this index has MATERIALIZED (the cache manager holds
+      * strong references, so an unreleased one-shot index leaks the
+      * persisted levels — per k-means iteration before this hook
+      * existed). Lazily-consumed callers (the query entries whose frames
+      * execute later) keep the index alive for the session; the
+      * bench/gate clearCache covers those. */
+    def release(): Unit =
+      if (!fine.sparkSession.sparkContext.isStopped)
+        (coarseRad +: fine +: mids).foreach(_.unpersist(blocking = false))
+    /** An external cacheManager.clearCache() (the bench between rungs,
+      * the gate spec between queries) drops the storage but not the
+      * frames; re-assert the level so a long-lived index (the streaming
+      * ingest holds one for a stream's lifetime) caches the levels again
+      * instead of silently re-deriving them every micro-batch. */
+    private[graft] def reassertPersist(): Unit =
+      (coarseRad +: fine +: mids).foreach { df =>
+        if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+  }
+
+  /** Exact log-tree (hierarchical) nearest-centroid assignment — the
+    * 100 TB shape of [[bestCentroid]], generalizing the r11 two-level
+    * plan to ⌈log_B k⌉ levels: neither the driver nor any broadcast ever
+    * holds more than O(B) + one mid level of rows, and per-vector
+    * assignment work is O(B·log_B k) where flat is O(k) and two-level
+    * O(√k) — with k ∝ N (the occupancy pin), the ONLY of the three whose
+    * per-rung ramp growth decays toward 1.0.
+    *
+    * Structure (FAISS's IVF-in-IVF stacked, made EXACT with ball-cover
+    * bounds):
+    *  1. nested strided levels S₀ ⊂ S₁ ⊂ … ⊂ S_{L−1} = all k
+    *     ([[treeStrides]]); every interior node is itself a fine
+    *     centroid;
+    *  2. each level-i node joins a PARENT one level up (flat argmax while
+    *     the parent level fits [[TreeBuildCollectMax]], the distributed
+    *     greedy descent past it), with nodes already present one level up
+    *     parenting THEMSELVES — so every interior node has ≥ 1 child and
+    *     ≥ 1 fine descendant by construction (no empty-subtree drops);
+    *  3. each interior node records its subtree radius r_u = min cosine
+    *     to any fine centroid in its subtree (measured, not recursed —
+    *     parents need not be nearest for EXACTNESS, only for tight
+    *     radii, which is why the greedy build step is allowed).
+    *
+    * Assignment of a vector v:
+    *  4. LB = cos(v, best coarse node) — achievable because S₀ ⊂ fine —
+    *     via the narrow literal [[bestCentroid]] over O(B) rows; then
+    *     keep exactly the coarse subtrees whose ball-cover bound
+    *     [[coneUb]] could still beat LB (broadcast crossJoin + filter,
+    *     map-side);
+    *  5. per interior level: surviving (vector, grp) rows equi-join the
+    *     level's children on grp (broadcast while the level is small,
+    *     shuffle-hash past [[MidBroadcastMaxRows]]), score each child,
+    *     and keep the children whose subtree bound passes the SAME LB
+    *     filter — the lower bound stays the level-0 one (static-LB
+    *     variant: still exact, no per-level re-aggregation pass);
+    *  6. fine level: surviving rows shuffle-hash-join the fine frame on
+    *     grp (the fine side is explicitly hinted so it NEVER broadcasts),
+    *     score with the identical candidate kernel, and a map-side
+    *     collapsed groupBy(vec_id) takes the same (score, −centroid_id)
+    *     struct max as the flat plans.
+    *
+    * Exactness: the global argmax f* lives in one subtree per level, and
+    * each such subtree's bound satisfies UB ≥ cos(v, f*) ≥ LB, so f*'s
+    * whole ancestor chain survives every filter and f* is scored at the
+    * fine level — as is every centroid TIED with it, so the struct max
+    * (score desc, centroid id asc) is BIT-IDENTICAL to the flat argmax
+    * (ε absorbs float rounding in the bound arithmetic only; candidate
+    * scores are the exact kernel). Gated by `CellCapSpec` and the
+    * `sim_ivf_twolevel` oracle, whose DuckDB side computes the flat
+    * assignment. */
+  private[graft] def buildTreeIndex(centDf: DataFrame, k: Int,
+      maxParentCollect: Int = TreeBuildCollectMax): TreeIndex = {
     val spark = centDf.sparkSession
     import spark.implicits._
-    val G = math.ceil(math.sqrt(k.toDouble)).toInt
-    val stride = math.ceil(k.toDouble / G).toInt
-    // (1) O(√k) coarse rows — the only thing the driver ever holds
-    val coarse: Array[(Long, Seq[Double], Double)] = centDf
-      .filter(col("centroid_id") % stride === 0)
+    val strides = treeStrides(k)
+    val levels = strides.length
+    def levelDf(i: Int): DataFrame =
+      if (strides(i) == 1L) centDf
+      else centDf.filter(col("centroid_id") % strides(i) === 0)
+    def levelSize(i: Int): Long = math.ceil(k.toDouble / strides(i)).toLong
+    // (1) the coarse level — the only rows the driver ever holds
+    val coarse: Array[(Long, Seq[Double], Double)] = levelDf(0)
       .select(col("centroid_id"), col("cvec"), col("csq"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
     driverCollectRows.addAndGet(coarse.length)
-    require(coarse.nonEmpty, "two-level coarse centroid set is empty")
-    // (2) fine→coarse grouping, distributed over the k-row frame
-    val fineGrp = bestCentroid(
-        centDf.select(col("centroid_id").as("vec_id"),
-          col("cvec").as("vec"), col("csq").as("sq")),
-        coarse)
-      .select(col("vec_id").as("centroid_id"), col("vec").as("cvec"),
-        col("sq").as("csq"),
-        (-col("best").getField("ncid")).as("grp"),
-        col("best").getField("s").as("gcos"))
+    require(coarse.nonEmpty, "tree coarse centroid set is empty")
+    // (2) parent maps, top-down: level i's nodes parented into level i−1.
+    // Self-parenting first — a node already present one level up is its
+    // own parent, so every interior node has ≥1 child (itself) and the
+    // descent joins below can never drop a member.
+    val parentMaps = new Array[DataFrame](levels)
+    def greedyDescent(members: DataFrame, toLevel: Int): DataFrame = {
+      // members: (vec_id, vec, sq) → one greedy argmax hop per level; no
+      // backtracking (parents need not be nearest — see exactness note)
+      var cur = bestCentroid(members, coarse)
+      for (j <- 1 to toLevel) {
+        val lvl = parentMaps(j).select(col("grp").as("pgrp"),
+          col("centroid_id"), col("cvec"), col("csq"))
+        cur = cur
+          .withColumn("grp", -col("best").getField("ncid")).drop("best")
+          .join(lvl, col("grp") === col("pgrp"))
+          .withColumn("cand", struct(
+            (call_function("vec_dot", col("vec"), col("cvec")) /
+              sqrt(col("sq") * col("csq"))).as("s"),
+            (-col("centroid_id")).as("ncid")))
+          .groupBy(col("vec_id"))
+          .agg(max(col("cand")).as("best"),
+            first(col("vec")).as("vec"), first(col("sq")).as("sq"))
+      }
+      cur
+    }
+    for (i <- 1 until levels) {
+      val own = levelDf(i)
+        .filter(col("centroid_id") % strides(i - 1) === 0)
+        .withColumn("grp", col("centroid_id"))
+        .select(col("centroid_id"), col("cvec"), col("csq"), col("grp"))
+      val rest = levelDf(i)
+        .filter(col("centroid_id") % strides(i - 1) =!= 0)
+        .select(col("centroid_id").as("vec_id"), col("cvec").as("vec"),
+          col("csq").as("sq"))
+      val assigned =
+        if (i == 1) bestCentroid(rest, coarse)
+        else if (levelSize(i - 1) <= maxParentCollect) {
+          val parr = levelDf(i - 1)
+            .select(col("centroid_id"), col("cvec"), col("csq"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+            .sortBy(_._1)
+          ledger(parr.length)(bestCentroid(rest, parr))
+        } else greedyDescent(rest, i - 1)
+      val restMap = assigned.select(col("vec_id").as("centroid_id"),
+        col("vec").as("cvec"), col("sq").as("csq"),
+        (-col("best").getField("ncid")).as("grp"))
+      parentMaps(i) = own.unionByName(restMap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // (3) subtree radii, measured against the FINE descendants: walk each
+    // fine centroid's ancestor chain up the parent maps, then one
+    // min-cosine aggregation per interior level. Measured radii make the
+    // ball-cover bounds valid for ANY parent assignment.
+    var chain = parentMaps(levels - 1).select(
+      col("cvec").as("fvec"), col("csq").as("fsq"),
+      col("grp").as(s"anc${levels - 2}"))
+    for (j <- (levels - 2) to 1 by -1)
+      chain = chain.join(
+        parentMaps(j).select(col("centroid_id").as("aid_"),
+          col("grp").as(s"anc${j - 1}")),
+        col(s"anc$j") === col("aid_")).drop("aid_")
+    def radFrame(j: Int): DataFrame =
+      chain.join(
+          levelDf(j).select(col("centroid_id").as("aid"),
+            col("cvec").as("avec"), col("csq").as("asq")),
+          col(s"anc$j") === col("aid"))
+        .withColumn("fcos",
+          call_function("vec_dot", col("avec"), col("fvec")) /
+            sqrt(col("asq") * col("fsq")))
+        .groupBy(col("aid"))
+        .agg(min(col("fcos")).as("rad"))
+    val coarseRad = levelDf(0)
+      .join(radFrame(0), col("centroid_id") === col("aid"))
+      .select(col("centroid_id").as("grp"), col("cvec").as("gvec"),
+        col("csq").as("gsq"), col("rad").as("mcos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val radii: Map[Long, Double] = fineGrp.groupBy(col("grp"))
-      .agg(min(col("gcos")).as("mcos"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    driverCollectRows.addAndGet(radii.size)
-    // groups with no members (a duplicate coarse vector losing its own
-    // tie-break) simply never get probed — their members live elsewhere
-    val coarseRad = coarse.flatMap { case (cid, cvec, csq) =>
-      radii.get(cid).map(m => (cid, cvec, csq, m))
-    }.toSeq.toDF("grp", "gvec", "gsq", "mcos")
-    TwoLevelIndex(coarse, fineGrp, coarseRad)
+    val mids = (1 to levels - 2).map { j =>
+      parentMaps(j)
+        .join(radFrame(j), col("centroid_id") === col("aid"))
+        .select(col("grp"), col("centroid_id"), col("cvec"), col("csq"),
+          col("rad"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // materialize the artifact levels once, then drop the build-only
+    // scaffolding (interior parent maps live on inside `mids`)
+    (coarseRad +: parentMaps(levels - 1) +: mids).foreach(_.count())
+    (1 to levels - 2).foreach(j => parentMaps(j).unpersist(blocking = false))
+    TreeIndex(k, strides, coarse, coarseRad, mids, parentMaps(levels - 1))
   }
 
-  private[graft] def bestCentroidTwoLevel(v: DataFrame, centDf: DataFrame,
+  private[graft] def bestCentroidTree(v: DataFrame, centDf: DataFrame,
       k: Int, eps: Double = 1e-9): DataFrame =
-    bestCentroidTwoLevel(v, buildTwoLevelIndex(centDf, k), eps)
+    bestCentroidTree(v, buildTreeIndex(centDf, k), eps)
 
-  /** Steps 3–4 of the two-level plan against a prebuilt quantizer. */
-  private[graft] def bestCentroidTwoLevel(v: DataFrame, idx: TwoLevelIndex,
+  /** Fine-candidate probe (steps 4–5 + the fine join of the tree plan):
+    * every (vector, fine centroid) pair that survives the ball-cover
+    * descent, with v's columns carried and the candidate's
+    * (centroid_id, cvec, csq) attached — the shared core under
+    * [[bestCentroidTree]] (argmax collapse) and the runner-up probe in
+    * [[top2Centroids]] (winner-nulled collapse). */
+  private[graft] def treeCandidates(v: DataFrame, idx: TreeIndex,
       eps: Double): DataFrame = {
-    val coarse = idx.coarse
-    val fineGrp = idx.fineGrp
-    // an external cacheManager.clearCache() (the bench between rungs, the
-    // gate spec between queries) drops the storage but not the frame;
-    // re-assert the level so a long-lived index (ingestLargeK holds one
-    // for a stream's lifetime) caches the k-row grouping again instead of
-    // silently re-running it every subsequent micro-batch
-    if (fineGrp.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      fineGrp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val coarseRad = idx.coarseRad
-    // (3) LB pass (narrow argmax vs G rows) + ball-cover probe expansion
-    val withLb = bestCentroid(v, coarse)
-      .withColumn("lb", col("best").getField("s")).drop("best")
+    idx.reassertPersist()
     val vCols = v.columns.toSeq
-    val probed = withLb.crossJoin(broadcast(coarseRad))
+    // (4) achievable LB from the narrow coarse argmax, then the coarse
+    // subtree expansion — broadcast crossJoin + cone filter, map-side
+    val withLb = bestCentroid(v, idx.coarse)
+      .withColumn("lb", col("best").getField("s")).drop("best")
+    var cur = withLb.crossJoin(broadcast(idx.coarseRad))
       .withColumn("s",
         call_function("vec_dot", col("vec"), col("gvec")) /
           sqrt(col("sq") * col("gsq")))
-      // cos(θ_vg − r_g) for θ_vg ≥ r_g (s ≤ mcos); the ball contains the
-      // vector's direction otherwise and the bound is vacuous (UB = 1)
-      .withColumn("ub",
-        when(col("s") >= col("mcos"), lit(1.0))
-          .otherwise(col("s") * col("mcos") +
-            sqrt(greatest(lit(0.0), lit(1.0) - col("s") * col("s"))) *
-              sqrt(greatest(lit(0.0), lit(1.0) - col("mcos") * col("mcos")))))
+      .withColumn("ub", coneUb(col("s"), col("mcos")))
       .filter(col("ub") >= col("lb") - lit(eps))
-      .select(vCols.map(col) :+ col("grp"): _*)
-    // (4) fine join on grp — shuffle-hash, fine side must not broadcast
-    val carried = v.columns.filterNot(_ == "vec_id").toSeq
-    probed.join(fineGrp.select(col("grp"), col("centroid_id"),
+      .select(vCols.map(col) ++ Seq(col("lb"), col("grp")): _*)
+    // (5) interior descent: children of surviving groups, same static-LB
+    // cone filter per level
+    idx.mids.zipWithIndex.foreach { case (mid, j) =>
+      val rows = math.ceil(idx.k.toDouble / idx.strides(j + 1)).toLong
+      val lvl = mid.select(col("grp").as("pgrp"), col("centroid_id"),
+        col("cvec"), col("csq"), col("rad"))
+      val side = if (rows <= MidBroadcastMaxRows) broadcast(lvl)
+        else lvl.hint("shuffle_hash")
+      cur = cur.join(side, col("grp") === col("pgrp"))
+        .withColumn("s",
+          call_function("vec_dot", col("vec"), col("cvec")) /
+            sqrt(col("sq") * col("csq")))
+        .withColumn("ub", coneUb(col("s"), col("rad")))
+        .filter(col("ub") >= col("lb") - lit(eps))
+        .select(vCols.map(col) ++
+          Seq(col("lb"), col("centroid_id").as("grp")): _*)
+    }
+    // (6) fine join on grp — shuffle-hash, fine side must not broadcast
+    cur.join(idx.fine.select(col("grp"), col("centroid_id"),
         col("cvec"), col("csq")).hint("shuffle_hash"), Seq("grp"))
+      .select(vCols.map(col) ++
+        Seq(col("centroid_id"), col("cvec"), col("csq")): _*)
+  }
+
+  /** Tree assignment against a prebuilt quantizer: probe, then the same
+    * (score, −centroid_id) struct-max collapse as the flat plans —
+    * map-side partial aggregation, so the one Exchange carries ~|corpus|
+    * collapsed rows. */
+  private[graft] def bestCentroidTree(v: DataFrame, idx: TreeIndex,
+      eps: Double): DataFrame = {
+    val carried = v.columns.filterNot(_ == "vec_id").toSeq
+    treeCandidates(v, idx, eps)
       .withColumn("cand", struct(
         (call_function("vec_dot", col("vec"), col("cvec")) /
           sqrt(col("sq") * col("csq"))).as("s"),
@@ -425,36 +614,39 @@ object Similarity {
       .select((Seq("vec_id") ++ carried).map(col) :+ col("best"): _*)
   }
 
-  /** Cell assignment through the two-level plan — the entry the 100 TB
-    * regime uses (k > [[FlatCentroidMax]]), exposed directly so the value
-    * gate can force it at any size: `sim_ivf_twolevel`'s DuckDB oracle
-    * computes the FLAT argmax, so the oracle passing IS the
-    * exactness proof. */
-  def withIvfCellTwoLevel(v: DataFrame): DataFrame = {
+  /** Cell assignment through the log-tree plan — the entry the 100 TB
+    * regime uses (k > [[LiteralCentroidMax]]), exposed directly so the
+    * value gate can force it at any size: `sim_ivf_twolevel`'s DuckDB
+    * oracle computes the FLAT argmax, so the oracle passing IS the
+    * exactness proof. (Key name is historical — the r11 two-level plan
+    * this generalizes; the bench key string stays comparable across
+    * rounds.) */
+  def withIvfCellTree(v: DataFrame): DataFrame = {
     val k = centroidCount(v.count())
-    bestCentroidTwoLevel(v, centroidFrame(v, k), k)
+    bestCentroidTree(v, centroidFrame(v, k), k)
       .withColumn("cell", -col("best").getField("ncid"))
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
   }
 
-  /** Scale-dispatching cell assignment: flat literal/broadcast argmax
-    * while the centroid artifact is small enough to collect and
-    * broadcast, two-level past [[FlatCentroidMax]]. */
+  /** Scale-dispatching cell assignment: flat literal argmax while the
+    * centroid artifact fits a codegen'd projection, the log-tree past
+    * [[LiteralCentroidMax]] — the r16 dispatch (flat-broadcast carried a
+    * quadratic tail the r15 deep ramp measured; see [[FlatCentroidMax]]). */
   def withIvfCellAtScale(v: DataFrame): DataFrame = {
     val n = v.count()
     val k = centroidCount(n)
-    if (k <= FlatCentroidMax) withIvfCell(v, collectCentroids(v, n))
-    else bestCentroidTwoLevel(v, centroidFrame(v, k), k)
+    if (k <= LiteralCentroidMax) withIvfCell(v, collectCentroids(v, n))
+    else bestCentroidTree(v, centroidFrame(v, k), k)
       .withColumn("cell", -col("best").getField("ncid"))
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
   }
 
-  /** Two-level cell-population report (same output shape as
-    * [[ivfCellStats]]) — the oracle-gated witness that the hierarchical
+  /** Hierarchical cell-population report (same output shape as
+    * [[ivfCellStats]]) — the oracle-gated witness that the log-tree
     * plan's assignment is bit-identical to the flat argmax. */
-  def ivfCellStatsTwoLevel(emb: DataFrame): DataFrame = {
+  def ivfCellStatsTree(emb: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    withIvfCellTwoLevel(prepared(emb))
+    withIvfCellTree(prepared(emb))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"))
       .withColumn("share",
@@ -469,10 +661,10 @@ object Similarity {
     * of the corpus (at real scale these are k-means centroids, refreshed
     * offline); every vector is assigned to its nearest centroid by cosine
     * (argmax, centroid-id tie-break). Dispatches like every assignment
-    * entry: flat [[bestCentroid]] up to [[FlatCentroidMax]], the O(N·√k)
-    * [[bestCentroidTwoLevel]] past it — bit-identical either way. At
-    * 100 TB the cell becomes the partition key, so a query reads only
-    * its probed partitions. */
+    * entry: narrow literal [[bestCentroid]] up to [[LiteralCentroidMax]],
+    * the O(N·log k) [[bestCentroidTree]] past it — bit-identical either
+    * way. At 100 TB the cell becomes the partition key, so a query reads
+    * only its probed partitions. */
   def withIvfCell(v: DataFrame): DataFrame = withIvfCellAtScale(v)
 
   private def withIvfCell(v: DataFrame, cents: Array[(Long, Seq[Double], Double)]): DataFrame =
@@ -589,12 +781,12 @@ object Similarity {
   def withIvfCellScore(v: DataFrame): DataFrame = {
     val n = v.count()
     val k = centroidCount(n)
-    // same flat/two-level dispatch as [[withIvfCellAtScale]]: past the
-    // crossover the struct max comes from the hierarchical plan, whose
-    // `best` carries the identical (score, −id) pair
+    // same literal/tree dispatch as [[withIvfCellAtScale]]: past the
+    // codegen threshold the struct max comes from the hierarchical plan,
+    // whose `best` carries the identical (score, −id) pair
     val assigned =
-      if (k <= FlatCentroidMax) bestCentroid(v, collectCentroids(v, n))
-      else bestCentroidTwoLevel(v, centroidFrame(v, k), k)
+      if (k <= LiteralCentroidMax) bestCentroid(v, collectCentroids(v, n))
+      else bestCentroidTree(v, centroidFrame(v, k), k)
     assigned
       .withColumn("cell", -col("best").getField("ncid"))
       .withColumn("cent_cos", col("best").getField("s"))
@@ -613,19 +805,19 @@ object Similarity {
     *    generation with the winner filtered out before the map-side
     *    collapse. Each pass's one Exchange carries |corpus| collapsed
     *    rows, never |corpus|·k.
-    *  - `twolevel` (past the crossover): [[bestCentroidTwoLevel]] for the
+    *  - `tree` (past the codegen threshold): [[bestCentroidTree]] for the
     *    exact best, then the runner-up taken WITHIN the re-probed fine
-    *    set (winner excluded). The ball-cover expansion keeps every group
+    *    set (winner excluded). The ball-cover descent keeps every subtree
     *    whose upper bound reaches the coarse lower bound, so the true
     *    runner-up is only missed when it scores below that bound — the
     *    standard IVF probed-lists report semantics; a missed runner-up
     *    UNDERSTATES `nn_cos` (overstates the margin), never the reverse.
-    *    Every vector appears in the output: when no group beyond the
+    *    Every vector appears in the output: when no subtree beyond the
     *    winner's passes the bound, `second` is NULL (the same understated
     *    semantics) rather than the vector dropping from the report.
     *
     * Exposed per-regime so the spec can pin literal ≡ broadcast exactly
-    * and bound the two-level runner-up against the exact one. */
+    * and bound the tree runner-up against the exact one. */
   private[graft] def top2Centroids(prep: DataFrame, k: Int,
       regime: String): DataFrame = regime match {
     case "literal" =>
@@ -654,37 +846,24 @@ object Similarity {
         .groupBy(col("vec_id"))
         .agg(max(col("cand")).as("second"), first(col("best")).as("best"))
         .select(col("vec_id"), col("best"), col("second"))
-    case "twolevel" =>
+    case "tree" =>
       val cdf = centroidFrame(prep, k)
-      val idx = buildTwoLevelIndex(cdf, k)
+      val idx = buildTreeIndex(cdf, k)
       try {
-        val a = bestCentroidTwoLevel(prep.select("vec_id", "vec", "sq"), idx, 1e-9)
+        val a = bestCentroidTree(prep.select("vec_id", "vec", "sq"), idx, 1e-9)
           .withColumnRenamed("best", "b1")
-        // runner-up within the re-probed fine set: same LB pass +
-        // ball-cover expansion as steps 3–4 of the assignment plan, with
-        // the winning centroid excluded before the per-vector collapse
-        val withLb = bestCentroid(a, idx.coarse)
-          .withColumn("lb", col("best").getField("s")).drop("best")
-        val probed = withLb.crossJoin(broadcast(idx.coarseRad))
-          .withColumn("s",
-            call_function("vec_dot", col("vec"), col("gvec")) /
-              sqrt(col("sq") * col("gsq")))
-          .withColumn("ub",
-            when(col("s") >= col("mcos"), lit(1.0))
-              .otherwise(col("s") * col("mcos") +
-                sqrt(greatest(lit(0.0), lit(1.0) - col("s") * col("s"))) *
-                  sqrt(greatest(lit(0.0), lit(1.0) - col("mcos") * col("mcos")))))
-          .filter(col("ub") >= col("lb") - lit(1e-9))
-          .select(col("vec_id"), col("vec"), col("sq"), col("b1"), col("grp"))
-        // the winner's own candidate row is KEPT but nulled (not filtered
-        // out): its fine group always passes the ball-cover filter (the
-        // exact best lives there, so the group's ub ≥ b1.s ≥ lb), so every
-        // vec_id reaches the collapse even when its probed set is a
-        // singleton with no other qualifying group — `second` is NULL for
-        // such vectors instead of the row vanishing (which silently
+        // runner-up within the re-probed fine set: the same ball-cover
+        // descent as the assignment plan (b1 rides along as a carried
+        // column), with the winning centroid excluded before the
+        // per-vector collapse.
+        // The winner's own candidate row is KEPT but nulled (not filtered
+        // out): its fine chain always passes the ball-cover filters (the
+        // exact best lives there, so every ancestor's ub ≥ b1.s ≥ lb), so
+        // every vec_id reaches the collapse even when its probed set is a
+        // singleton with no other qualifying subtree — `second` is NULL
+        // for such vectors instead of the row vanishing (which silently
         // under-counted n_vecs in cellQuality). max() ignores nulls.
-        probed.join(idx.fineGrp.select(col("grp"), col("centroid_id"),
-            col("cvec"), col("csq")).hint("shuffle_hash"), Seq("grp"))
+        treeCandidates(a, idx, 1e-9)
           .withColumn("cand",
             when(col("centroid_id") === -col("b1").getField("ncid"), lit(null))
               .otherwise(struct(
@@ -714,17 +893,18 @@ object Similarity {
   def cellQuality(emb: DataFrame): DataFrame = {
     val prep = prepared(emb)
     val k = centroidCount(prep.count())
-    val regime =
-      if (k <= LiteralCentroidMax) "literal"
-      else if (k <= FlatCentroidMax) "broadcast"
-      else "twolevel"
+    // r16: the broadcast-flat regime is gone from the dispatch ladder —
+    // it is O(N·k), the quadratic tail the deep ramp convicted; the tree
+    // takes over directly past the codegen threshold ("broadcast" remains
+    // a spec cross-check arm only)
+    val regime = if (k <= LiteralCentroidMax) "literal" else "tree"
     val t2 = top2Centroids(prep, k, regime)
     t2.select(
         (-col("best").getField("ncid")).as("cell"),
         floor(col("best").getField("s") * lit(1000000.0)).cast("long").as("own_u"),
         floor(col("second").getField("s") * lit(1000000.0)).cast("long").as("nn_u"))
       .groupBy(col("cell"))
-      // a NULL nn_u (two-level runner-up not probed — singleton probed
+      // a NULL nn_u (tree runner-up not probed — singleton probed
       // set) contributes 0 to the sum but stays in n_vecs: nn_cos is
       // understated for such vectors, never dropped from the population
       .agg(count(lit(1)).as("n_vecs"),
@@ -764,8 +944,9 @@ object Similarity {
   /** Test seam: rows materialized on the driver by the training/assignment
     * path since the last reset. Every driver collect in the k-means family
     * routes its row count through here, so a spec can run one training
-    * iteration at k > [[FlatCentroidMax]] and assert the total driver
-    * state stayed O(√k) — the gate that keeps the r10 flat-assignment
+    * iteration at k > [[LiteralCentroidMax]] and assert the total driver
+    * state stayed bounded (O(B) coarse rows + ≤[[TreeBuildCollectMax]]-row
+    * parent collects) — the gate that keeps the r10 flat-assignment
     * regression (O(N/256) means collected per iteration) from coming
     * back. Zero-cost in production (one atomic add per collect). */
   private[graft] val driverCollectRows = new java.util.concurrent.atomic.AtomicLong
@@ -776,46 +957,46 @@ object Similarity {
 
   /** Scale-dispatching cell assignment from a centroid FRAME — the
     * training-loop twin of [[withIvfCellAtScale]]: collects the frame into
-    * the flat argmax only while k ≤ [[FlatCentroidMax]] (driver state
-    * bounded by the constant, the measured-crossover flat regime), and
-    * runs [[bestCentroidTwoLevel]] past it, where the frame never
-    * materializes on the driver. Returns v's columns + `cell`. */
+    * the narrow literal argmax only while k ≤ [[LiteralCentroidMax]]
+    * (driver state bounded by the codegen constant), and runs
+    * [[bestCentroidTree]] past it, where the frame never materializes on
+    * the driver. Returns v's columns + `cell`. */
   private[graft] def assignFromFrame(v: DataFrame, centDf: DataFrame, k: Int): DataFrame =
     frameAssigner(centDf, k)(v)
 
   /** [[frameAssigner]] plus the index release hook: callers that
     * materialize every assignment EAGERLY (the k-means iteration — its
-    * localCheckpoint consumes the whole pass) release the two-level
-    * index's persisted frame instead of leaking one per build. No-op in
-    * the flat regime. */
+    * localCheckpoint consumes the whole pass) release the tree index's
+    * persisted level frames instead of leaking one set per build. No-op
+    * in the literal regime. */
   private[graft] def frameAssignerReleasable(centDf: DataFrame,
       k: Int): (DataFrame => DataFrame, () => Unit) =
-    if (k <= FlatCentroidMax) (frameAssigner(centDf, k), () => ())
+    if (k <= LiteralCentroidMax) (frameAssigner(centDf, k), () => ())
     else {
-      val idx = buildTwoLevelIndex(centDf, k)
-      (v => bestCentroidTwoLevel(v, idx, eps = 1e-9)
+      val idx = buildTreeIndex(centDf, k)
+      (v => bestCentroidTree(v, idx, eps = 1e-9)
         .withColumn("cell", -col("best").getField("ncid")).drop("best"),
         () => idx.release())
     }
 
   /** A REUSABLE assigner closed over the scale-dispatched artifact
-    * representation: the flat collected table while k ≤ [[FlatCentroidMax]]
-    * (collected ONCE, at closure build), the prebuilt [[TwoLevelIndex]]
-    * past it. A caller assigning many frames against one centroid artifact
-    * — the streaming micro-batch ingest — pays the index derivation once
-    * and only the assignment jobs per frame; single-shot callers go
-    * through [[assignFromFrame]] and see identical results (same kernels,
-    * same tie-break). */
+    * representation: the collected literal table while
+    * k ≤ [[LiteralCentroidMax]] (collected ONCE, at closure build), the
+    * prebuilt [[TreeIndex]] past it. A caller assigning many frames
+    * against one centroid artifact — the streaming micro-batch ingest —
+    * pays the index derivation once and only the assignment jobs per
+    * frame; single-shot callers go through [[assignFromFrame]] and see
+    * identical results (same kernels, same tie-break). */
   private[graft] def frameAssigner(centDf: DataFrame, k: Int): DataFrame => DataFrame =
-    if (k <= FlatCentroidMax) {
+    if (k <= LiteralCentroidMax) {
       val cents = centDf.collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
       v => ledger(cents.length)(bestCentroid(v, cents))
         .withColumn("cell", -col("best").getField("ncid")).drop("best")
     } else {
-      val idx = buildTwoLevelIndex(centDf, k)
-      v => bestCentroidTwoLevel(v, idx, eps = 1e-9)
+      val idx = buildTreeIndex(centDf, k)
+      v => bestCentroidTree(v, idx, eps = 1e-9)
         .withColumn("cell", -col("best").getField("ncid")).drop("best")
     }
 
@@ -824,8 +1005,8 @@ object Similarity {
     * one bounded-sample membership aggregation computing per-cell means,
     * and one k-row equi-join folding the new means back into the artifact.
     * NOTHING corpus- or k-sized ever lands on the driver: past
-    * [[FlatCentroidMax]] the assignment is [[bestCentroidTwoLevel]]
-    * (O(√k) coarse rows are the only driver state) and the means stay a
+    * [[LiteralCentroidMax]] the assignment is [[bestCentroidTree]]
+    * (O(B) coarse rows are the only driver state) and the means stay a
     * DataFrame joined back by centroid_id — the shape that trains at
     * FAISS/SemDeDup scale (k = 50k) where the r10 loop's per-iteration
     * k-row collect would have been O(N/256) driver state. Each iteration
@@ -1065,8 +1246,8 @@ object Similarity {
     // query-serving index: k from the bounded training sample (linear
     // build), not the occupancy-pinned corpus k — see [[QueryTrainSample]]
     val kc = queryCentroidCount(n)
-    if (kc <= FlatCentroidMax) ivfTopK(prep, collectCentroidsK(prep, kc), k, nQueries)
-    else ivfTopKTwoLevel(prep, kc, k, nQueries)
+    if (kc <= LiteralCentroidMax) ivfTopK(prep, collectCentroidsK(prep, kc), k, nQueries)
+    else ivfTopKTree(prep, kc, k, nQueries)
   }
 
   /** The query-serving IVF index BUILD alone — cell assignment of the whole
@@ -1077,22 +1258,22 @@ object Similarity {
   def ivfIndexBuild(emb: DataFrame): DataFrame = {
     val prep = prepared(emb)
     val kc = queryCentroidCount(prep.count())
-    if (kc <= FlatCentroidMax) withIvfCell(prep, collectCentroidsK(prep, kc))
-    else bestCentroidTwoLevel(prep, centroidFrame(prep, kc), kc)
+    if (kc <= LiteralCentroidMax) withIvfCell(prep, collectCentroidsK(prep, kc))
+    else bestCentroidTree(prep, centroidFrame(prep, kc), kc)
       .withColumn("cell", -col("best").getField("ncid"))
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
   }
 
-  /** The past-the-crossover IVF plan: NO k-row driver collect anywhere —
-    * two-level corpus assignment (bit-identical argmax, O(N·√k)) and
+  /** The past-the-threshold IVF plan: NO k-row driver collect anywhere —
+    * log-tree corpus assignment (bit-identical argmax, O(N·log k)) and
     * frame-based probe selection that broadcasts the tiny QUERY side over
     * the k-row centroid frame instead of the reverse. Exposed so the spec
     * can force it at small k and assert result equality with the flat
     * plan. */
-  private[graft] def ivfTopKTwoLevel(prep: DataFrame, kc: Int, k: Int,
+  private[graft] def ivfTopKTree(prep: DataFrame, kc: Int, k: Int,
       nQueries: Int): DataFrame = {
     val cdf = centroidFrame(prep, kc)
-    val v = bestCentroidTwoLevel(prep, cdf, kc)
+    val v = bestCentroidTree(prep, cdf, kc)
       .withColumn("cell", -col("best").getField("ncid"))
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
     rankTopK(
@@ -1288,14 +1469,14 @@ object Similarity {
     // same sample-bounded k_q as [[ivfTopK]] — the composed production ANN
     // shape serves queries, so its build obeys the same linear discipline
     val kc = queryCentroidCount(n)
-    if (kc <= FlatCentroidMax) ivfPqTopK(prep, collectCentroidsK(prep, kc), k, nQueries)
+    if (kc <= LiteralCentroidMax) ivfPqTopK(prep, collectCentroidsK(prep, kc), k, nQueries)
     else {
-      // past the crossover: two-level assignment + frame-based probes,
+      // past the threshold: log-tree assignment + frame-based probes,
       // PQ codes/distance tables unchanged (codebook is PqK=8 rows — never
       // part of the k growth)
       val cb = collectCodebook(prep)
       val cdf = centroidFrame(prep, kc)
-      val assigned = bestCentroidTwoLevel(prep, cdf, kc)
+      val assigned = bestCentroidTree(prep, cdf, kc)
         .withColumn("cell", -col("best").getField("ncid"))
         .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
       val probes = ivfProbesFrame(prep, cdf, nQueries)
@@ -1307,7 +1488,7 @@ object Similarity {
     }
   }
 
-  private def ivfPqTopK(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
+  private[graft] def ivfPqTopK(prep: DataFrame, cents: Array[(Long, Seq[Double], Double)],
       k: Int, nQueries: Int): DataFrame = {
     val cb = collectCodebook(prep)
     val coded = withPqCodes(withIvfCell(prep, cents), cb)

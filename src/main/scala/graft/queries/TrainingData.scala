@@ -162,9 +162,10 @@ object TrainingData {
     "cur_epochs" -> ((s, dir) => Curation.epochsSummary(docs(s, dir))),
     "sim_ivf_stats" -> ((s, dir) => Similarity.ivfCellStats(emb(s, dir))),
     "sim_cell_quality" -> ((s, dir) => Similarity.cellQuality(emb(s, dir))),
-    // two-level (hierarchical) assignment, oracle-checked against the FLAT
-    // argmax SQL — the value gate IS the exactness proof for the 100 TB plan
-    "sim_ivf_twolevel" -> ((s, dir) => Similarity.ivfCellStatsTwoLevel(emb(s, dir))),
+    // hierarchical (log-tree) assignment, oracle-checked against the FLAT
+    // argmax SQL — the value gate IS the exactness proof for the 100 TB
+    // plan (key name is historical: the r11 two-level plan it generalizes)
+    "sim_ivf_twolevel" -> ((s, dir) => Similarity.ivfCellStatsTree(emb(s, dir))),
     "sim_chunk_topk" -> ((s, dir) => Similarity.chunkTopK(docs(s, dir))),
     "sim_hard_negatives" -> ((s, dir) => Similarity.hardNegatives(emb(s, dir))),
     "text_bpe_eval" -> ((s, dir) => Bpe.tokenizeEval(docs(s, dir))),

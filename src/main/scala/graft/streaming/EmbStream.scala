@@ -31,14 +31,14 @@ object EmbStream {
     // size ends in a groupBy(vec_id) — unbounded state on an unbounded
     // stream — so the literal plan is the ONLY stream-safe assignment;
     // past it the artifact is a coarse-quantizer problem (assign against
-    // Similarity's two-level plan in a batch backfill), not a bigger
+    // Similarity's log-tree plan in a batch backfill), not a bigger
     // literal. Fail loudly instead of re-entering the codegen blowup the
     // batch path deliberately avoids.
     require(cents.length <= graft.operators.Similarity.LiteralCentroidMax,
       s"streaming cell assignment embeds centroids in a literal projection; " +
         s"${cents.length} centroids exceeds LiteralCentroidMax=" +
         s"${graft.operators.Similarity.LiteralCentroidMax} — refit a coarser " +
-        "artifact or assign in batch (two-level quantizer)")
+        "artifact or assign in batch (log-tree quantizer)")
     graft.GraftExtensions.ensureRegistered(embs.sparkSession)
     val prepped = embs
       .withColumn("vec", col("embedding").cast("array<double>"))
@@ -52,8 +52,8 @@ object EmbStream {
   /** Large-artifact ingest — the seam [[withCell]]'s guard points at when
     * the centroid set outgrows the literal plan: assignment happens INSIDE
     * `foreachBatch`, where each micro-batch is a bounded BATCH frame, so
-    * the full scale-dispatched kernel applies unchanged (broadcast argmax
-    * while k ≤ FlatCentroidMax, the exact two-level plan past it — O(√k)
+    * the full scale-dispatched kernel applies unchanged (literal argmax
+    * while k ≤ LiteralCentroidMax, the exact log-tree plan past it — O(B)
     * driver state, centroid table never collected). A stream against a
     * production-sized artifact (FAISS-scale k) therefore ingests instead
     * of erroring, and stays bit-identical to the batch assignment — same
@@ -65,8 +65,9 @@ object EmbStream {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     graft.GraftExtensions.ensureRegistered(embs.sparkSession)
     // the quantizer is a FIXED artifact for the stream's lifetime: build it
-    // once here (coarse collect + fine-grouping job), so each micro-batch
-    // pays only the assignment jobs — not a per-batch index re-derivation
+    // once here (coarse collect + level-construction jobs), so each
+    // micro-batch pays only the assignment jobs — not a per-batch index
+    // re-derivation
     val assign = graft.operators.Similarity.frameAssigner(centDf, k)
     embs.writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>

@@ -3,15 +3,17 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
 
-/** Flat-vs-two-level assignment crossover measurement on a FULLY-POPULATED
+/** Flat-vs-tree assignment crossover measurement on a FULLY-POPULATED
   * centroid range (the corrected interleaved-id ramp corpus — the r10
   * bracket behind `FlatCentroidMax` was measured before the ADVICE r10 #1
-  * fix, when deep rungs silently carried min(k, B−100) real centroids).
-  * For each `copies` rung: build the ramp corpus, assign every vector to
-  * its nearest centroid with BOTH plans (flat broadcast argmax over the
-  * collected k-row table vs the exact two-level coarse quantizer), report
-  * wall seconds and verify the assignments agree (the exactness property,
-  * double-checked here because the probe exists to re-price the constant).
+  * fix, when deep rungs silently carried min(k, B−100) real centroids;
+  * r16 re-pointed the hierarchical arm at the log-tree that replaced the
+  * two-level plan). For each `copies` rung: build the ramp corpus, assign
+  * every vector to its nearest centroid with BOTH plans (flat broadcast
+  * argmax over the collected k-row table vs the exact log-tree
+  * quantizer), report wall seconds and verify the assignments agree (the
+  * exactness property, double-checked here because the probe exists to
+  * re-price the constant).
   *
   * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   *   sbt "runMain graft.tools.CrossoverProbe 32 128 256 512"`
@@ -53,19 +55,19 @@ object CrossoverProbe {
             .bestCentroid(prep, cents, literal = false).count()
         }
         val (twoSec, cTwo) = best2 {
-          graft.operators.Similarity.bestCentroidTwoLevel(prep, cdf, k).count()
+          graft.operators.Similarity.bestCentroidTree(prep, cdf, k).count()
         }
         // exactness spot-check: identical per-vector argmax on a sample
         val f = graft.operators.Similarity.bestCentroid(prep, cents, literal = false)
           .select(col("vec_id"), (-col("best.ncid")).as("cell"))
           .filter(col("vec_id") % 997 === 0)
-        val t = graft.operators.Similarity.bestCentroidTwoLevel(prep, cdf, k)
+        val t = graft.operators.Similarity.bestCentroidTree(prep, cdf, k)
           .filter(col("vec_id") % 997 === 0)
           .select(col("vec_id"), (-col("best.ncid")).as("cell"))
         val mismatches = f.as("f").join(t.as("t"), Seq("vec_id"))
           .filter(col("f.cell") =!= col("t.cell")).count()
         println(f"CROSSOVER copies=$copies n=$n k=$k " +
-          f"flat=$flatSec%.2f s two=$twoSec%.2f s rows=$cFlat/$cTwo mismatch=$mismatches")
+          f"flat=$flatSec%.2f s tree=$twoSec%.2f s rows=$cFlat/$cTwo mismatch=$mismatches")
         prep.unpersist()
       } finally graft.Bench.deleteRecursively(dir)
     }

@@ -129,12 +129,12 @@ class CellCapSpec extends AnyFunSuite {
     assert(probes(literal = true).groupBy(_._1).forall(_._2.size == graft.operators.Similarity.IvfProbes))
   }
 
-  test("two-level assignment is bit-identical to the flat argmax past the codegen threshold") {
+  test("tree assignment is bit-identical to the flat argmax past the codegen threshold") {
     import spark.implicits._
     // 2000 vectors, 150 centroids (> LiteralCentroidMax — the regime where
-    // flat switches to the broadcast-join plan and the artifact growth
-    // problem starts): the hierarchical plan must reproduce the flat argmax
-    // exactly, including the centroid-id tie-break
+    // the r16 dispatch switches to the log-tree): the hierarchical plan
+    // must reproduce the flat argmax exactly, including the centroid-id
+    // tie-break
     def vec(seed: Long): Seq[Double] =
       (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
     val v = spark.range(2000)
@@ -152,12 +152,46 @@ class CellCapSpec extends AnyFunSuite {
       .select(col("vec_id"), (-col("best.ncid")).as("cell"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val flat = cellsOf(Similarity.bestCentroid(v, cents.toArray, literal = false))
-    val hier = cellsOf(Similarity.bestCentroidTwoLevel(v, centDf, k))
+    val hier = cellsOf(Similarity.bestCentroidTree(v, centDf, k))
     assert(hier.size === flat.size)
     assert(hier === flat)
   }
 
-  test("two-level plan broadcasts only O(√k) rows and never broadcasts the fine table") {
+  test("three-level tree with greedy-descent build is bit-identical to the flat argmax") {
+    import spark.implicits._
+    // k = 1500 forces depth 3 (strides 64/8/1 — coarse 24, mid 188, fine
+    // 1500) AND the distributed greedy-descent parent build (the mid level
+    // exceeds TreeBuildCollectMax), so this pins the full 100 TB shape:
+    // multi-level ball-cover descent over a greedily-built tree must still
+    // reproduce the flat argmax bit-for-bit (measured subtree radii keep
+    // the bounds valid for ANY parent assignment — the exactness note on
+    // [[Similarity.buildTreeIndex]]).
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
+    val v = spark.range(4000)
+      .map { id => (id, id % 5, vec(id)) }
+      .toDF("vec_id", "label", "vec")
+      .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
+      .filter(col("sq") > 0)
+    val k = 1500
+    assert(Similarity.treeStrides(k) === Seq(64L, 8L, 1L))
+    assert(math.ceil(k.toDouble / 8) > Similarity.TreeBuildCollectMax,
+      "mid level no longer forces the greedy-descent build — pick a bigger k")
+    val cents = (0 until k).map { c =>
+      val cv = vec(c * 977L + 3)
+      (c.toLong, cv, cv.map(x => x * x).sum)
+    }
+    val centDf = cents.toDF("centroid_id", "cvec", "csq")
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = cellsOf(Similarity.bestCentroid(v, cents.toArray, literal = false))
+    val hier = cellsOf(Similarity.bestCentroidTree(v, centDf, k))
+    assert(hier.size === flat.size)
+    assert(hier === flat)
+  }
+
+  test("tree plan broadcasts only the coarse radius table and never broadcasts the fine table") {
     import spark.implicits._
     def vec(seed: Long): Seq[Double] =
       (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
@@ -172,27 +206,31 @@ class CellCapSpec extends AnyFunSuite {
       (c.toLong, cv, cv.map(x => x * x).sum)
     }
     val centDf = cents.toDF("centroid_id", "cvec", "csq")
-    val out = Similarity.bestCentroidTwoLevel(v, centDf, k)
+    val out = Similarity.bestCentroidTree(v, centDf, k)
     val plan = out.queryExecution.executedPlan.toString
     // the fine-table join is pinned to shuffle-hash: the k-row (→ 100 TB:
     // O(N/256)-row) side must appear under an Exchange, never a broadcast
     assert(plan.contains("ShuffledHashJoin"),
       s"fine join is not shuffle-hash:\n$plan")
-    // the only broadcast in the plan is the G-row coarse(+radius) table of
-    // the probe expansion (G = ⌈√k⌉ = 13 here); the LB hop at G ≤ 128 is a
-    // literal projection with no broadcast at all
-    val nBroadcast = "BroadcastExchange".r.findAllIn(plan).size
-    assert(nBroadcast <= 1, s"unexpected broadcasts ($nBroadcast):\n$plan")
-    // driver/broadcast state is O(√k) by construction
-    assert(math.ceil(math.sqrt(k.toDouble)).toInt === 13)
+    // k = 150 is a depth-2 tree (strides 8/1), so the only LIVE broadcast
+    // in the plan is the coarse(+radius) table of the probe expansion
+    // (⌈150/8⌉ = 19 rows); the LB hop at ≤ 128 coarse rows is a literal
+    // projection with no broadcast at all. The persisted build artifacts
+    // print their (already-materialized) lineage under InMemoryRelation —
+    // those broadcasts ran once at index build, so the count stops at the
+    // first cached-relation dump.
+    assert(Similarity.treeStrides(k) === Seq(8L, 1L))
+    val live = plan.split("InMemoryRelation", 2).head
+    val nBroadcast = "BroadcastExchange".r.findAllIn(live).size
+    assert(nBroadcast <= 1, s"unexpected live broadcasts ($nBroadcast):\n$plan")
     out.count() // executes end-to-end
   }
 
-  test("IVF top-k results agree between the flat plan and the two-level dispatch") {
+  test("IVF top-k results agree between the flat plan and the tree dispatch") {
     import spark.implicits._
     // same 2000-vector corpus; k = 150 forced through BOTH plans (the
-    // public entry dispatches on centroidCount > FlatCentroidMax — this
-    // pins that the dispatch can never change a result, only the plan)
+    // public entry dispatches on queryCentroidCount > LiteralCentroidMax —
+    // this pins that the dispatch can never change a result, only the plan)
     def vec(seed: Long): Seq[Double] =
       (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
     val prep = spark.range(2000)
@@ -207,19 +245,20 @@ class CellCapSpec extends AnyFunSuite {
       .sortBy(_._1)
     val flat = Similarity.ivfTopK(prep, cents, k = 10, nQueries = 5)
       .collect().map(_.toSeq).toSeq
-    val two = Similarity.ivfTopKTwoLevel(prep, kc, k = 10, nQueries = 5)
+    val two = Similarity.ivfTopKTree(prep, kc, k = 10, nQueries = 5)
       .collect().map(_.toSeq).toSeq
     assert(two.nonEmpty)
     assert(two === flat)
   }
 
-  test("k-means training at k > FlatCentroidMax keeps driver state O(√k)") {
+  test("k-means training at large k keeps driver state bounded by the tree constants") {
     import spark.implicits._
     // the r10 regression this gates: the training loop used to collect the
     // k-row per-cell means table every iteration — O(N/256) driver state.
-    // The frame-based loop's only driver rows past FlatCentroidMax are the
-    // two-level assignment's coarse set + group radii (each ⌈√k⌉) and the
-    // 1-row dims probe, all routed through the driverCollectRows ledger.
+    // The frame-based loop's only driver rows past LiteralCentroidMax are
+    // the tree's coarse set (O(B) rows), any ≤TreeBuildCollectMax-row
+    // parent collect, and the 1-row dims probe, all routed through the
+    // driverCollectRows ledger.
     def vec(seed: Long): Seq[Double] =
       (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
     val prep = spark.range(3000)
@@ -228,17 +267,22 @@ class CellCapSpec extends AnyFunSuite {
       .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
       .filter(col("sq") > 0)
     val k = 1500
-    assert(k > Similarity.FlatCentroidMax)
+    assert(k > Similarity.LiteralCentroidMax)
     val init = Similarity.centroidFrame(prep, k)
     Similarity.driverCollectRows.set(0L)
     val trained = Similarity.kmeansCentroidFrame(prep, init, k, iters = 1,
       maxMembersPerCell = 256)
     val nTrained = trained.count()
     val collected = Similarity.driverCollectRows.get()
-    val sqrtK = math.ceil(math.sqrt(k.toDouble)).toLong
-    val bound = 4 * sqrtK + 8
+    // coarse (≤ B² by the treeStrides floor rule) + one allowed parent
+    // collect per interior level + the dims probe — constants, not a
+    // function of k (at k = 1500 the mid level is greedy-built, so the
+    // actual count is coarse 24 + dims 1 = 25)
+    val levels = Similarity.treeStrides(k).length
+    val bound = Similarity.TreeFanout.toLong * Similarity.TreeFanout +
+      (levels - 2).toLong * Similarity.TreeBuildCollectMax + 8
     assert(collected <= bound,
-      s"training collected $collected driver rows; O(√k) bound is $bound (k=$k)")
+      s"training collected $collected driver rows; tree bound is $bound (k=$k)")
     assert(collected > 0L, "ledger saw no collects — the seam is unwired")
     // the artifact itself stays k rows and the update actually ran: at
     // least one centroid moved from its init vector
@@ -261,7 +305,7 @@ class CellCapSpec extends AnyFunSuite {
     assert(pairs.count() < 500L * 499)
   }
 
-  test("cell-quality top-2 is plan-independent: literal ≡ broadcast; two-level best exact, runner-up probe-bounded") {
+  test("cell-quality top-2 is plan-independent: literal ≡ broadcast; tree best exact, runner-up probe-bounded") {
     val emb = spark.read.parquet(TestSpark.sf + "/embeddings.parquet")
     val prep = Similarity.prepared(emb).localCheckpoint()
     val k = Similarity.centroidCount(prep.count())
@@ -286,15 +330,15 @@ class CellCapSpec extends AnyFunSuite {
         s"vec $id: top-2 scores differ across plans")
     }
 
-    // two-level: the best is exact (ball-cover probing); the runner-up is
+    // tree: the best is exact (ball-cover probing); the runner-up is
     // probe-scoped — it can only UNDERSTATE the true runner-up cosine
-    val tl = collect("twolevel")
+    val tl = collect("tree")
     assert(tl.keySet === lit.keySet)
     tl.foreach { case (id, (bn, bs, _, ss)) =>
       assert(bn === lit(id)._1 && math.abs(bs - lit(id)._2) < 1e-9,
-        s"vec $id: two-level best differs from exact")
+        s"vec $id: tree best differs from exact")
       assert(ss <= lit(id)._4 + 1e-9,
-        s"vec $id: two-level runner-up $ss above the exact one ${lit(id)._4}")
+        s"vec $id: tree runner-up $ss above the exact one ${lit(id)._4}")
     }
 
     // the report itself: all vectors accounted for, margins non-negative

@@ -485,7 +485,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim_ivf_stats" -> "imbalance ratio over the per-cell aggregate (≤ #IVF cells rows)",
     "era_slot_gaps" -> "lag over the per-era max-slot aggregate (one row per era, ~1.5k rows for the full chain); the per-slot lag itself is era-partitioned",
     "era_sql_slot_gaps" -> "VERBATIM user SQL from the reference's query corpus (CLICKHOUSE.md:500-508) — the global lag is the user's own text, run as-is by design; the engine-native twin era_slot_gaps is the era-partitioned scale path",
-    "sim_ivf_twolevel" -> "share/balance over the per-cell aggregate (≤ #IVF cells rows) — same collapsed frame as sim_ivf_stats; the two-level assignment itself carries no global window",
+    "sim_ivf_twolevel" -> "share/balance over the per-cell aggregate (≤ #IVF cells rows) — same collapsed frame as sim_ivf_stats; the log-tree assignment itself carries no global window",
     "text_length_histogram" -> "cumulative sum over the per-log2-bucket aggregate (≤ 64 rows: buckets of a long)",
     "ret_hybrid_rrf" -> "rank assignment over each leg's ALREADY-TRUNCATED top-legK frame (≤ 50 rows per leg; the truncation itself is distributed TakeOrderedAndProject)")
 

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Recall VALUE witness in the DIVERGENT-k regime (VERDICT r15 #2 /
+  * ADVICE r15): every other value gate runs at corpus sizes where the
+  * query-serving k_q and the occupancy k COINCIDE by construction
+  * (n ≤ QueryTrainSample), so none of them could catch a recall
+  * regression from the r15 sample-bound. This spec ramps the REAL
+  * embeddings corpus (the same near-duplicate family the deep ramp
+  * measures) to 4× the default training sample — where k_q = 16 while
+  * the occupancy k is 65 — and MEASURES both regimes against the exact
+  * brute-force top-k:
+  *  - the EXACT-scoring arm (ivf) is asserted unchanged-or-better:
+  *    recall(k_q) ≥ recall(k_occ) − ε on the same corpus, same queries
+  *    (measured 1.0 → 1.0 — every candidate in a probed cell is scored
+  *    by true cosine, and fewer, larger cells cover MORE of the corpus);
+  *  - the PQ-scored arm (ivfpq) measured the OPPOSITE of the original
+  *    r15 doc claim — 0.58 at occupancy k vs 0.48 at k_q: larger probed
+  *    lists put more PQ-approximate candidates in front of the true
+  *    top-k. The spec pins that trade inside a measured band instead of
+  *    letting the doc assert it away (the Scaladoc on
+  *    [[Similarity.queryCentroidCount]] now states the measured trade
+  *    and the SPARK_GRAFT_QUERY_TRAIN_SAMPLE lever that buys it back). */
+class RecallWitnessSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("divergent-k recall witness: ivf unchanged-or-better under the sample bound; ivfpq trade measured and banded") {
+    val dir = graft.Bench.rampCorpus(spark, TestSpark.sf, copies = 33)
+    try {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val prep = Similarity.prepared(emb)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = prep.count()
+      val kq = Similarity.queryCentroidCount(n)
+      val kOcc = Similarity.centroidCount(n)
+      assert(kq === 16 && kOcc === 65,
+        s"corpus n=$n no longer lands in the divergent regime (kq=$kq kOcc=$kOcc)")
+      val k = 10
+      val nQueries = 5
+      val brute = Similarity.bruteForceTopK(emb, k, nQueries)
+        .select(col("query_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(brute.size === k * nQueries)
+      def recallOf(df: DataFrame): Double = {
+        val got = df.select(col("query_id"), col("vec_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        got.intersect(brute).size.toDouble / (k * nQueries)
+      }
+      val ivfSample = recallOf(Similarity.ivfTopK(prep,
+        Similarity.collectCentroidsK(prep, kq), k, nQueries))
+      val ivfOcc = recallOf(Similarity.ivfTopK(prep,
+        Similarity.collectCentroidsK(prep, kOcc), k, nQueries))
+      val pqSample = recallOf(Similarity.ivfPqTopK(prep,
+        Similarity.collectCentroidsK(prep, kq), k, nQueries))
+      val pqOcc = recallOf(Similarity.ivfPqTopK(prep,
+        Similarity.collectCentroidsK(prep, kOcc), k, nQueries))
+      info(s"n=$n ivf: k_q=$kq -> $ivfSample, k_occ=$kOcc -> $ivfOcc; " +
+        s"ivfpq: k_q -> $pqSample, k_occ -> $pqOcc")
+      // exact-scoring arm: unchanged-or-better, measured (ε covers
+      // probe-boundary float jitter, not a regression class)
+      assert(ivfSample >= ivfOcc - 0.02,
+        s"sample-bounded ivf recall $ivfSample fell below occupancy-k $ivfOcc")
+      assert(ivfSample >= 0.9, s"ivf recall $ivfSample under the 0.9 floor")
+      // PQ-scored arm: the measured trade (2026-08-16: 0.58 -> 0.48) —
+      // bounded degradation, not silence; a collapse past the band means
+      // the probe/assignment interaction regressed, not the known trade
+      assert(pqSample >= pqOcc - 0.15,
+        s"sample-bounded ivfpq recall $pqSample degraded more than the " +
+          s"measured PQ-list trade vs occupancy-k $pqOcc")
+      assert(pqSample >= 0.4, s"ivfpq recall $pqSample under the 0.4 floor")
+      prep.unpersist()
+    } finally graft.Bench.deleteRecursively(dir)
+  }
+}

@@ -177,17 +177,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(assigned === Map(1L -> 0L, 4L -> 1L))
   }
 
-  test("large-k ingest: foreachBatch two-level assignment equals the flat batch argmax") {
+  test("large-k ingest: foreachBatch log-tree assignment equals the flat batch argmax") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.{EmbStream, StreamEmb}
     import graft.operators.Similarity
     // a production-sized artifact: k far past LiteralCentroidMax (the
     // literal withCell refuses it — guard-tested below) and past
-    // FlatCentroidMax, so the per-batch assignment runs the exact
-    // two-level plan with O(√k) driver state
+    // LiteralCentroidMax, so the per-batch assignment runs the exact
+    // log-tree plan with O(B) driver state
     val k = 1500
-    assert(k > Similarity.FlatCentroidMax)
+    assert(k > Similarity.LiteralCentroidMax)
     def dvec(seed: Long): Seq[Double] =
       (0 until 8).map(d => ((seed * 31 + d * 7) % 13 - 6).toDouble / 3.0)
     val cents = (0 until k).map { c =>
@@ -211,7 +211,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     // ground truth: the FLAT broadcast argmax over the identical
     // (float-widened) vectors — an independent plan, bit-identical by the
-    // two-level exactness property
+    // log-tree exactness property
     val v = (0L until 300L)
       .map(id => (id, dvec(id).map(_.toFloat).map(_.toDouble)))
       .toDF("vec_id", "vec")
@@ -226,7 +226,7 @@ class StreamingSpec extends AnyFunSuite {
       EmbStream.withCell(Seq(emb(0)).toDF(),
         cents.toArray.map { case (id, cv, sq) => (id, cv, sq) })
     }
-    assert(err.getMessage.contains("two-level"))
+    assert(err.getMessage.contains("log-tree"))
   }
 
   test("streaming exact dedup emits only the first copy of each content digest") {
