@@ -242,18 +242,28 @@ object Dedup {
     * (band index, band hash), then verify with the signature-agreement
     * estimate of Jaccard. The join shuffles on the band key only. */
   def minhashLshPairs(docs: DataFrame, estThreshold: Double = 0.5): DataFrame = {
-    val banded = bandedSigs(minhashSignatures(docs))
+    // explicit fan-out before the exploding self-join — AQE coalescing is
+    // blind to join-output explosion ([[Similarity.pairFanout]])
+    val banded = Similarity.pairFanout(
+      bandedSigs(minhashSignatures(docs)), col("band"), col("band_key"))
     val a = banded.as("a")
     val b = banded.as("b")
+    // estimate + threshold are applied PER COLLISION, map-side in the
+    // bucket join's output partitions, and only (doc_a, doc_b, est) rows
+    // reach the cross-band dedupe — r16: the old shape deduped FIRST, so
+    // the distinct's shuffle carried both full signature arrays for every
+    // band collision (~2 KB/row vs ~30 B/row; at the 512× deep rung that
+    // is the difference between a 3 GB and a 70 GB pair shuffle). est is
+    // a pure function of the pair, so distinct-after-score is
+    // value-identical to score-after-distinct — the oracle pins it.
     a.join(b,
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct() // a pair can collide in >1 band
-      .withColumn("est_jaccard", estJaccard("sig_a", "sig_b"))
+      .withColumn("est_jaccard", estJaccard("a.sig", "b.sig"))
       .filter(col("est_jaccard") >= estThreshold)
-      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .distinct() // a pair can collide in >1 band
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -572,17 +582,24 @@ object Dedup {
       .filter(col("bucket_docs") <=
         greatest(lit(2L), ceil(lit(MaxChunkDocFrac) * col("n_docs_total"))))
       .select(col("doc_id"), col("simhash"), col("chunk"), col("chunk_val"))
-    val a = capped.as("a")
-    val b = capped.as("b")
+    // explicit fan-out before the exploding self-join ([[Similarity.pairFanout]])
+    val cappedWide = Similarity.pairFanout(capped, col("chunk"), col("chunk_val"))
+    val a = cappedWide.as("a")
+    val b = cappedWide.as("b")
+    // hamming verify runs PER COLLISION, map-side, so pairs that fail the
+    // radius die before any shuffle and the cross-chunk dedupe carries
+    // only (doc_a, doc_b, hamming) — same r16 restructure as
+    // [[minhashLshPairs]] (hamming is a pure pair function, so
+    // distinct-after-verify is value-identical; the oracle pins it)
     a.join(b,
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .withColumn("hamming",
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -595,8 +612,9 @@ object Dedup {
   def embeddingNearDupsLsh(emb: DataFrame, threshold: Double = 0.995): DataFrame = {
     import graft.functions.VectorMath
     graft.GraftExtensions.ensureRegistered(emb.sparkSession)
-    val v = Similarity.withBucket(
-      augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec")))
+    val v = Similarity.pairFanout(Similarity.withBucket(
+      augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec"))),
+      col("bucket"))
     val a = v.as("a")
     val b = v.as("b")
     a.join(b,
@@ -618,7 +636,9 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.995): DataFrame = {
     import graft.functions.VectorMath
     graft.GraftExtensions.ensureRegistered(emb.sparkSession)
-    val v = augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec"))
+    val v = Similarity.pairFanout(
+      augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec")),
+      col("label"))
     val a = v.as("a")
     val b = v.as("b")
     a.join(b,
@@ -667,8 +687,13 @@ object Dedup {
   def semDedup(emb: DataFrame, threshold: Double = 0.96): DataFrame = {
     import graft.functions.VectorMath
     graft.GraftExtensions.ensureRegistered(emb.sparkSession)
-    val v = Similarity.withCellBlock(Similarity.withIvfCellScore(
-      augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec"))))
+    // pinned: count + centroid extraction + assignment + the pair join
+    // are repeated passes over the prepared corpus (r16)
+    val prepped = augmentedEmbeddings(emb).withColumn("sq", VectorMath.normSq("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = Similarity.pairFanout(
+      Similarity.withCellBlock(Similarity.withIvfCellScore(prepped)),
+      col("cell_blk"))
     val dropped = v.as("a").join(v.as("b"),
         col("a.cell_blk") === col("b.cell_blk") && col("a.vec_id") =!= col("b.vec_id") &&
           (VectorMath.dot("a.vec", "b.vec") /

@@ -207,6 +207,23 @@ object Similarity {
     * the corpus that is a >4000× single-cell skew, far past anything the
     * assignment can produce (and cell ids ~N/256 keep the product well
     * inside a long). */
+  /** Explicit pair-join fan-out: repartition a blocked frame by its
+    * bucket key into a USER-SPECIFIED partition count before a self-join
+    * that explodes. AQE's partition coalescing sizes post-shuffle
+    * partitions by INPUT bytes and is blind to join-OUTPUT explosion —
+    * measured r16 at the 512× deep rung: a ~50 MB banded-signature frame
+    * coalesced to ONE partition and the 113M-pair explosion ran on 1 of
+    * 32 cores. A user-specified repartition is exempt from AQE
+    * coalescing, and the self-join's equi keys match the repartition
+    * keys, so both aliases reuse the one exchange and the pair work fans
+    * out at the declared width. At a real cluster width this is the
+    * difference between a pair stage that uses the cluster and one that
+    * serializes on whatever AQE guessed from pre-explosion bytes. */
+  private[operators] def pairFanout(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(
+      math.max(df.sparkSession.sparkContext.defaultParallelism * 2, 16),
+      keys: _*)
+
   def withCellBlock(v: DataFrame, cap: Int = MaxMembersPerCell): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell")).orderBy(col("vec_id"))
@@ -444,9 +461,16 @@ object Similarity {
     import spark.implicits._
     val strides = treeStrides(k)
     val levels = strides.length
+    // the centroid frame is k rows but its LINEAGE is usually a corpus
+    // scan (centroidFrame filters the corpus by id range): pin it once so
+    // the ~2L build jobs below read k cached rows instead of re-scanning
+    // the corpus per job (measured r16 at the 512× rung: the un-pinned
+    // build re-scanned a 128k-row corpus ~10×, dominating sim_ivf_twolevel)
+    val cent = centDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cent.count()
     def levelDf(i: Int): DataFrame =
-      if (strides(i) == 1L) centDf
-      else centDf.filter(col("centroid_id") % strides(i) === 0)
+      if (strides(i) == 1L) cent
+      else cent.filter(col("centroid_id") % strides(i) === 0)
     def levelSize(i: Int): Long = math.ceil(k.toDouble / strides(i)).toLong
     // (1) the coarse level — the only rows the driver ever holds
     val coarse: Array[(Long, Seq[Double], Double)] = levelDf(0)
@@ -541,9 +565,11 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // materialize the artifact levels once, then drop the build-only
-    // scaffolding (interior parent maps live on inside `mids`)
+    // scaffolding (interior parent maps live on inside `mids`; the pinned
+    // centroid frame has served its ~2L build reads)
     (coarseRad +: parentMaps(levels - 1) +: mids).foreach(_.count())
     (1 to levels - 2).foreach(j => parentMaps(j).unpersist(blocking = false))
+    cent.unpersist(blocking = false)
     TreeIndex(k, strides, coarse, coarseRad, mids, parentMaps(levels - 1))
   }
 
@@ -646,7 +672,10 @@ object Similarity {
     * plan's assignment is bit-identical to the flat argmax. */
   def ivfCellStatsTree(emb: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    withIvfCellTree(prepared(emb))
+    // pinned: count + centroid extraction + assignment are three passes
+    // over the prepared corpus (r16)
+    withIvfCellTree(prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n_vecs"))
       .withColumn("share",
@@ -732,11 +761,22 @@ object Similarity {
     * [[graft.operators.Dedup.semDedup]]'s pair stage; at real scale the
     * cell is the partition key and each mining task is cell-local. */
   def hardNegatives(emb: DataFrame): DataFrame = {
-    val v = withCellBlock(withIvfCell(prepared(emb)))
+    // the corpus feeds count + centroid extraction + assignment + the
+    // pair join — pin the prepared frame once instead of re-scanning and
+    // re-casting the parquet per phase (r16; the bench clearCache / the
+    // session's cache manager reclaims it)
+    val prep = prepared(emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = pairFanout(withCellBlock(withIvfCell(prep)), col("cell_blk"))
     val a = v.as("a")
     val b = v.as("b")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a.vec_id")).orderBy(col("cos").desc, col("b.vec_id"))
+    // top-1 per vector as a struct-max HASH aggregate, not a row_number
+    // window: the per-pair stream collapses map-side without the window's
+    // per-task sort of the whole pair space (r16 — at the 512× rung the
+    // sort of ~21M pair rows per task was a measured chunk of the rung).
+    // max over (cos desc, −neg_id ⇒ lowest neg_id on ties) selects the
+    // identical row the (cos desc, vec_id asc) window rank-1 did; the
+    // oracle pins the equivalence.
     a.join(b,
         col("a.cell_blk") === col("b.cell_blk") &&
           col("a.vec_id") =!= col("b.vec_id") &&
@@ -744,11 +784,16 @@ object Similarity {
       .withColumn("cos",
         call_function("vec_dot", col("a.vec"), col("b.vec")) /
           sqrt(col("a.sq") * col("b.sq")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("a.vec_id").as("vec_id"), col("a.label").as("label"),
-        col("a.cell").as("cell"), col("b.vec_id").as("neg_id"),
-        col("b.label").as("neg_label"), round(col("cos"), 6).as("cos"))
+      .withColumn("cand", struct(col("cos").as("s"),
+        (-col("b.vec_id")).as("nnid"),
+        col("b.label").as("neg_label")))
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(first(col("a.label")).as("label"), first(col("a.cell")).as("cell"),
+        max(col("cand")).as("best"))
+      .select(col("vec_id"), col("label"), col("cell"),
+        (-col("best").getField("nnid")).as("neg_id"),
+        col("best").getField("neg_label").as("neg_label"),
+        round(col("best").getField("s"), 6).as("cos"))
       .orderBy(col("vec_id"))
   }
 
@@ -1263,6 +1308,17 @@ object Similarity {
       .withColumn("cell", -col("best").getField("ncid"))
       .select(col("vec_id"), col("label"), col("vec"), col("sq"), col("cell"))
   }
+
+  /** The OCCUPANCY-pinned index build alone — cell assignment of the
+    * whole corpus at k = centroidCount(N) (the pair families' discipline:
+    * k ∝ N pins expected cell occupancy at 256), billed to its own bench
+    * key (`sim_occ_build_sec`, VERDICT r15 #1) parallel to the
+    * query-serving `sim_ivf_build_sec` so the two build disciplines never
+    * re-entangle inside one measurement. Past [[LiteralCentroidMax]] this
+    * is the log-tree assignment — O(N·log k), the subquadratic path the
+    * r15 deep ramp demanded. */
+  def occIndexBuild(emb: DataFrame): DataFrame =
+    withIvfCellAtScale(prepared(emb))
 
   /** The past-the-threshold IVF plan: NO k-row driver collect anywhere —
     * log-tree corpus assignment (bit-identical argmax, O(N·log k)) and

@@ -335,6 +335,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("cell"), p.take(2000))
   }
 
+  test("exploding pair joins carry the explicit AQE-exempt fanout (REPARTITION_BY_NUM at cluster width)") {
+    // r16: AQE's partition coalescing sizes post-shuffle partitions by
+    // INPUT bytes and is blind to join-OUTPUT explosion — at the 512× deep
+    // rung a ~50 MB banded frame coalesced to ONE partition and a
+    // 113M-pair explosion ran on 1 of 32 cores. Similarity.pairFanout is
+    // the fix: an explicit repartition(N, bucketKeys) before every
+    // exploding self-join, which plans as a REPARTITION_BY_NUM Exchange
+    // that AQE may never coalesce. The oracle gate cannot see this (values
+    // are identical either way), so the plan string is the regression
+    // fence. N = max(2·defaultParallelism, 16) = 16 under TestSpark's
+    // local[4].
+    val n = math.max(spark.sparkContext.defaultParallelism * 2, 16)
+    for (q <- Seq("dedup_minhash_pairs", "dedup_simhash_pairs",
+        "dedup_semdedup", "sim_hard_negatives", "dedup_embedding",
+        "dedup_embedding_lsh")) {
+      val p = plan(q)
+      assert(p.contains("REPARTITION_BY_NUM"),
+        s"$q lost the explicit pair fanout:\n${p.take(2000)}")
+      assert(p.contains(s", $n), REPARTITION_BY_NUM"),
+        s"$q fanout width is not $n:\n${p.take(2000)}")
+    }
+  }
+
   test("rolling z-score: one day-bucket aggregation, then windows on the collapsed frame") {
     val p = plan("win_zscore_anomaly")
     assert(!p.contains("Join"), p.take(2000))
