@@ -34,7 +34,7 @@ object CrossoverProbe {
     spark.sparkContext.setLogLevel("WARN")
     val copiesList = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(64, 256, 512)
     copiesList.foreach { copies =>
-      val dir = graft.Bench.rampCorpus(spark, sfDir, copies)
+      val dir = graft.bench.Corpora.rampCorpus(spark, sfDir, copies)
       try {
         val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         val prep = graft.operators.Similarity.prepared(emb)

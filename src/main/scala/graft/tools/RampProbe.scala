@@ -25,7 +25,7 @@ object RampProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(s"[ramp] ${graft.Bench.ramp(spark, sfDir)}")
+    println(s"[ramp] ${graft.bench.Ramp.ramp(spark, sfDir)}")
     spark.stop()
   }
 }

@@ -2,8 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Calibration for [[graft.Bench.WriteProbeStallMbps]] /
-  * [[graft.Bench.CpuProbeStallSec]] and live proof that the bench's
+/** Calibration for [[graft.bench.Probes.WriteProbeStallMbps]] /
+  * [[graft.bench.Probes.CpuProbeStallSec]] and live proof that the bench's
   * per-rep probe bracketing actually labels a stalled rung (VERDICT r13
   * #1's "verified by deliberately running one rung under induced load";
   * r14 #1 extends the drill to CPU starvation): measures the probes idle,
@@ -27,16 +27,16 @@ object WriteStallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def probe3() = (1 to 3).map(_ => graft.Bench.writeProbeMbps(spark))
-    def cpuProbe3() = (1 to 3).map(_ => graft.Bench.cpuProbeSec())
+    def probe3() = (1 to 3).map(_ => graft.bench.Probes.writeProbeMbps(spark))
+    def cpuProbe3() = (1 to 3).map(_ => graft.bench.Probes.cpuProbeSec())
 
-    graft.Bench.writeProbeMbps(spark) // discard: first-write JIT/codegen
-    graft.Bench.cpuProbeSec() // discard: hashLoop JIT
+    graft.bench.Probes.writeProbeMbps(spark) // discard: first-write JIT/codegen
+    graft.bench.Probes.cpuProbeSec() // discard: hashLoop JIT
     val idle = probe3()
     val idleCpu = cpuProbe3()
     // the drill calibrates the CPU threshold exactly like the bench does
     // (2× the warm single-thread baseline, floored)
-    graft.Bench.CpuProbeStallSec = math.max(0.2, 2.0 * idleCpu.min)
+    graft.bench.Probes.CpuProbeStallSec = math.max(0.2, 2.0 * idleCpu.min)
 
     @volatile var stop = false
     val loaders =
@@ -87,8 +87,8 @@ object WriteStallProbe {
     val eras = new java.io.File(eraDir).listFiles().toSeq
       .filter(_.getName.endsWith(".era"))
       .map(_.getName.split("-")(1).toLong).distinct.sorted
-    val pre = graft.Bench.writeProbeMbps(spark)
-    val cpre = graft.Bench.cpuProbeSec()
+    val pre = graft.bench.Probes.writeProbeMbps(spark)
+    val cpre = graft.bench.Probes.cpuProbeSec()
     val root = java.nio.file.Files.createTempDirectory("graft-stallprobe-wh").toString
     val state = java.nio.file.Files.createTempDirectory("graft-stallprobe-whstate").toString
     val t0 = System.nanoTime()
@@ -97,18 +97,18 @@ object WriteStallProbe {
       spark.read.format("era").load(f"$eraDir/gnosis-$era%05d-*.era")
     }
     val whSec = (System.nanoTime() - t0) / 1e9
-    val cpost = graft.Bench.cpuProbeSec()
-    val post = graft.Bench.writeProbeMbps(spark)
+    val cpost = graft.bench.Probes.cpuProbeSec()
+    val post = graft.bench.Probes.writeProbeMbps(spark)
     graft.Bench.deleteRecursively(root); graft.Bench.deleteRecursively(state)
     stop = true
     loaders.foreach(_.join(2000))
 
     def arr(xs: Seq[Double]) = xs.mkString("[", ",", "]")
-    val rep = graft.Bench.ProbedRep(whSec, pre, post, cpre, cpost)
+    val rep = graft.bench.ProbedRep(whSec, pre, post, cpre, cpost)
     println(s"""{"mode":"$mode","idle_probe_mbps":${arr(idle)},"loaded_probe_mbps":${arr(loaded)},""" +
       s""""idle_cpu_probe_sec":${arr(idleCpu)},"loaded_cpu_probe_sec":${arr(loadedCpu)},""" +
-      s""""threshold_mbps":${graft.Bench.WriteProbeStallMbps},""" +
-      s""""cpu_threshold_sec":${math.rint(graft.Bench.CpuProbeStallSec * 1000) / 1000},""" +
+      s""""threshold_mbps":${graft.bench.Probes.WriteProbeStallMbps},""" +
+      s""""cpu_threshold_sec":${math.rint(graft.bench.Probes.CpuProbeStallSec * 1000) / 1000},""" +
       s""""wh_under_load_sec":${math.rint(whSec * 10) / 10},""" +
       s""""wh_probe_pre":$pre,"wh_probe_post":$post,""" +
       s""""wh_cpu_probe_pre":$cpre,"wh_cpu_probe_post":$cpost,""" +

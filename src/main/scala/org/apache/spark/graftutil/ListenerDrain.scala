@@ -3,7 +3,7 @@ package org.apache.spark.graftutil
 import org.apache.spark.SparkContext
 
 /** Deterministic SparkListener-bus drain for the soak gate's per-query
-  * metric attribution ([[graft.Bench.MaxTaskListener]]): task-end events
+  * metric attribution ([[graft.bench.MaxTaskListener]]): task-end events
   * post asynchronously, so reading a listener's accumulators right after
   * an action can miss stragglers (or, worse, attribute them to the NEXT
   * query after a reset). `listenerBus.waitUntilEmpty` is the engine's own

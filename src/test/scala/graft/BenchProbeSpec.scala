@@ -13,69 +13,69 @@ import org.apache.spark.sql.sources
 class BenchProbeSpec extends AnyFunSuite {
 
   test("ProbedRep labels name the mechanism: write, cpu, both, none") {
-    val saved = Bench.CpuProbeStallSec
-    Bench.CpuProbeStallSec = 0.6
+    val saved = graft.bench.Probes.CpuProbeStallSec
+    graft.bench.Probes.CpuProbeStallSec = 0.6
     try {
       // healthy: both write probes above 8 MB/s, both cpu probes under 0.6 s
-      val clean = Bench.ProbedRep(10.0, wpre = 20.0, wpost = 25.0, cpre = 0.3, cpost = 0.3)
+      val clean = graft.bench.ProbedRep(10.0, wpre = 20.0, wpost = 25.0, cpre = 0.3, cpost = 0.3)
       assert(!clean.stalled && clean.stallKind === "none")
       // EITHER write probe collapsing labels the rep (min < threshold)
-      val w = Bench.ProbedRep(10.0, wpre = 20.0, wpost = 3.0, cpre = 0.3, cpost = 0.3)
+      val w = graft.bench.ProbedRep(10.0, wpre = 20.0, wpost = 3.0, cpre = 0.3, cpost = 0.3)
       assert(w.writeStalled && !w.cpuStalled && w.stallKind === "write")
       // EITHER cpu probe slow labels the rep (max > threshold) — the r14
       // blind spot: healthy write probes, CPU-starved rep
-      val c = Bench.ProbedRep(10.0, wpre = 20.0, wpost = 25.0, cpre = 0.3, cpost = 1.4)
+      val c = graft.bench.ProbedRep(10.0, wpre = 20.0, wpost = 25.0, cpre = 0.3, cpost = 1.4)
       assert(c.cpuStalled && !c.writeStalled && c.stallKind === "cpu")
-      val both = Bench.ProbedRep(10.0, wpre = 2.0, wpost = 25.0, cpre = 1.4, cpost = 0.3)
+      val both = graft.bench.ProbedRep(10.0, wpre = 2.0, wpost = 25.0, cpre = 1.4, cpost = 0.3)
       assert(both.stalled && both.stallKind === "write+cpu")
       // the MID-REP sampler closes the bracket blind spot: a steal window
       // that recovered before the post-probe (clean brackets, slow rep —
       // the live r15 73 s tmpfs shape) still labels via the in-rep MEAN
-      val mid = Bench.ProbedRep(73.0, wpre = 23.0, wpost = 22.0,
+      val mid = graft.bench.ProbedRep(73.0, wpre = 23.0, wpost = 22.0,
         cpre = 0.3, cpost = 0.31, cmid = 0.9, cmidMax = 1.2)
       assert(mid.cpuStalled && mid.stallKind === "cpu")
       // …while a GC spike of the rep's OWN workload (high max, low mean)
       // does NOT label — that is workload, not environment
-      val gcSpike = Bench.ProbedRep(10.0, wpre = 23.0, wpost = 22.0,
+      val gcSpike = graft.bench.ProbedRep(10.0, wpre = 23.0, wpost = 22.0,
         cpre = 0.3, cpost = 0.31, cmid = 0.35, cmidMax = 1.5)
       assert(!gcSpike.stalled)
       // the kernel steal counter labels independently of every probe: a
       // rep whose window saw >10% of the machine stolen is "steal" even
       // with clean write/cpu probes (the residual the probes can't see)
-      val stolen = Bench.ProbedRep(31.6, wpre = 30.5, wpost = 13.3,
+      val stolen = graft.bench.ProbedRep(31.6, wpre = 30.5, wpost = 13.3,
         cpre = 0.28, cpost = 0.29, cmid = 0.30, cmidMax = 1.0, stealCores = 8.5)
       assert(stolen.stealStalled && stolen.stallKind === "steal")
-      val mildSteal = Bench.ProbedRep(10.0, wpre = 30.0, wpost = 25.0,
+      val mildSteal = graft.bench.ProbedRep(10.0, wpre = 30.0, wpost = 25.0,
         cpre = 0.28, cpost = 0.29, cmid = 0.30, cmidMax = 0.4, stealCores = 1.0)
       assert(!mildSteal.stalled)
-    } finally Bench.CpuProbeStallSec = saved
+    } finally graft.bench.Probes.CpuProbeStallSec = saved
   }
 
   test("the /proc/stat steal reader parses this box's counter and the delta helper scales ticks") {
     // live counter (Linux): present and monotone non-negative here
-    val t = Bench.stealTicks()
+    val t = graft.bench.Probes.stealTicks()
     assert(t.isDefined && t.get >= 0L, "steal ticks should parse on this box")
     // 200 ticks over 10 s at USER_HZ=100 = 2.0 core-seconds/sec
-    assert(Bench.stealCoresOver(Some(1000L), Some(3000L), 10.0) === 2.0)
-    assert(Bench.stealCoresOver(None, Some(3000L), 10.0) === 0.0)
-    assert(Bench.stealCoresOver(Some(1000L), None, 10.0) === 0.0)
+    assert(graft.bench.Probes.stealCoresOver(Some(1000L), Some(3000L), 10.0) === 2.0)
+    assert(graft.bench.Probes.stealCoresOver(None, Some(3000L), 10.0) === 0.0)
+    assert(graft.bench.Probes.stealCoresOver(Some(1000L), None, 10.0) === 0.0)
   }
 
   test("bestClean prefers a slower clean rep over a faster stall-labeled one") {
-    val saved = Bench.CpuProbeStallSec
-    Bench.CpuProbeStallSec = 0.6
+    val saved = graft.bench.Probes.CpuProbeStallSec
+    graft.bench.Probes.CpuProbeStallSec = 0.6
     try {
-      val fastStalled = Bench.ProbedRep(5.0, 20.0, 3.0, 0.3, 0.3)
-      val slowClean = Bench.ProbedRep(9.0, 20.0, 25.0, 0.3, 0.3)
-      assert(Bench.bestClean(Seq(fastStalled, slowClean))(_.sec, _.stalled) eq slowClean)
+      val fastStalled = graft.bench.ProbedRep(5.0, 20.0, 3.0, 0.3, 0.3)
+      val slowClean = graft.bench.ProbedRep(9.0, 20.0, 25.0, 0.3, 0.3)
+      assert(graft.bench.Reps.bestClean(Seq(fastStalled, slowClean))(_.sec, _.stalled) eq slowClean)
       // every rep stalled → fall back to the fastest (there is no clean
       // witness to prefer, and hiding the number would be worse)
-      val slowStalled = Bench.ProbedRep(9.0, 2.0, 3.0, 0.3, 0.3)
-      assert(Bench.bestClean(Seq(fastStalled, slowStalled))(_.sec, _.stalled) eq fastStalled)
+      val slowStalled = graft.bench.ProbedRep(9.0, 2.0, 3.0, 0.3, 0.3)
+      assert(graft.bench.Reps.bestClean(Seq(fastStalled, slowStalled))(_.sec, _.stalled) eq fastStalled)
       // tie on labels → fastest
-      val fastClean = Bench.ProbedRep(4.0, 20.0, 25.0, 0.3, 0.3)
-      assert(Bench.bestClean(Seq(slowClean, fastClean))(_.sec, _.stalled) eq fastClean)
-    } finally Bench.CpuProbeStallSec = saved
+      val fastClean = graft.bench.ProbedRep(4.0, 20.0, 25.0, 0.3, 0.3)
+      assert(graft.bench.Reps.bestClean(Seq(slowClean, fastClean))(_.sec, _.stalled) eq fastClean)
+    } finally graft.bench.Probes.CpuProbeStallSec = saved
   }
 
   test("the shared slot-window fold: AND-tightening, overflow-conservative, None without bounds") {

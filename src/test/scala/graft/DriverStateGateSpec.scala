@@ -27,7 +27,7 @@ class DriverStateGateSpec extends AnyFunSuite {
     * are byte-identical near-dups ⇒ a dense LSH pair graph (tens of
     * thousands of edges — MBs if collected, well over the gate bound). */
   private lazy val docs = {
-    val dir = Bench.soakCorpus(spark, "/root/testdata/sf0.001", copies = 16)
+    val dir = graft.bench.Corpora.soakCorpus(spark, "/root/testdata/sf0.001", copies = 16)
     spark.read.parquet(s"$dir/documents.parquet")
   }
 

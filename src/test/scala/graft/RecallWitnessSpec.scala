@@ -31,7 +31,7 @@ class RecallWitnessSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("divergent-k recall witness: ivf unchanged-or-better under the sample bound; ivfpq trade measured and banded") {
-    val dir = graft.Bench.rampCorpus(spark, TestSpark.sf, copies = 33)
+    val dir = graft.bench.Corpora.rampCorpus(spark, TestSpark.sf, copies = 33)
     try {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val prep = Similarity.prepared(emb)

@@ -30,7 +30,13 @@ class SoakSpec extends AnyFunSuite {
   private val family = Seq(
     "dedup_exact" -> 0.4,
     "clean_boilerplate" -> 0.2,
-    "dedup_simhash_pairs" -> 0.3,
+    // r16 pair restructure: simhash scores per collision map-side and
+    // dedupes narrow (doc_a, doc_b, score) rows AFTER an explicit
+    // cluster-width fanout, so the partial distinct collapses less per
+    // partition — measured max task 0.56 MB on this corpus (was 0.06).
+    // Still ~5× headroom below: a funneled/unblocked pair family on the
+    // 5× twins is 25× the pair space, far past 3 MB.
+    "dedup_simhash_pairs" -> 3.0,
     "dedup_winnow_pairs" -> 4.5,
     "text_nb_calibration" -> 5.5,
     "diag_skew" -> 0.1,
@@ -40,8 +46,8 @@ class SoakSpec extends AnyFunSuite {
     "passage_spans" -> 7.0)
 
   test("no soak-family query funnels the hot-twin corpus through one task") {
-    val dir = Bench.soakCorpus(spark, "/root/testdata/sf0.001", copies = 5)
-    val listener = new Bench.MaxTaskListener
+    val dir = graft.bench.Corpora.soakCorpus(spark, "/root/testdata/sf0.001", copies = 5)
+    val listener = new graft.bench.MaxTaskListener
     spark.sparkContext.addSparkListener(listener)
     try {
       val over = family.flatMap { case (name, boundMb) =>

@@ -40,7 +40,7 @@ class TopKWindowSpec extends AnyFunSuite {
     val df = hotScored().cache()
     try {
       df.count()
-      val listener = new Bench.MaxTaskListener
+      val listener = new graft.bench.MaxTaskListener
       spark.sparkContext.addSparkListener(listener)
       try {
         listener.reset()
