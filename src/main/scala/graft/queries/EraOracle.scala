@@ -122,6 +122,14 @@ object EraOracle {
            FROM ${t("mainnet_blocks")} b
            LEFT JOIN ${t("mainnet_payloads")} p ON b.slot = p.slot
            ORDER BY b.slot""",
+      // dense-children density profile: independent per-table recount of
+      // every slot's child rows (the dense fixture's ~10× row sets are
+      // value-hashed here, not just decoded)
+      "era_child_density" ->
+        Normalizer.datasetNames.map(n =>
+          s"""SELECT '$n' AS tbl, slot, CAST(COUNT(*) AS BIGINT) AS n_rows
+             FROM ${t(n)} GROUP BY slot""")
+          .mkString("", " UNION ALL ", " ORDER BY tbl, slot"),
       "era_inclusion_delay" ->
         s"""SELECT committee_index,
            ROUND(AVG(slot - attestation_slot), 4) AS avg_inclusion_delay,

@@ -143,6 +143,22 @@ object EraQueries {
           Set("blocks")))
           .orderBy(col("slot"))
       }),
+      // dense-children × query-surface witness (VERDICT r15 #8): per-slot
+      // child-row density across ALL 15 normalized tables, value-hashed —
+      // the gnosis_dense_syn fixture's ~10× offset-table sizes flow
+      // through an oracle-checked aggregation rather than only through
+      // the decode specs. One narrow groupBy(slot) per table (partial
+      // agg; child tables never shuffle whole rows), 15-way UNION of
+      // slot-count frames — rows ∝ blocks, any scale.
+      "era_child_density" -> ((s, _) => {
+        val b = blocks(s)
+        Normalizer.datasetNames.map { name =>
+          Normalizer.dataset(b, name)
+            .groupBy(col("slot")).agg(count(lit(1)).as("n_rows"))
+            .select(lit(name).as("tbl"), col("slot"), col("n_rows"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("tbl"), col("slot"))
+      }),
       // CLICKHOUSE.md:604-613 — attestation inclusion delay
       "era_inclusion_delay" -> ((s, _) =>
         Normalizer.attestations(blocks(s))
