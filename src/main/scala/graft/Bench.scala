@@ -668,5 +668,9 @@ object Bench {
       headline)
     println(headline)
     spark.stop()
+    // the fixed-size calibration corpus is per-run scratch (~174 MB);
+    // leaving it accumulates a dead dir per bench invocation on a box
+    // whose writeback stalls worsen with /tmp residue
+    deleteRecursively(calDir)
   }
 }

@@ -11,7 +11,12 @@ object Ramp {
   /** The representative kernels per family the ramp tracks. */
   private[bench] val rampFamilies: Seq[(String, Seq[String])] = Seq(
     "dedup" -> Seq("dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs"),
-    "ann" -> Seq("sim_topk_ivf", "sim_hard_negatives", "sim_ivf_twolevel"),
+    // semdedup rides the ann family: its kernel is the cell-blocked pair
+    // join (same occupancy-k assignment as hard_negatives), and r16's
+    // probe-tool pricing (out-norm 0.25 at 512×) deserves the same
+    // committed min-of-2 witness as its two siblings
+    "ann" -> Seq("sim_topk_ivf", "sim_hard_negatives", "sim_ivf_twolevel",
+      "dedup_semdedup"),
     "text" -> Seq("text_quality", "text_langid"),
     // ExactSubstr: the ramp's copy-prefixed texts make almost every 8-gram
     // a cross-copy repeat, so the cut list covers ~the whole corpus — the
