@@ -191,6 +191,43 @@ class CellCapSpec extends AnyFunSuite {
     assert(hier === flat)
   }
 
+  test("four-level tree (production depth) with two-hop greedy descent is bit-identical to the flat argmax") {
+    import spark.implicits._
+    // k = 4096 is the smallest k whose tree keeps FOUR levels (strides
+    // 512/64/8/1 — coarse 8, then 64, 512, 4096): the depth the occupancy
+    // pin reaches at ~1M vectors and the first shape whose fine-level
+    // parent build runs the greedy descent through TWO interior hops
+    // (level-3's parent level has 512 rows > TreeBuildCollectMax, and the
+    // descent to it crosses level 2). A richer value generator than the
+    // sibling tests' mod-13 one: that one yields only 13 distinct vectors
+    // (pure tie-break stress); this one gives ~every centroid a distinct
+    // direction, so the ball-cover pruning itself is load-bearing here.
+    def vec(seed: Long): Seq[Double] =
+      (0 until 8).map(d =>
+        (((seed * 2654435761L + d * 40503L) % 1021L) - 510L).toDouble / 300.0)
+    val v = spark.range(1500)
+      .map { id => (id, id % 5, vec(id)) }
+      .toDF("vec_id", "label", "vec")
+      .withColumn("sq", expr("aggregate(vec, cast(0 as double), (a, x) -> a + x * x)"))
+      .filter(col("sq") > 0)
+    val k = 4096
+    assert(Similarity.treeStrides(k) === Seq(512L, 64L, 8L, 1L))
+    assert(math.ceil(k.toDouble / 8) > Similarity.TreeBuildCollectMax,
+      "fine level's parent build no longer greedy-descends — pick a bigger k")
+    val cents = (0 until k).map { c =>
+      val cv = vec(c * 977L + 3)
+      (c.toLong, cv, cv.map(x => x * x).sum)
+    }
+    val centDf = cents.toDF("centroid_id", "cvec", "csq")
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), (-col("best.ncid")).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = cellsOf(Similarity.bestCentroid(v, cents.toArray, literal = false))
+    val hier = cellsOf(Similarity.bestCentroidTree(v, centDf, k))
+    assert(hier.size === flat.size)
+    assert(hier === flat)
+  }
+
   test("tree plan broadcasts only the coarse radius table and never broadcasts the fine table") {
     import spark.implicits._
     def vec(seed: Long): Seq[Double] =
