@@ -452,20 +452,35 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     val sweepNames = SparkEntry.queries.keys.toSeq.sorted
-    val reps = scala.collection.mutable.Map[String, List[Double]]()
-    val repEnds = scala.collection.mutable.Map[String, Double]() // pass-1 end ts
-    sweepNames.foreach { n =>
-      val c = runOnce(n)
-      reps(n) = List(c)
-      repEnds(n) = System.nanoTime() / 1e9
-      if (c >= 0 && c <= 1.0) reps(n) = reps(n) :+ runOnce(n)
+    // ONE rep-discipline loop shared by both sweep arms (count and noop):
+    // pass 1 over every query, immediate rep2 for ≤ 1 s queries, spaced
+    // rep2 for the rest (the spacing is the remainder of pass 1). Any
+    // future change to the discipline lands in both arms by construction.
+    def sweepPass(run: String => Double): (
+        scala.collection.mutable.Map[String, List[Double]],
+        scala.collection.mutable.Map[String, Double]) = {
+      val rs = scala.collection.mutable.Map[String, List[Double]]()
+      val ends = scala.collection.mutable.Map[String, Double]() // pass-1 end ts
+      val gs = scala.collection.mutable.Map[String, Double]()
+      sweepNames.foreach { n =>
+        val c = run(n)
+        rs(n) = List(c)
+        ends(n) = System.nanoTime() / 1e9
+        if (c >= 0 && c <= 1.0) rs(n) = rs(n) :+ run(n)
+      }
+      sweepNames.filter(n => rs(n).head > 1.0).foreach { n =>
+        gs(n) = System.nanoTime() / 1e9 - ends(n)
+        rs(n) = rs(n) :+ run(n)
+      }
+      (rs, gs)
     }
+    def minFold(rs: scala.collection.Map[String, List[Double]]): Map[String, Double] =
+      sweepNames.map { n =>
+        val ok = rs(n).filter(_ >= 0)
+        n -> (if (ok.isEmpty) -1.0 else ok.min)
+      }.toMap
+    val (reps, gaps) = sweepPass(runOnce)
     val spacedNames = sweepNames.filter(n => reps(n).head > 1.0)
-    val gaps = scala.collection.mutable.Map[String, Double]()
-    spacedNames.foreach { n =>
-      gaps(n) = System.nanoTime() / 1e9 - repEnds(n)
-      reps(n) = reps(n) :+ runOnce(n)
-    }
     val thirdRep = spacedNames.filter { n =>
       val rs = reps(n).take(2)
       rs.size == 2 && rs.forall(_ >= 0) && {
@@ -476,10 +491,7 @@ object Bench {
       }
     }
     thirdRep.foreach(n => reps(n) = reps(n) :+ runOnce(n))
-    val results: Map[String, Double] = sweepNames.map { n =>
-      val ok = reps(n).filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
-    }.toMap
+    val results: Map[String, Double] = minFold(reps)
     val sweepCold: Map[String, Double] = sweepNames.map(n => n -> reps(n).head).toMap
 
     // NOOP-SINK sweep arm (r16, guide §1.4): count() lets the optimizer
@@ -507,19 +519,9 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_NOOP").contains("0")) Map.empty
       else {
         spark.sparkContext.setJobDescription("sweep: noop-sink arm")
-        val nreps = scala.collection.mutable.Map[String, List[Double]]()
-        sweepNames.foreach { n =>
-          val c = runOnceNoop(n)
-          nreps(n) = List(c)
-          if (c >= 0 && c <= 1.0) nreps(n) = nreps(n) :+ runOnceNoop(n)
-        }
-        sweepNames.filter(n => nreps(n).head > 1.0)
-          .foreach(n => nreps(n) = nreps(n) :+ runOnceNoop(n))
+        val (nreps, _) = sweepPass(runOnceNoop)
         spark.sparkContext.setJobDescription(null)
-        sweepNames.map { n =>
-          val ok = nreps(n).filter(_ >= 0)
-          n -> (if (ok.isEmpty) -1.0 else ok.min)
-        }.toMap
+        minFold(nreps)
       }
 
     // SPACED second wh_loop reps: the whole query sweep ran in between
@@ -591,8 +593,9 @@ object Bench {
     // path the line carries.
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
     def r1(d: Double): Double = math.rint(d * 10) / 10
-    val fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fullQs = jsonMap(results)
     // tracked repo path (not target/) so the committed artifact carries the
     // complete map — the r8 headline's -1 entries were only verifiable from
     // an untracked file.
@@ -600,12 +603,16 @@ object Bench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullQs)
     // the noop-arm full-precision map rides its own tracked file (same
     // contract as BENCH_QUERIES_FULL.json — committed so the artifact
-    // carries the complete map, path referenced from the headline)
+    // carries the complete map, path referenced from the headline). The
+    // `_paired_count_total` fingerprint records WHICH count-arm run this
+    // map belongs to: a SPARK_GRAFT_NOOP=0 run rewrites the FULL map but
+    // not this file, and without the fingerprint the two tracked
+    // artifacts could silently describe different runs.
     val noopPath = new java.io.File("BENCH_QUERIES_NOOP.json").getAbsolutePath
     if (noopResults.nonEmpty)
       java.nio.file.Files.writeString(java.nio.file.Paths.get(noopPath),
-        noopResults.map { case (k, v) => s"\"" + k + "\":" + v }
-          .mkString("{", ",", "}"))
+        jsonMap(noopResults + ("_paired_count_total" ->
+          (math.rint(results.values.filter(_ >= 0).sum * 1000) / 1000))))
     // the COMPLETE per-query map also goes to stdout as reassemblable
     // chunked marker lines (each well under any line-length cut) printed
     // BEFORE the headline, so the headline stays last even if the driver
@@ -652,8 +659,16 @@ object Bench {
         s""","full_queries_json":"$fullPath"""" +
         (if (noopResults.isEmpty) "" else {
           val nt = noopResults.values.filter(_ >= 0).sum
+          // the ratio compares sums over the INTERSECTION of queries that
+          // succeeded in BOTH arms — a query failing in exactly one arm
+          // must not skew it (noop executes strictly more work and can
+          // fail where count() succeeded)
+          val both = sweepNames.filter(n =>
+            noopResults.getOrElse(n, -1.0) >= 0 && results.getOrElse(n, -1.0) >= 0)
+          val ct = both.map(results).sum
           s""","noop_total":${r3(nt)},"queries_noop_json":"$noopPath"""" +
-            s""","noop_over_count":${r3(nt / math.max(1e-9, total))}"""
+            s""","noop_over_count":${r3(both.map(noopResults).sum / math.max(1e-9, ct))}""" +
+            s""","noop_failed":${noopResults.values.count(_ < 0)}"""
         }) +
         s""","era_blocks":$decoded,"era_decode_sec":${r3(decodeSec)}""" +
         s""","blocks_per_sec":${r1(decoded / decodeSec)}""" +

@@ -30,18 +30,24 @@ object PlanSweep {
         val df = graft.SparkEntry.queries(n)(spark, sfDir)
         val p = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        def c(s: String): Int = s.r.findAllIn(p).length
-        val exch = c("\\bExchange\\b") + c("\\bBroadcastExchange\\b")
+        // count the detail-section form "(n) Operator" only — FormattedMode
+        // prints every node twice (tree header + detail section), so the
+        // bare operator name counts double
+        def c(s: String): Int = ("\\(\\d+\\) " + s).r.findAllIn(p).length
+        val exch = c("Exchange\\b") + c("BroadcastExchange\\b")
         val cart = c("CartesianProduct")
         val bnlj = c("BroadcastNestedLoopJoin")
         val smj = c("SortMergeJoin")
-        val wind = c("\\bWindow\\b")
+        val wind = c("Window\\b")
         val flags = new StringBuilder
         if (cart > 0) flags.append(" CARTESIAN")
         if (bnlj > 0) flags.append(" BNLJ")
-        // a parquet scan with a filter above it but nothing pushed
-        if (p.contains("PushedFilters: []") &&
-            p.contains("(1) Filter")) flags.append(" NOPUSH?")
+        // a parquet scan with an empty pushdown list while the plan also
+        // carries Filter nodes — a manual-inspection HINT, not a verdict
+        // (an empty list is correct when no predicate targets that scan,
+        // and the Filter may sit above a different subtree)
+        if (p.contains("PushedFilters: []") && c("Filter\\b") > 0)
+          flags.append(" NOPUSH?")
         if (flags.nonEmpty) flagged += 1
         println(f"$n%-28s exch=$exch%2d smj=$smj%d win=$wind%d$flags")
       } catch {
