@@ -62,17 +62,21 @@ object BlockDecoder {
       val data = SnappyFramed.decompress(compressed)
       val fork = ForkSchedule.forkAt(slot, network)
 
+      // message fields read in place (offsets relative to messageOffset —
+      // identical values to the old slice-then-read, without copying the
+      // ~whole buffer twice per block); only the BODY is materialized as
+      // its own array, once, for the section parsers
       val messageOffset = readOffset(data, 0)
       val signature = hex(data, 4, 100)
-      val message = slice(data, messageOffset, data.length)
+      val msgLen = data.length - messageOffset
 
-      val slotParsed = readUint64(message, 0)
-      val proposerIndex = readUint64(message, 8)
-      val parentRoot = hex(message, 16, 48)
-      val stateRoot = hex(message, 48, 80)
-      val bodyOffset = readOffset(message, 80)
+      val slotParsed = readUint64In(data, messageOffset, data.length)
+      val proposerIndex = readUint64In(data, messageOffset + 8, data.length)
+      val parentRoot = hex(data, messageOffset + 16, math.min(messageOffset + 48, data.length))
+      val stateRoot = hex(data, messageOffset + 48, math.min(messageOffset + 80, data.length))
+      val bodyOffset = math.min(readUint32(data, messageOffset + 80), msgLen.toLong).toInt
       val (body, payloadTs) =
-        parseBodyPruned(slice(message, bodyOffset, message.length), fork, sections)
+        parseBodyPruned(slice(data, messageOffset + bodyOffset, data.length), fork, sections)
 
       val ts = if (payloadTs > 0) payloadTs
         else network.genesisTime + slotParsed * network.secondsPerSlot
@@ -135,7 +139,7 @@ object BlockDecoder {
       if (pos + 160 <= body.length) {
         if (sections("sync_aggregate")) {
           DecodeStats.mark("sync_aggregate")
-          syncAggregate = parseSyncAggregate(slice(body, pos, pos + 160))
+          syncAggregate = parseSyncAggregateAt(body, pos, pos + 160)
         }
         pos += 160 // schema position advances whether or not we decode it
       } // else: missing → empty (forks/base.py:66-68)
@@ -176,36 +180,37 @@ object BlockDecoder {
       val u = math.max(f, math.min(end, body.length))
       Some((f, u))
     }
-    def section(i: Int): Option[Array[Byte]] =
-      sectionBounds(i).map { case (f, u) => slice(body, f, u) }
-    def sectionOf(name: String): Option[Array[Byte]] = {
-      val i = fieldNames.indexOf(name)
-      if (i < 0) None else section(i)
-    }
     def sectionBoundsOf(name: String): Option[(Int, Int)] = {
       val i = fieldNames.indexOf(name)
       if (i < 0) None else sectionBounds(i)
     }
 
-    /** Section slice, only when the caller asked for the section. */
-    def requested(name: String): Option[Array[Byte]] =
+    /** Section bounds into `body`, only when the caller asked for the
+      * section — the item parsers read in place (no section copy). */
+    def requested(name: String): Option[(Int, Int)] =
       if (!sections(name)) None
-      else sectionOf(name).map { d => DecodeStats.mark(name); d }
+      else sectionBoundsOf(name).map { b => DecodeStats.mark(name); b }
 
     val proposerSlashings = requested("proposer_slashings")
-      .map(d => parseFixedList(d, 416, parseProposerSlashing)).getOrElse(Vector.empty)
+      .map { case (f, u) => parseFixedListAt(body, f, u, 416, parseProposerSlashingAt) }
+      .getOrElse(Vector.empty)
     val attesterSlashings = requested("attester_slashings")
-      .map(d => parseVariableList(d, parseAttesterSlashing)).getOrElse(Vector.empty)
+      .map { case (f, u) => parseVariableListAt(body, f, u, parseAttesterSlashingAt) }
+      .getOrElse(Vector.empty)
     val attestations = requested("attestations")
-      .map(d => parseVariableList(d, parseAttestation)).getOrElse(Vector.empty)
+      .map { case (f, u) => parseVariableListAt(body, f, u, parseAttestationAt) }
+      .getOrElse(Vector.empty)
     val deposits = requested("deposits")
-      .map(d => parseFixedList(d, 1240, parseDeposit)).getOrElse(Vector.empty)
+      .map { case (f, u) => parseFixedListAt(body, f, u, 1240, parseDepositAt) }
+      .getOrElse(Vector.empty)
     val voluntaryExits = requested("voluntary_exits")
-      .map(d => parseFixedList(d, 112, parseVoluntaryExit)).getOrElse(Vector.empty)
+      .map { case (f, u) => parseFixedListAt(body, f, u, 112, parseVoluntaryExitAt) }
+      .getOrElse(Vector.empty)
 
     val executionPayload: Option[ExecutionPayload] =
       if (!ForkSchedule.hasExecutionPayload(fork)) None
-      else requested("execution_payload").flatMap(d => parseExecutionPayload(d, fork))
+      else requested("execution_payload")
+        .flatMap { case (f, u) => parseExecutionPayloadAt(body, f, u, fork) }
 
     // timestamp survives payload pruning: read the one fixed-offset field
     // instead of the full parse (same 0-on-short semantics — a section too
@@ -223,17 +228,20 @@ object BlockDecoder {
     val blsChanges: Option[Seq[BlsToExecutionChange]] =
       if (!ForkSchedule.hasBlsChanges(fork)) None
       else Some(requested("bls_to_execution_changes")
-        .map(d => parseFixedList(d, 172, parseBlsChange)).getOrElse(Vector.empty))
+        .map { case (f, u) => parseFixedListAt(body, f, u, 172, parseBlsChangeAt) }
+        .getOrElse(Vector.empty))
 
     val blobCommitments: Option[Seq[String]] =
       if (!ForkSchedule.hasBlobCommitments(fork)) None
       else Some(requested("blob_kzg_commitments")
-        .map(d => parseFixedList(d, 48, parseKzgCommitment)).getOrElse(Vector.empty))
+        .map { case (f, u) => parseFixedListAt(body, f, u, 48, parseKzgCommitmentAt) }
+        .getOrElse(Vector.empty))
 
     val executionRequests: Option[ExecutionRequests] =
       if (!ForkSchedule.hasExecutionRequests(fork)) None
       else Some(requested("execution_requests")
-        .map(parseExecutionRequests).getOrElse(ExecutionRequests(Nil, Nil, Nil)))
+        .map { case (f, u) => parseExecutionRequestsAt(body, f, u) }
+        .getOrElse(ExecutionRequests(Nil, Nil, Nil)))
 
     (BlockBody(randao, eth1, graffiti, proposerSlashings, attesterSlashings,
       attestations, deposits, voluntaryExits, syncAggregate, executionPayload,
@@ -242,57 +250,79 @@ object BlockDecoder {
   }
 
   // ── item parsers (F7–F15, F19) ──────────────────────────────────────────
+  // Range-based: each parser reads its item as a (from, until) window of
+  // the section's backing array — no per-item slice copy (the old copied
+  // form survives as thin wrappers for the differential specs). Every
+  // bounds rule translates d.length → (until − from), so malformed-input
+  // behavior is byte-identical to the slice-based parse.
 
   private[decode] def parseAttestationData(d: Array[Byte]): AttestationData =
+    parseAttestationDataAt(d, 0)
+
+  /** Caller guarantees 128 bytes at `from` (every call site slices or
+    * checks a ≥228-byte item first — the old form received exactly the
+    * 128-byte `slice(d, 4, 132)`). */
+  private def parseAttestationDataAt(d: Array[Byte], from: Int): AttestationData =
     AttestationData(
-      slot = readUint64(d, 0),
-      index = readUint64(d, 8),
-      beacon_block_root = hex(d, 16, 48),
-      source = Checkpoint(readUint64(d, 48), hex(d, 56, 88)),
-      target = Checkpoint(readUint64(d, 88), hex(d, 96, 128)))
+      slot = readUint64(d, from),
+      index = readUint64(d, from + 8),
+      beacon_block_root = hex(d, from + 16, from + 48),
+      source = Checkpoint(readUint64(d, from + 48), hex(d, from + 56, from + 88)),
+      target = Checkpoint(readUint64(d, from + 88), hex(d, from + 96, from + 128)))
 
   /** forks/base.py:157-187 */
-  private[decode] def parseAttestation(d: Array[Byte]): Attestation = {
-    if (d.length < 228) return null
-    val bitsOffset = readOffset(d, 0)
+  private[decode] def parseAttestation(d: Array[Byte]): Attestation =
+    parseAttestationAt(d, 0, d.length)
+
+  private def parseAttestationAt(d: Array[Byte], from: Int, until: Int): Attestation = {
+    val len = until - from
+    if (len < 228) return null
+    val bitsOffset = math.min(readUint32(d, from), len.toLong).toInt
     Attestation(
-      aggregation_bits = hex(d, bitsOffset, d.length),
-      data = parseAttestationData(slice(d, 4, 132)),
-      signature = hex(d, 132, 228))
+      aggregation_bits = hex(d, from + bitsOffset, until),
+      data = parseAttestationDataAt(d, from + 4),
+      signature = hex(d, from + 132, from + 228))
   }
 
   /** forks/base.py:274-321 */
-  private[decode] def parseIndexedAttestation(d: Array[Byte]): IndexedAttestation = {
-    if (d.length < 232) return null
-    val indicesOffset = readOffset(d, 0)
-    if (indicesOffset >= d.length) return null
-    val indicesData = slice(d, indicesOffset, d.length)
+  private[decode] def parseIndexedAttestation(d: Array[Byte]): IndexedAttestation =
+    parseIndexedAttestationAt(d, 0, d.length)
+
+  private def parseIndexedAttestationAt(d: Array[Byte], from: Int, until: Int): IndexedAttestation = {
+    val len = until - from
+    if (len < 232) return null
+    val indicesOffset = math.min(readUint32(d, from), len.toLong).toInt
+    if (indicesOffset >= len) return null
     val indices = Vector.newBuilder[Long]
-    if (indicesData.length >= 8) {
-      var i = 0
-      while (i <= indicesData.length - 8) { indices += readUint64(indicesData, i); i += 8 }
-    }
+    var i = from + indicesOffset
+    while (i <= until - 8) { indices += readUint64(d, i); i += 8 }
     IndexedAttestation(
       attesting_indices = indices.result(),
-      data = parseAttestationData(slice(d, 4, 132)),
-      signature = hex(d, 132, 228))
+      data = parseAttestationDataAt(d, from + 4),
+      signature = hex(d, from + 132, from + 228))
   }
 
   /** forks/base.py:323-350 */
-  private[decode] def parseAttesterSlashing(d: Array[Byte]): AttesterSlashing = {
-    if (d.length < 8) return null
-    val off1 = readOffset(d, 0)
-    val off2 = readOffset(d, 4)
-    if (off1 >= d.length || off2 >= d.length) return null
-    val a1 = parseIndexedAttestation(slice(d, off1, off2))
-    val a2 = parseIndexedAttestation(slice(d, off2, d.length))
+  private[decode] def parseAttesterSlashing(d: Array[Byte]): AttesterSlashing =
+    parseAttesterSlashingAt(d, 0, d.length)
+
+  private def parseAttesterSlashingAt(d: Array[Byte], from: Int, until: Int): AttesterSlashing = {
+    val len = until - from
+    if (len < 8) return null
+    val off1 = math.min(readUint32(d, from), len.toLong).toInt
+    val off2 = math.min(readUint32(d, from + 4), len.toLong).toInt
+    if (off1 >= len || off2 >= len) return null
+    // slice(d, off1, off2) clamped u to max(f, off2) — an inverted pair
+    // yields an empty window (→ null), exactly as before
+    val a1 = parseIndexedAttestationAt(d, from + off1, from + math.max(off1, off2))
+    val a2 = parseIndexedAttestationAt(d, from + off2, until)
     if (a1 == null || a2 == null) return null
     AttesterSlashing(a1, a2)
   }
 
   /** forks/base.py:221-272 (ssz_size 416) */
-  private[decode] def parseProposerSlashing(d: Array[Byte]): ProposerSlashing = {
-    if (d.length < 416) return null
+  private def parseProposerSlashingAt(d: Array[Byte], from: Int, until: Int): ProposerSlashing = {
+    if (until - from < 416) return null
     def header(at: Int) = BeaconBlockHeader(
       slot = readUint64(d, at),
       proposer_index = readUint64(d, at + 8),
@@ -300,15 +330,15 @@ object BlockDecoder {
       state_root = hex(d, at + 48, at + 80),
       body_root = hex(d, at + 80, at + 112))
     ProposerSlashing(
-      SignedBeaconBlockHeader(header(0), hex(d, 112, 208)),
-      SignedBeaconBlockHeader(header(208), hex(d, 320, 416)))
+      SignedBeaconBlockHeader(header(from), hex(d, from + 112, from + 208)),
+      SignedBeaconBlockHeader(header(from + 208), hex(d, from + 320, from + 416)))
   }
 
   /** forks/base.py:109-155 (ssz_size 1240) */
-  private[decode] def parseDeposit(d: Array[Byte]): Deposit = {
-    if (d.length < 1240) return null
-    val proof = (0 until 33).map(i => hex(d, i * 32, (i + 1) * 32))
-    val base = 1056
+  private def parseDepositAt(d: Array[Byte], from: Int, until: Int): Deposit = {
+    if (until - from < 1240) return null
+    val proof = (0 until 33).map(i => hex(d, from + i * 32, from + (i + 1) * 32))
+    val base = from + 1056
     Deposit(
       proof = proof,
       data = DepositData(
@@ -319,84 +349,97 @@ object BlockDecoder {
   }
 
   /** forks/base.py:191-219 (ssz_size 112) */
-  private[decode] def parseVoluntaryExit(d: Array[Byte]): VoluntaryExit = {
-    if (d.length < 112) return null
+  private def parseVoluntaryExitAt(d: Array[Byte], from: Int, until: Int): VoluntaryExit = {
+    if (until - from < 112) return null
     VoluntaryExit(
-      message = VoluntaryExitMessage(readUint64(d, 0), readUint64(d, 8)),
-      signature = hex(d, 16, 112))
+      message = VoluntaryExitMessage(readUint64(d, from), readUint64(d, from + 8)),
+      signature = hex(d, from + 16, from + 112))
   }
 
   /** forks/base.py:352-383 (ssz_size 172) */
-  private[decode] def parseBlsChange(d: Array[Byte]): BlsToExecutionChange = {
-    if (d.length < 172) return null
+  private def parseBlsChangeAt(d: Array[Byte], from: Int, until: Int): BlsToExecutionChange = {
+    if (until - from < 172) return null
     BlsToExecutionChange(
       message = BlsToExecutionChangeMessage(
-        validator_index = readUint64(d, 0),
-        from_bls_pubkey = hex(d, 8, 56),
-        to_execution_address = hex(d, 56, 76)),
-      signature = hex(d, 76, 172))
+        validator_index = readUint64(d, from),
+        from_bls_pubkey = hex(d, from + 8, from + 56),
+        to_execution_address = hex(d, from + 56, from + 76)),
+      signature = hex(d, from + 76, from + 172))
   }
 
   /** forks/base.py:385-392 (fixed 160) */
-  private[decode] def parseSyncAggregate(d: Array[Byte]): Option[SyncAggregate] = {
-    if (d.length < 160) None
-    else Some(SyncAggregate(hex(d, 0, 64), hex(d, 64, 160)))
+  private def parseSyncAggregateAt(d: Array[Byte], from: Int, until: Int): Option[SyncAggregate] = {
+    if (until - from < 160) None
+    else Some(SyncAggregate(hex(d, from, from + 64), hex(d, from + 64, from + 160)))
   }
 
   /** forks/base.py:394-405 (ssz_size 44) */
-  private[decode] def parseWithdrawal(d: Array[Byte]): Withdrawal = {
-    if (d.length < 44) return null
-    Withdrawal(readUint64(d, 0), readUint64(d, 8), hex(d, 16, 36), readUint64(d, 36))
+  private def parseWithdrawalAt(d: Array[Byte], from: Int, until: Int): Withdrawal = {
+    if (until - from < 44) return null
+    Withdrawal(readUint64(d, from), readUint64(d, from + 8),
+      hex(d, from + 16, from + 36), readUint64(d, from + 36))
   }
 
   /** forks/base.py:407-413 (ssz_size 48) */
-  private[decode] def parseKzgCommitment(d: Array[Byte]): String =
-    if (d.length != 48) null else hex(d)
+  private def parseKzgCommitmentAt(d: Array[Byte], from: Int, until: Int): String =
+    if (until - from != 48) null else hex(d, from, until)
 
   // ── execution payload (F16–F18) ─────────────────────────────────────────
 
   /** forks/base.py:416-508; fork-conditional offsets incl. the Deneb 16-byte
     * blob-gas reservation and the equal-offset empty-transactions rule. */
-  private[decode] def parseExecutionPayload(d: Array[Byte], fork: String): Option[ExecutionPayload] = {
+  private[decode] def parseExecutionPayload(d: Array[Byte], fork: String): Option[ExecutionPayload] =
+    parseExecutionPayloadAt(d, 0, d.length, fork)
+
+  private def parseExecutionPayloadAt(d: Array[Byte], from: Int, until: Int,
+      fork: String): Option[ExecutionPayload] = {
     try {
-      if (d.length < 100) return None
+      val len = until - from
+      if (len < 100) return None
+      // every hex window clamps to the SECTION end (the copied slice's
+      // array end), every uint read zero-guards against it — identical
+      // short-section behavior to the slice-based parse
+      def hx(a: Int, b: Int): String =
+        hex(d, from + math.min(a, len), from + math.min(b, len))
       var pos = 0
-      val parentHash = hex(d, 0, 32); pos = 32
-      val feeRecipient = hex(d, pos, pos + 20); pos += 20
-      val stateRoot = hex(d, pos, pos + 32); pos += 32
-      val receiptsRoot = hex(d, pos, pos + 32); pos += 32
-      val logsBloom = hex(d, pos, pos + 256); pos += 256
-      val prevRandao = hex(d, pos, pos + 32); pos += 32
-      val blockNumber = readUint64(d, pos); pos += 8
-      val gasLimit = readUint64(d, pos); pos += 8
-      val gasUsed = readUint64(d, pos); pos += 8
-      val timestamp = readUint64(d, pos); pos += 8
+      val parentHash = hx(0, 32); pos = 32
+      val feeRecipient = hx(pos, pos + 20); pos += 20
+      val stateRoot = hx(pos, pos + 32); pos += 32
+      val receiptsRoot = hx(pos, pos + 32); pos += 32
+      val logsBloom = hx(pos, pos + 256); pos += 256
+      val prevRandao = hx(pos, pos + 32); pos += 32
+      val blockNumber = readUint64In(d, from + pos, until); pos += 8
+      val gasLimit = readUint64In(d, from + pos, until); pos += 8
+      val gasUsed = readUint64In(d, from + pos, until); pos += 8
+      val timestamp = readUint64In(d, from + pos, until); pos += 8
 
+      def offsetAt(p: Int): Int =
+        math.min(readUint32In(d, from + p, until), len.toLong).toInt
       var offsets = Map.empty[String, Int]
-      offsets += "extra_data" -> readOffset(d, pos); pos += 4
-      val baseFee = readUint256Decimal(d, pos); pos += 32
-      val blockHash = hex(d, pos, pos + 32); pos += 32
+      offsets += "extra_data" -> offsetAt(pos); pos += 4
+      val baseFee = readUint256DecimalIn(d, from + pos, until); pos += 32
+      val blockHash = hx(pos, pos + 32); pos += 32
 
-      var availableOffsetBytes = d.length - pos
+      var availableOffsetBytes = len - pos
       if (fork == "deneb" || fork == "electra") availableOffsetBytes -= 16
       val numOffsetsAvailable = availableOffsetBytes / 4
 
-      offsets += "transactions" -> readOffset(d, pos); pos += 4
+      offsets += "transactions" -> offsetAt(pos); pos += 4
 
       val withWithdrawals = ForkSchedule.hasWithdrawals(fork) && numOffsetsAvailable >= 2
-      if (withWithdrawals) { offsets += "withdrawals" -> readOffset(d, pos); pos += 4 }
+      if (withWithdrawals) { offsets += "withdrawals" -> offsetAt(pos); pos += 4 }
 
       var blobGasUsed: Option[Long] = None
       var excessBlobGas: Option[Long] = None
       if (fork == "deneb" || fork == "electra") {
-        blobGasUsed = Some(readUint64(d, pos)); pos += 8
-        excessBlobGas = Some(readUint64(d, pos)); pos += 8
+        blobGasUsed = Some(readUint64In(d, from + pos, until)); pos += 8
+        excessBlobGas = Some(readUint64In(d, from + pos, until)); pos += 8
       }
 
       // variable fields (forks/base.py:459-508)
       def sectionEnd(start: Int): Int = {
         val greater = offsets.values.filter(_ > start)
-        if (greater.nonEmpty) greater.min else d.length
+        if (greater.nonEmpty) greater.min else len
       }
       var extraData = ""
       var transactions: Seq[String] = Vector.empty
@@ -413,13 +456,16 @@ object BlockDecoder {
 
       fieldsToParse.foreach { name =>
         offsets.get(name).foreach { start =>
-          val fieldData = slice(d, start, sectionEnd(start))
+          // slice-clamp semantics: f = min(start, len), u = max(f, min(end, len))
+          val f = math.min(start, len)
+          val u = math.max(f, math.min(sectionEnd(start), len))
           name match {
-            case "extra_data" => extraData = hex(fieldData)
+            case "extra_data" => extraData = hex(d, from + f, from + u)
             case "transactions" =>
-              transactions = parseVariableList(fieldData, (b: Array[Byte]) => hex(b))
+              transactions = parseVariableListAt(d, from + f, from + u,
+                (dd: Array[Byte], s: Int, e: Int) => hex(dd, s, e))
             case "withdrawals" =>
-              withdrawals = Some(parseFixedList(fieldData, 44, parseWithdrawal))
+              withdrawals = Some(parseFixedListAt(d, from + f, from + u, 44, parseWithdrawalAt))
           }
         }
       }
@@ -437,12 +483,18 @@ object BlockDecoder {
 
   /** forks/electra.py:24-124 — unique-offset sections with rightmost-owner
     * disambiguation for empty lists. */
-  private[decode] def parseExecutionRequests(d: Array[Byte]): ExecutionRequests = {
-    if (d.length < 12) return ExecutionRequests(Nil, Nil, Nil)
+  private[decode] def parseExecutionRequests(d: Array[Byte]): ExecutionRequests =
+    parseExecutionRequestsAt(d, 0, d.length)
+
+  private def parseExecutionRequestsAt(d: Array[Byte], from: Int, until: Int): ExecutionRequests = {
+    val len = until - from
+    if (len < 12) return ExecutionRequests(Nil, Nil, Nil)
     try {
-      val depositsOff = readOffset(d, 0)
-      val withdrawalsOff = readOffset(d, 4)
-      val consolidationsOff = readOffset(d, 8)
+      def offsetAt(p: Int): Int =
+        math.min(readUint32In(d, from + p, until), len.toLong).toInt
+      val depositsOff = offsetAt(0)
+      val withdrawalsOff = offsetAt(4)
+      val consolidationsOff = offsetAt(8)
 
       var deposits: Seq[DepositRequest] = Vector.empty
       var withdrawals: Seq[WithdrawalRequest] = Vector.empty
@@ -450,10 +502,11 @@ object BlockDecoder {
 
       val unique = Seq(depositsOff, withdrawalsOff, consolidationsOff).distinct.sorted
       unique.zipWithIndex.foreach { case (offset, i) =>
-        if (offset < d.length && offset >= 12) {
-          val end = if (i + 1 < unique.length) unique(i + 1) else d.length
-          val sectionData = slice(d, offset, end)
-          if (sectionData.nonEmpty) {
+        if (offset < len && offset >= 12) {
+          val end = if (i + 1 < unique.length) unique(i + 1) else len
+          // slice-clamp: f = offset (< len), u = max(f, min(end, len))
+          val u = math.max(offset, math.min(end, len))
+          if (u > offset) {
             val users = Seq(
               "deposits" -> (depositsOff == offset),
               "withdrawals" -> (withdrawalsOff == offset),
@@ -468,11 +521,11 @@ object BlockDecoder {
               } else users.head
             owner match {
               case "deposits" =>
-                deposits = parseFixedList(sectionData, 192, parseDepositRequest)
+                deposits = parseFixedListAt(d, from + offset, from + u, 192, parseDepositRequestAt)
               case "withdrawals" =>
-                withdrawals = parseFixedList(sectionData, 76, parseWithdrawalRequest)
+                withdrawals = parseFixedListAt(d, from + offset, from + u, 76, parseWithdrawalRequestAt)
               case "consolidations" =>
-                consolidations = parseFixedList(sectionData, 116, parseConsolidationRequest)
+                consolidations = parseFixedListAt(d, from + offset, from + u, 116, parseConsolidationRequestAt)
             }
           }
         }
@@ -484,25 +537,27 @@ object BlockDecoder {
   }
 
   /** forks/electra.py:46-57 (ssz_size 192) */
-  private[decode] def parseDepositRequest(d: Array[Byte]): DepositRequest = {
-    if (d.length < 192) return null
+  private def parseDepositRequestAt(d: Array[Byte], from: Int, until: Int): DepositRequest = {
+    if (until - from < 192) return null
     DepositRequest(
-      pubkey = hex(d, 0, 48),
-      withdrawal_credentials = hex(d, 48, 80),
-      amount = readUint64(d, 80),
-      signature = hex(d, 88, 184),
-      index = readUint64(d, 184))
+      pubkey = hex(d, from, from + 48),
+      withdrawal_credentials = hex(d, from + 48, from + 80),
+      amount = readUint64(d, from + 80),
+      signature = hex(d, from + 88, from + 184),
+      index = readUint64(d, from + 184))
   }
 
   /** forks/electra.py:60-68 (ssz_size 76) */
-  private[decode] def parseWithdrawalRequest(d: Array[Byte]): WithdrawalRequest = {
-    if (d.length < 76) return null
-    WithdrawalRequest(hex(d, 0, 20), hex(d, 20, 68), readUint64(d, 68))
+  private def parseWithdrawalRequestAt(d: Array[Byte], from: Int, until: Int): WithdrawalRequest = {
+    if (until - from < 76) return null
+    WithdrawalRequest(hex(d, from, from + 20), hex(d, from + 20, from + 68),
+      readUint64(d, from + 68))
   }
 
   /** forks/electra.py:71-79 (ssz_size 116) */
-  private[decode] def parseConsolidationRequest(d: Array[Byte]): ConsolidationRequest = {
-    if (d.length < 116) return null
-    ConsolidationRequest(hex(d, 0, 20), hex(d, 20, 68), hex(d, 68, 116))
+  private def parseConsolidationRequestAt(d: Array[Byte], from: Int, until: Int): ConsolidationRequest = {
+    if (until - from < 116) return null
+    ConsolidationRequest(hex(d, from, from + 20), hex(d, from + 20, from + 68),
+      hex(d, from + 68, from + 116))
   }
 }

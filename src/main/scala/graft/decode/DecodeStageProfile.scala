@@ -51,5 +51,11 @@ object DecodeStageProfile {
     println(s"attestation section bytes: ${attSection.length}")
     time("attestation section")(
       Ssz.parseVariableList(attSection, BlockDecoder.parseAttestation))
+
+    // re-measure the first two AFTER everything is JIT-hot: the first
+    // window's numbers carry C2 compile ramp the later windows don't
+    time("full decode (hot)")(BlockDecoder.decode(compressed, slot, cfg, slot / 8192, "f"))
+    time("snappy decompress (hot)")(SnappyFramed.decompress(compressed))
+    time("parseBody (hot)")(BlockDecoder.parseBody(body, fork))
   }
 }

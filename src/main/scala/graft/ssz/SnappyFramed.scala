@@ -15,14 +15,60 @@ object SnappyFramed {
 
   private val StreamId = Array[Byte](0xff.toByte, 0x06, 0x00, 0x00, 's', 'N', 'a', 'P', 'p', 'Y')
 
-  def decompress(compressed: Array[Byte]): Array[Byte] = {
-    try return Snappy.uncompress(compressed)
-    catch { case _: Exception => () }
+  /** Offset-based raw-snappy decompress (this snappy-java version has no
+    * (byte[], off, len) → byte[] overload): exact-size output array from
+    * uncompressedLength, one JNI uncompress into it — still zero input
+    * copies. */
+  private def uncompressAt(input: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new Array[Byte](Snappy.uncompressedLength(input, off, len))
+    Snappy.uncompress(input, off, len, out, 0)
+    out
+  }
 
-    var pos =
-      if (compressed.length >= 10 && java.util.Arrays.equals(
-            java.util.Arrays.copyOfRange(compressed, 0, 10), StreamId)) 10
-      else 0
+  private def startsWithStreamId(compressed: Array[Byte]): Boolean = {
+    if (compressed.length < 10) return false
+    var i = 0
+    while (i < 10) {
+      if (compressed(i) != StreamId(i)) return false
+      i += 1
+    }
+    true
+  }
+
+  def decompress(compressed: Array[Byte]): Array[Byte] = {
+    // raw-first ladder (compression.py:4-52) WITHOUT a thrown-and-caught
+    // exception per framed block: isValidCompressedBuffer is the exact
+    // validity check uncompress performs before throwing, so gating on it
+    // takes the same branch the try/catch did — framed era blocks (every
+    // block the writers produce) skip straight to the frame walk instead
+    // of paying a JNI validation + exception construction each
+    if (Snappy.isValidCompressedBuffer(compressed))
+      try return Snappy.uncompress(compressed)
+      catch { case _: Exception => () }
+
+    var pos = if (startsWithStreamId(compressed)) 10 else 0
+
+    // single-chunk fast path — the era writers emit ≤64 KiB-raw blocks as
+    // stream id + ONE frame: decompress straight out of the input (offset
+    // API) and skip the ByteArrayOutputStream double-copy
+    if (pos + 4 <= compressed.length) {
+      val t = compressed(pos) & 0xff
+      val l = (compressed(pos + 1) & 0xff) |
+        ((compressed(pos + 2) & 0xff) << 8) |
+        ((compressed(pos + 3) & 0xff) << 16)
+      if (l >= 4 && pos + 4 + l == compressed.length) {
+        if (t == 0x00) {
+          try return uncompressAt(compressed, pos + 8, l - 4)
+          catch { case _: Exception =>
+            // mirror the general walk's no-chunk-produced contract
+            throw new IllegalArgumentException("Failed to decompress snappy framed data")
+          }
+        } else if (t == 0x01) {
+          return java.util.Arrays.copyOfRange(compressed, pos + 8, pos + 4 + l)
+        }
+      }
+    }
+
     val out = new java.io.ByteArrayOutputStream(compressed.length * 3)
     var produced = false
     while (pos + 4 <= compressed.length) {
@@ -36,9 +82,9 @@ object SnappyFramed {
       else {
         if (frameType == 0x00 && frameLen >= 4) {
           try {
-            // skip 4-byte CRC (compression.py:41)
-            out.write(Snappy.uncompress(
-              java.util.Arrays.copyOfRange(compressed, pos + 4, pos + frameLen)))
+            // skip 4-byte CRC (compression.py:41); offset API avoids the
+            // per-chunk input copy
+            out.write(uncompressAt(compressed, pos + 4, frameLen - 4))
             produced = true
           } catch { case _: Exception => () }
         } else if (frameType == 0x01 && frameLen >= 4) {
