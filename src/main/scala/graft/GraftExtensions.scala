@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{Hash64Expr, HexPopcount, MinHashSigExpr, SimHash48Expr, SortedOverlapExpr, VecDotExpr, WinnowMinExpr, WordNgramsExpr, WordShinglesExpr}
+import graft.functions.{CountInSetExpr, CountNonemptyExpr, CountRlikeExpr, ExciseStatsExpr, ProbeFeaturesExpr, ZipEqCountExpr, Hash64ArrayExpr, Hash64Expr, Hash64SetExpr, HexPopcount, MinHashSigExpr, SimHash48Expr, SortedHashSetExpr, SortedOverlapExpr, SumCharLengthsExpr, VecDotExpr, WinnowMinExpr, WordNgramsExpr, WordShinglesExpr}
 
 /**
  * Session extensions registering graft's native Catalyst expressions, so
@@ -44,7 +44,27 @@ object GraftExtensions {
     ("winnow_min", classOf[WinnowMinExpr].getName,
       (exprs: Seq[Expression]) => WinnowMinExpr(exprs(0), exprs(1))),
     ("vec_dot", classOf[VecDotExpr].getName,
-      (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => VecDotExpr(exprs(0), exprs(1))),
+    ("excise_stats", classOf[ExciseStatsExpr].getName,
+      (exprs: Seq[Expression]) => ExciseStatsExpr(exprs(0), exprs(1))),
+    ("hash64_array", classOf[Hash64ArrayExpr].getName,
+      (exprs: Seq[Expression]) => Hash64ArrayExpr(exprs.head)),
+    ("hash64_set", classOf[Hash64SetExpr].getName,
+      (exprs: Seq[Expression]) => Hash64SetExpr(exprs.head)),
+    ("sorted_hash_set", classOf[SortedHashSetExpr].getName,
+      (exprs: Seq[Expression]) => SortedHashSetExpr(exprs.head)),
+    ("count_in_set", classOf[CountInSetExpr].getName,
+      (exprs: Seq[Expression]) => CountInSetExpr(exprs(0), exprs(1))),
+    ("count_rlike", classOf[CountRlikeExpr].getName,
+      (exprs: Seq[Expression]) => CountRlikeExpr(exprs(0), exprs(1))),
+    ("count_nonempty", classOf[CountNonemptyExpr].getName,
+      (exprs: Seq[Expression]) => CountNonemptyExpr(exprs.head)),
+    ("sum_char_lengths", classOf[SumCharLengthsExpr].getName,
+      (exprs: Seq[Expression]) => SumCharLengthsExpr(exprs.head)),
+    ("probe_features", classOf[ProbeFeaturesExpr].getName,
+      (exprs: Seq[Expression]) => ProbeFeaturesExpr(exprs(0), exprs(1))),
+    ("zip_eq_count", classOf[ZipEqCountExpr].getName,
+      (exprs: Seq[Expression]) => ZipEqCountExpr(exprs(0), exprs(1))))
 
   /** Make graft functions callable on a session that was built WITHOUT the
     * extension (e.g. a driver-provided smoke session) by registering the

@@ -334,6 +334,155 @@ object Signatures {
 
   def winnowMinOrNull(hs: ArrayData, w: Int): ArrayData =
     if (anyNull(hs)) null else winnowMin(hs, w)
+
+  /** Per-element [[hash64]] of a string array, order and multiplicity
+    * preserved — equals `transform(arr, s -> hash64(s))` without the
+    * per-element interpreted-lambda projection. */
+  def hash64Array(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) { out(i) = hash64(arr.getUTF8String(i)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct [[hash64]]s in first-occurrence order — equals
+    * `array_distinct(transform(arr, s -> hash64(s)))`. */
+  def hash64Set(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { seen.add(hash64(arr.getUTF8String(i))); i += 1 }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next().longValue(); m += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Ascending distinct [[hash64]]s — equals
+    * `array_sort(array_distinct(transform(arr, s -> hash64(s))))`, the
+    * shingle-set representation every sorted_overlap pair kernel consumes.
+    * One native pass (hash → dedupe → primitive sort) instead of three
+    * array expressions, the first of them an interpreted lambda. */
+  def sortedHashSet(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hash64(arr.getUTF8String(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(m) = hs(j); m += 1 }
+      j += 1
+    }
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) { out(k) = hs(k); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def hash64ArrayOrNull(arr: ArrayData): ArrayData =
+    if (anyNull(arr)) null else hash64Array(arr)
+
+  def hash64SetOrNull(arr: ArrayData): ArrayData =
+    if (anyNull(arr)) null else hash64Set(arr)
+
+  def sortedHashSetOrNull(arr: ArrayData): ArrayData =
+    if (anyNull(arr)) null else sortedHashSet(arr)
+
+  /** The \s byte class of [[isWs]] — safe on UTF-8 bytes directly (all six
+    * whitespace chars are ASCII, and ASCII byte values never occur inside
+    * a multi-byte UTF-8 sequence). */
+  private def isWsByte(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Span-excision kernel (the ExactSubstr rewrite pass): tokenize `text`
+    * exactly as `filter(split(text, '\s+'), t -> t <> '')`, drop every
+    * token whose 1-based position lies inside any [s, e] span, and return
+    * struct(n_words, kept_words, cleaned) where `cleaned` is the kept
+    * tokens joined by single spaces — byte-for-byte what
+    * `array_join(transform(kept, x -> x.t), ' ')` produced. One native
+    * pass over the UTF-8 bytes replaces the interpreted
+    * filter∘transform∘exists lambda tower (each a CodegenFallback
+    * higher-order function paying a MutableProjection call per element).
+    * `spans` may be null (the cut-list left join misses clean docs) →
+    * every token kept. A null SPAN ELEMENT (or null s/e field) mirrors the
+    * SQL three-valued `NOT exists(...)`: a token covered by no non-null
+    * span but facing a null one evaluates NOT(null) = null → dropped. */
+  def exciseStats(text: UTF8String, spans: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var n = 0
+    var i = 0
+    var st = -1
+    while (i <= len) {
+      val ws = i == len || isWsByte(bytes(i))
+      if (!ws && st < 0) st = i
+      if (ws && st >= 0) {
+        if (n == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, n * 2)
+          ends = java.util.Arrays.copyOf(ends, n * 2)
+        }
+        starts(n) = st
+        ends(n) = i
+        n += 1
+        st = -1
+      }
+      i += 1
+    }
+    val nSpans = if (spans == null) 0 else spans.numElements()
+    val sArr = new Array[Long](nSpans)
+    val eArr = new Array[Long](nSpans)
+    var anyNullSpan = false
+    var k = 0
+    while (k < nSpans) {
+      if (spans.isNullAt(k)) { anyNullSpan = true; sArr(k) = Long.MaxValue; eArr(k) = Long.MinValue }
+      else {
+        val r = spans.getStruct(k, 2)
+        if (r.isNullAt(0) || r.isNullAt(1)) { anyNullSpan = true; sArr(k) = Long.MaxValue; eArr(k) = Long.MinValue }
+        else { sArr(k) = r.getLong(0); eArr(k) = r.getLong(1) }
+      }
+      k += 1
+    }
+    val keep = new Array[Boolean](n)
+    var kept = 0
+    var outLen = 0
+    var t = 0
+    while (t < n) {
+      val p = t + 1L
+      var covered = false
+      var k2 = 0
+      while (!covered && k2 < nSpans) {
+        if (p >= sArr(k2) && p <= eArr(k2)) covered = true
+        k2 += 1
+      }
+      if (!covered && !anyNullSpan) {
+        keep(t) = true
+        if (kept > 0) outLen += 1
+        outLen += ends(t) - starts(t)
+        kept += 1
+      }
+      t += 1
+    }
+    val out = new Array[Byte](outLen)
+    var o = 0
+    t = 0
+    while (t < n) {
+      if (keep(t)) {
+        if (o > 0) { out(o) = ' '; o += 1 }
+        val l = ends(t) - starts(t)
+        System.arraycopy(bytes, starts(t), out, o, l)
+        o += l
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, kept.toLong, UTF8String.fromBytes(out)))
+  }
 }
 
 /** Shared dispatch for the array-kernel expressions: when the child
@@ -588,4 +737,124 @@ case class Hash64Expr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Hash64Expr =
     copy(child = newChild)
   override def prettyName: String = "hash64"
+}
+
+/** `excise_stats(text, spans) -> struct<n_words, kept_words, cleaned>` —
+  * the span-excision rewrite kernel (see [[Signatures.exciseStats]]).
+  * Custom null contract: NULL text → NULL result (every derived column
+  * nulls, exactly as the SQL chain over a null text); NULL spans (the
+  * cut-list left-join miss) → all tokens kept — so the caller needs no
+  * coalesce-to-empty-array scaffolding. */
+case class ExciseStatsExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("kept_words", LongType, nullable = false),
+    StructField("cleaned", StringType, nullable = false)))
+  override def nullable: Boolean = left.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, ArrayType(StructType(fields), _))
+          if fields.length == 2 && fields.forall(_.dataType == LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "excise_stats requires (STRING, ARRAY<STRUCT<BIGINT, BIGINT>>), got " +
+          s"${l.catalogString}, ${r.catalogString}")
+    }
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    if (t == null) null
+    else {
+      val s = right.eval(input)
+      Signatures.exciseStats(t.asInstanceOf[UTF8String],
+        if (s == null) null else s.asInstanceOf[ArrayData])
+    }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val tEv = left.genCode(ctx)
+    val sEv = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${tEv.code}
+      boolean ${ev.isNull} = ${tEv.isNull};
+      org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${sEv.code}
+        ${ev.value} = graft.functions.Signatures.exciseStats(${tEv.value},
+          (${sEv.isNull} ? null : ${sEv.value}));
+      }""")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExciseStatsExpr =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "excise_stats"
+}
+
+/** Shared shape of the three hash64-array kernels (`hash64_array`,
+  * `hash64_set`, `sorted_hash_set`): `array<string> -> array<bigint>`,
+  * null-element-guarded like every array kernel (any null element → NULL —
+  * the strict contract documented on [[Signatures]]). */
+abstract class Hash64ArrayLikeExpr extends UnaryExpression
+    with ArrayElemNullDispatch {
+  protected def fast(a: ArrayData): ArrayData
+  protected def guardedEval(a: ArrayData): ArrayData
+  protected def fastName: String
+  protected def guardedName: String
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def guarded: Boolean = arrayElemNullable(child)
+  override def nullable: Boolean = child.nullable || guarded
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    if (guarded) guardedEval(input.asInstanceOf[ArrayData])
+    else fast(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (!guarded)
+      defineCodeGen(ctx, ev, c => s"graft.functions.Signatures.$fastName($c)")
+    else nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("haRes")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.Signatures.$guardedName($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }""".stripMargin
+    })
+}
+
+/** `hash64_array(array<string>) -> array<bigint>` — per-element hash64,
+  * order/multiplicity preserved (= `transform(a, s -> hash64(s))`). */
+case class Hash64ArrayExpr(child: Expression) extends Hash64ArrayLikeExpr {
+  protected def fast(a: ArrayData): ArrayData = Signatures.hash64Array(a)
+  protected def guardedEval(a: ArrayData): ArrayData = Signatures.hash64ArrayOrNull(a)
+  protected def fastName = "hash64Array"
+  protected def guardedName = "hash64ArrayOrNull"
+  override protected def withNewChildInternal(newChild: Expression): Hash64ArrayExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hash64_array"
+}
+
+/** `hash64_set(array<string>) -> array<bigint>` — distinct hash64s,
+  * first-occurrence order (= `array_distinct(transform(a, hash64))`). */
+case class Hash64SetExpr(child: Expression) extends Hash64ArrayLikeExpr {
+  protected def fast(a: ArrayData): ArrayData = Signatures.hash64Set(a)
+  protected def guardedEval(a: ArrayData): ArrayData = Signatures.hash64SetOrNull(a)
+  protected def fastName = "hash64Set"
+  protected def guardedName = "hash64SetOrNull"
+  override protected def withNewChildInternal(newChild: Expression): Hash64SetExpr =
+    copy(child = newChild)
+  override def prettyName: String = "hash64_set"
+}
+
+/** `sorted_hash_set(array<string>) -> array<bigint>` — ascending distinct
+  * hash64s (= `array_sort(array_distinct(transform(a, hash64)))`). */
+case class SortedHashSetExpr(child: Expression) extends Hash64ArrayLikeExpr {
+  protected def fast(a: ArrayData): ArrayData = Signatures.sortedHashSet(a)
+  protected def guardedEval(a: ArrayData): ArrayData = Signatures.sortedHashSetOrNull(a)
+  protected def fastName = "sortedHashSet"
+  protected def guardedName = "sortedHashSetOrNull"
+  override protected def withNewChildInternal(newChild: Expression): SortedHashSetExpr =
+    copy(child = newChild)
+  override def prettyName: String = "sorted_hash_set"
 }

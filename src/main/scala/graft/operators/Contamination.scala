@@ -43,7 +43,9 @@ object Contamination {
     aug
       .filter(size(col("toks")) >= n)
       .withColumn("shl",
-        expr(s"array_distinct(transform(word_shingles(text, $n), s -> hash64(s)))"))
+        // native one-pass kernel = array_distinct(transform(…, hash64))
+        call_function("hash64_set",
+          call_function("word_shingles", col("text"), lit(n))))
       .withColumn("nsh", size(col("shl")).cast("long"))
 
   /** Decontamination over an ARBITRARY (train, eval) corpus pair — the
@@ -143,8 +145,8 @@ object Contamination {
       .select(col("doc_id"), col("eval_doc_id"), col("sig"), col("eval_sig"))
       .distinct() // a (train, eval) pair can collide in >1 band
       .withColumn("est_jaccard",
-        expr(s"""size(filter(zip_with(sig, eval_sig, (x, y) -> x = y), v -> v))
-                 | / cast(${Dedup.MinhashK} as double)""".stripMargin))
+        // native kernel = size(filter(zip_with(…, (x,y) -> x = y), v -> v))
+        expr(s"zip_eq_count(sig, eval_sig) / cast(${Dedup.MinhashK} as double)"))
       .filter(col("est_jaccard") >= estThreshold)
       .groupBy(col("doc_id"))
       .agg(

@@ -216,7 +216,7 @@ object Curation {
     val m = 2147483647L // 2³¹−1: u = (hash mod m + 1)/(m+1) ∈ (0, 1]
     TextAnalysis.withTokens(docs)
       .withColumn("n_words",
-        size(expr("filter(toks, t -> t <> '')")).cast("long"))
+        call_function("count_nonempty", col("toks")).cast("long"))
       .filter(col("n_words") > 0)
       // the ONE split-hash convention (id#salt, splitHash above) — this
       // previously hand-rolled a salt#id variant that the oracle had to

@@ -111,7 +111,8 @@ object Dedup {
       .withColumn("sh", shingles("text"))
       .select(col("doc_id"), col("lang"),
         element_at(col("toks"), 1).as("tok0"),
-        expr("array_sort(array_distinct(transform(sh, s -> hash64(s))))").as("shl"))
+        // native one-pass kernel = array_sort(array_distinct(transform(…)))
+        call_function("sorted_hash_set", col("sh")).as("shl"))
       .withColumn("nsh", size(col("shl")))
       .withColumn("bucket", expr("length(bin(nsh)) - 1"))
     val probeWidth = math.max(1,
@@ -207,8 +208,8 @@ object Dedup {
     * the pair path and the incremental snapshot gate (and the DuckDB
     * oracle mirrors), so they cannot drift apart. */
   private def estJaccard(sigA: String, sigB: String) =
-    expr(s"""size(filter(zip_with($sigA, $sigB, (x, y) -> x = y), v -> v))
-             | / cast($MinhashK as double)""".stripMargin)
+    // native kernel = size(filter(zip_with(a, b, (x,y) -> x = y), v -> v))
+    expr(s"zip_eq_count($sigA, $sigB) / cast($MinhashK as double)")
 
   /** Per-doc MinHash signature: k portable hash functions, each the min over
     * the shingle set of hash64(shingle || '#' || i). Computed by the native

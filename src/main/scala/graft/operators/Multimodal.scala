@@ -72,21 +72,37 @@ object Multimodal {
   def pixelValue(mediaId: Long, xm: Int, ym: Int, x: Int, y: Int): Int =
     (((mediaId % 251) + xm.toLong * x + ym.toLong * y) % 256).toInt
 
-  /** Encode the synthetic raster for `mediaId` as a real PNG. */
+  /** Encode the synthetic raster for `mediaId` as a real PNG. The pixel
+    * array is filled straight through the TYPE_INT_RGB backing
+    * DataBufferInt (same packed layout setRGB writes, minus the per-pixel
+    * ColorModel round-trip), and the closed form is evaluated
+    * incrementally — each channel just adds its xMult per column / yMult
+    * per row under mod 256, which is arithmetic-identical to
+    * [[pixelValue]] for these non-negative operands. */
   private[graft] def pngBytes(mediaId: Long, w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     val Seq((rx, ry), (gx, gy), (bx, by)) = ChannelMults
+    val base = (mediaId % 251).toInt
+    var rRow = base % 256; var gRow = base % 256; var bRow = base % 256
     var y = 0
+    var i = 0
     while (y < h) {
+      var r = rRow; var g = gRow; var b = bRow
       var x = 0
       while (x < w) {
-        val r = pixelValue(mediaId, rx, ry, x, y)
-        val g = pixelValue(mediaId, gx, gy, x, y)
-        val b = pixelValue(mediaId, bx, by, x, y)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(i) = (r << 16) | (g << 8) | b
+        r += rx; if (r >= 256) r -= 256
+        g += gx; if (g >= 256) g -= 256
+        b += bx; if (b >= 256) b -= 256
         x += 1
+        i += 1
       }
+      rRow += ry; if (rRow >= 256) rRow -= 256
+      gRow += gy; if (gRow >= 256) gRow -= 256
+      bRow += by; if (bRow >= 256) bRow -= 256
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
@@ -207,21 +223,54 @@ object Multimodal {
           val h = img.getHeight
           var sr = 0L; var sg = 0L; var sb = 0L
           var minL = Double.MaxValue; var maxL = Double.MinValue
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff
-              val g = (rgb >> 8) & 0xff
-              val b = rgb & 0xff
+          // ImageIO decodes an 8-bit RGB PNG to TYPE_3BYTE_BGR; when the
+          // raster has that exact standard layout, read the component
+          // bytes straight out of the backing array — same channel values
+          // getRGB returns, minus the per-pixel ColorModel conversion.
+          // Anything else falls back to the portable getRGB loop.
+          val raster = img.getRaster
+          val fastBgr = img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+            (raster.getSampleModel match {
+              case sm: java.awt.image.PixelInterleavedSampleModel =>
+                sm.getPixelStride == 3 && sm.getScanlineStride == w * 3 &&
+                  java.util.Arrays.equals(sm.getBandOffsets, Array(2, 1, 0)) &&
+                  raster.getDataBuffer.getOffset == 0 &&
+                  raster.getSampleModelTranslateX == 0 &&
+                  raster.getSampleModelTranslateY == 0
+              case _ => false
+            })
+          if (fastBgr) {
+            val px = raster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferByte].getData
+            var i = 0
+            val end = w * h * 3
+            while (i < end) {
+              val b = px(i) & 0xff
+              val g = px(i + 1) & 0xff
+              val r = px(i + 2) & 0xff
               sr += r; sg += g; sb += b
               val luma = 0.299 * r + 0.587 * g + 0.114 * b
               if (luma < minL) minL = luma
               if (luma > maxL) maxL = luma
-              x += 1
+              i += 3
             }
-            y += 1
+          } else {
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                sr += r; sg += g; sb += b
+                val luma = 0.299 * r + 0.587 * g + 0.114 * b
+                if (luma < minL) minL = luma
+                if (luma > maxL) maxL = luma
+                x += 1
+              }
+              y += 1
+            }
           }
           val n = w.toLong * h
           val mr = sr.toDouble / n

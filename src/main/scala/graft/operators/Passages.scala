@@ -200,29 +200,27 @@ object Passages {
     * token array — no shuffle sees text except the final doc_id exchange
     * of the corpus itself. */
   def excisedRaw(corpus: DataFrame, n: Int = PassageN): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(corpus.sparkSession)
     val spans = duplicatedSpansRaw(corpus, n)
       .groupBy(col("doc_id"))
       .agg(collect_list(
         struct(col("span_start").as("s"), col("span_end").as("e"))).as("spans"))
     corpus
-      // tokenize exactly as the word_ngrams kernel the span POSITIONS came
-      // from (skip ALL whitespace runs, no empty tokens): split(trim(...))
-      // would keep a leading "" on tab/newline-headed text and shift every
-      // 1-based span position off by one — the excision would cut the
-      // wrong words, and identically on the oracle side, so only this
-      // alignment (not the value gate) catches it
-      .withColumn("toks", expr("filter(split(text, '\\\\s+'), t -> t <> '')"))
       .join(spans, Seq("doc_id"), "left")
-      // keep token positions covered by NO span; span order in the
-      // collected array is irrelevant (pure membership test)
-      .withColumn("kept", expr(
-        "filter(transform(toks, (t, i) -> struct(t AS t, CAST(i + 1 AS BIGINT) AS p)), " +
-          "x -> spans IS NULL OR NOT exists(spans, s -> x.p >= s.s AND x.p <= s.e))"))
+      // tokenize exactly as the word_ngrams kernel the span POSITIONS came
+      // from (skip ALL whitespace runs, no empty tokens — a split(trim())
+      // formulation would keep a leading "" on tab/newline-headed text and
+      // shift every 1-based span position off by one), drop tokens covered
+      // by any span, and join the survivors — ONE native codegen pass
+      // (excise_stats) instead of the filter∘transform∘exists lambda tower
+      // (each an interpreted CodegenFallback HOF); null spans (no cut-list
+      // entry) keep every token, as the old `spans IS NULL OR` arm did
+      .withColumn("ex", call_function("excise_stats", col("text"), col("spans")))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_words"),
-        size(col("kept")).cast("long").as("kept_words"),
-        (size(col("toks")) - size(col("kept"))).cast("long").as("removed_words"),
-        md5(array_join(expr("transform(kept, x -> x.t)"), " ")).as("cleaned_digest"))
+        col("ex.n_words").as("n_words"),
+        col("ex.kept_words").as("kept_words"),
+        (col("ex.n_words") - col("ex.kept_words")).as("removed_words"),
+        md5(col("ex.cleaned")).as("cleaned_digest"))
       .orderBy(col("doc_id"))
   }
 

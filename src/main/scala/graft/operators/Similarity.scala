@@ -259,13 +259,18 @@ object Similarity {
       cents: Array[(Long, Seq[Double], Double)], literal: Boolean): DataFrame = {
     require(cents.nonEmpty, "IVF centroid set is empty")
     if (literal) {
-      val negScored = cents.toSeq.map { case (cid, cvec, csq) =>
-        struct(
-          (call_function("vec_dot", col("vec"), typedLit(cvec)) /
-            sqrt(col("sq") * lit(csq))).as("s"),
-          lit(-cid).as("ncid"))
-      }
-      v.withColumn("best", array_max(array(negScored: _*)))
+      // ONE native argmax expression over a primitive centroid matrix
+      // (identical arithmetic, ordering and null dispatch to the
+      // array_max-over-struct-literals projection it replaces — see
+      // BestCentroidKernel; CellCapSpec pins agreement with the broadcast
+      // plan): k struct constructions + k boxed typedLit dot products per
+      // corpus row collapse into one primitive k×dims loop, the dominant
+      // per-row term of every literal-regime assignment (guide §4)
+      v.withColumn("best", org.apache.spark.sql.graftutil.ColumnFromExpr.column(
+        graft.functions.BestCentroidLitExpr(
+          org.apache.spark.sql.graftutil.ColumnFromExpr.expr(col("vec")),
+          org.apache.spark.sql.graftutil.ColumnFromExpr.expr(col("sq")),
+          cents.toSeq)))
     } else {
       val spark = v.sparkSession
       import spark.implicits._

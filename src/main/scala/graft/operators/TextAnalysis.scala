@@ -39,7 +39,7 @@ object TextAnalysis {
     withTokens(docs).select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
-      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+      regexp_count(lower(col("text")), lit(BpePattern))
         .cast("long").as("n_bpe_tokens"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
@@ -51,11 +51,12 @@ object TextAnalysis {
     * a fully narrow projection, so it runs identically on batch frames and
     * unbounded streams (see [[graft.streaming.DocStream.qualityMonitor]]). */
   def withQualityScore(docs: DataFrame): DataFrame = {
-    val stopArr = s"array(${Stopwords.map(s => s"'$s'").mkString(",")})"
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     withTokens(docs)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
-        expr(s"size(filter(toks, t -> array_contains($stopArr, t)))").cast("long"))
+        // native kernel = size(filter(toks, t -> array_contains(stop, t)))
+        call_function("count_in_set", col("toks"), typedLit(Stopwords)).cast("long"))
       .withColumn("quality_score",
         round(
           least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5
@@ -68,10 +69,12 @@ object TextAnalysis {
     * for pretraining corpora. */
   def qualityScores(docs: DataFrame): DataFrame = {
     withQualityScore(docs)
+      // regexp_count = size(regexp_extract_all(…)) without materializing
+      // the per-match array it only ever counted
       .withColumn("n_alpha",
-        size(regexp_extract_all(col("text"), lit("[a-z]"), lit(0))).cast("long"))
+        regexp_count(col("text"), lit("[a-z]")).cast("long"))
       .withColumn("tok_chars",
-        expr("aggregate(toks, 0, (acc, t) -> acc + length(t))").cast("long"))
+        call_function("sum_char_lengths", col("toks")).cast("long"))
       .select(
         col("doc_id"),
         col("n_tokens"),
@@ -124,21 +127,24 @@ object TextAnalysis {
     * doc-keyed self-join to glue two projections back together. Still one
     * narrow projection. */
   def withGopherFlags(docs: DataFrame): DataFrame = {
-    val stopArr = s"array(${Stopwords.map(s => s"'$s'").mkString(",")})"
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     withTokens(docs)
       .withColumn("words", expr("filter(toks, t -> t <> '')"))
       .withColumn("n_words", size(col("words")).cast("long"))
+      // the three per-word reductions below ran as interpreted HOF lambdas
+      // (a MutableProjection call per word per rule); the native kernels
+      // compute the identical values in one pass each (§4)
       .withColumn("mean_word_len",
-        round(expr("aggregate(words, 0, (acc, t) -> acc + length(t))").cast("double") /
+        round(call_function("sum_char_lengths", col("words")).cast("double") /
           greatest(col("n_words"), lit(1L)), 4))
       .withColumn("symbol_ratio",
-        round(size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0)))
+        round(regexp_count(col("text"), lit("[^a-z0-9\\s]"))
           .cast("double") / greatest(col("n_words"), lit(1L)), 4))
       .withColumn("alpha_word_ratio",
-        round(expr("size(filter(words, t -> t rlike '[a-z]'))").cast("double") /
+        round(call_function("count_rlike", col("words"), lit("[a-z]")).cast("double") /
           greatest(col("n_words"), lit(1L)), 4))
       .withColumn("n_stop",
-        expr(s"size(filter(words, t -> array_contains($stopArr, t)))").cast("long"))
+        call_function("count_in_set", col("words"), typedLit(Stopwords)).cast("long"))
       .withColumn("r_words",
         col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
       .withColumn("r_mean_len",
@@ -254,10 +260,10 @@ object TextAnalysis {
     * point a pipeline runs when ingested documents carry no language
     * label; a fully narrow projection, so it streams as-is. */
   def withPredictedLang(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val scored = LangMarkers.foldLeft(withTokens(docs)) { case (df, (code, markers)) =>
-      val arr = s"array(${markers.map(m => s"'$m'").mkString(",")})"
       df.withColumn(s"s_$code",
-        expr(s"size(filter(toks, t -> array_contains($arr, t)))"))
+        call_function("count_in_set", col("toks"), typedLit(markers)))
     }
     val best = greatest(LangMarkers.map { case (c, _) => col(s"s_$c") }: _*)
     // alphabetical CASE ladder — first matching code wins, so ties are
@@ -344,6 +350,7 @@ object TextAnalysis {
     * is written in fixed left-associated term order, and the score is
     * rounded — the DuckDB oracle reproduces it bit-for-bit. */
   def bm25Scores(docs: DataFrame, topK: Int = 20): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val toks = withTokens(docs)
       .select(col("doc_id"), col("toks"), size(col("toks")).cast("double").as("dl"))
     val statCols =
@@ -356,7 +363,8 @@ object TextAnalysis {
     val scored = toks.crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sum_dl") / col("n_docs"))
     val termScores = Bm25Terms.map { t =>
-      val tf = expr(s"cast(size(filter(toks, x -> x = '$t')) as double)")
+      // count_in_set with a one-term set ⇔ size(filter(toks, x -> x = t))
+      val tf = call_function("count_in_set", col("toks"), typedLit(Seq(t))).cast("double")
       val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5)) /
         (col(s"df_$t") + lit(0.5)) + lit(1.0))
       idf * (tf * lit(Bm25K1 + 1.0)) /
@@ -419,11 +427,12 @@ object TextAnalysis {
     * [[BpePattern]] proxy tokenizer this pipeline tokenizes with
     * everywhere; swapping a real vocab changes only the token kernel.
     * All-integer aggregation — one lang-keyed groupBy, exact ratios. */
-  def fertility(docs: DataFrame): DataFrame =
+  def fertility(docs: DataFrame): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     withTokens(docs)
       .select(col("lang"),
-        size(expr("filter(toks, t -> t <> '')")).cast("long").as("n_words"),
-        size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        call_function("count_nonempty", col("toks")).cast("long").as("n_words"),
+        regexp_count(lower(col("text")), lit(BpePattern))
           .cast("long").as("n_sub"),
         // bytes, not chars: the oracle's strlen is octet count and the
         // metric (bytes/token compression) is only truthful in bytes —
@@ -440,6 +449,7 @@ object TextAnalysis {
         round(col("n_subtokens").cast("double") / col("n_words"), 4).as("fertility"),
         round(col("n_bytes").cast("double") / col("n_subtokens"), 4).as("bytes_per_token"))
       .orderBy(col("lang"))
+  }
 
   /** Zipf-law fit over the token frequency spectrum — the corpus-health
     * diagnostic: least-squares slope of ln(count) vs ln(rank) for the top
@@ -976,7 +986,9 @@ object TextAnalysis {
     val grams = Dedup.augmentedDocs(docs)
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(
-        expr("array_distinct(transform(word_shingles(text, 3), s -> hash64(s)))"))
+        // native one-pass kernel = array_distinct(transform(…, hash64))
+        call_function("hash64_set",
+          call_function("word_shingles", col("text"), lit(3))))
         .as("gh"))
     val freq = grams.groupBy(col("gh")).agg(count(lit(1)).as("nd"))
     grams
@@ -1004,9 +1016,10 @@ object TextAnalysis {
     * construction, not by data). */
   def lengthHistogram(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val w = withTokens(docs)
       .withColumn("n_words",
-        expr("size(filter(toks, t -> t <> ''))").cast("long"))
+        call_function("count_nonempty", col("toks")).cast("long"))
       .filter(col("n_words") > 0)
       // floor(log2) via binary-string length: exact integer math, no
       // float edge at powers of two
@@ -1159,15 +1172,16 @@ object TextAnalysis {
   private[graft] def probeFeatures(docs: DataFrame): DataFrame = {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     val d = ProbeDims
+    // ONE native pass computes all d signed hashed-token counts (the SQL
+    // form re-hashed every word d times through two interpreted lambdas
+    // per dim) — probe_features(words, d)[i+1] equals the old v_i fold
     (0 until d).foldLeft(
       withGopherFlags(docs)
+        .withColumn("pf", call_function("probe_features", col("words"), lit(d)))
         .withColumn(s"v${d + 1}", when(col("keep"), 1L).otherwise(0L))
         .withColumn(s"v$d", lit(1L))) { (f, i) =>
-      f.withColumn(s"v$i", expr(
-        s"""aggregate(filter(words, t -> pmod(hash64(t), $d) = $i), 0L,
-           |  (acc, t) -> acc + case when pmod(hash64(concat('s#', t)), 2) = 0
-           |                    then 1L else -1L end)""".stripMargin))
-    }
+      f.withColumn(s"v$i", element_at(col("pf"), i + 1))
+    }.drop("pf")
   }
 
   def linearProbeMoments(docs: DataFrame): DataFrame = {

@@ -35,7 +35,9 @@ object Winnow {
     graft.GraftExtensions.ensureRegistered(docs.sparkSession)
     Dedup.augmentedDocs(docs)
       .withColumn("hl",
-        expr(s"transform(word_ngrams(text, $K), g -> hash64(g))"))
+        // native per-element kernel = transform(…, hash64), order kept
+        call_function("hash64_array",
+          call_function("word_ngrams", col("text"), lit(K))))
       .filter(size(col("hl")) >= W)
       // winnow_min: single-pass monotonic-deque kernel — the
       // array_min(slice(...)) SQL form is O(n·w) with a per-window

@@ -229,16 +229,36 @@ object Behavioral {
       val prop = labels.join(neigh, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("mc"), col("comp"))).as("comp"))
+      // fixpoint signature: exact decimal sum (decimal(38,0) cannot
+      // overflow where a bigint sum of ~2^63-scale ids × rows could),
+      // riding the CHECKPOINT JOB ITSELF as an observed metric — the old
+      // shape scheduled a separate 1-row aggregation job over the
+      // just-checkpointed frame every round; CollectMetrics computes the
+      // same exact sum during the materialization pass, so each round is
+      // one job shorter (plan witness: no per-round Aggregate-over-
+      // checkpoint job; ONE row to the driver per round — ledgered).
+      // Labels are pointwise non-increasing across a round, so equal
+      // consecutive sums ⇔ no label moved ⇔ fixpoint.
+      val obs = org.apache.spark.sql.Observation(s"cc_sig_r${round}_${System.nanoTime()}")
       labels = prop.as("a").join(prop.as("b"), col("a.comp") === col("b.node"))
         .select(col("a.node").as("node"), col("b.comp").as("comp"))
+        .observe(obs, sum(col("comp").cast("decimal(38,0)")).as("cs"))
         .localCheckpoint()
-      // fixpoint signature: exact decimal sum over the checkpointed frame
-      // (one cheap job, ONE row to the driver — ledgered; decimal(38,0)
-      // cannot overflow where a bigint sum of ~2^63-scale ids × rows
-      // could). Labels are pointwise non-increasing across a round, so
-      // equal consecutive sums ⇔ no label moved ⇔ fixpoint.
-      val s = labels.agg(sum(col("comp").cast("decimal(38,0)")).as("cs"))
-        .head.getDecimal(0)
+      // metric delivery is asynchronous (execution-listener bus) — bounded
+      // wait, same discipline as IncrementalExporter.observedRows; the
+      // fallback 1-row aggregation keeps the loop CORRECT if delivery ever
+      // regressed (and would show up as the extra job the spec watches)
+      val s = {
+        import scala.concurrent.duration._
+        val f = scala.concurrent.Future(
+          obs.get("cs").asInstanceOf[java.math.BigDecimal])(
+          scala.concurrent.ExecutionContext.global)
+        try scala.concurrent.Await.result(f, 30.seconds)
+        catch { case _: java.util.concurrent.TimeoutException =>
+          labels.agg(sum(col("comp").cast("decimal(38,0)")).as("cs"))
+            .head.getDecimal(0)
+        }
+      }
       driverCollectRows.incrementAndGet()
       if (havePrevSum &&
           ((s == null && prevSum == null) ||
@@ -439,6 +459,7 @@ object Behavioral {
     // (a→b, a→c) closed by (b→c). The oracle counts the same triangles via
     // plain id-ordering — identical total, simpler SQL.
     "graph_triangles" -> ((s, dir) => {
+      graft.GraftExtensions.ensureRegistered(s)
       // undirected edge set + degrees from the SHARED persisted directed
       // frame: (u,v) with u < v is exactly one direction of it, and each
       // node's degree is its directed out-degree — so this query rides the
@@ -469,7 +490,11 @@ object Behavioral {
       val tri = eo
         .join(adj.select(col("src"), col("nbrs").as("na")), Seq("src"))
         .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")), Seq("dst"))
-        .select(size(array_intersect(col("na"), col("nb"))).cast("long").as("nc"))
+        // |N+(a) ∩ N+(b)| via the two-pointer sorted_overlap kernel: the
+        // adjacency arrays are sorted and duplicate-free (distinct
+        // oriented edges), so the count equals size(array_intersect(…))
+        // without array_intersect's per-edge hash set + result array
+        .select(call_function("sorted_overlap", col("na"), col("nb")).as("nc"))
         .agg(coalesce(sum(col("nc")), lit(0L)).as("n_triangles"))
       val stats = deg.agg(
         count(lit(1)).as("n_nodes"),
