@@ -14,6 +14,20 @@ import graft.bench.{Corpora, EraRamp, MaxTaskListener, ProbedRep, Probes, Ramp, 
   * number that scales to the 100 TB cluster. */
 object Bench {
 
+  /** Tracked per-query map reader shared by both sweep arms. Keys starting
+    * with "_" are metadata (the `_paired_count_total` run fingerprint in
+    * the noop map), never query seconds — the convention ADVICE r16 asked
+    * every map reader to enforce so a future metadata key can't be
+    * mistaken for a 120-second query. */
+  private def readQueryMap(path: String): Map[String, Double] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(path))
+      import scala.jdk.CollectionConverters._
+      node.fieldNames().asScala.filterNot(_.startsWith("_"))
+        .map(n => n -> node.get(n).asDouble()).toMap
+    } catch { case _: Exception => Map.empty }
+
   private def timed(n: Int)(body: => Unit): Seq[Double] =
     (1 to n).map { _ =>
       val t0 = System.nanoTime()
@@ -294,14 +308,20 @@ object Bench {
       else java.nio.file.Files.createTempDirectory(prefix).toString
     val etlFs = if (useShm) Seq("disk", "shm", "shm") else Seq("disk", "disk", "disk")
     case class EtlRun(rep: ProbedRep, stageSec: Double,
-        per: Map[String, (Long, Double)], stageMbps: Double, fs: String)
-    val etlRuns = etlFs.map { fs =>
+        per: Map[String, (Long, Double)], stageMbps: Double, fs: String,
+        fsyncPreMs: Double, fsyncPostMs: Double)
+    def runEtlRep(fs: String): EtlRun = {
       val pre = Probes.writeProbeMbps(spark)
       val cpre = Probes.cpuProbeSec()
       val sampler = new Probes.CpuSampler
       val steal0 = Probes.stealTicks()
       val stage = scratchDir(fs, "graft-bench-stage")
       val etlOut = scratchDir(fs, "graft-bench-etl")
+      // raw write+fsync latency on the REP'S OWN filesystem (VERDICT r16
+      // #2: the Spark write probe always lands on default tmp, so a tmpfs
+      // rep's filesystem was never probed — r16's two 68 s shm reps read
+      // "none" with healthy /tmp probes)
+      val fsyncPre = Probes.fsyncProbeMs(stage)
       val t0 = System.nanoTime()
       val per = graft.export.StagedExport.exportAll(
         graft.operators.Normalizer.decodeBlocks(recordsDeep),
@@ -315,21 +335,32 @@ object Bench {
       // writeback stall carries a visibly collapsed MB/s next to its seconds
       val steal1 = Probes.stealTicks()
       val stageMbps = dirBytes(stage) / 1e6 / math.max(0.001, stageSec)
+      val fsyncPost = Probes.fsyncProbeMs(stage)
       val (cmid, cmidMax) = sampler.stop()
       deleteRecursively(stage); deleteRecursively(etlOut)
       val cpost = Probes.cpuProbeSec()
       val post = Probes.writeProbeMbps(spark)
       EtlRun(ProbedRep(sec, pre, post, cpre, cpost, cmid, cmidMax,
-        Probes.stealCoresOver(steal0, steal1, sec)), stageSec, per, stageMbps, fs)
+        Probes.stealCoresOver(steal0, steal1, sec)), stageSec, per, stageMbps, fs,
+        fsyncPre, fsyncPost)
     }
+    val etlRuns0 = etlFs.map(runEtlRep)
     // headline = fastest CLEAN rep (write AND cpu probes healthy); a
     // faster stall-labeled rep stays visible in etl_runs_* but never
-    // becomes the field a round comparison starts from
-    val etlBest = Reps.bestClean(etlRuns)(_.rep.sec, _.rep.stalled)
-    val (etlSec, etlStageSec, etlPerTable, etlStageMbps, etlBestFs) =
-      (etlBest.rep.sec, etlBest.stageSec, etlBest.per, etlBest.stageMbps, etlBest.fs)
-    // the disk rep is the I/O witness even when a tmpfs rep wins the headline
-    val etlDiskSec = etlRuns.filter(_.fs == "disk").map(_.rep.sec).min
+    // becomes the field a round comparison starts from. The final
+    // selection happens AFTER the optional committed-ratio rep4 below;
+    // this early pick only decides whether rep4 is needed.
+    def etlDispersionOf(runs: Seq[EtlRun]): Seq[Boolean] = {
+      val minSec = runs.map(_.rep.sec).min
+      runs.map(r => r.rep.sec > Reps.EtlDispersionRatio * minSec)
+    }
+    def etlBestOf(runs: Seq[EtlRun]): EtlRun =
+      Reps.bestClean(runs.zip(etlDispersionOf(runs)))(
+        _._1.rep.sec, { case (r, disp) => r.rep.stalled || disp })._1
+    val etlSecPre = etlBestOf(etlRuns0).rep.sec
+    val etlCommitted = committedKey("etl_15table_sec")
+    val etlNeedsRep4 =
+      etlCommitted.exists(c => etlSecPre > Reps.WhCommittedRatio * c)
 
     // the per-era WAREHOUSE loop end to end (resume anti-join → per-era
     // stage → dynamic partition overwrites → completion commit) on the
@@ -439,12 +470,14 @@ object Bench {
       // an empty committedLast (missing file OR sf mismatch) disables
       // per-query adjudication rather than adjudicating cross-scale
       if (committedLast.isEmpty) Map.empty
-      else try {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File("BENCH_QUERIES_FULL.json"))
-        import scala.jdk.CollectionConverters._
-        node.fieldNames().asScala.map(n => n -> node.get(n).asDouble()).toMap
-      } catch { case _: Exception => Map.empty }
+      else readQueryMap("BENCH_QUERIES_FULL.json")
+    // the committed NOOP-arm map (same SF vouching as the count map — both
+    // are written by the run BENCH_LAST.json describes), promoting the
+    // noop arm from "numbers exist" to ADJUDICATED: a noop reading 3× its
+    // committed value takes a spaced third rep exactly like the count arm
+    val committedNoopBaseline: Map[String, Double] =
+      if (committedLast.isEmpty) Map.empty
+      else readQueryMap("BENCH_QUERIES_NOOP.json")
     def runOnce(name: String): Double =
       try {
         val t0 = System.nanoTime()
@@ -463,7 +496,11 @@ object Bench {
       val ends = scala.collection.mutable.Map[String, Double]() // pass-1 end ts
       val gs = scala.collection.mutable.Map[String, Double]()
       sweepNames.foreach { n =>
-        val c = run(n)
+        var c = run(n)
+        // one immediate retry on failure (ADVICE r16): a single transient
+        // error used to be final — no branch gave a failed query a second
+        // rep, so -1 landed in the tracked map unchallenged
+        if (c < 0) c = run(n)
         rs(n) = List(c)
         ends(n) = System.nanoTime() / 1e9
         if (c >= 0 && c <= 1.0) rs(n) = rs(n) :+ run(n)
@@ -515,11 +552,28 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
+    // kill switch accepts the common falsy spellings (ADVICE r16: only the
+    // exact string "0" used to disarm — =false/off silently ran the arm)
+    val noopDisabled = sys.env.get("SPARK_GRAFT_NOOP")
+      .exists(v => Set("0", "false", "off", "no").contains(v.toLowerCase))
     val noopResults: Map[String, Double] =
-      if (sys.env.get("SPARK_GRAFT_NOOP").contains("0")) Map.empty
+      if (noopDisabled) Map.empty
       else {
         spark.sparkContext.setJobDescription("sweep: noop-sink arm")
         val (nreps, _) = sweepPass(runOnceNoop)
+        // committed-baseline adjudication, same discipline as the count
+        // arm (VERDICT r16 #1): two agreeing reps above 3× the committed
+        // noop value take a third rep, so "steal window" vs "regression"
+        // is decidable from this artifact alone
+        sweepNames.filter { n =>
+          val rs = nreps(n).take(2)
+          rs.size == 2 && rs.forall(_ >= 0) && {
+            val (a, b) = (rs(0), rs(1))
+            math.abs(a - b) / math.max(1e-9, math.min(a, b)) < 0.2 &&
+              math.min(a, b) >
+                3 * committedNoopBaseline.getOrElse(n, Double.MaxValue)
+          }
+        }.foreach(n => nreps(n) = nreps(n) :+ runOnceNoop(n))
         spark.sparkContext.setJobDescription(null)
         minFold(nreps)
       }
@@ -572,6 +626,20 @@ object Bench {
     val whRep3 = if (whNeedsRep3) Some(whRep(eraDir, whEras)) else None
     val whProdRep3 =
       if (whProdNeedsRep3) Some(whRep(prodEraDir, whProdEras)) else None
+
+    // committed-ratio-triggered FOURTH ETL rep (VERDICT r16 #2 — the same
+    // wh-style gate: a clean best above WhCommittedRatio × the committed
+    // headline re-measures tens of minutes later, so the round comparison
+    // never starts from one bad window). Runs on the headline filesystem.
+    val etlRuns =
+      if (etlNeedsRep4) etlRuns0 :+ runEtlRep(if (useShm) "shm" else "disk")
+      else etlRuns0
+    val etlDispersion = etlDispersionOf(etlRuns)
+    val etlBest = etlBestOf(etlRuns)
+    val (etlSec, etlStageSec, etlPerTable, etlStageMbps, etlBestFs) =
+      (etlBest.rep.sec, etlBest.stageSec, etlBest.per, etlBest.stageMbps, etlBest.fs)
+    // the disk rep is the I/O witness even when a tmpfs rep wins the headline
+    val etlDiskSec = etlRuns.filter(_.fs == "disk").map(_.rep.sec).min
     val whSec = Reps.bestClean(Seq(whRep1, whRep2) ++ whRep3)(_.sec, _.stalled).sec
     val whProdSec = Reps.bestClean(
       Seq(whProdRep1, whProdRep2) ++ whProdRep3)(_.sec, _.stalled).sec
@@ -666,9 +734,22 @@ object Bench {
           val both = sweepNames.filter(n =>
             noopResults.getOrElse(n, -1.0) >= 0 && results.getOrElse(n, -1.0) >= 0)
           val ct = both.map(results).sum
+          // committed-ratio over the intersection of queries present in
+          // the committed noop map and succeeding now — the wh-style gate
+          // (VERDICT r16 #1) that makes round-over-round noop comparison
+          // adjudicable from the artifact
+          val commonNoop = sweepNames.filter(n =>
+            noopResults.getOrElse(n, -1.0) >= 0 &&
+              committedNoopBaseline.getOrElse(n, -1.0) >= 0)
+          val noopCommittedTotal = commonNoop.map(committedNoopBaseline).sum
+          val noopCommittedRatio =
+            if (noopCommittedTotal <= 0) -1.0
+            else commonNoop.map(noopResults).sum / noopCommittedTotal
           s""","noop_total":${r3(nt)},"queries_noop_json":"$noopPath"""" +
             s""","noop_over_count":${r3(both.map(noopResults).sum / math.max(1e-9, ct))}""" +
-            s""","noop_failed":${noopResults.values.count(_ < 0)}"""
+            s""","noop_failed":${noopResults.values.count(_ < 0)}""" +
+            s""","noop_committed_total":${r3(noopCommittedTotal)}""" +
+            s""","noop_committed_ratio":${r3(noopCommittedRatio)}"""
         }) +
         s""","era_blocks":$decoded,"era_decode_sec":${r3(decodeSec)}""" +
         s""","blocks_per_sec":${r1(decoded / decodeSec)}""" +
@@ -690,7 +771,15 @@ object Bench {
         s""","etl_runs_cpu_probe_sec":[${etlRuns.map(r =>
           s"[${r3(r.rep.cpre)},${r3(r.rep.cmid)},${r3(r.rep.cmidMax)},${r3(r.rep.cpost)}]").mkString(",")}]""" +
         s""","etl_runs_stalled":[${etlRuns.map(_.rep.stalled).mkString(",")}]""" +
-        s""","etl_runs_stall_kind":[${etlRuns.map(r => "\"" + r.rep.stallKind + "\"").mkString(",")}]""" +
+        s""","etl_runs_stall_kind":[${etlRuns.zip(etlDispersion).map { case (r, disp) =>
+          val k = r.rep.stallKind
+          val kd = if (disp && k == "none") "dispersion"
+            else if (disp) k + "+dispersion" else k
+          "\"" + kd + "\""
+        }.mkString(",")}]""" +
+        s""","etl_runs_fsync_ms":[${etlRuns.map(r => s"[${r.fsyncPreMs},${r.fsyncPostMs}]").mkString(",")}]""" +
+        s""","etl_committed_ratio":${etlCommitted.map(c => r3(etlSec / c)).getOrElse(-1.0)}""" +
+        s""","etl_rep4":$etlNeedsRep4""" +
         s""","etl_runs_steal_cores":[${etlRuns.map(r => r3(r.rep.stealCores)).mkString(",")}]""" +
         s""","cpu_probe_stall_sec":${r3(Probes.CpuProbeStallSec)}""" +
         s""","sampler_tax_off_sec":${r3(samplerTax._1)},"sampler_tax_on_sec":${r3(samplerTax._2)}""" +

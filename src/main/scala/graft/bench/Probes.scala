@@ -119,6 +119,27 @@ object Probes {
     math.rint(mb / sec * 10) / 10
   }
 
+  /** Raw filesystem write+fsync latency (ms) of 4 MB into `dir` — a probe
+    * that targets the REP'S OWN filesystem (the Spark write probe always
+    * lands on default tmp, so a tmpfs rep's filesystem was never probed:
+    * BENCH_r16's two 68 s shm reps carried healthy /tmp probes and a
+    * "none" label — VERDICT r16 #2). No Spark in the loop: this times the
+    * kernel write path alone, so a collapsed number names the filesystem
+    * and not the scheduler. Returns -1 when the dir is unwritable. */
+  def fsyncProbeMs(dir: String): Double =
+    try {
+      val f = java.nio.file.Files.createTempFile(
+        java.nio.file.Paths.get(dir), "graft-fsprobe", ".bin")
+      val buf = java.nio.ByteBuffer.allocate(4 * 1024 * 1024)
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { ch.write(buf); ch.force(true) } finally ch.close()
+      val ms = (System.nanoTime() - t0) / 1e6
+      java.nio.file.Files.deleteIfExists(f)
+      math.rint(ms * 10) / 10
+    } catch { case _: Exception => -1.0 }
+
   /** A rep with EITHER bracketing probe under this is stall-labeled
     * (min(pre, post) < threshold — the sensitive direction: a stall
     * window long enough to slow the rep usually reaches at least one

@@ -51,4 +51,13 @@ object Reps {
     * seconds above `WhCommittedRatio` × the committed value triggers a
     * THIRD spaced rep, and the ratio itself rides the artifact. */
   val WhCommittedRatio = 1.3
+
+  /** Rep-vs-rep dispersion label (VERDICT r16 #2): a rep slower than this
+    * ratio × the family's fastest same-run rep is labeled even when every
+    * probe on it reads clean — the catch-all for mechanisms the probes
+    * don't see (BENCH_r16: two 68 s tmpfs ETL reps, 4.7× the 14 s disk
+    * rep, all probes healthy, stall_kind "none"). Identical code + data
+    * + process within one run means a 3× spread IS environment; the label
+    * only demotes a rep from headline eligibility, never hides it. */
+  val EtlDispersionRatio = 3.0
 }

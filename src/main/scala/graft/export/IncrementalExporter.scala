@@ -127,7 +127,9 @@ object IncrementalExporter {
   def runWarehouse(spark: SparkSession, state: EraStateManager,
       network: String, eras: Seq[Long], warehouseDir: String,
       parallelism: Int = 8, force: Boolean = false,
-      stageCodec: String = "zstd")(loadEra: Long => DataFrame): Seq[Long] = {
+      stageCodec: String = "zstd",
+      targetFileBytes: Long = Sinks.whTargetFileBytes)(
+      loadEra: Long => DataFrame): Seq[Long] = {
     // every filesystem touch goes through the Hadoop FileSystem bound to
     // the warehouse URI — the loop's own contract is "any store Spark can
     // write" (hdfs://, s3a://, local), and java.nio would treat a scheme'd
@@ -149,6 +151,14 @@ object IncrementalExporter {
     }
     val todo = if (force) eras else state.determineErasToProcess(eras, network)
     val processed = Seq.newBuilder[Long]
+    // measured bytes/row per table, updated from each completed era's own
+    // on-disk output — the `maxRecordsPerFile` derivation (guide §6): the
+    // first era writes unconstrained (nothing measured yet), every later
+    // era caps records/file at targetFileBytes / measured bytes-per-row,
+    // so a multi-GB hot-table era splits into ~target-sized files instead
+    // of whatever the stage's task count dictated. Self-tuning: the
+    // estimate follows the corpus as row width drifts across eras.
+    var rowBytes = Map.empty[String, Double]
     try {
       todo.foreach { era =>
         if (force) dropEraPartitions(era)
@@ -176,7 +186,10 @@ object IncrementalExporter {
           }
           Sinks.runQuiescent(spark, parallelism, observed.map {
             case (name, _, df) =>
-              () => Sinks.overwriteEraPartitions(df, s"$netDir/$name")
+              () => Sinks.overwriteEraPartitions(df, s"$netDir/$name",
+                rowBytes.get(name)
+                  .map(b => math.max(1L, (targetFileBytes / b).toLong))
+                  .getOrElse(0L))
           })
           val counts = observed.collect {
             case (name, obs, _) if name != "wide_blocks" =>
@@ -185,6 +198,15 @@ object IncrementalExporter {
                 if (fs.exists(hp(p))) spark.read.parquet(p).count() else 0L
               })
           }.toMap
+          rowBytes ++= counts.flatMap { case (name, rows) =>
+            if (rows <= 0) None
+            else {
+              val p = hp(s"$netDir/$name/era_number=$era")
+              val bytes =
+                if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+              if (bytes > 0) Some(name -> bytes.toDouble / rows) else None
+            }
+          }
           state.recordEraCompletion(era, network,
             counts.filter(_._2 > 0).keys.toSeq.sorted, counts.values.sum)
           processed += era

@@ -101,9 +101,26 @@ object Sinks {
     * replaces exactly its own partition, and completed eras' files are
     * never rewritten — [[IncrementalExporter.runWarehouse]]'s
     * exactly-once mechanism, spec-pinned by `WarehouseResumeSpec`. */
-  def overwriteEraPartitions(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+  def overwriteEraPartitions(df: DataFrame, path: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+    // output-file sizing (guide §6): cap records per file when the caller
+    // has a measured bytes/row to derive the cap from — at production
+    // scale one era of a hot table is multi-GB and the stage's task count
+    // (not file-size policy) otherwise decides output file sizes
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w)
       .partitionBy("era_number").parquet(path)
+  }
+
+  /** Target output-file size for the warehouse loop (guide §6: aim for
+    * 128 MB–1 GB parquet files). Overridable for tests and deployments via
+    * SPARK_GRAFT_WH_TARGET_FILE_MB. */
+  def whTargetFileBytes: Long =
+    sys.env.get("SPARK_GRAFT_WH_TARGET_FILE_MB")
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .map(_ * 1024L * 1024L)
+      .getOrElse(512L * 1024L * 1024L)
 
   /** S11/S13 exact-parity single-file export: the reference's INLINE
     * metadata envelope — JSONL metadata as the first line
